@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central table registry over the driver-provided parquet test data
+  * (`/root/testdata/sf*`, see TESTDATA.md).
+  *
+  * Mirrors the reference's ingest surface (SURVEY.md §2.1 S1/S2): the
+  * reference reads CSVs into a dict of pandas frames keyed by table name
+  * (`extract_load_transform_data_pipeline.py.py:65-80`); here the same
+  * role is a `Map[String, DataFrame]` of lazily-planned parquet scans.
+  * Parquet carries the schema, so unlike the reference there is no
+  * inference step — and Catalyst pushes filters/column pruning into the
+  * scan for free.
+  */
+object Tables {
+
+  /** All driver-generated tables, one parquet file each. */
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  // Named accessors (the hot tables get explicit helpers).
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** `events.ts` is written as parquet INT64 TIMESTAMP(NANOS) which Spark 4
+    * rejects outright (PARQUET_TYPE_ILLEGAL). Read it as a long via the
+    * legacy conf, then truncate ns → µs into a proper TimestampType — the
+    * same truncation DuckDB/pandas apply, so oracle parity holds.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql` queries resolve
+    * by bare name — the Spark analog of the reference's three-schema
+    * Postgres namespace (SURVEY.md §1).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
