@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Extended, Relational}
+import graft.sources.Dims
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,6 +28,15 @@ object SparkEntry {
     "q6_returnflag_pct"       -> Relational.returnflagPctPerPart _,
     "q7_best_part"            -> Relational.bestPerformingPart _,
     "q8_watermark_max"        -> Relational.watermarkMaxKey _,
+    "q9_holiday_pivot"        -> Extended.holidayPivot _,
+    "q10_anti_join"           -> Extended.customersWithoutOrders _,
+    "q11_semi_join"           -> Extended.customersWithUrgentOrders _,
+    "q12_set_ops"             -> Extended.setOpsCustkeys _,
+    "q13_distinct_aggs"       -> Extended.distinctAggs _,
+    "q14_revenue_rollup"      -> Extended.revenueRollup _,
+    "q15_window_suite"        -> Extended.windowSuite _,
+    "q16_scalar_suite"        -> Extended.scalarSuite _,
+    "q17_approx_distinct"     -> Extended.approxDistinctParts _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -119,5 +129,96 @@ object SparkEntry {
     "q8_watermark_max" -> """
       SELECT CAST(COALESCE(max(CAST(o_orderkey AS BIGINT)), 0) AS BIGINT) AS max_key
       FROM orders""",
+
+    "q9_holiday_pivot" -> {
+      val pivots = (1 to 12).map(m =>
+        f"CAST(round(sum(CASE WHEN month_of_the_year_num = $m THEN o_totalprice ELSE 0 END), 2) AS DOUBLE) AS tt_order_hol_$m%02d")
+        .mkString(", ")
+      s"""WITH ${Dims.dimDatesSqlCte},
+      j AS (
+        SELECT o_totalprice, month_of_the_year_num
+        FROM orders LEFT JOIN dim_dates ON CAST(o_orderdate AS DATE) = calendar_dt
+        WHERE year_num = 1998 AND day_of_the_week_num BETWEEN 2 AND 6
+          AND working_day = 'false')
+      SELECT DATE '2026-01-01' AS ingestion_date, $pivots FROM j"""
+    },
+
+    "q10_anti_join" -> """
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+      ORDER BY c_custkey""",
+
+    "q11_semi_join" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+      ORDER BY c_custkey""",
+
+    "q12_set_ops" -> """
+      SELECT o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+      ) t ORDER BY o_custkey""",
+
+    "q13_distinct_aggs" -> """
+      SELECT l_returnflag,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty,
+        count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q14_revenue_rollup" -> """
+      SELECT r_name, n_name,
+        CAST(round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS DOUBLE) AS revenue,
+        CAST(GROUPING(r_name) AS INT) AS g_region,
+        CAST(GROUPING(n_name) AS INT) AS g_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY g_region, g_nation, r_name, n_name""",
+
+    "q15_window_suite" -> """
+      WITH b AS (
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_day,
+               round(o_totalprice, 2) AS price
+        FROM orders)
+      SELECT o_custkey, o_orderkey, order_day, price,
+        CAST(row_number() OVER seq AS BIGINT) AS rn,
+        CAST(rank() OVER byprice AS BIGINT) AS rnk,
+        CAST(dense_rank() OVER byprice AS BIGINT) AS drnk,
+        lag(price, 1) OVER seq AS prev_price,
+        lead(price, 1) OVER seq AS next_price,
+        round(sum(price) OVER (PARTITION BY o_custkey ORDER BY order_day, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+        round(price / sum(price) OVER (PARTITION BY o_custkey) * 100.0, 2) AS pct_of_cust
+      FROM b
+      WINDOW
+        seq AS (PARTITION BY o_custkey ORDER BY order_day, o_orderkey),
+        byprice AS (PARTITION BY o_custkey ORDER BY price DESC, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q16_scalar_suite" -> """
+      SELECT o_orderkey,
+        CAST(o_orderdate AS DATE) AS order_day,
+        CAST(o_orderdate AS DATE) + 15 AS due_day,
+        CAST(DATE '2002-01-01' - CAST(o_orderdate AS DATE) AS INT) AS age_days,
+        strftime(o_orderdate, '%Y-%m') AS order_month,
+        CAST(year(o_orderdate) AS INT) AS order_year,
+        CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+        CASE WHEN o_totalprice >= 200000.0 THEN 'high'
+             WHEN o_totalprice >= 100000.0 THEN 'mid'
+             ELSE 'low' END AS price_band,
+        COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_or_default,
+        round(o_totalprice / 7.0, 3) AS weekly_rate
+      FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""",
   )
 }

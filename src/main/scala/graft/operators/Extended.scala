@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.{Dims, Tables}
+
+/** Second wave of relational coverage: the reference's Q-holiday query with
+  * its assumed date dim (J1+P2+A1+E2/E3), null-predicate/semi/anti joins,
+  * set operations, DISTINCT aggregates, ROLLUP, and a full window-function
+  * suite — the operators a user of the reference's SQL surface would expect
+  * a complete engine to provide (SURVEY.md §2.2-§2.8).
+  */
+object Extended {
+
+  /** Q-holiday parity (`sql/transformation.sql:18-44`): orders ⟕ dim_dates on
+    * an expression key (J1), filter year + weekday + non-working-day (P2),
+    * global 12-way conditional-SUM pivot (A1), fixed ingestion stamp (E3 —
+    * injected as a literal for determinism, per SURVEY §7 risk 2).
+    * The generated dim is ~2.5k rows → broadcast; the orders scan reads only
+    * (o_orderdate, o_totalprice) thanks to column pruning.
+    */
+  def holidayPivot(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val d = Dims.dimDates(spark)
+    val joined = o.join(
+      broadcast(d),
+      to_date(col("o_orderdate")) === col("calendar_dt"), "left")
+    val filtered = joined.filter(
+      col("year_num") === 1998 &&
+      col("day_of_the_week_num").between(2, 6) &&
+      col("working_day") === "false")
+    val pivots = (1 to 12).map { m =>
+      round(sum(when(col("month_of_the_year_num") === m, col("o_totalprice"))
+        .otherwise(0.0)), 2).cast("double").as(f"tt_order_hol_$m%02d")
+    }
+    filtered
+      .agg(pivots.head, pivots.tail: _*)
+      .select(lit(java.sql.Date.valueOf("2026-01-01")).as("ingestion_date") +: (1 to 12)
+        .map(m => col(f"tt_order_hol_$m%02d")): _*)
+  }
+
+  /** P6 + anti join: customers with no 1995 orders (NULL-producing left join
+    * collapsed to LEFT ANTI — no payload columns shuffled for the right side;
+    * the year filter is pushed below the join so the build side shrinks
+    * before the shuffle).
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Semi join: customers with at least one urgent open order (EXISTS). */
+  def customersWithUrgentOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "O")
+      .select("o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Set operations (§2.7): (1995 buyers ∩ 1996 buyers) ∖ 2000 buyers. */
+  def setOpsCustkeys(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def buyersIn(y: Int) =
+      o.filter(year(col("o_orderdate")) === y).select(col("o_custkey")).distinct()
+    buyersIn(1995).intersect(buyersIn(1996)).except(buyersIn(2000))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** DISTINCT aggregates per group: exact distinct counts + avg. The exact
+    * count-distinct expands to a two-shuffle plan; at 100 TB prefer
+    * approx_count_distinct (provided as `approxDistinctParts`, rows-only
+    * checked since HLL±ε has no deterministic oracle).
+    */
+  def distinctAggs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).cast("long").as("n_parts"),
+        countDistinct(col("l_suppkey")).cast("long").as("n_supps"),
+        round(sum_distinct(col("l_quantity")), 2).as("sum_distinct_qty"),
+        count(lit(1)).cast("long").as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** ROLLUP over (region, nation): subtotals + grand total, grouping markers
+    * included so NULL-from-rollup is distinguishable from NULL data.
+    */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c  = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        grouping(col("r_name")).cast("int").as("g_region"),
+        grouping(col("n_name")).cast("int").as("g_nation"))
+      .orderBy(col("g_region"), col("g_nation"), col("r_name"), col("n_name"))
+  }
+
+  /** Window-function suite beyond the reference's single ROW_NUMBER (§2.5):
+    * rank, dense_rank, lag, lead, running sum (rows frame), and share-of-
+    * partition — one pass, one shuffle on o_custkey, deterministic order.
+    */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("order_day").asc, col("o_orderkey").asc)
+    val wAll = Window.partitionBy(col("o_custkey"))
+    o.select(
+        col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_day"),
+        round(col("o_totalprice"), 2).as("price"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnk", rank().over(w.orderBy(col("price").desc, col("o_orderkey").asc)).cast("long"))
+      .withColumn("drnk", dense_rank().over(w.orderBy(col("price").desc, col("o_orderkey").asc)).cast("long"))
+      .withColumn("prev_price", lag(col("price"), 1).over(w))
+      .withColumn("next_price", lead(col("price"), 1).over(w))
+      .withColumn("running_spend",
+        round(sum(col("price")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .withColumn("pct_of_cust",
+        round(col("price") / sum(col("price")).over(wAll) * 100.0, 2))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Scalar-expression suite (E1-E14): date_add, datediff, date interval,
+    * date_format, coalesce, round, CASE, cast — one deterministic projection.
+    */
+  def scalarSuite(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_day"),
+        date_add(to_date(col("o_orderdate")), 15).as("due_day"),
+        datediff(lit(java.sql.Date.valueOf("2002-01-01")), to_date(col("o_orderdate")))
+          .cast("int").as("age_days"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+        year(col("o_orderdate")).cast("int").as("order_year"),
+        quarter(col("o_orderdate")).cast("int").as("order_quarter"),
+        when(col("o_totalprice") >= 200000.0, "high")
+          .when(col("o_totalprice") >= 100000.0, "mid")
+          .otherwise("low").as("price_band"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING")).as("status_or_default"),
+        round(col("o_totalprice") / 7.0, 3).as("weekly_rate"))
+      .filter(col("o_orderkey") % 100 === 0)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Approximate distinct (HLL) — the 100 TB path for distinct counting.
+    * No deterministic cross-engine oracle (ε differs) → rows-only check;
+    * exactness is asserted against countDistinct in ScalaTest at small SF.
+    */
+  def approxDistinctParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+}
