@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Extended, Relational}
+import graft.operators.{Dedup, Extended, Relational, Similarity, TextAnalysis}
 import graft.sources.Dims
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -37,6 +37,20 @@ object SparkEntry {
     "q15_window_suite"        -> Extended.windowSuite _,
     "q16_scalar_suite"        -> Extended.scalarSuite _,
     "q17_approx_distinct"     -> Extended.approxDistinctParts _,
+    // text analysis
+    "t1_text_stats"           -> TextAnalysis.textStats _,
+    "t2_lang_id"              -> TextAnalysis.langIdPerDoc _,
+    "t3_quality_by_source"    -> TextAnalysis.qualityBySource _,
+    // dedup family
+    "d1_exact_dedup"          -> Dedup.exactDedupGroups _,
+    "d2_ngram_jaccard"        -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
+    "d3_minhash_lsh"          -> ((s: SparkSession, d: String) => Dedup.minhashLshPairs(s, d)),
+    "d4_simhash"              -> Dedup.simhashSignatures _,
+    "d5_embedding_neardup"    -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupPairs(s, d)),
+    // similarity search
+    "s1_ann_topk"             -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
+    "s2_ann_lsh_topk"         -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
+    "s3_ann_ivf_topk"         -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -220,5 +234,149 @@ object SparkEntry {
         COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_or_default,
         round(o_totalprice / 7.0, 3) AS weekly_rate
       FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""",
+
+    "t1_text_stats" -> s"""
+      WITH n AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents),
+      tk AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM n),
+      m AS (
+        SELECT doc_id, norm, toks,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
+        FROM tk),
+      r AS (
+        SELECT doc_id, n_tokens, n_distinct_tokens,
+          round(CAST(n_distinct_tokens AS DOUBLE) / greatest(n_tokens, 1), 4) AS type_token_ratio,
+          round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / greatest(n_tokens, 1), 4) AS avg_token_len,
+          round(CAST(len(list_filter(toks, t -> list_contains($StopSqlList, t))) AS DOUBLE)
+            / greatest(n_tokens, 1), 4) AS stopword_ratio,
+          md5(norm) AS fingerprint
+        FROM m)
+      SELECT doc_id, n_tokens, n_distinct_tokens, type_token_ratio, avg_token_len,
+        stopword_ratio,
+        round(least(CAST(n_tokens AS DOUBLE) / 500.0, 1.0) * 0.4
+          + type_token_ratio * 0.3 + (1.0 - stopword_ratio) * 0.3 + 0.000000001, 4) AS quality_score,
+        fingerprint
+      FROM r ORDER BY doc_id""",
+
+    "t2_lang_id" -> s"""
+      WITH tk AS (
+        SELECT doc_id, lang AS lang_declared,
+          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+        FROM documents),
+      h AS (
+        SELECT doc_id, lang_declared,
+          $LangHitsSql
+        FROM tk),
+      b AS (SELECT *, greatest(hits_en, hits_de, hits_es, hits_fr) AS best FROM h)
+      SELECT doc_id, lang_declared,
+        CASE WHEN hits_en = best AND best > 0 THEN 'en'
+             WHEN hits_de = best AND best > 0 THEN 'de'
+             WHEN hits_es = best AND best > 0 THEN 'es'
+             WHEN hits_fr = best AND best > 0 THEN 'fr'
+             ELSE 'und' END AS lang_pred,
+        hits_en, hits_de, hits_es, hits_fr
+      FROM b ORDER BY doc_id""",
+
+    "t3_quality_by_source" -> s"""
+      WITH n AS (
+        SELECT lang, source, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents),
+      tk AS (SELECT lang, source, norm, string_split(norm, ' ') AS toks FROM n),
+      m AS (
+        SELECT lang, source,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 4) AS ttr,
+          round(CAST(len(list_filter(toks, t -> list_contains($StopSqlList, t))) AS DOUBLE)
+            / greatest(len(toks), 1), 4) AS swr
+        FROM tk),
+      q AS (
+        SELECT lang, source, n_tokens,
+          round(least(CAST(n_tokens AS DOUBLE) / 500.0, 1.0) * 0.4
+            + ttr * 0.3 + (1.0 - swr) * 0.3 + 0.000000001, 4) AS q
+        FROM m)
+      SELECT lang, source, round(avg(q) + 0.000000001, 4) AS avg_quality,
+        round(avg(n_tokens), 2) AS avg_tokens, count(*) AS n_docs
+      FROM q GROUP BY lang, source ORDER BY lang, source""",
+
+    "d1_exact_dedup" -> """
+      WITH f AS (
+        SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents)
+      SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
+      FROM f GROUP BY fp ORDER BY survivor_id""",
+
+    "d2_ngram_jaccard" -> JaccardPairsSql,
+    // d3 shares d2's oracle: LSH candidates are verified with exact Jaccard,
+    // and at the planted near-dup similarity (j≈0.99) the per-pair miss
+    // probability is (1-0.99^4)^8 ≈ 5e-12.
+    "d3_minhash_lsh" -> JaccardPairsSql,
+
+    "d5_embedding_neardup" -> """
+      WITH p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib, a.embedding AS ea, b.embedding AS eb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      u AS (SELECT ia, ib, unnest(range(1, len(ea) + 1)) AS i, ea, eb FROM p),
+      s AS (
+        SELECT ia, ib,
+          sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+          sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+          sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
+        FROM u GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+      FROM s WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.45 ORDER BY id_a, id_b""",
+
+    "s1_ann_topk" -> """
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+      p AS (
+        SELECT query_id, vec_id AS neighbor_id, qe, embedding AS ne
+        FROM embeddings, q WHERE vec_id <> query_id),
+      u AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne FROM p),
+      s AS (
+        SELECT query_id, neighbor_id,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
+          sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
+        FROM u GROUP BY 1, 2),
+      c AS (SELECT query_id, neighbor_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM s),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM c)
+      SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
   )
+
+  /** DuckDB list literal of TextFunctions.Stopwords. */
+  private def StopSqlList: String =
+    graft.functions.TextFunctions.Stopwords.mkString("['", "', '", "']")
+
+  /** hits_<lang> columns mirroring TextFunctions.LangMarkers. */
+  private def LangHitsSql: String =
+    graft.functions.TextFunctions.LangMarkers.map { case (lang, m) =>
+      val lst = m.mkString("['", "', '", "']")
+      s"CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS BIGINT) AS hits_$lang"
+    }.mkString(",\n          ")
+
+  /** Exact n-gram Jaccard pairs (j >= 0.8) — oracle for both d2 and d3. */
+  private val JaccardPairsSql: String = """
+      WITH tk AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tk),
+      sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      j AS (
+        SELECT id_a, id_b,
+          CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jaccard
+        FROM pairs
+        JOIN cnt ca ON id_a = ca.doc_id
+        JOIN cnt cb ON id_b = cb.doc_id)
+      SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+      FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""
 }

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Deduplication family over `documents` — the core training-data pipeline
+  * operators (BASELINE.json north star):
+  *
+  *  - d1 exact:       hash-groupBy on a content fingerprint — one shuffle on
+  *                    the 128-bit key; survivors = min doc_id per group.
+  *  - d2 n-gram Jaccard: exact pairwise similarity via shingle self-join —
+  *                    the correctness baseline. O(Σ df²) pairs; at 100 TB
+  *                    you run d3 instead and keep d2 for sampled validation.
+  *  - d3 MinHash+LSH: shingle → K minhashes → B bands → bucket self-join →
+  *                    exact-Jaccard verification of candidates. Linear in
+  *                    corpus size + near-dup pair count; the scale path.
+  *  - d4 SimHash:     64-bit signature per doc via per-bit token-hash
+  *                    majority; near-dups differ in few bits.
+  *  - d5 embedding near-dup: exact cosine threshold over all pairs (LSH
+  *                    bucketed variant lives in Similarity.annLshTopK).
+  */
+object Dedup {
+
+  /** d1: exact dedup — groups by normalized-content fingerprint, keeps the
+    * smallest doc_id (deterministic survivor rule), reports group size.
+    */
+  def exactDedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).cast("long").as("n_copies"))
+      .select(col("survivor_id"), col("n_copies"))
+      .orderBy(col("survivor_id"))
+  }
+
+  /** Distinct word-3-gram shingles per doc. */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+
+  /** d2: exact n-gram Jaccard near-dup pairs (j >= threshold).
+    * Pair generation by shingle self-join is exact: any pair with j > 0
+    * shares at least one shingle. The shuffle key is the shingle, so a
+    * high-document-frequency shingle is a skew risk at scale — the LSH
+    * variant (d3) caps that by hashing fixed-width signatures instead.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+                        threshold: Double = 0.8): DataFrame = {
+    val docs = docShingles(spark, dir).cache()
+    val ds = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val cnt = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val pairs = ds.as("a")
+      .join(ds.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("id_b") === col("cb.doc_id"))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("ca.n") + col("cb.n") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash parameters: K = Bands × RowsPerBand signature length.
+    * P(candidate | j) = 1 - (1 - j^R)^B → at j=0.8: ~0.9997; j=0.3: ~0.06.
+    */
+  val MinHashK = 32
+  val Bands = 8
+  val RowsPerBand = 4
+
+  /** d3: MinHash + banded LSH near-dup pairs, candidates verified by exact
+    * Jaccard (array_intersect on the cached shingle arrays), so the output
+    * contract equals d2's given full recall — misses at j>=0.8 have
+    * probability (1-0.8^4)^8 ≈ 3e-4 per pair, and the driver gate's planted
+    * near-dups sit at j≈0.99 where miss probability is ~5e-12.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String,
+                      threshold: Double = 0.8): DataFrame = {
+    val docs = docShingles(spark, dir).cache()
+
+    // signature: for each of K hash seeds, min over shingles of xxhash64(seed, shingle)
+    val sig = docs
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(MinHashK - 1))).as("k"), col("s"))
+      .withColumn("hv", xxhash64(col("k"), col("s")))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(min(col("hv")).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("k"), col("mh")))),
+        e => e.getField("mh")).as("sig"))
+
+    // bands: hash a fixed slice of the signature per band; bucket join
+    val bands = sig.select(col("doc_id"),
+        explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+      .join(sig, "doc_id")
+      .select(col("doc_id"), col("band"),
+        hash(col("band"), slice(col("sig"), col("band") * RowsPerBand + 1,
+          lit(RowsPerBand))).as("bkey"))
+
+    val candidates = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    // verify candidates with exact Jaccard on the shingle arrays
+    candidates
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** d4: 64-bit SimHash signature per document — per-bit majority vote over
+    * xxhash64 of tokens. One scan + one groupBy(doc_id); the 64 bit-sums are
+    * a single wide codegen'd aggregate. No cross-engine oracle (xxhash64 is
+    * Spark-specific) → rows-only check + ScalaTest hamming-distance
+    * properties.
+    */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i")) :+
+      count(lit(1)).as("n")
+    val g = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map(i =>
+      when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    g.select(col("doc_id"), sim.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  /** Hamming distance between two 64-bit signatures (for tests/probing). */
+  def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    bit_count(a.bitwiseXOR(b))
+
+  /** d5: embedding near-dup pairs — exact cosine over all pairs above a
+    * threshold. Quadratic; the ANN/LSH path in Similarity bounds the
+    * candidate set at scale.
+    */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String,
+                            threshold: Double = 0.45): DataFrame = {
+    import graft.functions.VectorFunctions
+    // normalize once per vector (not once per pair) — cosine degrades to a
+    // single 64-wide dot product in the quadratic stage
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFunctions.normalized(col("embedding")).as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        VectorFunctions.dot(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("minhash LSH finds exactly the exact-jaccard pairs on planted near-dups") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(spark, sf).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dup pairs")
+    assert(lsh == exact, s"LSH=${lsh.size} exact=${exact.size}")
+  }
+
+  test("near-dup pairs have small simhash hamming distance; random pairs large") {
+    val sims = Dedup.simhashSignatures(spark, sf)
+    val pairs = Dedup.ngramJaccardPairs(spark, sf)
+    val withHam = pairs
+      .join(sims.withColumnRenamed("doc_id", "id_a").withColumnRenamed("simhash", "sh_a"), "id_a")
+      .join(sims.withColumnRenamed("doc_id", "id_b").withColumnRenamed("simhash", "sh_b"), "id_b")
+      .select(Dedup.hamming(col("sh_a"), col("sh_b")).as("ham"))
+    val maxNearDupHam = withHam.agg(max("ham")).collect()(0).getInt(0)
+    assert(maxNearDupHam <= 12, s"near-dup hamming too large: $maxNearDupHam")
+
+    // random pairs sit well above near-dups (the shared ~30-word vocabulary
+    // compresses distances below the ~32 of independent corpora)
+    val randomAvg = sims.as("a").join(sims.as("b"),
+        col("a.doc_id") + 7 === col("b.doc_id"))
+      .select(Dedup.hamming(col("a.simhash"), col("b.simhash")).as("ham"))
+      .agg(avg("ham")).collect()(0).getDouble(0)
+    assert(randomAvg > maxNearDupHam,
+      s"no separation: random avg $randomAvg vs near-dup max $maxNearDupHam")
+  }
+
+  test("exact dedup groups partition the corpus") {
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    val sumCopies = Dedup.exactDedupGroups(spark, sf)
+      .agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(sumCopies == total)
+  }
+
+  test("IVF ANN achieves >=40% recall@5 on isotropic data (nprobe=3 of 10 cells)") {
+    val bf = Similarity.annBruteForceTopK(spark, sf).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvfTopK(spark, sf).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.nonEmpty)
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"IVF recall@5 = $recall")
+  }
+
+  test("hyperplane-LSH ANN output respects the top-k contract (recall is data-dependent)") {
+    val lsh = Similarity.annLshTopK(spark, sf)
+    val rows = lsh.collect()
+    assert(rows.nonEmpty)
+    // per query: ranks are 1..m ascending with strictly descending-or-tied cos
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to sorted.length).toSeq)
+      val coss = sorted.map(_.getDouble(3))
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b - 1e-9 })
+    }
+  }
+
+  test("embedding near-dup output is symmetric-free and thresholded") {
+    val rows = Dedup.embeddingNearDupPairs(spark, sf, threshold = 0.3).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.3 - 1e-9)
+    }
+  }
+}
