@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Extended, Relational, Similarity, TextAnalysis}
 import graft.sources.Dims
+import graft.streaming.Events
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -51,6 +53,12 @@ object SparkEntry {
     "s1_ann_topk"             -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
     "s2_ann_lsh_topk"         -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s3_ann_ivf_topk"         -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
+    // streaming-shaped (batch twins of the Structured Streaming plans)
+    "st1_windowed_counts"     -> Events.windowedCounts _,
+    "st2_sessionize"          -> Events.sessionize _,
+    // multimodal binary plumbing
+    "m1_binary_features"      -> Multimodal.binaryFeatures _,
+    "m2_format_stats"         -> Multimodal.formatStats _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -345,6 +353,29 @@ object SparkEntry {
         FROM c)
       SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
       FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    "st1_windowed_counts" -> """
+      SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "st2_sessionize" -> """
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
+      n AS (SELECT *, CASE WHEN prev_ts IS NULL
+                            OR date_diff('second', prev_ts, ts) > 1800
+                      THEN 1 ELSE 0 END AS ns FROM l),
+      s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM n)
+      SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+        count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq""",
+
+    "m1_binary_features" -> """
+      SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        sha256(text) AS content_sha256
+      FROM documents ORDER BY doc_id""",
   )
 
   /** DuckDB list literal of TextFunctions.Stopwords. */

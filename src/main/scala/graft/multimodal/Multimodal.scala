@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with typed
+  * metadata, processed partition-wise. The container has no image/audio
+  * codecs, so the decode step is a clearly-marked deterministic STUB — the
+  * Spark-side contract (schema, partitioning, batch shape, typed Dataset
+  * flow) is real and tested, and swapping `decodeStub` for a JNI/codec call
+  * changes nothing upstream or downstream.
+  *
+  * The `documents` table stands in for a media table: `payload` is the
+  * UTF-8 encoding of `text` (a real pipeline reads image bytes from
+  * parquet/object storage the same way — a binary column).
+  */
+object Multimodal {
+
+  /** m1: binary feature extraction — payload length + content hash, pure
+    * built-ins (oracle-checkable: octet_length/sha256 in DuckDB).
+    */
+  def binaryFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("byte_len"),
+        sha2(col("payload"), 256).as("content_sha256"))
+      .orderBy(col("doc_id"))
+
+  case class MediaRecord(doc_id: Long, payload: Array[Byte])
+  case class DecodedMedia(doc_id: Long, byte_len: Long, width: Int, height: Int,
+                          n_frames: Int, format: String)
+
+  /** STUB decoder ??? — replace with a real codec (e.g. javacv / JNI) in a
+    * production image. Deterministic fake: dimensions derived from a hash
+    * of the payload so tests are stable. Runs partition-wise with one
+    * "decoder init" per partition — the same batch shape a real decoder
+    * needs (expensive init amortized across a partition's records, the
+    * Scala analog of pandas-batched UDFs).
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int, String) = {
+    val h = java.util.Arrays.hashCode(payload)
+    val w = 64 + math.floorMod(h, 1024)
+    val ht = 64 + math.floorMod(h >> 10, 1024)
+    val frames = 1 + math.floorMod(h >> 20, 16)
+    val fmt = if (math.floorMod(h, 2) == 0) "img" else "vid"
+    (w, ht, frames, fmt)
+  }
+
+  /** Partition-wise decode of binary payloads into typed metadata. */
+  def decodeAll(spark: SparkSession, dir: String): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+    media.mapPartitions { records =>
+      // per-partition decoder init would go here (amortized, not per-record)
+      records.map { r =>
+        val (w, h, frames, fmt) = decodeStub(r.payload)
+        DecodedMedia(r.doc_id, r.payload.length.toLong, w, h, frames, fmt)
+      }
+    }
+  }
+
+  /** m2: downstream aggregation over decoded metadata — proves the decoded
+    * Dataset composes with normal relational ops (rows-only check: the stub
+    * hash isn't portable SQL).
+    */
+  def formatStats(spark: SparkSession, dir: String): DataFrame =
+    decodeAll(spark, dir)
+      .groupBy(col("format"))
+      .agg(
+        count(lit(1)).cast("long").as("n_media"),
+        round(avg(col("width")), 2).as("avg_width"),
+        round(avg(col("height")), 2).as("avg_height"),
+        max(col("n_frames")).as("max_frames"))
+      .orderBy(col("format"))
+}

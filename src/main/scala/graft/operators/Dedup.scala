@@ -155,14 +155,14 @@ object Dedup {
     */
   def embeddingNearDupPairs(spark: SparkSession, dir: String,
                             threshold: Double = 0.45): DataFrame = {
-    import graft.functions.VectorFunctions
-    // normalize once per vector (not once per pair) — cosine degrades to a
-    // single 64-wide dot product in the quadratic stage
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), VectorFunctions.normalized(col("embedding")).as("v"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        VectorFunctions.dot(col("a.v"), col("b.v")).as("cos"))
+    graft.expressions.VectorExpressions.register(spark)
+    // fused native cosine (one codegen'd loop per pair, no intermediate
+    // arrays) — the quadratic stage is pure float reads + double FMAs
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), expr("array_cosine(va, vb)").as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("id_a"), col("id_b"))

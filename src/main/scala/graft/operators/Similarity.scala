@@ -22,21 +22,21 @@ object Similarity {
 
   val TopK = 5
 
-  /** s1: exact brute-force cosine top-k per query vector. Both sides are
-    * unit-normalized once up front, so the quadratic stage is a bare dot
-    * product; the query side is broadcast.
+  /** s1: exact brute-force cosine top-k per query vector — broadcast the
+    * tiny query side, score the corpus scan with the fused native cosine
+    * expression (one codegen'd loop per pair).
     */
   def annBruteForceTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), normalized(col("embedding")).as("v"))
+    graft.expressions.VectorExpressions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        dot(col("qv"), col("v")).as("cos"))
+        expr("array_cosine(qe, embedding)").as("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
@@ -53,20 +53,21 @@ object Similarity {
     * near-boundary neighbors.
     */
   def annLshTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
     val dim = 64
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), normalized(col("embedding")).as("v"),
+      .select(col("vec_id"), col("embedding"),
         hyperplaneBucket(col("embedding"), dim, LshBits).as("bucket"))
     val probes = (0 until LshBits).map(b => lit(1L << b)) :+ lit(0L)
     val q = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(array(probes.map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     e.join(q, "bucket")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        dot(col("qv"), col("v")).as("cos"))
+        expr("array_cosine(qe, embedding)").as("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
@@ -86,9 +87,11 @@ object Similarity {
     * embeddings the same plan gives >0.9.
     */
   def annIvfTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
     val raw = Tables.embeddings(spark, dir)
 
-    // centroids: per-label elementwise mean, then unit-normalized
+    // centroids: per-label elementwise mean (cosine is scale-invariant, so
+    // no normalization needed)
     val centroids = raw
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
@@ -96,37 +99,39 @@ object Similarity {
       .groupBy(col("label"))
       .agg(transform(
         sort_array(collect_list(struct(col("pos"), col("m")))),
-        e => e.getField("m")).as("c"))
-      .select(col("label").as("cent_id"), normalized(col("c")).as("cv"))
+        e => e.getField("m")).as("cv"))
+      .select(col("label").as("cent_id"), col("cv"))
 
-    val e = raw.select(col("vec_id"), normalized(col("embedding")).as("v"))
+    val e = raw.select(col("vec_id"), col("embedding"))
 
     // nearest-centroid assignment (argmax over the broadcast centroid set)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cc").desc, col("cent_id").asc)
     val assigned = e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("cent_id"), dot(col("v"), col("cv")).as("cc"))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        expr("array_cosine(embedding, cv)").as("cc"))
       .withColumn("r", row_number().over(wAssign))
       .filter(col("r") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id"))
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
 
     // queries probe their nprobe nearest cells
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cc").desc, col("cent_id").asc)
     val probes = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qv"), col("cent_id"), dot(col("qv"), col("cv")).as("cc"))
+      .select(col("query_id"), col("qe"), col("cent_id"),
+        expr("array_cosine(qe, cv)").as("cc"))
       .withColumn("r", row_number().over(wProbe))
       .filter(col("r") <= IvfNProbe)
-      .select(col("query_id"), col("qv"), col("cent_id"))
+      .select(col("query_id"), col("qe"), col("cent_id"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     assigned.join(probes, "cent_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        dot(col("qv"), col("v")).as("cos"))
+        expr("array_cosine(qe, embedding)").as("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),

@@ -52,5 +52,8 @@ object Tables {
     * Postgres namespace (SURVEY.md §1).
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n        => load(spark, dir, n).createOrReplaceTempView(n)
+    }
 }

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.sources.Tables
+
+/** Streaming surface over the `events` table. The reference is batch-only
+  * (SURVEY.md §2.10), so this is pure extension: the same event-time
+  * windowed aggregation is exposed twice —
+  *
+  *  - batch (`windowedCounts`): `window()` tumbling aggregation, oracle-
+  *    checkable against DuckDB `time_bucket`;
+  *  - streaming (`streamingWindowedCounts`): identical plan over
+  *    `readStream` with a watermark — Structured Streaming runs the same
+  *    Catalyst plan incrementally, so batch-verified semantics carry over.
+  *
+  * Sessionization also comes in both shapes: a declarative lag/cumsum
+  * sessionizer (oracle-checkable SQL) and a `flatMapGroupsWithState`
+  * implementation holding per-user state — the building block for
+  * arbitrary custom streaming state at scale (state is partitioned by
+  * user_id across executors; each group's state is O(1)).
+  */
+object Events {
+
+  val SessionGapSeconds = 1800L
+
+  /** st1: tumbling 1-hour event-time windows per event type. */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** st2: gap-based sessionization, declarative form — new session when the
+    * gap to the previous event of the same user exceeds 30 minutes; session
+    * id = running count of session starts. One shuffle (user_id), two
+    * window passes over it.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ev = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > SessionGapSeconds,
+          1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    ev.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).cast("long").as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** The streaming twin of [[windowedCounts]]: parquet file source, 10-min
+    * watermark, append mode. Drive with `.writeStream.format("memory")` +
+    * `processAllAvailable()` in tests.
+    */
+  def streamingWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    // nanos timestamps are read as long (see Tables.events) and rebuilt
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(spark, dir).schema
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(schema.map {
+        case f if f.name == "ts" =>
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
+        case f => f
+      }))
+      .parquet(s"$dir/events*.parquet") // glob: file sources monitor dirs/globs, not single files
+    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: java.sql.Timestamp, last: java.sql.Timestamp,
+                          n: Long, total: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Gap in whole seconds, floor semantics — identical to the declarative
+    * sessionizer's `unix_timestamp(ts) - unix_timestamp(prev)` (which
+    * floors each side to the second before differencing).
+    */
+  private def gapSeconds(prev: java.sql.Timestamp, t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) - Math.floorDiv(prev.getTime, 1000L)
+
+  /** Stateful sessionization with explicit per-group state — the
+    * `flatMapGroupsWithState` pattern for operators whose state Spark's
+    * built-in windows can't express. Works identically over a streaming
+    * Dataset; here exercised in batch for determinism.
+    */
+  def sessionizeStateful(spark: SparkSession, dir: String): Dataset[Session] = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, events: Iterator[Event], state: GroupState[SessionState]) =>
+          // batch mode: all the user's events arrive in one call; sort and
+          // emit every closed session plus the trailing open one
+          val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var cur: Option[SessionState] = None
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if gapSeconds(s.last, e.ts) <= SessionGapSeconds =>
+                cur = Some(s.copy(last = e.ts, n = s.n + 1, total = s.total + e.value))
+              case Some(s) =>
+                sessions += Session(userId, s.start, s.last, s.n,
+                  math.rint(s.total * 100) / 100)
+                cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+              case None =>
+                cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+            }
+          }
+          cur.foreach(s => sessions += Session(userId, s.start, s.last, s.n,
+            math.rint(s.total * 100) / 100))
+          sessions.iterator
+      }
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("binary features cover every document with stable hashes") {
+    val feats = Multimodal.binaryFeatures(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(feats.length == nDocs)
+    feats.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getString(2).matches("[0-9a-f]{64}"))
+    }
+  }
+
+  test("partition-wise decode is deterministic and composes with aggregation") {
+    val d1 = Multimodal.decodeAll(spark, sf).collect().map(d => d.doc_id -> d).toMap
+    val d2 = Multimodal.decodeAll(spark, sf).collect().map(d => d.doc_id -> d).toMap
+    assert(d1 == d2) // stub decode is deterministic
+    d1.values.foreach { d =>
+      assert(d.width >= 64 && d.height >= 64 && d.n_frames >= 1)
+      assert(d.format == "img" || d.format == "vid")
+    }
+    val stats = Multimodal.formatStats(spark, sf).collect()
+    assert(stats.map(_.getString(0)).toSet.subsetOf(Set("img", "vid")))
+    assert(stats.map(_.getLong(1)).sum == d1.size)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Pipeline, SqlScriptRunner}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_pipe").toString
+
+  private def writeCsv(dir: String, name: String, content: String): String = {
+    val p = java.nio.file.Paths.get(dir, name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  val ordersCsv =
+    """order_id,customer_id,order_date,product_id,unit_price,quantity,total_price
+      |1,10,2022-01-03,5,100,2,200
+      |2,11,2022-01-04,6,50,1,50
+      |3,10,2022-01-05,5,100,3,300
+      |""".stripMargin
+
+  val ordersCsvBatch2 =
+    """order_id,customer_id,order_date,product_id,unit_price,quantity,total_price
+      |2,11,2022-01-04,6,50,1,50
+      |3,10,2022-01-05,5,100,3,300
+      |4,12,2022-01-06,7,20,5,100
+      |""".stripMargin
+
+  test("csv landing: pinned schema + total_price→amount rename + date parse") {
+    val dir = tmpDir()
+    val p = writeCsv(dir, "orders.csv", ordersCsv)
+    val df = Pipeline.normalizeOrders(Pipeline.readCsv(spark, p, Pipeline.ordersSchema))
+    assert(df.columns.contains("amount") && !df.columns.contains("total_price"))
+    assert(df.schema("order_date").dataType.typeName == "date")
+    assert(df.count() == 3)
+  }
+
+  test("watermark append is incremental and idempotent") {
+    val dir = tmpDir()
+    val staging = s"$dir/staging_orders"
+    val b1 = Pipeline.normalizeOrders(Pipeline.readCsv(
+      spark, writeCsv(dir, "b1.csv", ordersCsv), Pipeline.ordersSchema))
+    val b2 = Pipeline.normalizeOrders(Pipeline.readCsv(
+      spark, writeCsv(dir, "b2.csv", ordersCsvBatch2), Pipeline.ordersSchema))
+
+    assert(Pipeline.watermarkAppend(spark, b1, "order_id", staging) == 3)
+    // overlapping batch: only order_id 4 is new
+    assert(Pipeline.watermarkAppend(spark, b2, "order_id", staging) == 1)
+    // replay of the same batch: nothing new
+    assert(Pipeline.watermarkAppend(spark, b2, "order_id", staging) == 0)
+    val staged = spark.read.parquet(staging)
+    assert(staged.count() == 4)
+    assert(staged.select(countDistinct("order_id")).collect()(0).getLong(0) == 4)
+  }
+
+  test("full append duplicates by default (reference-faithful), dedup opt-in") {
+    val dir = tmpDir()
+    val reviews = "review,product_id\n5,1\n5,1\n4,2\n"
+    val df = Pipeline.readCsv(spark,
+      writeCsv(dir, "r.csv", reviews), Pipeline.reviewsSchema)
+    val s1 = s"$dir/staging_r1"
+    Pipeline.fullAppend(spark, df, s1)
+    Pipeline.fullAppend(spark, df, s1)
+    assert(spark.read.parquet(s1).count() == 6) // at-least-once, duplicated
+
+    val s2 = s"$dir/staging_r2"
+    Pipeline.fullAppend(spark, df, s2, dedup = true)
+    assert(spark.read.parquet(s2).count() == 2) // in-batch dedup applied
+  }
+
+  test("sql script runner executes multi-statement scripts against temp views") {
+    graft.sources.Tables.registerAll(spark, TestSpark.sf)
+    val out = SqlScriptRunner.run(spark,
+      """CREATE OR REPLACE TEMP VIEW big_orders AS
+         SELECT * FROM orders WHERE o_totalprice > 100000;
+         -- a comment statement
+         SELECT count(*) AS n FROM big_orders;""")
+    assert(out.isDefined)
+    assert(out.get.collect()(0).getLong(0) > 0)
+  }
+
+  test("csv export round-trips with header") {
+    val dir = tmpDir()
+    val df = graft.operators.Relational.revenueByNation(spark, TestSpark.sf)
+    Pipeline.exportCsv(df, s"$dir/export")
+    val back = spark.read.option("header", "true").csv(s"$dir/export")
+    assert(back.count() == df.count())
+    assert(back.columns.toSeq == df.columns.toSeq)
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Events
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("streaming windowed counts equal the batch twin") {
+    val batch = Events.windowedCounts(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    val q = Events.streamingWindowedCounts(spark, sf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM stream_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed == batch,
+        s"streamed=${streamed.size} batch=${batch.size} diff=${(streamed.toSet diff batch.toSet).take(3)}")
+    } finally q.stop()
+  }
+
+  test("stateful sessionization agrees with the declarative sessionizer") {
+    val declarative = Events.sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
+    val stateful = Events.sessionizeStateful(spark, sf).collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
+    assert(stateful == declarative,
+      s"stateful=${stateful.size} declarative=${declarative.size}")
+  }
+}
