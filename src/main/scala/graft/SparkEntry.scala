@@ -368,7 +368,8 @@ object SparkEntry {
       s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM n)
       SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
-        count(*) AS n_events, round(sum(value), 2) AS total_value
+        count(*) AS n_events, round(sum(value), 2) AS total_value,
+        CAST(date_diff('microsecond', min(ts), max(ts)) // 60000000 AS BIGINT) AS duration_min
       FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq""",
 
     "m1_binary_features" -> """

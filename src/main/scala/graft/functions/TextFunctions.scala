@@ -87,12 +87,16 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
-  /** Word n-gram shingles (distinct), the MinHash/Jaccard unit.
+  /** Word n-gram shingles (distinct) over a *materialized* token-array
+    * attribute. The column passed here MUST be a plain attribute (staged in
+    * its own projection), not a `tokens(text)` expression tree: Catalyst
+    * does no common-subexpression elimination across lambda boundaries, so
+    * an inlined split would be re-evaluated for every element access
+    * (~250 regex splits per document — measured 10s+ for 5k docs).
     * Guarded for docs shorter than n tokens — Spark `sequence(1, 0)` would
     * generate a DESCENDING [1, 0] rather than an empty array.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
+  def shinglesOfTokens(t: Column, n: Int = 3): Column = {
     val cnt = size(t) - (n - 1)
     val grams = when(cnt <= 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), cnt), i =>

@@ -37,21 +37,29 @@ object VectorFunctions {
     transform(a, x => x.cast("double") / n)
   }
 
-  /** Random-hyperplane LSH bucket id: sign bits of `nBits` deterministic
-    * pseudo-random hyperplanes. Hyperplane p, component i is derived from
-    * xxhash64(p, i) scaled to [-1, 1] — fully deterministic across runs and
-    * engines, no Math.random (Spark-side only; LSH outputs are verified by
-    * exact cosine, so no oracle needs to replicate the hash).
+  /** Deterministic pseudo-random hyperplanes in [-1,1]^dim (fixed LCG — no
+    * Math.random, identical across runs/executors). Used as literal arrays
+    * so the projection is a native `array_dot` per plane rather than a
+    * dim×planes-term codegen expression.
     */
-  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int): Column = {
-    def component(p: Int, i: Int): Column =
-      (xxhash64(lit(p), lit(i)) % 10000L).cast("double") / 10000.0
-    val bits = (0 until nBits).map { p =>
-      val proj = (0 until dim).map(i =>
-        element_at(vec, i + 1).cast("double") * component(p, i))
-        .reduce(_ + _)
-      when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    var state = seed
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
-    bits.reduce(_ bitwiseOR _).as(s"bucket")
+    Seq.fill(nBits)(Array.fill(dim)(next()))
+  }
+
+  /** SQL fragment for the random-hyperplane LSH bucket of `vecCol` — sign
+    * bits of `array_dot` projections (requires
+    * [[graft.expressions.VectorExpressions.register]]).
+    */
+  def hyperplaneBucketSql(vecCol: String, dim: Int, nBits: Int): String = {
+    val planes = hyperplanes(dim, nBits)
+    planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(x => f"${x}%.9fD").mkString("array(", ",", ")")
+      s"(CASE WHEN array_dot($vecCol, $arr) >= 0.0 THEN ${1L << i}L ELSE 0L END)"
+    }.mkString(" + ")
   }
 }

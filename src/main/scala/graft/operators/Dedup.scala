@@ -36,19 +36,66 @@ object Dedup {
       .orderBy(col("survivor_id"))
   }
 
-  /** Distinct word-3-gram shingles per doc. */
+  /** Distinct word-3-gram shingles per doc. Tokens are staged as their own
+    * projection so the regex split runs once per document (see
+    * [[graft.functions.TextFunctions.shinglesOfTokens]]).
+    */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesOfTokens(col("toks")).as("sh"))
 
-  /** d2: exact n-gram Jaccard near-dup pairs (j >= threshold).
-    * Pair generation by shingle self-join is exact: any pair with j > 0
-    * shares at least one shingle. The shuffle key is the shingle, so a
-    * high-document-frequency shingle is a skew risk at scale — the LSH
-    * variant (d3) caps that by hashing fixed-width signatures instead.
+  /** d2: exact n-gram Jaccard near-dup pairs (j >= threshold), via
+    * prefix-filtered similarity join (AllPairs/PPJoin): under any fixed
+    * total order on shingles, two docs with j >= τ must share a shingle
+    * within the first ⌊(1-τ)·|doc|⌋+1 shingles of BOTH docs. Ordering by
+    * ascending document frequency makes those prefixes the *rarest*
+    * shingles, so the candidate join touches a small, low-skew subset
+    * (~(1-τ)² of the naive pair count) — this is what makes an exact
+    * similarity self-join viable at 100 TB. Candidates are then verified
+    * with an exact array_intersect Jaccard; output equals the naive
+    * all-pairs algorithm ([[ngramJaccardPairsNaive]], asserted in tests).
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
                         threshold: Double = 0.8): DataFrame = {
+    val docs = docShingles(spark, dir).cache()
+    val ds = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+
+    // global shingle order: (document frequency asc, shingle) — rare first
+    val dfreq = ds.groupBy(col("s")).agg(count(lit(1)).as("df"))
+
+    // per-doc prefix of size floor((1-τ)·n)+1 under that order
+    val prefix = ds.join(dfreq, "s")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
+      .select(col("doc_id"),
+        explode(slice(transform(col("ordered"), e => e.getField("s")), lit(1),
+          (size(col("ordered")).cast("double") * (1.0 - threshold))
+            .cast("int") + 1)).as("s"))
+
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    candidates
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The naive all-pairs shingle self-join — the correctness baseline for
+    * [[ngramJaccardPairs]]; O(Σ df²) intermediate pairs, test-scale only.
+    */
+  def ngramJaccardPairsNaive(spark: SparkSession, dir: String,
+                             threshold: Double = 0.8): DataFrame = {
     val docs = docShingles(spark, dir).cache()
     val ds = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val cnt = docs.select(col("doc_id"), size(col("sh")).as("n"))

@@ -57,7 +57,7 @@ object Similarity {
     val dim = 64
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
-        hyperplaneBucket(col("embedding"), dim, LshBits).as("bucket"))
+        expr(hyperplaneBucketSql("embedding", dim, LshBits)).as("bucket"))
     val probes = (0 until LshBits).map(b => lit(1L << b)) :+ lit(0L)
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),

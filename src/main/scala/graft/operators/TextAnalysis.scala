@@ -18,19 +18,39 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
+  /** Staged base projection: normalize once, split once — every downstream
+    * stat references the materialized `norm`/`toks` attributes (multi-use
+    * attributes stop CollapseProject from inlining the regex work back in).
+    */
+  private def staged(spark: SparkSession, dir: String) =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        normalize(col("text")).as("norm"))
+      .select(col("doc_id"), col("lang"), col("source"), col("norm"),
+        split(col("norm"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), col("source"), col("norm"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        size(filter(col("toks"), t => t.isInCollection(Stopwords))).cast("long")
+          .as("n_stop"))
+
   /** t1: per-document statistics + quality score + fingerprint. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val t = col("text")
-    d.select(
-        col("doc_id"),
-        tokenCount(t).as("n_tokens"),
-        distinctTokenCount(t).as("n_distinct_tokens"),
-        typeTokenRatio(t).as("type_token_ratio"),
-        avgTokenLen(t).as("avg_token_len"),
-        stopwordRatio(t).as("stopword_ratio"),
-        qualityScore(t).as("quality_score"),
-        fingerprint(t).as("fingerprint"))
+    val denom = greatest(col("n_tokens"), lit(1L))
+    staged(spark, dir)
+      .select(col("doc_id"), col("norm"), col("n_tokens"), col("n_distinct_tokens"),
+        round(col("n_distinct_tokens").cast("double") / denom, 4).as("type_token_ratio"),
+        round(length(regexp_replace(col("norm"), " ", "")).cast("double") / denom, 4)
+          .as("avg_token_len"),
+        round(col("n_stop").cast("double") / denom, 4).as("stopword_ratio"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("type_token_ratio"), col("avg_token_len"), col("stopword_ratio"),
+        round(
+          least(col("n_tokens").cast("double") / 500.0, lit(1.0)) * 0.4 +
+            col("type_token_ratio") * 0.3 +
+            (lit(1.0) - col("stopword_ratio")) * 0.3 + 1e-9, 4).as("quality_score"),
+        md5(col("norm")).as("fingerprint"))
       .orderBy(col("doc_id"))
   }
 
@@ -38,13 +58,18 @@ object TextAnalysis {
     * prediction with fixed tie order ("und" when nothing matches).
     */
   def langIdPerDoc(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val t = col("text")
-    val scoreCols = LangMarkers.map { case (lang, m) =>
-      langScore(t, m).as(s"hits_$lang")
+    val base = staged(spark, dir)
+      .select(col("doc_id") +: col("lang").as("lang_declared") +:
+        LangMarkers.map { case (lang, m) =>
+          size(filter(col("toks"), t => t.isInCollection(m))).cast("long")
+            .as(s"hits_$lang")
+        }: _*)
+    val best = LangMarkers.map(lm => col(s"hits_${lm._1}")).reduce(greatest(_, _))
+    val pred = LangMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(col(s"hits_$lang") === best && best > 0, lit(lang)).otherwise(acc)
     }
-    d.select(col("doc_id") +: col("lang").as("lang_declared") +:
-        langId(t).as("lang_pred") +: scoreCols: _*)
+    base.select(col("doc_id") +: col("lang_declared") +: pred.as("lang_pred") +:
+        LangMarkers.map(lm => col(s"hits_${lm._1}")): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -52,9 +77,15 @@ object TextAnalysis {
     * a "which crawl sources are worth keeping" report.
     */
   def qualityBySource(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val t = col("text")
-    d.select(col("lang"), col("source"), qualityScore(t).as("q"), tokenCount(t).as("n"))
+    val denom = greatest(col("n_tokens"), lit(1L))
+    staged(spark, dir)
+      .select(col("lang"), col("source"), col("n_tokens"),
+        round(col("n_distinct_tokens").cast("double") / denom, 4).as("ttr"),
+        round(col("n_stop").cast("double") / denom, 4).as("swr"))
+      .select(col("lang"), col("source"), col("n_tokens").as("n"),
+        round(
+          least(col("n_tokens").cast("double") / 500.0, lit(1.0)) * 0.4 +
+            col("ttr") * 0.3 + (lit(1.0) - col("swr")) * 0.3 + 1e-9, 4).as("q"))
       .groupBy(col("lang"), col("source"))
       .agg(
         round(avg(col("q")) + 1e-9, 4).as("avg_quality"),

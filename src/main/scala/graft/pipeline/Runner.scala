@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Extended, Relational}
+import graft.sources.Tables
+
+/** End-to-end pipeline orchestration — the Spark twin of the reference's
+  * `daily_extraction_dag` (`extract_load_transform_data_pipeline.py.py:
+  * 39-177`), with ALL five stages wired (the reference defined transform +
+  * export but left them out of its DAG chain, SURVEY.md T3 ⚠):
+  *
+  *   landing (CSV, dated partition) → staging (watermark append) →
+  *   transform (analytics queries) → export (CSV)
+  *
+  * Each run lands under `dt=<runDate>/` (T4 parity: per-run dated folder,
+  * idempotent re-run), staging is append-with-watermark (T5), analytics
+  * tables are truncate-overwritten (S10), exports are header'd CSV (S6).
+  *
+  * A scheduler (cron/Airflow/anything that can run a JVM main) invokes
+  * [[run]] twice a day exactly like the reference's `0 1,23 * * *` — the
+  * engine itself stays schedule-agnostic (T1/T2).
+  */
+object Runner {
+
+  case class RunReport(runDate: String,
+                       stagedRows: Map[String, Long],
+                       analyticsRows: Map[String, Long])
+
+  /** One pipeline run over a work directory layout:
+    *   <work>/landing/dt=<runDate>/<table>.csv   (input, written by caller)
+    *   <work>/staging/<table>/                   (parquet, appended)
+    *   <work>/analytics/<table>/                 (parquet, overwritten)
+    *   <work>/export/<table>/                    (csv, overwritten)
+    */
+  def run(spark: SparkSession, work: String, runDate: String): RunReport = {
+    val landing = s"$work/landing/dt=$runDate"
+
+    // 1-2. landing scan + normalization (pinned schemas)
+    val orders = Pipeline.normalizeOrders(
+      Pipeline.readCsv(spark, s"$landing/orders.csv", Pipeline.ordersSchema))
+    val reviews =
+      Pipeline.readCsv(spark, s"$landing/reviews.csv", Pipeline.reviewsSchema)
+    val shipments = Pipeline.normalizeShipments(
+      Pipeline.readCsv(spark, s"$landing/shipment_deliveries.csv", Pipeline.shipmentsSchema))
+
+    // 3. staging loads: watermark-incremental for keyed tables, full append
+    //    for reviews (reference-faithful at-least-once)
+    val staged = Map(
+      "orders" -> Pipeline.watermarkAppend(spark, orders, "order_id", s"$work/staging/orders"),
+      "shipment_deliveries" -> Pipeline.watermarkAppend(
+        spark, shipments, "shipment_id", s"$work/staging/shipment_deliveries"),
+      "reviews" -> Pipeline.fullAppend(spark, reviews, s"$work/staging/reviews"))
+
+    // 4. transform: run the analytics queries against the staged views
+    spark.read.parquet(s"$work/staging/orders").createOrReplaceTempView("staging_orders")
+    spark.read.parquet(s"$work/staging/reviews").createOrReplaceTempView("staging_reviews")
+    spark.read.parquet(s"$work/staging/shipment_deliveries")
+      .createOrReplaceTempView("staging_shipment_deliveries")
+    val analytics = transformStaged(spark)
+    analytics.foreach { case (name, df) =>
+      Pipeline.overwriteParquet(df, s"$work/analytics/$name")
+    }
+
+    // 5. export: analytics tables back out as header'd CSV
+    val counts = analytics.map { case (name, _) =>
+      val persisted = spark.read.parquet(s"$work/analytics/$name")
+      Pipeline.exportCsv(persisted, s"$work/export/$name")
+      name -> persisted.count()
+    }
+    RunReport(runDate, staged, counts)
+  }
+
+  /** The reference's three analytics outputs (`sql/transformation.sql`)
+    * over the staged reference-schema tables: monthly pivot of order
+    * amounts, late/undelivered conditional counts, review-percentage
+    * aggregation per product.
+    */
+  def transformStaged(spark: SparkSession): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val orders = spark.table("staging_orders")
+    val reviews = spark.table("staging_reviews")
+    val shipments = spark.table("staging_shipment_deliveries")
+
+    val pivots = (1 to 12).map(m =>
+      sum(when(month(col("order_date")) === m, col("quantity")).otherwise(0))
+        .cast("int").as(f"tt_order_m$m%02d"))
+    val aggMonthly = orders.agg(pivots.head, pivots.tail: _*)
+
+    val joined = shipments.join(orders, "order_id")
+    val aggShipments = joined.agg(
+      count(when(datediff(col("shipment_date"), col("order_date")) >= 6 &&
+        col("delivery_date").isNull, lit(1))).cast("long").as("tt_late_shipments"),
+      count(when(col("delivery_date").isNull && col("shipment_date").isNull,
+        lit(1))).cast("long").as("tt_undelivered_items"))
+
+    val pctCols = (1 to 5).map(k =>
+      round(sum(when(col("review") === k, 1).otherwise(0)).cast("double")
+        / count(lit(1)) * 100.0, 2).as(s"pct_${k}_star")) :+
+      count(lit(1)).cast("long").as("tt_reviews")
+    val reviewPcts = reviews.groupBy(col("product_id"))
+      .agg(pctCols.head, pctCols.tail: _*)
+      .orderBy(col("product_id"))
+
+    Map(
+      "agg_monthly_orders" -> aggMonthly,
+      "agg_shipments" -> aggShipments,
+      "review_percentages" -> reviewPcts)
+  }
+}
+
+/** JDBC source/sink wrappers — the production staging store (S3/S7/S8
+  * parity: Postgres staging, SQLite metrics sink). Thin by design: the
+  * semantics (watermark, append, overwrite-truncate) live in [[Pipeline]];
+  * these only bind them to a JDBC URL. Untested in this container (no JDBC
+  * drivers on the classpath) but API-complete.
+  */
+object JdbcStore {
+  import java.util.Properties
+
+  def props(user: String, password: String, driver: String): Properties = {
+    val p = new Properties()
+    p.setProperty("user", user)
+    p.setProperty("password", password)
+    p.setProperty("driver", driver)
+    p
+  }
+
+  /** Watermark query pushed down to the database (runs remotely, returns
+    * one row — the reference's `SELECT COALESCE(MAX(CAST(pk AS INT)),0)`).
+    */
+  def currentWatermark(spark: SparkSession, url: String, table: String,
+                       pk: String, p: Properties): Long =
+    spark.read
+      .jdbc(url, s"(SELECT COALESCE(MAX(CAST($pk AS BIGINT)), 0) AS w FROM $table) t", p)
+      .collect()(0).getLong(0)
+
+  def appendAbove(df: DataFrame, url: String, table: String, pk: String,
+                  watermark: Long, p: Properties): Unit =
+    df.filter(org.apache.spark.sql.functions.col(pk).cast("long") > watermark)
+      .write.mode("append").jdbc(url, table, p)
+
+  /** TRUNCATE+INSERT idempotent overwrite (S10). */
+  def overwriteTruncate(df: DataFrame, url: String, table: String, p: Properties): Unit =
+    df.write.mode("overwrite").option("truncate", "true").jdbc(url, table, p)
+}

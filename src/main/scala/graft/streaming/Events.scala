@@ -59,6 +59,9 @@ object Events {
         max(col("ts")).as("session_end"),
         count(lit(1)).cast("long").as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
+      // E12 TIMESTAMPDIFF(MINUTE, …) parity (tripdata_monthly_metrics.py:71)
+      .withColumn("duration_min",
+        expr("timestampdiff(MINUTE, session_start, session_end)").cast("long"))
       .orderBy(col("user_id"), col("session_seq"))
   }
 

@@ -9,13 +9,16 @@ class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf
 
-  test("minhash LSH finds exactly the exact-jaccard pairs on planted near-dups") {
-    val exact = Dedup.ngramJaccardPairs(spark, sf).select("id_a", "id_b")
+  test("prefix-filtered exact join == naive all-pairs == minhash LSH on planted near-dups") {
+    val naive = Dedup.ngramJaccardPairsNaive(spark, sf).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefixFiltered = Dedup.ngramJaccardPairs(spark, sf).select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minhashLshPairs(spark, sf).select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.nonEmpty, "test data should contain planted near-dup pairs")
-    assert(lsh == exact, s"LSH=${lsh.size} exact=${exact.size}")
+    assert(naive.nonEmpty, "test data should contain planted near-dup pairs")
+    assert(prefixFiltered == naive, s"prefix=${prefixFiltered.size} naive=${naive.size}")
+    assert(lsh == naive, s"LSH=${lsh.size} naive=${naive.size}")
   }
 
   test("near-dup pairs have small simhash hamming distance; random pairs large") {

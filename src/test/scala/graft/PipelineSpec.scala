@@ -86,6 +86,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.get.collect()(0).getLong(0) > 0)
   }
 
+  test("runner: full landing→staging→transform→export run, idempotent re-run") {
+    import graft.pipeline.Runner
+    val work = tmpDir()
+    val landing = s"$work/landing/dt=2026-01-01"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    writeCsv(landing, "orders.csv", ordersCsv)
+    writeCsv(landing, "reviews.csv", "review,product_id\n5,5\n4,5\n5,6\n")
+    writeCsv(landing, "shipment_deliveries.csv",
+      """shipment_id,order_id,shipment_date,delivery_date
+        |1,1,2022-01-10,
+        |2,2,,
+        |""".stripMargin)
+
+    val r1 = Runner.run(spark, work, "2026-01-01")
+    assert(r1.stagedRows == Map("orders" -> 3L, "shipment_deliveries" -> 2L, "reviews" -> 3L))
+    assert(r1.analyticsRows("agg_monthly_orders") == 1)
+    assert(r1.analyticsRows("agg_shipments") == 1)
+    assert(r1.analyticsRows("review_percentages") == 2)
+
+    // re-run same landing data: watermark tables stage nothing new;
+    // reviews duplicate (reference-faithful at-least-once)
+    val r2 = Runner.run(spark, work, "2026-01-01")
+    assert(r2.stagedRows("orders") == 0 && r2.stagedRows("shipment_deliveries") == 0)
+    assert(r2.stagedRows("reviews") == 3)
+    // exports exist as header'd csv
+    val exported = spark.read.option("header", "true")
+      .csv(s"$work/export/review_percentages")
+    assert(exported.count() == 2)
+    // undelivered count: both staged shipments have null delivery_date,
+    // one also has null shipment_date
+    val aggShip = spark.read.parquet(s"$work/analytics/agg_shipments").collect()(0)
+    assert(aggShip.getLong(1) == 1) // tt_undelivered_items
+  }
+
   test("csv export round-trips with header") {
     val dir = tmpDir()
     val df = graft.operators.Relational.revenueByNation(spark, TestSpark.sf)
