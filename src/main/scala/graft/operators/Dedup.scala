@@ -64,7 +64,8 @@ object Dedup {
     // global shingle order: (document frequency asc, shingle) — rare first
     val dfreq = ds.groupBy(col("s")).agg(count(lit(1)).as("df"))
 
-    // per-doc prefix of size floor((1-τ)·n)+1 under that order
+    // per-doc prefix of size floor((1-τ)·n)+1 under that order (hash-agg
+    // collect + in-array sort beats two window sort passes here)
     val prefix = ds.join(dfreq, "s")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
@@ -72,6 +73,7 @@ object Dedup {
         explode(slice(transform(col("ordered"), e => e.getField("s")), lit(1),
           (size(col("ordered")).cast("double") * (1.0 - threshold))
             .cast("int") + 1)).as("s"))
+      .cache()
 
     val candidates = prefix.as("a")
       .join(prefix.as("b"),

@@ -70,8 +70,13 @@ object Relational {
     */
   def top1DayPerPart(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    // single shuffle: hash-partition by part key only — that clustering
+    // satisfies both the (partkey, day) aggregation and the window's
+    // partitionBy(partkey), so Catalyst inserts no second exchange
     val grouped = li
-      .groupBy(col("l_partkey"), to_date(col("l_shipdate")).as("ship_day"))
+      .select(col("l_partkey"), to_date(col("l_shipdate")).as("ship_day"))
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("ship_day"))
       .agg(count(lit(1)).as("day_count"))
     val w = Window.partitionBy(col("l_partkey"))
       .orderBy(col("day_count").desc, col("ship_day").asc)

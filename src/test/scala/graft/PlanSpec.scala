@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions — the scale properties the engine is designed
+  * around, pinned as tests so a refactor that silently de-optimizes a plan
+  * (extra shuffle, lost column pruning, lost broadcast) fails CI.
+  */
+class PlanSpec extends AnyFunSuite {
+  import graft.operators.{Extended, Relational}
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def initialPlan(df: DataFrame) =
+    df.queryExecution.executedPlan
+
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+    p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => allScans(a.inputPlan)
+    }.flatten
+
+  test("q5 multi-join: dims broadcast, never shuffled as build sides") {
+    val p = planString(Relational.revenueByNation(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+  }
+
+  test("q1 pivot: lineitem scan prunes to the two referenced columns") {
+    val scans = allScans(initialPlan(Relational.pivotMonthlyQty(spark, sf)))
+    assert(scans.nonEmpty)
+    val readCols = scans.head.schema.fieldNames.toSet
+    assert(readCols == Set("l_quantity", "l_shipdate"),
+      s"scan reads $readCols, expected only quantity+shipdate")
+  }
+
+  test("q7 top-1: ORDER BY + LIMIT 1 plans as TakeOrderedAndProject (no global sort)") {
+    val p = planString(Relational.bestPerformingPart(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q3 group+window share one exchange (partkey clustering satisfies both)") {
+    val plan = initialPlan(Relational.top1DayPerPart(spark, sf))
+    def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case _: ShuffleExchangeExec => 1
+        case a: AdaptiveSparkPlanExec => countShuffles(a.inputPlan)
+      }.sum
+    val shuffles = countShuffles(plan)
+    // one exchange for repartition(l_partkey) + one for the final orderBy
+    assert(shuffles <= 2, s"expected <=2 shuffles, got $shuffles:\n$plan")
+  }
+
+  test("q9 holiday: dim filter is pushed transitively onto the orders scan") {
+    val plan = initialPlan(Extended.holidayPivot(spark, sf))
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    // the orders scan must carry a data filter (year/dow/holiday pushed
+    // through the join key), not scan everything
+    val p = plan.toString
+    assert(p.contains("year(cast(o_orderdate"), s"no transitive pushdown:\n$p")
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    val df = Relational.revenueByNation(spark, sf)
+    df.collect() // materialize THIS queryExecution so AQE finalizes in-place
+    val p = planString(df)
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"no codegen spans in:\n$p")
+  }
+}

