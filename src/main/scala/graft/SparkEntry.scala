@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Extended, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Extended, Relational, Similarity, Skew, TextAnalysis}
 import graft.sources.Dims
 import graft.streaming.Events
 
@@ -59,6 +59,13 @@ object SparkEntry {
     // multimodal binary plumbing
     "m1_binary_features"      -> Multimodal.binaryFeatures _,
     "m2_format_stats"         -> Multimodal.formatStats _,
+    // batch 2 extensions
+    "q18_salted_revenue"      -> Skew.saltedCustomerRevenue _,
+    "q19_percentiles"         -> Extended.valuePercentiles _,
+    "q4b_daily_pivot"         -> Events.dailyTypePivot _,
+    "st3_sliding_windows"     -> Events.slidingWindowCounts _,
+    "t4_bpe_tokens"           -> TextAnalysis.bpeTokenStats _,
+    "t5_rolling_fingerprint"  -> TextAnalysis.rollingFingerprint _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -377,6 +384,53 @@ object SparkEntry {
         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         sha256(text) AS content_sha256
       FROM documents ORDER BY doc_id""",
+
+    "q18_salted_revenue" -> """
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+        count(*) AS n_rows
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "q19_percentiles" -> """
+      SELECT event_type,
+        round(quantile_cont(value, 0.25), 4) AS p25,
+        round(quantile_cont(value, 0.5), 4) AS p50,
+        round(quantile_cont(value, 0.75), 4) AS p75,
+        round(quantile_cont(value, 0.95), 4) AS p95,
+        count(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q4b_daily_pivot" -> {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val cols = types.flatMap(t => Seq(
+        s"count(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t",
+        s"round(sum(CASE WHEN event_type = '$t' THEN value ELSE 0.0 END), 2) AS val_$t"))
+        .mkString(", ")
+      s"""SELECT CAST(ts AS DATE) AS day, $cols
+          FROM events GROUP BY 1 ORDER BY day"""
+    },
+
+    "st3_sliding_windows" -> """
+      WITH offs AS (SELECT unnest([0, 1, 2, 3]) AS k),
+      e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      w AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'
+                 AS window_start,
+               event_type, value
+        FROM e, offs)
+      SELECT window_start, event_type, count(*) AS n_events,
+        round(sum(value), 2) AS total_value
+      FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "t4_bpe_tokens" -> """
+      WITH p AS (
+        SELECT doc_id,
+          regexp_extract_all(lower(trim(text)), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+')
+            AS pieces
+        FROM documents)
+      SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
+        round(CAST(len(array_to_string(pieces, '')) AS DOUBLE)
+          / greatest(len(pieces), 1), 4) AS avg_piece_len
+      FROM p ORDER BY doc_id""",
   )
 
   /** DuckDB list literal of TextFunctions.Stopwords. */

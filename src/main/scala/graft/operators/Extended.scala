@@ -161,6 +161,23 @@ object Extended {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, both linear interpolation). At 100 TB swap for
+    * `percentile_approx` (t-digest) — exact percentile buffers all values
+    * per group.
+    */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.75)"), 4).as("p75"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        count(lit(1)).cast("long").as("n"))
+      .orderBy(col("event_type"))
+  }
+
   /** Approximate distinct (HLL) — the 100 TB path for distinct counting.
     * No deterministic cross-engine oracle (ε differs) → rows-only check;
     * exactness is asserted against countDistinct in ScalaTest at small SF.

@@ -73,6 +73,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-ish piece pattern: space-prefixed letter runs, digit runs, or
+    * punctuation runs — the GPT-2 pre-tokenizer shape minus the lookahead
+    * (RE2-compatible so the DuckDB oracle uses the identical pattern).
+    */
+  val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+
+  /** t4: token counting with the BPE-ish regex (brief: "whitespace + a
+    * BPE-ish regex") — pieces per doc, chars per piece.
+    */
+  def bpeTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+        regexp_extract_all(lower(trim(col("text"))), lit(BpePattern), lit(0))
+          .as("pieces"))
+      .select(col("doc_id"),
+        size(col("pieces")).cast("long").as("n_pieces"),
+        round(aggregate(col("pieces"), lit(0L), (acc, p) => acc + length(p))
+          .cast("double") / greatest(size(col("pieces")), lit(1)), 4)
+          .as("avg_piece_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t5: rolling-hash document fingerprint (custom codegen'd Rabin–Karp
+    * expression) — rows-only checked; the concatenation identity is pinned
+    * by property tests.
+    */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.RollingHash.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), normalize(col("text")).as("norm"))
+      .select(col("doc_id"), expr("rolling_hash(norm)").as("fingerprint64"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t3: corpus-level quality aggregation per (lang, source) — the shape of
     * a "which crawl sources are worth keeping" report.
     */

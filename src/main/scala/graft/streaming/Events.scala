@@ -65,6 +65,37 @@ object Events {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** st3: sliding windows — 2-hour windows advancing every 30 minutes;
+    * each event lands in 4 overlapping windows (Spark expands via its
+    * window generator; the oracle enumerates the same 4 offsets).
+    */
+  def slidingWindowCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** q4b: daily conditional pivot per event type — date grain (the events
+    * fixture spans one month, so the monthly metrics query has one group;
+    * this is the same A1/A6 shape at a useful grain).
+    */
+  def dailyTypePivot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val cols = types.flatMap { t =>
+      Seq(
+        count(when(col("event_type") === t, lit(1))).cast("long").as(s"n_$t"),
+        round(sum(when(col("event_type") === t, col("value")).otherwise(0.0)), 2)
+          .as(s"val_$t"))
+    }
+    ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(cols.head, cols.tail: _*)
+      .orderBy(col("day"))
+  }
+
   /** The streaming twin of [[windowedCounts]]: parquet file source, 10-min
     * watermark, append mode. Drive with `.writeStream.format("memory")` +
     * `processAllAvailable()` in tests.

@@ -76,6 +76,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rolling hash: h(a++b) == h(a)*B^|b| + h(b) mod P for any strings") {
+    import graft.expressions.RollingHash
+    val strGen = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    forAll(Gen.zip(strGen, strGen), n = 40) { case (a, b) =>
+      val ha = RollingHash.hashBytes(a.getBytes("UTF-8"))
+      val hb = RollingHash.hashBytes(b.getBytes("UTF-8"))
+      val hab = RollingHash.hashBytes((a + b).getBytes("UTF-8"))
+      val expected = RollingHash.addmod(
+        RollingHash.mulmod(ha, RollingHash.powmod(b.getBytes("UTF-8").length.toLong)), hb)
+      assert(hab == expected, s"a=$a b=$b")
+    }
+  }
+
+  test("rolling hash expression matches the Scala reference through codegen") {
+    import graft.expressions.RollingHash
+    RollingHash.register(spark)
+    val texts = Seq("", "a", "hello world", "the quick brown fox", "ü§π")
+    val got = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
+      .selectExpr("id", "rolling_hash(t) AS h")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) == RollingHash.hashBytes(t.getBytes("UTF-8")), s"text=$t")
+    }
+  }
+
+  test("salted aggregation equals direct groupBy for any value distribution") {
+    import graft.operators.Skew
+    forAll(Gen.listOfN(60, Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(-100.0, 100.0))), n = 6) { rows =>
+      val df = rows.toDF("k", "v")
+      val direct = df.groupBy($"k").agg(sum($"v").as("s"), count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> ((math.rint(r.getDouble(1) * 100) / 100), r.getLong(2))).toMap
+      val salted = Skew.saltedSumCount(df, Seq("k"), "v", nSalts = 4)
+        .collect().map(r => r.getInt(0) -> ((math.rint(r.getDouble(1) * 100) / 100), r.getLong(2))).toMap
+      assert(salted == direct)
+    }
+  }
+
   test("sessionizer: events within the gap never split a session") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     forAll(Gen.listOfN(10, Gen.chooseNum(1L, 1700L))) { gaps =>
