@@ -66,6 +66,9 @@ object SparkEntry {
     "st3_sliding_windows"     -> Events.slidingWindowCounts _,
     "t4_bpe_tokens"           -> TextAnalysis.bpeTokenStats _,
     "t5_rolling_fingerprint"  -> TextAnalysis.rollingFingerprint _,
+    "q20_asof_signup"         -> Events.asofSignup _,
+    "q21_json_props"          -> Events.jsonPropStats _,
+    "q22_trailing_spend"      -> Extended.trailingSpend _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -431,6 +434,35 @@ object SparkEntry {
         round(CAST(len(array_to_string(pieces, '')) AS DOUBLE)
           / greatest(len(pieces), 1), 4) AS avg_piece_len
       FROM p ORDER BY doc_id""",
+
+    "q20_asof_signup" -> """
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      s AS (SELECT user_id AS s_user, CAST(ts AS TIMESTAMP) AS signup_ts
+            FROM events WHERE event_type = 'signup')
+      SELECT event_id, e.user_id, e.ts, s.signup_ts,
+        CAST(date_diff('microsecond', s.signup_ts, e.ts) // 1000000 AS BIGINT)
+          AS secs_since_signup
+      FROM e ASOF LEFT JOIN s ON e.user_id = s.s_user AND e.ts >= s.signup_ts
+      ORDER BY event_id""",
+
+    "q21_json_props" -> """
+      WITH k AS (
+        SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events)
+      SELECT event_type, round(avg(k), 4) AS avg_k,
+        CAST(sum(k) AS BIGINT) AS sum_k, count(k) AS n_with_k
+      FROM k GROUP BY event_type ORDER BY event_type""",
+
+    "q22_trailing_spend" -> """
+      WITH o AS (
+        SELECT o_custkey, o_orderkey,
+          CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS day_num,
+          round(o_totalprice, 2) AS price
+        FROM orders)
+      SELECT o_custkey, o_orderkey, day_num, price,
+        round(sum(price) OVER (PARTITION BY o_custkey ORDER BY day_num
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+      FROM o ORDER BY o_custkey, o_orderkey""",
   )
 
   /** DuckDB list literal of TextFunctions.Stopwords. */

@@ -161,6 +161,22 @@ object Extended {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q22: RANGE-frame window — trailing 7-day spend per customer. The
+    * order key is an integer day number so the frame is a value range, not
+    * a row count (two orders on the same day always share a frame).
+    */
+  def trailingSpend(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit(java.sql.Date.valueOf("1995-01-01")))
+          .cast("long").as("day_num"),
+        round(col("o_totalprice"), 2).as("price"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    o.withColumn("rev_7d", round(sum(col("price")).over(w), 2))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
     * `quantile_cont`, both linear interpolation). At 100 TB swap for
     * `percentile_approx` (t-digest) — exact percentile buffers all values

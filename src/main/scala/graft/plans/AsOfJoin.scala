@@ -1,0 +1,132 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** AS-OF JOIN — for every left row, the single right row with the same
+  * `by` key and the greatest `on` value ≤ the left's `on` value (LEFT
+  * OUTER semantics: unmatched left rows keep nulls on the right).
+  *
+  * Spark's DataFrame API has no as-of join, and composing one from
+  * built-ins is quadratic (range join + per-key max + re-join). This is
+  * the textbook case for a whole custom operator: a logical node, a
+  * planner strategy, and a sort-merge physical exec whose distribution /
+  * ordering requirements let Catalyst plan exactly one hash exchange per
+  * side, after which the merge is a single linear pass per partition —
+  * the same shape a 1000-executor cluster wants at 100 TB (co-partitioned
+  * by key, no broadcast, no row explosion).
+  */
+case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
+                        leftBy: Expression, rightBy: Expression,
+                        leftOn: Expression, rightOn: Expression)
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan) =
+    copy(left = l, right = r)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lBy, rBy, lOn, rOn) =>
+      AsOfJoinExec(planLater(l), planLater(r), lBy, rBy, lOn, rOn) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftBy: Expression, rightBy: Expression,
+                        leftOn: Expression, rightOn: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  /** Hash-co-partition both sides on the by key… */
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftBy)), ClusteredDistribution(Seq(rightBy)))
+
+  /** …and sort each partition by (by, on), so the merge is one pass. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftBy, Ascending), SortOrder(leftOn, Ascending)),
+    Seq(SortOrder(rightBy, Ascending), SortOrder(rightOn, Ascending)))
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftBy, Ascending), SortOrder(leftOn, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lByB = BindReferences.bindReference(leftBy, left.output)
+    val rByB = BindReferences.bindReference(rightBy, right.output)
+    val lOnB = BindReferences.bindReference(leftOn, left.output)
+    val rOnB = BindReferences.bindReference(rightOn, right.output)
+    val keyOrdering = TypeUtils.getInterpretedOrdering(leftBy.dataType)
+      .asInstanceOf[Ordering[Any]]
+    val nRight = right.output.size
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val joiner = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(nRight)
+
+      def timeOf(e: Expression, row: InternalRow): Long =
+        e.eval(row).asInstanceOf[Number].longValue()
+
+      var rCur: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
+      var candidate: InternalRow = null
+      var candidateKey: Any = null
+
+      lIter.map { l =>
+        val lk = lByB.eval(l)
+        val lt = timeOf(lOnB, l)
+        // advance the right cursor while it is still "at or before" (lk, lt)
+        var advancing = true
+        while (advancing && rCur != null) {
+          val rk = rByB.eval(rCur)
+          val c = keyOrdering.compare(rk, lk)
+          if (c < 0 || (c == 0 && timeOf(rOnB, rCur) <= lt)) {
+            if (c == 0) { candidate = rCur; candidateKey = rk }
+            rCur = if (rIter.hasNext) rIter.next().copy() else null
+          } else advancing = false
+        }
+        val matched = candidate != null && keyOrdering.compare(candidateKey, lk) == 0
+        joiner(joined(l, if (matched) candidate else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan) =
+    copy(left = l, right = r)
+}
+
+/** DataFrame-level API. */
+object AsOfJoin {
+
+  /** `asof(left, right, by, on)`: left outer as-of join. Column arguments
+    * must resolve against the respective inputs.
+    */
+  def asof(spark: SparkSession, left: DataFrame, right: DataFrame,
+           leftBy: Column, rightBy: Column,
+           leftOn: Column, rightOn: Column): DataFrame = {
+    GraftSqlShim.addStrategy(spark, AsOfJoinStrategy)
+    val lPlan = GraftSqlShim.analyzedPlan(left)
+    val rPlan = GraftSqlShim.analyzedPlan(right)
+    def resolve(c: Column, plan: LogicalPlan, df: DataFrame): Expression = {
+      val name = df.select(c).columns.head
+      plan.output.find(a => df.sparkSession.sessionState.conf.resolver(a.name, name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"column $name not found in ${plan.output.map(_.name)}"))
+    }
+    val node = AsOfJoinNode(lPlan, rPlan,
+      resolve(leftBy, lPlan, left), resolve(rightBy, rPlan, right),
+      resolve(leftOn, lPlan, left), resolve(rightOn, rPlan, right))
+    GraftSqlShim.ofRows(spark, node)
+  }
+}

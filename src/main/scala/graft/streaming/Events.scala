@@ -96,6 +96,37 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** q20: as-of join via the custom operator (graft.plans.AsOfJoin) — each
+    * event matched to the latest signup of the same user at-or-before its
+    * timestamp. One co-partitioning exchange per side, linear merge.
+    */
+  def asofSignup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+    graft.plans.AsOfJoin.asof(spark, ev, signups,
+        col("user_id"), col("s_user"), col("ts"), col("signup_ts"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("signup_ts"),
+        expr("timestampdiff(SECOND, signup_ts, ts)").cast("long")
+          .as("secs_since_signup"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q21: JSON property extraction from the string `props` column. */
+  def jsonPropStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(avg(col("k")), 4).as("avg_k"),
+        sum(col("k")).cast("long").as("sum_k"),
+        count(col("k")).cast("long").as("n_with_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** The streaming twin of [[windowedCounts]]: parquet file source, 10-min
     * watermark, append mode. Drive with `.writeStream.format("memory")` +
     * `processAllAvailable()` in tests.

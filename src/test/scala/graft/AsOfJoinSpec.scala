@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof: latest at-or-before match, exact ties, and no-match nulls") {
+    val left = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),  // between r1 and r2 → r1
+      (2L, 1L, ts("2024-01-01 12:00:00")),  // exactly r2's time → r2 (<=)
+      (3L, 1L, ts("2024-01-01 09:00:00")),  // matches r1 exactly
+      (4L, 2L, ts("2024-01-01 10:00:00")),  // key 2: only later right → null
+      (5L, 3L, ts("2024-01-01 10:00:00"))   // key 3: no right at all → null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "r1"),
+      (1L, ts("2024-01-01 12:00:00"), "r2"),
+      (2L, ts("2024-01-01 23:00:00"), "r3")
+    ).toDF("rk", "rt", "tag")
+
+    val out = AsOfJoin.asof(spark, left, right,
+        col("k"), col("rk"), col("t"), col("rt"))
+      .select(col("id"), col("tag"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+
+    assert(out == Map(
+      1L -> Some("r1"), 2L -> Some("r2"), 3L -> Some("r1"),
+      4L -> None, 5L -> None))
+  }
+
+  test("asof agrees with the compositional window formulation on real data") {
+    val dir = TestSpark.sf
+    val viaCustom = graft.streaming.Events.asofSignup(spark, dir)
+      .select("event_id", "signup_ts").collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+
+    // compositional fallback: range join + per-event max (row explosion —
+    // the plan the custom operator exists to avoid)
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val su = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("su"), col("ts").as("sts"))
+    val viaWindow = ev
+      .join(su, col("user_id") === col("su") && col("sts") <= col("ts"), "left")
+      .groupBy(col("event_id"))
+      .agg(max(col("sts")).as("signup_ts"))
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+
+    assert(viaCustom == viaWindow)
+  }
+
+  test("asof plan: one exchange per side, no broadcast, merge exec present") {
+    val dir = TestSpark.sf
+    val df = graft.streaming.Events.asofSignup(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"custom exec missing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "fell back to NL join")
+  }
+}
