@@ -22,7 +22,7 @@ object Multimodal {
     * built-ins (oracle-checkable: octet_length/sha256 in DuckDB).
     */
   def binaryFeatures(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsParallel(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .select(
         col("doc_id"),
@@ -53,7 +53,7 @@ object Multimodal {
   /** Partition-wise decode of binary payloads into typed metadata. */
   def decodeAll(spark: SparkSession, dir: String): Dataset[DecodedMedia] = {
     import spark.implicits._
-    val media = Tables.documents(spark, dir)
+    val media = Tables.documentsParallel(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRecord]
     media.mapPartitions { records =>

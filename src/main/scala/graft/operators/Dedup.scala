@@ -28,7 +28,7 @@ object Dedup {
     * smallest doc_id (deterministic survivor rule), reports group size.
     */
   def exactDedupGroups(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsParallel(spark, dir)
     d.select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).cast("long").as("n_copies"))
@@ -36,14 +36,21 @@ object Dedup {
       .orderBy(col("survivor_id"))
   }
 
-  /** Distinct word-3-gram shingles per doc. Tokens are staged as their own
-    * projection so the regex split runs once per document (see
+  /** Distinct word-3-gram shingles per doc, as 64-bit xxhash values: all
+    * downstream work (document-frequency counts, prefix joins, signature
+    * hashing, array_intersect verification) shuffles and compares 8-byte
+    * longs instead of ~20-byte strings. Collisions alter Jaccard with
+    * probability ~|corpus shingles|²/2⁶⁴ — negligible, and the DuckDB
+    * oracle (string-based) pins it in practice. Tokens are staged as their
+    * own projection so the regex split runs once per document (see
     * [[graft.functions.TextFunctions.shinglesOfTokens]]).
     */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsParallel(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesOfTokens(col("toks")).as("sh"))
+      .select(col("doc_id"), shinglesOfTokens(col("toks")).as("sh_str"))
+      .select(col("doc_id"),
+        transform(col("sh_str"), s => xxhash64(s)).as("sh"))
 
   /** d2: exact n-gram Jaccard near-dup pairs (j >= threshold), via
     * prefix-filtered similarity join (AllPairs/PPJoin): under any fixed
@@ -65,19 +72,25 @@ object Dedup {
     val dfreq = ds.groupBy(col("s")).agg(count(lit(1)).as("df"))
 
     // per-doc prefix of size floor((1-τ)·n)+1 under that order (hash-agg
-    // collect + in-array sort beats two window sort passes here)
+    // collect + in-array sort beats two window sort passes here); each
+    // prefix row carries the doc's shingle count for the length filter
     val prefix = ds.join(dfreq, "s")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), size(col("ordered")).as("n"),
         explode(slice(transform(col("ordered"), e => e.getField("s")), lit(1),
           (size(col("ordered")).cast("double") * (1.0 - threshold))
             .cast("int") + 1)).as("s"))
       .cache()
 
+    // length filter (AllPairs): j >= τ forces |A∩B| >= τ·max(|A|,|B|) and
+    // |A∩B| <= min(|A|,|B|), so set sizes must be within factor τ — that
+    // alone cuts the candidate set several-fold on length-varied corpora
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n").cast("double") >= col("a.n") * threshold &&
+          col("a.n").cast("double") >= col("b.n") * threshold)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
@@ -181,7 +194,7 @@ object Dedup {
     * properties.
     */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+    val tok = Tables.documentsParallel(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map(i =>

@@ -23,7 +23,7 @@ object TextAnalysis {
     * attributes stop CollapseProject from inlining the regex work back in).
     */
   private def staged(spark: SparkSession, dir: String) =
-    Tables.documents(spark, dir)
+    Tables.documentsParallel(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         normalize(col("text")).as("norm"))
       .select(col("doc_id"), col("lang"), col("source"), col("norm"),
@@ -83,7 +83,7 @@ object TextAnalysis {
     * BPE-ish regex") — pieces per doc, chars per piece.
     */
   def bpeTokenStats(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsParallel(spark, dir)
     d.select(col("doc_id"),
         regexp_extract_all(lower(trim(col("text"))), lit(BpePattern), lit(0))
           .as("pieces"))
@@ -101,7 +101,7 @@ object TextAnalysis {
     */
   def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.RollingHash.register(spark)
-    Tables.documents(spark, dir)
+    Tables.documentsParallel(spark, dir)
       .select(col("doc_id"), normalize(col("text")).as("norm"))
       .select(col("doc_id"), expr("rolling_hash(norm)").as("fingerprint64"))
       .orderBy(col("doc_id"))

@@ -45,6 +45,15 @@ object Tables {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+
+  /** `documents` spread across the session's full parallelism. The fixture
+    * is one small parquet file → one input partition, which serializes
+    * CPU-heavy text operators onto a single core; at 100 TB the source has
+    * thousands of splits and this repartition is a no-op to omit. The
+    * shuffle cost here is trivial next to the per-row regex/array work.
+    */
+  def documentsParallel(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register every table as a temp view so `spark.sql` queries resolve

@@ -150,6 +150,27 @@ object Events {
         col("n_events"), col("total_value"))
   }
 
+  /** Streaming deduplication — the streaming face of the dedup family:
+    * drop repeated (user_id, event_type) pairs, keeping state only for the
+    * watermark horizon (bounded state at 100 TB/day; plain streaming
+    * dropDuplicates would grow state forever).
+    */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(spark, dir).schema
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(schema.map {
+        case f if f.name == "ts" =>
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
+        case f => f
+      }))
+      .parquet(s"$dir/events*.parquet")
+    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("ts"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: java.sql.Timestamp, last: java.sql.Timestamp,

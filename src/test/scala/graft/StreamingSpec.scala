@@ -24,6 +24,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup-within-watermark covers every distinct key exactly once") {
+    val q = Events.streamingDedup(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT user_id, event_type FROM dedup_out").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val batchDistinct = graft.sources.Tables.events(spark, sf)
+        .select("user_id", "event_type").distinct().count()
+      assert(streamed.length == batchDistinct, "one row per distinct key")
+      assert(streamed.toSet.size == streamed.length, "no duplicates emitted")
+    } finally q.stop()
+  }
+
   test("stateful sessionization agrees with the declarative sessionizer") {
     val declarative = Events.sessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
