@@ -146,18 +146,15 @@ object Dedup {
                       threshold: Double = 0.8): DataFrame = {
     val docs = docShingles(spark, dir).cache()
 
-    // signature: for each of K hash seeds, min over shingles of xxhash64(seed, shingle)
-    val sig = docs
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"),
-        explode(sequence(lit(0), lit(MinHashK - 1))).as("k"), col("s"))
-      .withColumn("hv", xxhash64(col("k"), col("s")))
-      .groupBy(col("doc_id"), col("k"))
-      .agg(min(col("hv")).as("mh"))
-      .groupBy(col("doc_id"))
-      .agg(transform(
-        sort_array(collect_list(struct(col("k"), col("mh")))),
-        e => e.getField("mh")).as("sig"))
+    // signature: for each of K hash seeds, min over shingles of
+    // xxhash64(seed, shingle) — computed per document with higher-order
+    // functions, so signature generation is shuffle-free (the explode +
+    // double-groupBy formulation moves |shingles|·K rows through an
+    // exchange for the identical result)
+    val sigCols = (0 until MinHashK).map { k =>
+      array_min(transform(col("sh"), s => xxhash64(lit(k), s)))
+    }
+    val sig = docs.select(col("doc_id"), array(sigCols: _*).as("sig"))
 
     // bands: hash a fixed slice of the signature per band; bucket join
     val bands = sig.select(col("doc_id"),
