@@ -66,6 +66,7 @@ object SparkEntry {
     "st3_sliding_windows"     -> Events.slidingWindowCounts _,
     "t4_bpe_tokens"           -> TextAnalysis.bpeTokenStats _,
     "t5_rolling_fingerprint"  -> TextAnalysis.rollingFingerprint _,
+    "t6_char_ngram_lang"      -> TextAnalysis.charNgramLangId _,
     "q20_asof_signup"         -> Events.asofSignup _,
     "q21_json_props"          -> Events.jsonPropStats _,
     "q22_trailing_spend"      -> Extended.trailingSpend _,
@@ -434,6 +435,34 @@ object SparkEntry {
         round(CAST(len(array_to_string(pieces, '')) AS DOUBLE)
           / greatest(len(pieces), 1), 4) AS avg_piece_len
       FROM p ORDER BY doc_id""",
+
+    "t6_char_ngram_lang" -> {
+      val hits = graft.operators.TextAnalysis.CharTrigramProfiles.map { case (lang, p) =>
+        val lst = p.mkString("['", "', '", "']")
+        s"CAST(len(list_filter(tris, t -> list_contains($lst, t))) AS BIGINT) AS tri_$lang"
+      }.mkString(",\n          ")
+      val langs = graft.operators.TextAnalysis.CharTrigramProfiles.map(_._1)
+      val bestExpr = langs.map(l => s"tri_$l").mkString("greatest(", ", ", ")")
+      val caseArms = langs.map(l =>
+        s"WHEN tri_$l = best AND best > 0 THEN '$l'").mkString("\n             ")
+      s"""WITH n AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents),
+      tt AS (
+        SELECT doc_id,
+          list_transform(range(1, length(norm) - 1), i -> substr(norm, CAST(i AS INT), 3)) AS tris
+        FROM n),
+      h AS (
+        SELECT doc_id,
+          $hits
+        FROM tt),
+      b AS (SELECT *, $bestExpr AS best FROM h)
+      SELECT doc_id,
+        CASE $caseArms
+             ELSE 'und' END AS tri_lang_pred,
+        ${langs.map(l => s"tri_$l").mkString(", ")}
+      FROM b ORDER BY doc_id"""
+    },
 
     "q20_asof_signup" -> """
       WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

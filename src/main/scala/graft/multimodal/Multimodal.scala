@@ -65,6 +65,40 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int, payload_len: Long)
+  case class FrameSample(doc_id: Long, frame_idx: Int, frame_hash: Long)
+
+  /** STUB resize ??? — a real implementation scales pixel buffers; the
+    * deterministic fake halves dimensions and "re-encodes" to a smaller
+    * payload length. Same partition-wise batch shape as [[decodeAll]].
+    */
+  def resizeAll(spark: SparkSession, dir: String,
+                maxDim: Int = 256): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    decodeAll(spark, dir).mapPartitions { records =>
+      records.map { d =>
+        val scale = math.max(1, math.max(d.width, d.height) / maxDim)
+        ResizedMedia(d.doc_id, d.width / scale, d.height / scale,
+          d.byte_len / (scale.toLong * scale))
+      }
+    }
+  }
+
+  /** STUB frame sampler ??? — emits every `stride`-th frame index with a
+    * deterministic per-frame hash (a real implementation seeks and decodes
+    * frames). One input row fans out to n_frames/stride rows — the
+    * flatMap-shaped operator a video pipeline needs.
+    */
+  def sampleFrames(spark: SparkSession, dir: String,
+                   stride: Int = 4): Dataset[FrameSample] = {
+    import spark.implicits._
+    decodeAll(spark, dir).flatMap { d =>
+      (0 until d.n_frames by stride).map { i =>
+        FrameSample(d.doc_id, i, d.doc_id * 31L + i)
+      }
+    }
+  }
+
   /** m2: downstream aggregation over decoded metadata — proves the decoded
     * Dataset composes with normal relational ops (rows-only check: the stub
     * hash isn't portable SQL).

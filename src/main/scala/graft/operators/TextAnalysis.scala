@@ -107,6 +107,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Characteristic character-trigram profiles per language — the n-gram
+    * side of the language-ID heuristic (markers catch function words;
+    * trigram profiles catch morphology). Tiny fixed profiles, shared
+    * verbatim with the oracle SQL.
+    */
+  val CharTrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "ing", "and", "ion", " th"),
+    "de" -> Seq("der", "sch", "ein", "ich", "und"),
+    "es" -> Seq("que", "ión", " de", "los", "ent"),
+    "fr" -> Seq("les", "ent", " de", "ion", "eur"))
+
+  /** t6: char-n-gram language scores — per doc, the count of profile
+    * trigram occurrences per language plus the argmax prediction (fixed
+    * tie order, "und" on zero evidence). Trigrams are enumerated from the
+    * normalized text with a staged index array (same lambda-CSE rule as
+    * shingles).
+    */
+  def charNgramLangId(spark: SparkSession, dir: String): DataFrame = {
+    // trigram array staged once per row
+    val withTris = Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), normalize(col("text")).as("norm"))
+      .select(col("doc_id"),
+        when(length(col("norm")) < 3, array().cast("array<string>"))
+          .otherwise(expr("transform(sequence(1, length(norm) - 2), i -> substr(norm, i, 3))"))
+          .as("tris"))
+    val scored = withTris.select(col("doc_id") +:
+      CharTrigramProfiles.map { case (lang, profile) =>
+        size(filter(col("tris"), t => t.isInCollection(profile))).cast("long")
+          .as(s"tri_$lang")
+      }: _*)
+    val best = CharTrigramProfiles.map(p => col(s"tri_${p._1}")).reduce(greatest(_, _))
+    val pred = CharTrigramProfiles.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(col(s"tri_$lang") === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    scored.select(col("doc_id") +: pred.as("tri_lang_pred") +:
+        CharTrigramProfiles.map(p => col(s"tri_${p._1}")): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** t3: corpus-level quality aggregation per (lang, source) — the shape of
     * a "which crawl sources are worth keeping" report.
     */

@@ -18,6 +18,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize stub shrinks dimensions below the cap; frame sampler strides") {
+    val decoded = Multimodal.decodeAll(spark, sf).collect().map(d => d.doc_id -> d).toMap
+    val resized = Multimodal.resizeAll(spark, sf, maxDim = 256).collect()
+    assert(resized.length == decoded.size)
+    resized.foreach { r =>
+      val d = decoded(r.doc_id)
+      assert(r.width <= d.width && r.height <= d.height && r.payload_len <= d.byte_len)
+      // integer scale factor: scaled-down max dim lands within [maxDim, 2*maxDim)
+      assert(math.max(r.width, r.height) < 2 * 256 || math.max(d.width, d.height) < 256)
+    }
+    val frames = Multimodal.sampleFrames(spark, sf, stride = 4).collect()
+      .groupBy(_.doc_id)
+    frames.foreach { case (id, fs) =>
+      val expected = (0 until decoded(id).n_frames by 4).toSet
+      assert(fs.map(_.frame_idx).toSet == expected)
+    }
+  }
+
+  test("GraftExtensions registers functions and strategy without error") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(e) // builder-time injection contract
+  }
+
   test("partition-wise decode is deterministic and composes with aggregation") {
     val d1 = Multimodal.decodeAll(spark, sf).collect().map(d => d.doc_id -> d).toMap
     val d2 = Multimodal.decodeAll(spark, sf).collect().map(d => d.doc_id -> d).toMap

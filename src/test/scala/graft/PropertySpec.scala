@@ -113,6 +113,19 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native ArrayCosine equals the higher-order-function cosine") {
+    import graft.functions.VectorFunctions
+    graft.expressions.VectorExpressions.register(spark)
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0).map(_.toFloat))
+    forAll(Gen.zip(vecGen, vecGen), n = 20) { case (a, b) =>
+      val df = Seq((a, b)).toDF("va", "vb")
+      val row = df.select(
+        expr("array_cosine(va, vb)").as("native"),
+        VectorFunctions.cosine(col("va"), col("vb")).as("hof")).collect()(0)
+      assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 1e-12)
+    }
+  }
+
   test("sessionizer: events within the gap never split a session") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     forAll(Gen.listOfN(10, Gen.chooseNum(1L, 1700L))) { gaps =>
