@@ -67,6 +67,9 @@ object SparkEntry {
     "t4_bpe_tokens"           -> TextAnalysis.bpeTokenStats _,
     "t5_rolling_fingerprint"  -> TextAnalysis.rollingFingerprint _,
     "t6_char_ngram_lang"      -> TextAnalysis.charNgramLangId _,
+    "q23_correlated_subq"     -> Extended.correlatedSubqueries _,
+    "d6_neardup_clusters"     -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
+    "d7_deduped_corpus"       -> ((s: SparkSession, d: String) => Dedup.dedupedCorpus(s, d)),
     "q20_asof_signup"         -> Events.asofSignup _,
     "q21_json_props"          -> Events.jsonPropStats _,
     "q22_trailing_spend"      -> Extended.trailingSpend _,
@@ -464,6 +467,26 @@ object SparkEntry {
       FROM b ORDER BY doc_id"""
     },
 
+    "q23_correlated_subq" -> """
+      SELECT c_custkey, c_name,
+        (SELECT round(coalesce(sum(o_totalprice), 0), 2) FROM orders
+         WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995) AS spend_1995
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      ORDER BY c_custkey""",
+
+    "d6_neardup_clusters" -> NearDupClustersSql,
+
+    "d7_deduped_corpus" -> s"""
+      $NearDupClustersCtes
+      , roots AS (
+        SELECT doc, min(other) AS root FROM reach GROUP BY doc),
+      losers AS (SELECT doc FROM roots WHERE doc <> root)
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT doc FROM losers)
+      ORDER BY doc_id""",
+
     "q20_asof_signup" -> """
       WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
       s AS (SELECT user_id AS s_user, CAST(ts AS TIMESTAMP) AS signup_ts
@@ -504,6 +527,41 @@ object SparkEntry {
       val lst = m.mkString("['", "', '", "']")
       s"CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS BIGINT) AS hits_$lang"
     }.mkString(",\n          ")
+
+  /** Connected components over the near-dup pair graph via a recursive
+    * reachability CTE (DuckDB) — root = min reachable doc_id. Shared by the
+    * d6 and d7 oracles.
+    */
+  private val NearDupClustersCtes: String = """
+      WITH RECURSIVE tk AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tk),
+      sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      prs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jp AS (
+        SELECT id_a, id_b
+        FROM prs
+        JOIN cnt ca ON id_a = ca.doc_id
+        JOIN cnt cb ON id_b = cb.doc_id
+        WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.8),
+      e AS (SELECT id_a AS src, id_b AS dst FROM jp
+            UNION SELECT id_b, id_a FROM jp),
+      nodes AS (SELECT DISTINCT src AS doc FROM e),
+      reach(doc, other) AS (
+        SELECT doc, doc FROM nodes
+        UNION
+        SELECT r.doc, e.dst FROM reach r JOIN e ON r.other = e.src)"""
+
+  private val NearDupClustersSql: String = s"""
+      $NearDupClustersCtes
+      SELECT doc AS doc_id, min(other) AS cluster_root
+      FROM reach GROUP BY doc ORDER BY doc_id"""
 
   /** Exact n-gram Jaccard pairs (j >= 0.8) — oracle for both d2 and d3. */
   private val JaccardPairsSql: String = """

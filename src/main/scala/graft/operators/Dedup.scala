@@ -184,6 +184,58 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** d6: near-dup clusters + surviving corpus — the user-facing dedup.
+    * Connected components over the near-dup pair graph via iterative
+    * min-label propagation (each round joins labels across edges and takes
+    * the min; rounds needed = graph diameter, ≤ `maxIters`; near-dup
+    * clusters are near-cliques so 2-3 rounds close them). Survivor = min
+    * doc_id per component; every other member maps to it.
+    * Label propagation is the scalable DataFrame-native form of
+    * union-find: each round is one join + one groupBy, no driver state.
+    */
+  def nearDupClusters(spark: SparkSession, dir: String,
+                      threshold: Double = 0.8, maxIters: Int = 5): DataFrame = {
+    val pairs = minhashLshPairs(spark, dir, threshold)
+      .select(col("id_a"), col("id_b")).cache()
+    // undirected edge list, both directions
+    val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .withColumnRenamed("id_a", "src").withColumnRenamed("id_b", "dst")
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("root", col("doc_id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("root", "nroot"), "dst")
+        .select(col("src").as("doc_id"), col("nroot").as("root"))
+      val updated = labels.union(viaNeighbor)
+        .groupBy(col("doc_id")).agg(min(col("root")).as("root"))
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
+        .filter(col("u.root") =!= col("l.root")).limit(1).count()
+      labels = updated.cache()
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("root").as("cluster_root"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d7: the deduplicated corpus — drop every non-root member of a
+    * near-dup cluster, keep everything else.
+    */
+  def dedupedCorpus(spark: SparkSession, dir: String,
+                    threshold: Double = 0.8): DataFrame = {
+    val clusters = nearDupClusters(spark, dir, threshold)
+    val losers = clusters.filter(col("doc_id") =!= col("cluster_root"))
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d4: 64-bit SimHash signature per document — per-bit majority vote over
     * xxhash64 of tokens. One scan + one groupBy(doc_id); the 64 bit-sums are
     * a single wide codegen'd aggregate. No cross-engine oracle (xxhash64 is

@@ -194,6 +194,23 @@ object Extended {
       .orderBy(col("event_type"))
   }
 
+  /** q23: correlated subqueries — scalar subquery in the projection and a
+    * correlated EXISTS in the predicate; Catalyst decorrelates both into
+    * joins (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery),
+    * so the executed plan is join+agg, not a per-row re-execution.
+    */
+  def correlatedSubqueries(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Tables.registerAll(spark, dir)
+    spark.sql("""
+      SELECT c_custkey, c_name,
+        (SELECT round(coalesce(sum(o_totalprice), 0), 2) FROM orders
+         WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995) AS spend_1995
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      ORDER BY c_custkey""")
+  }
+
   /** Approximate distinct (HLL) — the 100 TB path for distinct counting.
     * No deterministic cross-engine oracle (ε differs) → rows-only check;
     * exactness is asserted against countDistinct in ScalaTest at small SF.

@@ -71,6 +71,34 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("label-propagation clusters equal driver-side union-find on the same pairs") {
+    val pairs = Dedup.minhashLshPairs(spark, sf).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // reference union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(d => d -> find(d)).toMap
+    val got = Dedup.nearDupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("deduped corpus = all docs minus non-root cluster members") {
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    val clusters = Dedup.nearDupClusters(spark, sf).collect()
+    val losers = clusters.count(r => r.getLong(0) != r.getLong(1))
+    assert(Dedup.dedupedCorpus(spark, sf).count() == total - losers)
+  }
+
   test("embedding near-dup output is symmetric-free and thresholded") {
     val rows = Dedup.embeddingNearDupPairs(spark, sf, threshold = 0.3).collect()
     rows.foreach { r =>
