@@ -68,6 +68,7 @@ object SparkEntry {
     "t5_rolling_fingerprint"  -> TextAnalysis.rollingFingerprint _,
     "t6_char_ngram_lang"      -> TextAnalysis.charNgramLangId _,
     "q23_correlated_subq"     -> Extended.correlatedSubqueries _,
+    "t7_token_frequencies"    -> TextAnalysis.tokenFrequencies _,
     "d6_neardup_clusters"     -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
     "d7_deduped_corpus"       -> ((s: SparkSession, d: String) => Dedup.dedupedCorpus(s, d)),
     "q20_asof_signup"         -> Events.asofSignup _,
@@ -477,6 +478,13 @@ object SparkEntry {
       ORDER BY c_custkey""",
 
     "d6_neardup_clusters" -> NearDupClustersSql,
+
+    "t7_token_frequencies" -> """
+      WITH tk AS (
+        SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents)
+      SELECT token, count(*) AS freq FROM tk
+      GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""",
 
     "d7_deduped_corpus" -> s"""
       $NearDupClustersCtes

@@ -146,6 +146,19 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t7: corpus token frequencies via generator (explode) — the vocabulary
+    * table every tokenizer-training pipeline starts from. Top-50 with
+    * deterministic tiebreak; the heavy lifting is one explode + one
+    * partial+final count aggregation.
+    */
+  def tokenFrequencies(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsParallel(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(50)
+
   /** t3: corpus-level quality aggregation per (lang, source) — the shape of
     * a "which crawl sources are worth keeping" report.
     */
