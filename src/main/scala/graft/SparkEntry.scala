@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Extended, Relational, Similarity, Skew, TextAnalysis}
+import graft.operators.{Dedup, Extended, Profile, Relational, Similarity, Skew, TextAnalysis}
 import graft.sources.Dims
 import graft.streaming.Events
 
@@ -69,6 +69,7 @@ object SparkEntry {
     "t6_char_ngram_lang"      -> TextAnalysis.charNgramLangId _,
     "q23_correlated_subq"     -> Extended.correlatedSubqueries _,
     "t7_token_frequencies"    -> TextAnalysis.tokenFrequencies _,
+    "q24_orders_profile"      -> Profile.ordersProfile _,
     "d6_neardup_clusters"     -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
     "d7_deduped_corpus"       -> ((s: SparkSession, d: String) => Dedup.dedupedCorpus(s, d)),
     "q20_asof_signup"         -> Events.asofSignup _,
@@ -478,6 +479,18 @@ object SparkEntry {
       ORDER BY c_custkey""",
 
     "d6_neardup_clusters" -> NearDupClustersSql,
+
+    "q24_orders_profile" -> """
+      SELECT count(*) AS n_rows,
+        count(CASE WHEN o_custkey IS NULL THEN 1 END) AS custkey_nulls,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct,
+        CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct,
+        round(min(o_totalprice), 4) AS price_min,
+        round(max(o_totalprice), 4) AS price_max,
+        round(avg(o_totalprice), 4) AS price_avg,
+        min(CAST(o_orderdate AS DATE)) AS first_order_day,
+        max(CAST(o_orderdate AS DATE)) AS last_order_day
+      FROM orders""",
 
     "t7_token_frequencies" -> """
       WITH tk AS (

@@ -39,6 +39,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file stream discovers newly-landed files incrementally") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val ev = graft.sources.Tables.events(spark, sf).select("event_id", "value")
+    // land batch 1
+    ev.filter(col("event_id") < 500).write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .parquet(dir)
+      .groupBy().agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("incr_out").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.sql("SELECT n FROM incr_out").collect()(0).getLong(0)
+      // land batch 2 after the stream started — must be discovered
+      ev.filter(col("event_id") >= 500).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val n2 = spark.sql("SELECT n FROM incr_out").collect()(0).getLong(0)
+      assert(n1 > 0 && n2 == ev.count(), s"n1=$n1 n2=$n2 total=${ev.count()}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization agrees with the declarative sessionizer") {
     val declarative = Events.sessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
