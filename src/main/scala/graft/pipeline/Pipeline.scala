@@ -112,6 +112,48 @@ object Pipeline {
   /** S10: idempotent overwrite of an analytics table (TRUNCATE+INSERT). */
   def overwriteParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Upsert (merge-by-key): incoming rows replace same-key staged rows,
+    * new keys append — the natural extension of the reference's
+    * insert-only watermark for sources that mutate rows. Implemented as
+    * anti-join + union + full rewrite; on a real deployment the same
+    * semantics ride a MERGE-capable sink, but the row-level contract
+    * (latest write wins per key) is identical and tested here.
+    */
+  def upsert(spark: SparkSession, incoming: DataFrame, pk: String,
+             stagingPath: String): Long = {
+    val existing = readStagingOrEmpty(spark, stagingPath, incoming.schema)
+    val merged = existing
+      .join(incoming.select(pk).distinct(), Seq(pk), "left_anti")
+      .unionByName(incoming)
+    // materialize before overwriting the directory being read
+    val rows = merged.cache().count()
+    merged.write.mode(SaveMode.Overwrite).parquet(stagingPath)
+    merged.unpersist()
+    rows
+  }
+
+  /** Small-file compaction: rewrite a staged directory into
+    * ceil(bytes / targetBytes) files. Streaming/incremental appends
+    * accumulate small files; periodic compaction keeps scan parallelism
+    * aligned with data size instead of append count.
+    */
+  def compact(spark: SparkSession, stagingPath: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val dir = new java.io.File(stagingPath)
+    val bytes = Option(dir.listFiles()).map(_.map(_.length).sum).getOrElse(0L)
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(stagingPath)
+    val tmp = stagingPath + "__compacting"
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // atomic-ish swap
+    val target = new java.io.File(stagingPath)
+    val backup = new java.io.File(stagingPath + "__old")
+    target.renameTo(backup)
+    new java.io.File(tmp).renameTo(target)
+    scala.reflect.io.Directory(backup).deleteRecursively()
+    nFiles
+  }
 }
 
 /** S5: the reference ships its whole transformation as one SQL script

@@ -120,6 +120,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(aggShip.getLong(1) == 1) // tt_undelivered_items
   }
 
+  test("upsert: same-key rows replaced, new keys appended, idempotent") {
+    val dir = tmpDir()
+    val staging = s"$dir/stage_upsert"
+    import spark.implicits._
+    val b1 = Seq((1, "a"), (2, "b")).toDF("order_id", "v")
+    val b2 = Seq((2, "B"), (3, "c")).toDF("order_id", "v")
+    assert(Pipeline.upsert(spark, b1, "order_id", staging) == 2)
+    assert(Pipeline.upsert(spark, b2, "order_id", staging) == 3)
+    val rows = spark.read.parquet(staging).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows == Map(1 -> "a", 2 -> "B", 3 -> "c"))
+    // replay is a no-op on content
+    Pipeline.upsert(spark, b2, "order_id", staging)
+    val rows2 = spark.read.parquet(staging).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows2 == rows)
+  }
+
+  test("compaction preserves content and reduces file count") {
+    val dir = tmpDir()
+    val staging = s"$dir/stage_compact"
+    import spark.implicits._
+    // many tiny appends → many small files
+    (1 to 6).foreach { i =>
+      Seq((i, s"v$i")).toDF("k", "v").repartition(3)
+        .write.mode("append").parquet(staging)
+    }
+    val before = spark.read.parquet(staging).collect().toSet
+    val filesBefore = new java.io.File(staging).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesBefore > 3)
+    val n = Pipeline.compact(spark, staging)
+    val after = spark.read.parquet(staging).collect().toSet
+    val filesAfter = new java.io.File(staging).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == before, "compaction must not change content")
+    assert(filesAfter == n && filesAfter < filesBefore)
+  }
+
+  test("every query has an oracle or is on the documented rows-only allowlist") {
+    val rowsOnly = Set(
+      "q17_approx_distinct",   // HLL ±ε has no deterministic oracle
+      "d4_simhash",            // xxhash64 not portable to DuckDB
+      "t5_rolling_fingerprint", // custom hash, property-tested instead
+      "s2_ann_lsh_topk",       // approximate; recall contract tested
+      "s3_ann_ivf_topk",       // approximate; recall contract tested
+      "m2_format_stats")       // stub decoder hash not portable
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == rowsOnly,
+      s"undocumented rows-only queries: ${missing -- rowsOnly}; stale allowlist: ${rowsOnly -- missing}")
+  }
+
   test("csv export round-trips with header") {
     val dir = tmpDir()
     val df = graft.operators.Relational.revenueByNation(spark, TestSpark.sf)
