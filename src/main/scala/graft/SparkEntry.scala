@@ -70,6 +70,8 @@ object SparkEntry {
     "q23_correlated_subq"     -> Extended.correlatedSubqueries _,
     "t7_token_frequencies"    -> TextAnalysis.tokenFrequencies _,
     "q24_orders_profile"      -> Profile.ordersProfile _,
+    "q25_bloom_prefilter"     -> Extended.bloomPrefilteredJoin _,
+    "q26_bottomk_sample"      -> Extended.bottomKSamples _,
     "d6_neardup_clusters"     -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
     "d7_deduped_corpus"       -> ((s: SparkSession, d: String) => Dedup.dedupedCorpus(s, d)),
     "q20_asof_signup"         -> Events.asofSignup _,
@@ -479,6 +481,14 @@ object SparkEntry {
       ORDER BY c_custkey""",
 
     "d6_neardup_clusters" -> NearDupClustersSql,
+
+    "q25_bloom_prefilter" -> """
+      WITH urgent AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+      SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS urgent_open_revenue,
+        count(*) AS n_items
+      FROM lineitem JOIN urgent ON l_orderkey = o_orderkey""",
 
     "q24_orders_profile" -> """
       SELECT count(*) AS n_rows,

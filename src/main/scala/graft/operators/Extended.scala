@@ -211,6 +211,56 @@ object Extended {
       ORDER BY c_custkey""")
   }
 
+  /** q25: Bloom-filter runtime pre-filter — build a Bloom filter over the
+    * urgent-order keys (scalar subquery), prune the lineitem scan with
+    * might_contain, then join exactly. The sketch only prunes; false
+    * positives are removed by the exact join, so the OUTPUT is exact and
+    * oracle-checkable while the big-side scan skips ~all non-matching
+    * rows before the shuffle — the hand-rolled form of runtime filter
+    * pushdown, the single biggest shuffle saver for selective joins at
+    * 100 TB.
+    */
+  def bloomPrefilteredJoin(spark: SparkSession, dir: String): DataFrame = {
+    // Spark ships BloomFilterAggregate/MightContain for its own runtime
+    // filters but does not register them as SQL functions — expose them
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("bloom_filter_agg",
+      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("might_contain",
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
+    graft.sources.Tables.registerAll(spark, dir)
+    spark.sql("""
+      WITH urgent AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'O'),
+      bloom AS (
+        SELECT bloom_filter_agg(xxhash64(o_orderkey), 50000L, 400000L) AS bf
+        FROM urgent),
+      pruned AS (
+        SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+        WHERE might_contain((SELECT bf FROM bloom), xxhash64(l_orderkey)))
+      SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS urgent_open_revenue,
+        count(*) AS n_items
+      FROM pruned JOIN urgent ON l_orderkey = o_orderkey""")
+  }
+
+  /** q26: deterministic per-group uniform sample via the custom bottom-k
+    * aggregate ([[graft.expressions.BottomKSample]]) — reproducible,
+    * mergeable, RNG-free. Rows-only checked (xxhash64 order is
+    * Spark-specific); determinism and uniformity contracts are pinned in
+    * ScalaTest against a window-function formulation.
+    */
+  def bottomKSamples(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.BottomKSample.register(spark, k = 5)
+    graft.sources.Tables.registerAll(spark, dir)
+    spark.sql("""
+      SELECT o_orderpriority, bottom_k_sample(o_orderkey) AS sample_keys
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
   /** Approximate distinct (HLL) — the 100 TB path for distinct counting.
     * No deterministic cross-engine oracle (ε differs) → rows-only check;
     * exactness is asserted against countDistinct in ScalaTest at small SF.

@@ -164,7 +164,8 @@ class PipelineSpec extends AnyFunSuite {
       "t5_rolling_fingerprint", // custom hash, property-tested instead
       "s2_ann_lsh_topk",       // approximate; recall contract tested
       "s3_ann_ivf_topk",       // approximate; recall contract tested
-      "m2_format_stats")       // stub decoder hash not portable
+      "m2_format_stats",       // stub decoder hash not portable
+      "q26_bottomk_sample")    // xxhash64 order Spark-specific; window-equivalence tested
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == rowsOnly,
       s"undocumented rows-only queries: ${missing -- rowsOnly}; stale allowlist: ${rowsOnly -- missing}")

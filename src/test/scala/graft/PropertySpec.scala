@@ -113,6 +113,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bottom-k aggregate equals the window-function formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = TestSpark.sf
+    val o = graft.sources.Tables.orders(spark, dir)
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"h")
+    val expected = o
+      .withColumn("h", xxhash64($"o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .groupBy($"o_orderpriority")
+      .agg(transform(sort_array(collect_list(struct($"h", $"o_orderkey"))),
+        e => e.getField("o_orderkey")).as("keys"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    val got = graft.operators.Extended.bottomKSamples(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got == expected)
+  }
+
   test("native ArrayCosine equals the higher-order-function cosine") {
     import graft.functions.VectorFunctions
     graft.expressions.VectorExpressions.register(spark)
