@@ -72,6 +72,8 @@ object SparkEntry {
     "q24_orders_profile"      -> Profile.ordersProfile _,
     "q25_bloom_prefilter"     -> Extended.bloomPrefilteredJoin _,
     "q26_bottomk_sample"      -> Extended.bottomKSamples _,
+    "q27_string_suite"        -> Extended.stringSuite _,
+    "q28_stats_suite"         -> Extended.statsSuite _,
     "d6_neardup_clusters"     -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
     "d7_deduped_corpus"       -> ((s: SparkSession, d: String) => Dedup.dedupedCorpus(s, d)),
     "q20_asof_signup"         -> Events.asofSignup _,
@@ -239,11 +241,15 @@ object SparkEntry {
         lead(price, 1) OVER seq AS next_price,
         round(sum(price) OVER (PARTITION BY o_custkey ORDER BY order_day, o_orderkey
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
-        round(price / sum(price) OVER (PARTITION BY o_custkey) * 100.0, 2) AS pct_of_cust
+        round(price / sum(price) OVER (PARTITION BY o_custkey) * 100.0, 2) AS pct_of_cust,
+        CAST(ntile(4) OVER byprice AS BIGINT) AS quartile,
+        round(percent_rank() OVER bypriceasc, 4) AS pct_rank,
+        round(cume_dist() OVER bypriceasc, 4) AS cume
       FROM b
       WINDOW
         seq AS (PARTITION BY o_custkey ORDER BY order_day, o_orderkey),
-        byprice AS (PARTITION BY o_custkey ORDER BY price DESC, o_orderkey)
+        byprice AS (PARTITION BY o_custkey ORDER BY price DESC, o_orderkey),
+        bypriceasc AS (PARTITION BY o_custkey ORDER BY price ASC, o_orderkey)
       ORDER BY o_custkey, o_orderkey""",
 
     "q16_scalar_suite" -> """
@@ -489,6 +495,30 @@ object SparkEntry {
       SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS urgent_open_revenue,
         count(*) AS n_items
       FROM lineitem JOIN urgent ON l_orderkey = o_orderkey""",
+
+    "q27_string_suite" -> """
+      SELECT c_custkey,
+        upper(c_name) AS name_upper,
+        lower(c_mktsegment) AS segment_lower,
+        substr(c_name, 1, 8) AS name_prefix,
+        lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        reverse(c_name) AS name_rev,
+        CAST(length(c_name) AS BIGINT) AS name_len,
+        CAST(strpos(c_name, 'Customer') AS BIGINT) AS pos_customer,
+        CAST(levenshtein(c_name, reverse(c_name)) AS BIGINT) AS lev_to_rev,
+        concat_ws('|', c_mktsegment, c_name) AS seg_name
+      FROM customer WHERE c_custkey % 10 = 0 ORDER BY c_custkey""",
+
+    "q28_stats_suite" -> """
+      SELECT l_returnflag,
+        round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+        round(var_samp(l_quantity), 4) AS qty_var,
+        round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        round(covar_samp(l_discount, l_tax), 8) AS disc_tax_covar,
+        round(skewness(l_extendedprice), 4) AS price_skew,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q24_orders_profile" -> """
       SELECT count(*) AS n_rows,

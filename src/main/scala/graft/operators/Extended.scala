@@ -135,6 +135,12 @@ object Extended {
         round(sum(col("price")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
       .withColumn("pct_of_cust",
         round(col("price") / sum(col("price")).over(wAll) * 100.0, 2))
+      .withColumn("quartile",
+        ntile(4).over(w.orderBy(col("price").desc, col("o_orderkey").asc)).cast("long"))
+      .withColumn("pct_rank",
+        round(percent_rank().over(w.orderBy(col("price").asc, col("o_orderkey").asc)), 4))
+      .withColumn("cume",
+        round(cume_dist().over(w.orderBy(col("price").asc, col("o_orderkey").asc)), 4))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
@@ -192,6 +198,45 @@ object Extended {
         round(expr("percentile(value, 0.95)"), 4).as("p95"),
         count(lit(1)).cast("long").as("n"))
       .orderBy(col("event_type"))
+  }
+
+  /** q27: string-function suite (E-family extension): case mapping,
+    * substring/pad/replace/reverse, position, edit distance — the string
+    * surface a documents pipeline leans on, every function dialect-shared
+    * with DuckDB.
+    */
+  def stringSuite(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        lower(col("c_mktsegment")).as("segment_lower"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+        reverse(col("c_name")).as("name_rev"),
+        length(col("c_name")).cast("long").as("name_len"),
+        instr(col("c_name"), "Customer").cast("long").as("pos_customer"),
+        levenshtein(col("c_name"), reverse(col("c_name"))).cast("long").as("lev_to_rev"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"))
+      .filter(col("c_custkey") % 10 === 0)
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q28: statistical aggregates per group — stddev/variance/correlation/
+    * covariance (sample forms; Spark and DuckDB share the definitions).
+    */
+  def statsSuite(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
+        round(var_samp(col("l_quantity")), 4).as("qty_var"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 8).as("disc_tax_covar"),
+        round(skewness(col("l_extendedprice")), 4).as("price_skew"),
+        count(lit(1)).cast("long").as("n"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** q23: correlated subqueries — scalar subquery in the projection and a
