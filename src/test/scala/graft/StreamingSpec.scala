@@ -62,6 +62,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed file sink is exactly-once across query restarts") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_eo").toString
+    val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    val ev = graft.sources.Tables.events(spark, sf).select("event_id", "event_type")
+    ev.filter(col("event_id") < 400).write.mode("append").parquet(in)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(in)
+        .withColumn("etype_upper", upper(col("event_type")))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()                                            // batch 1 committed
+    ev.filter(col("event_id") >= 400).write.mode("append").parquet(in)
+    runOnce()                                            // restart picks up batch 2 only
+    runOnce()                                            // idle restart writes nothing
+
+    val result = spark.read.parquet(out)
+    assert(result.count() == ev.count(), "every input row exactly once")
+    assert(result.select(countDistinct("event_id")).collect()(0).getLong(0) == ev.count(),
+      "no duplicate event_ids across restarts")
+  }
+
   test("stateful sessionization agrees with the declarative sessionizer") {
     val declarative = Events.sessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
