@@ -98,8 +98,12 @@ object Runner {
       round(sum(when(col("review") === k, 1).otherwise(0)).cast("double")
         / count(lit(1)) * 100.0, 2).as(s"pct_${k}_star")) :+
       count(lit(1)).cast("long").as("tt_reviews")
+    // J4 parity: dim_products ⋈ reviews on product_id
+    // (`sql/transformation.sql:107-108`); the dim is generated — the
+    // reference assumes it pre-exists (SURVEY.md §1 ⚠)
     val reviewPcts = reviews.groupBy(col("product_id"))
       .agg(pctCols.head, pctCols.tail: _*)
+      .join(broadcast(graft.sources.Dims.dimProducts(spark)), Seq("product_id"), "left")
       .orderBy(col("product_id"))
 
     Map(

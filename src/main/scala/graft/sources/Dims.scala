@@ -44,6 +44,15 @@ object Dims {
         .as("working_day"))
   }
 
+  /** The reference's other assumed dim (`if_common.dim_products`, inferred
+    * from `sql/transformation.sql:100-110,121`): product_id 1..25 with
+    * synthetic names.
+    */
+  def dimProducts(spark: SparkSession, n: Int = 25): DataFrame =
+    spark.range(1, n + 1).select(
+      col("id").cast("int").as("product_id"),
+      concat(lit("product_"), col("id")).as("product_name"))
+
   /** DuckDB CTE producing the identical dim_dates — prepended to oracle SQL
     * that needs the date dim. DuckDB `dayofweek` is 0=Sun..6=Sat, hence +1.
     */
