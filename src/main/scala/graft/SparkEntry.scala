@@ -244,7 +244,13 @@ object SparkEntry {
         round(price / sum(price) OVER (PARTITION BY o_custkey) * 100.0, 2) AS pct_of_cust,
         CAST(ntile(4) OVER byprice AS BIGINT) AS quartile,
         round(percent_rank() OVER bypriceasc, 4) AS pct_rank,
-        round(cume_dist() OVER bypriceasc, 4) AS cume
+        round(cume_dist() OVER bypriceasc, 4) AS cume,
+        first_value(price) OVER (PARTITION BY o_custkey ORDER BY order_day, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_spend,
+        last_value(price) OVER (PARTITION BY o_custkey ORDER BY order_day, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latest_spend,
+        nth_value(price, 2) OVER (PARTITION BY o_custkey ORDER BY order_day, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_spend
       FROM b
       WINDOW
         seq AS (PARTITION BY o_custkey ORDER BY order_day, o_orderkey),

@@ -141,6 +141,13 @@ object Extended {
         round(percent_rank().over(w.orderBy(col("price").asc, col("o_orderkey").asc)), 4))
       .withColumn("cume",
         round(cume_dist().over(w.orderBy(col("price").asc, col("o_orderkey").asc)), 4))
+      .withColumn("first_spend",
+        first(col("price")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("latest_spend",
+        last(col("price")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("second_spend",
+        nth_value(col("price"), 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
