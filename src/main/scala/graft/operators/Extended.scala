@@ -237,11 +237,14 @@ object Extended {
     val li = Tables.lineitem(spark, dir)
     li.groupBy(col("l_returnflag"))
       .agg(
-        round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
-        round(var_samp(col("l_quantity")), 4).as("qty_var"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
-        round(covar_samp(col("l_discount"), col("l_tax")), 8).as("disc_tax_covar"),
-        round(skewness(col("l_extendedprice")), 4).as("price_skew"),
+        // +1e-9 breaks decimal-midpoint rounding ties identically across
+        // engines (same trick as the quality score; values are unaffected
+        // at the rounded precision otherwise)
+        round(stddev_samp(col("l_extendedprice")) + 1e-9, 2).as("price_stddev"),
+        round(var_samp(col("l_quantity")) + 1e-9, 4).as("qty_var"),
+        round(corr(col("l_quantity"), col("l_extendedprice")) + 1e-9, 6).as("qty_price_corr"),
+        round(covar_samp(col("l_discount"), col("l_tax")) + 1e-9, 8).as("disc_tax_covar"),
+        round(skewness(col("l_extendedprice")) + 1e-9, 4).as("price_skew"),
         count(lit(1)).cast("long").as("n"))
       .orderBy(col("l_returnflag"))
   }
