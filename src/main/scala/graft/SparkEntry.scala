@@ -584,7 +584,173 @@ object SparkEntry {
         round(sum(price) OVER (PARTITION BY o_custkey ORDER BY day_num
           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
       FROM o ORDER BY o_custkey, o_orderkey""",
+
+    // d4: per-bit majority over hash52 of tokens — hash52 is reproduced by
+    // ('0x' || md5-prefix)::BIGINT, so the full 52-bit signature matches.
+    "d4_simhash" -> s"""
+      WITH tk AS (
+        SELECT doc_id,
+          unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+        FROM documents),
+      h AS (SELECT doc_id, ${graft.functions.TextFunctions.hash52Sql("t")} AS h FROM tk),
+      bits AS (SELECT unnest(range(0, ${graft.operators.Dedup.SimHashBits})) AS bit),
+      v AS (
+        SELECT doc_id, bit, sum((h >> bit) & 1) AS ones, count(*) AS n
+        FROM h CROSS JOIN bits GROUP BY 1, 2)
+      SELECT doc_id,
+        CAST(sum(CASE WHEN ones * 2 > n THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+          AS simhash
+      FROM v GROUP BY doc_id ORDER BY doc_id""",
+
+    // q17: HLL estimate has no cross-engine oracle; the *contract* does —
+    // the query outputs the exact count plus a 5%-tolerance boolean, the
+    // oracle returns the exact count plus literal true.
+    "q17_approx_distinct" -> """
+      SELECT l_returnflag,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+        true AS approx_within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // q26: bottom-k by the portable hash52 ≡ row_number over the same hash.
+    "q26_bottomk_sample" -> s"""
+      WITH h AS (
+        SELECT o_orderpriority, o_orderkey,
+          ${graft.functions.TextFunctions.hash52Sql("CAST(o_orderkey AS VARCHAR)")} AS hk
+        FROM orders),
+      r AS (
+        SELECT o_orderpriority, o_orderkey,
+          row_number() OVER (PARTITION BY o_orderpriority ORDER BY hk) AS rn
+        FROM h)
+      SELECT o_orderpriority, CAST(rn AS BIGINT) AS rnk,
+        CAST(o_orderkey AS BIGINT) AS sample_key
+      FROM r WHERE rn <= 5 ORDER BY o_orderpriority, rnk""",
+
+    // t5: the Rabin–Karp polynomial mod 2^61-1, replayed over the UTF-8
+    // bytes (hex(encode(..)) → byte list) with HUGEINT intermediates.
+    "t5_rolling_fingerprint" -> s"""
+      WITH n AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents),
+      hx AS (SELECT doc_id, hex(encode(norm)) AS h FROM n),
+      b AS (SELECT doc_id, ${RollingHashBytesSql("h")} AS bytes FROM hx)
+      SELECT doc_id, ${RollingHashReduceSql("bytes")} AS fingerprint64
+      FROM b ORDER BY doc_id""",
+
+    // m2: the decode stub derives dimensions from the same rolling hash —
+    // fully replayable in SQL.
+    "m2_format_stats" -> s"""
+      WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+      b AS (SELECT doc_id, ${RollingHashBytesSql("h")} AS bytes FROM hx),
+      r AS (SELECT doc_id, ${RollingHashReduceSql("bytes")} AS hsh FROM b),
+      d AS (SELECT doc_id,
+          64 + (hsh % 1024) AS width,
+          64 + ((hsh // 1024) % 1024) AS height,
+          1 + ((hsh // 1048576) % 16) AS n_frames,
+          CASE WHEN hsh % 2 = 0 THEN 'img' ELSE 'vid' END AS format
+        FROM r)
+      SELECT format, count(*) AS n_media,
+        round(avg(width), 2) AS avg_width,
+        round(avg(height), 2) AS avg_height,
+        CAST(max(n_frames) AS INT) AS max_frames
+      FROM d GROUP BY format ORDER BY format""",
+
+    // s2: identical hyperplane literals → identical buckets → identical
+    // candidate sets; scoring mirrors the proven s1 oracle.
+    "s2_ann_lsh_topk" -> {
+      val bucketExpr = graft.functions.VectorFunctions
+        .hyperplaneBucketDuckSql("embedding", 64, graft.operators.Similarity.LshBits)
+      val probeList = ((0 until graft.operators.Similarity.LshBits)
+        .map(b => 1L << b) :+ 0L).mkString("[", ", ", "]")
+      s"""WITH e AS (
+        SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+      probes AS (SELECT unnest($probeList) AS p),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qe, xor(bucket, p) AS bucket
+        FROM e CROSS JOIN probes WHERE vec_id % 50 = 0),
+      j AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, q.qe, e.embedding AS ne
+        FROM q JOIN e ON q.bucket = e.bucket WHERE e.vec_id <> q.query_id),
+      u AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne FROM j),
+      s AS (
+        SELECT query_id, neighbor_id,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
+          sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
+        FROM u GROUP BY 1, 2),
+      c AS (SELECT query_id, neighbor_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM s),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM c)
+      SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+    },
+
+    // s3: full IVF replay — 6dp-rounded per-label centroids pin the
+    // assignment argmax across engines; candidate scoring mirrors s1.
+    "s3_ann_ivf_topk" -> s"""
+      WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      ue AS (SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS i, embedding FROM e),
+      cpos AS (
+        SELECT label AS cent_id, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+        FROM ue GROUP BY 1, 2),
+      cent AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM cpos GROUP BY 1),
+      acu AS (
+        SELECT vec_id, cent_id, unnest(range(1, len(embedding) + 1)) AS i, embedding, cv
+        FROM e CROSS JOIN cent),
+      acs AS (
+        SELECT vec_id, cent_id,
+          sum(CAST(embedding[i] AS DOUBLE) * cv[i]) AS dot,
+          sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS na,
+          sum(cv[i] * cv[i]) AS nb
+        FROM acu GROUP BY 1, 2),
+      ac AS (SELECT vec_id, cent_id, dot / (sqrt(na) * sqrt(nb)) AS cc FROM acs),
+      assigned AS (
+        SELECT vec_id, cent_id FROM (
+          SELECT vec_id, cent_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS r
+          FROM ac) WHERE r = 1),
+      prb AS (
+        SELECT query_id, cent_id FROM (
+          SELECT vec_id AS query_id, cent_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS r
+          FROM ac WHERE vec_id % 50 = 0) WHERE r <= ${graft.operators.Similarity.IvfNProbe}),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM prb p JOIN assigned a ON p.cent_id = a.cent_id
+        WHERE a.vec_id <> p.query_id),
+      pairs AS (
+        SELECT c.query_id, c.neighbor_id, q.embedding AS qe, n2.embedding AS ne
+        FROM cand c
+        JOIN e q ON q.vec_id = c.query_id
+        JOIN e n2 ON n2.vec_id = c.neighbor_id),
+      u AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne FROM pairs),
+      s AS (
+        SELECT query_id, neighbor_id,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
+          sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
+        FROM u GROUP BY 1, 2),
+      c AS (SELECT query_id, neighbor_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM s),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM c)
+      SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
   )
+
+  /** DuckDB fragment: hex string column `h` → list of UTF-8 byte values
+    * (HUGEINT, for overflow-free polynomial accumulation).
+    */
+  private def RollingHashBytesSql(h: String): String =
+    s"""list_transform(range(1, length($h) // 2 + 1),
+        i -> CAST(('0x' || substr($h, CAST(2 * i - 1 AS INT), 2))::BIGINT AS HUGEINT))"""
+
+  /** DuckDB fragment: Rabin–Karp fold of a byte list — mirrors
+    * [[graft.expressions.RollingHash.hashBytes]] (B=257, P=2^61-1).
+    */
+  private def RollingHashReduceSql(bytes: String): String =
+    s"""CAST(list_reduce(list_prepend(0::HUGEINT, $bytes),
+        (a, x) -> (a * 257 + x) % 2305843009213693951) AS BIGINT)"""
 
   /** DuckDB list literal of TextFunctions.Stopwords. */
   private def StopSqlList: String =

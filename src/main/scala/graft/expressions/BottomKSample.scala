@@ -4,43 +4,48 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Deterministic uniform sample per group: keep the k values whose
-  * xxhash64 is smallest ("bottom-k sketch"). Hash order is a uniform
-  * random permutation of the value domain, but fully deterministic across
-  * runs, partitions, and merge orders — a reservoir sample without RNG,
-  * so results are reproducible and mergeable (the classic KMV/bottom-k
-  * construction; the same buffer doubles as a distinct-count estimator
-  * via k/max-hash).
+  * `sortKey` hash is smallest ("bottom-k sketch"). With a uniform hash the
+  * order is a uniform random permutation of the value domain, but fully
+  * deterministic across runs, partitions, and merge orders — a reservoir
+  * sample without RNG, so results are reproducible and mergeable (the
+  * classic KMV/bottom-k construction; the same buffer doubles as a
+  * distinct-count estimator via k/max-hash).
+  *
+  * The hash is an explicit child expression rather than a baked-in
+  * algorithm, so callers can supply an engine-portable hash (e.g.
+  * [[graft.functions.TextFunctions.hash52]]) and the sample becomes
+  * bit-identical to a `row_number() OVER (ORDER BY hash)` oracle in any
+  * other SQL engine.
   *
   * The custom-aggregate rung of the extension ladder: a
   * TypedImperativeAggregate with a mutable buffer, partial merge, and
   * compact binary serialization.
   */
-case class BottomKSample(child: Expression, k: Int,
+case class BottomKSample(sortKey: Expression, child: Expression, k: Int,
                          mutableAggBufferOffset: Int = 0,
                          inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[BottomKSample.Buffer] {
 
   import BottomKSample.Buffer
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = Seq(sortKey, child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  private lazy val hasher = XxHash64(Seq(child), 42L)
 
   override def createAggregationBuffer(): Buffer = new Buffer(k)
 
   override def update(buf: Buffer, input: InternalRow): Buffer = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = hasher.eval(input).asInstanceOf[Long]
-      buf.offer(h, v.asInstanceOf[Number].longValue())
+    val h = sortKey.eval(input)
+    if (v != null && h != null) {
+      buf.offer(h.asInstanceOf[Number].longValue(),
+        v.asInstanceOf[Number].longValue())
     }
     buf
   }
@@ -72,7 +77,7 @@ case class BottomKSample(child: Expression, k: Int,
   override def withNewInputAggBufferOffset(offset: Int): BottomKSample =
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
-    copy(child = c.head)
+    copy(sortKey = c(0), child = c(1))
 }
 
 object BottomKSample {
@@ -105,9 +110,10 @@ object BottomKSample {
     def sortedValues: Array[Long] = entries.map(_._2).toArray
   }
 
+  /** SQL registration: `bottom_k_sample(sort_hash, value)`. */
   def register(spark: SparkSession, k: Int = 10): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bottom_k_sample",
-      exprs => BottomKSample(exprs.head, k).toAggregateExpression(),
+      exprs => BottomKSample(exprs(0), exprs(1), k).toAggregateExpression(),
       "scala_udf")
 }

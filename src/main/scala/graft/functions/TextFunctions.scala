@@ -87,6 +87,20 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** Cross-engine 52-bit hash: the first 13 hex chars of md5, parsed as an
+    * integer. DuckDB computes the identical value with
+    * `('0x' || substr(md5(x), 1, 13))::BIGINT`, so any hash-ordered or
+    * hash-bucketed operator built on this (simhash bit votes, bottom-k
+    * sampling order) is fully oracle-checkable. 13 hex digits = 52 bits:
+    * always positive, exact in a DOUBLE, far below BIGINT overflow.
+    */
+  def hash52(c: Column): Column =
+    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+
+  /** The DuckDB twin of [[hash52]] over SQL expression `e`. */
+  def hash52Sql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 13))::BIGINT"
+
   /** Word n-gram shingles (distinct) over a *materialized* token-array
     * attribute. The column passed here MUST be a plain attribute (staged in
     * its own projection), not a `tokens(text)` expression tree: Catalyst

@@ -62,4 +62,21 @@ object VectorFunctions {
       s"(CASE WHEN array_dot($vecCol, $arr) >= 0.0 THEN ${1L << i}L ELSE 0L END)"
     }.mkString(" + ")
   }
+
+  /** DuckDB twin of [[hyperplaneBucketSql]]: the *same* %.9f literals and
+    * the same left-to-right accumulation order, so both engines compute
+    * bit-identical sign bits (a sign can only diverge if a projection lands
+    * within float-noise of exactly 0, probability ~1e-12 per vector·plane).
+    * This is what upgrades the LSH ANN query from rows-only to a full
+    * hash-checked oracle.
+    */
+  def hyperplaneBucketDuckSql(vecCol: String, dim: Int, nBits: Int): String = {
+    val planes = hyperplanes(dim, nBits)
+    planes.zipWithIndex.map { case (p, i) =>
+      val terms = p.zipWithIndex.map { case (x, j) =>
+        f"CAST($vecCol[${j + 1}] AS DOUBLE) * (${x}%.9f)"
+      }.mkString(" + ")
+      s"(CASE WHEN ($terms) >= 0.0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+  }
 }

@@ -36,17 +36,20 @@ object Multimodal {
 
   /** STUB decoder ??? — replace with a real codec (e.g. javacv / JNI) in a
     * production image. Deterministic fake: dimensions derived from a hash
-    * of the payload so tests are stable. Runs partition-wise with one
-    * "decoder init" per partition — the same batch shape a real decoder
-    * needs (expensive init amortized across a partition's records, the
-    * Scala analog of pandas-batched UDFs).
+    * of the payload so tests are stable. The hash is the engine-portable
+    * Rabin–Karp polynomial ([[graft.expressions.RollingHash.hashBytes]]),
+    * which a DuckDB list_reduce reproduces byte-for-byte — so even the
+    * stubbed decode path is fully oracle-checkable. Runs partition-wise
+    * with one "decoder init" per partition — the same batch shape a real
+    * decoder needs (expensive init amortized across a partition's records,
+    * the Scala analog of pandas-batched UDFs).
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int, String) = {
-    val h = java.util.Arrays.hashCode(payload)
-    val w = 64 + math.floorMod(h, 1024)
-    val ht = 64 + math.floorMod(h >> 10, 1024)
-    val frames = 1 + math.floorMod(h >> 20, 16)
-    val fmt = if (math.floorMod(h, 2) == 0) "img" else "vid"
+    val h = graft.expressions.RollingHash.hashBytes(payload) // in [0, 2^61-1)
+    val w = 64 + (h % 1024).toInt
+    val ht = 64 + ((h / 1024) % 1024).toInt
+    val frames = 1 + ((h / (1L << 20)) % 16).toInt
+    val fmt = if (h % 2 == 0) "img" else "vid"
     (w, ht, frames, fmt)
   }
 
@@ -100,8 +103,8 @@ object Multimodal {
   }
 
   /** m2: downstream aggregation over decoded metadata — proves the decoded
-    * Dataset composes with normal relational ops (rows-only check: the stub
-    * hash isn't portable SQL).
+    * Dataset composes with normal relational ops. Fully oracle-checked: the
+    * stub's rolling-hash is reproduced in DuckDB SQL.
     */
   def formatStats(spark: SparkSession, dir: String): DataFrame =
     decodeAll(spark, dir)

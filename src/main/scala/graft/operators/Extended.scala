@@ -304,26 +304,43 @@ object Extended {
 
   /** q26: deterministic per-group uniform sample via the custom bottom-k
     * aggregate ([[graft.expressions.BottomKSample]]) — reproducible,
-    * mergeable, RNG-free. Rows-only checked (xxhash64 order is
-    * Spark-specific); determinism and uniformity contracts are pinned in
-    * ScalaTest against a window-function formulation.
+    * mergeable, RNG-free. The sort hash is the engine-portable hash52
+    * (md5-prefix), so the exact sample is reproduced by a
+    * `row_number() OVER (ORDER BY hash)` DuckDB oracle; the output is
+    * exploded to scalar rows (the driver's compare can't sort array cells).
     */
   def bottomKSamples(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.BottomKSample.register(spark, k = 5)
     graft.sources.Tables.registerAll(spark, dir)
     spark.sql("""
-      SELECT o_orderpriority, bottom_k_sample(o_orderkey) AS sample_keys
-      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      WITH s AS (
+        SELECT o_orderpriority,
+          bottom_k_sample(
+            CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 13), 16, 10) AS BIGINT),
+            o_orderkey) AS sample_keys
+        FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderpriority, CAST(pos + 1 AS BIGINT) AS rnk, sample_key
+      FROM s LATERAL VIEW posexplode(sample_keys) t AS pos, sample_key
+      ORDER BY o_orderpriority, rnk""")
   }
 
   /** Approximate distinct (HLL) — the 100 TB path for distinct counting.
-    * No deterministic cross-engine oracle (ε differs) → rows-only check;
-    * exactness is asserted against countDistinct in ScalaTest at small SF.
+    * The HLL estimate itself has no cross-engine oracle (ε implementation
+    * differs), so the query *also* computes the exact count and asserts the
+    * estimate's 5%-relative-error contract as a boolean column — making the
+    * whole result deterministic and hash-checkable (the oracle returns the
+    * exact counts plus literal `true`).
     */
   def approxDistinctParts(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .agg(
+        countDistinct(col("l_partkey")).cast("long").as("n_parts_exact"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
+      .withColumn("approx_within_5pct",
+        abs(col("approx") - col("n_parts_exact")) <=
+          col("n_parts_exact").cast("double") * 0.05)
+      .select(col("l_returnflag"), col("n_parts_exact"), col("approx_within_5pct"))
       .orderBy(col("l_returnflag"))
   }
 }

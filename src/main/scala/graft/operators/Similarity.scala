@@ -15,8 +15,10 @@ import graft.sources.Tables
   *    TakeOrdered shape.
   *  - s2 LSH-bucketed: random-hyperplane sign buckets; each query probes
   *    only its own bucket — the 100 TB path (bucket count scales with
-  *    corpus size; multi-probe raises recall). Rows-only checked; recall
-  *    vs s1 is asserted in ScalaTest.
+  *    corpus size; multi-probe raises recall). Oracle-checked: the DuckDB
+  *    twin embeds the identical hyperplane literals, so buckets (and thus
+  *    the whole candidate set and ranking) reproduce exactly; recall vs s1
+  *    is additionally asserted in ScalaTest.
   */
 object Similarity {
 
@@ -95,7 +97,11 @@ object Similarity {
     val centroids = raw
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
-      .agg(avg(col("x")).as("m"))
+      // round to 6dp: pins the centroid to an engine-independent value
+      // (double partial-sum order differs across engines/runs; 1e-6
+      // granularity absorbs the ~1e-15 noise) so the DuckDB oracle
+      // reproduces assignments exactly
+      .agg(round(avg(col("x")), 6).as("m"))
       .groupBy(col("label"))
       .agg(transform(
         sort_array(collect_list(struct(col("pos"), col("m")))),

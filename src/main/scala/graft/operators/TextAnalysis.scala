@@ -96,8 +96,10 @@ object TextAnalysis {
   }
 
   /** t5: rolling-hash document fingerprint (custom codegen'd Rabin–Karp
-    * expression) — rows-only checked; the concatenation identity is pinned
-    * by property tests.
+    * expression). Oracle-checked: DuckDB reproduces the polynomial with a
+    * list_reduce over the UTF-8 bytes (via hex(encode(norm))), HUGEINT
+    * intermediates standing in for the 128-bit multiply. The concatenation
+    * identity is additionally pinned by property tests.
     */
   def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.RollingHash.register(spark)

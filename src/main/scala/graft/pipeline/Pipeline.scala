@@ -146,11 +146,26 @@ object Pipeline {
     val df = spark.read.parquet(stagingPath)
     val tmp = stagingPath + "__compacting"
     df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-ish swap
+    // atomic-ish swap: every rename is checked, and a failed second rename
+    // restores the backup so the staged table is never left missing
     val target = new java.io.File(stagingPath)
     val backup = new java.io.File(stagingPath + "__old")
-    target.renameTo(backup)
-    new java.io.File(tmp).renameTo(target)
+    if (backup.exists()) scala.reflect.io.Directory(backup).deleteRecursively()
+    if (!target.renameTo(backup))
+      throw new java.io.IOException(
+        s"compact: could not move $stagingPath aside to $backup; staging left untouched")
+    if (!new java.io.File(tmp).renameTo(target)) {
+      val restored = backup.renameTo(target)
+      throw new java.io.IOException(
+        s"compact: could not move $tmp into place" +
+          (if (restored) "; original data restored"
+           else s"; RESTORE FAILED — original data is at $backup"))
+    }
+    // only drop the backup once the new directory is confirmed readable
+    val swapped = Option(target.listFiles()).exists(_.exists(_.getName.endsWith(".parquet")))
+    if (!swapped)
+      throw new java.io.IOException(
+        s"compact: swapped directory $target has no parquet files; backup kept at $backup")
     scala.reflect.io.Directory(backup).deleteRecursively()
     nFiles
   }
@@ -158,14 +173,57 @@ object Pipeline {
 
 /** S5: the reference ships its whole transformation as one SQL script
   * executed verbatim (`extract_load_transform_data_pipeline.py.py:120-134`).
-  * Here the engine owns the queries: split on ';', skip empties/comments,
-  * run each against the session catalog, return the last result.
+  * Here the engine owns the queries: split into statements with a
+  * quote-and-comment-aware scanner (a ';' inside a string literal or after
+  * '--' on a line does NOT end a statement), run each against the session
+  * catalog, return the last result.
   */
 object SqlScriptRunner {
-  def run(spark: SparkSession, script: String): Option[DataFrame] = {
-    val stmts = script.split(";")
+
+  /** Split a SQL script on statement-terminating ';' only: semicolons
+    * inside '…' / "…" literals (with '' and "" escapes) and in `--` or
+    * slash-star comments are part of the statement text.
+    */
+  private[pipeline] def splitStatements(script: String): Seq[String] = {
+    val stmts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var state: Char = 'n' // n=normal, s='…', d="…", l=line comment, b=block comment
+    while (i < script.length) {
+      val c = script.charAt(i)
+      val next = if (i + 1 < script.length) script.charAt(i + 1) else ' '
+      state match {
+        case 'n' =>
+          c match {
+            case ';' => stmts += cur.result(); cur.clear()
+            case '\'' => state = 's'; cur += c
+            case '"' => state = 'd'; cur += c
+            case '-' if next == '-' => state = 'l'; cur += c
+            case '/' if next == '*' => state = 'b'; cur += c
+            case _ => cur += c
+          }
+        case 's' =>
+          cur += c
+          if (c == '\'') state = if (next == '\'') { cur += next; i += 1; 's' } else 'n'
+        case 'd' =>
+          cur += c
+          if (c == '"') state = if (next == '"') { cur += next; i += 1; 'd' } else 'n'
+        case 'l' =>
+          cur += c
+          if (c == '\n') state = 'n'
+        case 'b' =>
+          cur += c
+          if (c == '*' && next == '/') { cur += next; i += 1; state = 'n' }
+      }
+      i += 1
+    }
+    stmts += cur.result()
+    stmts.result()
       .map(_.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n").trim)
       .filter(_.nonEmpty)
-    stmts.foldLeft(Option.empty[DataFrame]) { (_, stmt) => Some(spark.sql(stmt)) }
   }
+
+  def run(spark: SparkSession, script: String): Option[DataFrame] =
+    splitStatements(script)
+      .foldLeft(Option.empty[DataFrame]) { (_, stmt) => Some(spark.sql(stmt)) }
 }

@@ -76,28 +76,40 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(nRight)
 
-      def timeOf(e: Expression, row: InternalRow): Long =
-        e.eval(row).asInstanceOf[Number].longValue()
-
       var rCur: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
       var candidate: InternalRow = null
       var candidateKey: Any = null
 
       lIter.map { l =>
         val lk = lByB.eval(l)
-        val lt = timeOf(lOnB, l)
-        // advance the right cursor while it is still "at or before" (lk, lt)
-        var advancing = true
-        while (advancing && rCur != null) {
-          val rk = rByB.eval(rCur)
-          val c = keyOrdering.compare(rk, lk)
-          if (c < 0 || (c == 0 && timeOf(rOnB, rCur) <= lt)) {
-            if (c == 0) { candidate = rCur; candidateKey = rk }
-            rCur = if (rIter.hasNext) rIter.next().copy() else null
-          } else advancing = false
+        val lOnV = lOnB.eval(l)
+        if (lk == null || lOnV == null) {
+          // a null key or null on-value can match nothing: emit unmatched
+          // (the sort puts null on-values first, so the cursor state is
+          // untouched and later non-null left rows still see every right row)
+          joiner(joined(l, nullRight))
+        } else {
+          val lt = lOnV.asInstanceOf[Number].longValue()
+          // advance the right cursor while it is still "at or before" (lk, lt);
+          // right rows with a null key or null on-value are skipped (never a
+          // candidate) rather than crashing the comparison
+          var advancing = true
+          while (advancing && rCur != null) {
+            val rk = rByB.eval(rCur)
+            val rOnV = if (rk == null) null else rOnB.eval(rCur)
+            if (rk == null || rOnV == null) {
+              rCur = if (rIter.hasNext) rIter.next().copy() else null
+            } else {
+              val c = keyOrdering.compare(rk, lk)
+              if (c < 0 || (c == 0 && rOnV.asInstanceOf[Number].longValue() <= lt)) {
+                if (c == 0) { candidate = rCur; candidateKey = rk }
+                rCur = if (rIter.hasNext) rIter.next().copy() else null
+              } else advancing = false
+            }
+          }
+          val matched = candidate != null && keyOrdering.compare(candidateKey, lk) == 0
+          joiner(joined(l, if (matched) candidate else nullRight))
         }
-        val matched = candidate != null && keyOrdering.compare(candidateKey, lk) == 0
-        joiner(joined(l, if (matched) candidate else nullRight))
       }
     }
   }
@@ -124,9 +136,24 @@ object AsOfJoin {
         .getOrElse(throw new IllegalArgumentException(
           s"column $name not found in ${plan.output.map(_.name)}"))
     }
+    val lOn = resolve(leftOn, lPlan, left)
+    val rOn = resolve(rightOn, rPlan, right)
+    // the merge compares on-values as longs — only integral/temporal types
+    // carry that representation; reject anything else at build time instead
+    // of a ClassCastException mid-stage
+    import org.apache.spark.sql.types._
+    def checkOnType(e: Expression, side: String): Unit = e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType => ()
+      case other => throw new IllegalArgumentException(
+        s"as-of join: unsupported $side on-key type $other " +
+          "(need an integral, date, or timestamp column)")
+    }
+    checkOnType(lOn, "left")
+    checkOnType(rOn, "right")
     val node = AsOfJoinNode(lPlan, rPlan,
       resolve(leftBy, lPlan, left), resolve(rightBy, rPlan, right),
-      resolve(leftOn, lPlan, left), resolve(rightOn, rPlan, right))
+      lOn, rOn)
     GraftSqlShim.ofRows(spark, node)
   }
 }

@@ -157,18 +157,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(filesAfter == n && filesAfter < filesBefore)
   }
 
-  test("every query has an oracle or is on the documented rows-only allowlist") {
-    val rowsOnly = Set(
-      "q17_approx_distinct",   // HLL ±ε has no deterministic oracle
-      "d4_simhash",            // xxhash64 not portable to DuckDB
-      "t5_rolling_fingerprint", // custom hash, property-tested instead
-      "s2_ann_lsh_topk",       // approximate; recall contract tested
-      "s3_ann_ivf_topk",       // approximate; recall contract tested
-      "m2_format_stats",       // stub decoder hash not portable
-      "q26_bottomk_sample")    // xxhash64 order Spark-specific; window-equivalence tested
+  test("every query has a DuckDB oracle — no rows-only gaps") {
+    // round 2 closed the whole allowlist: portable hashes (hash52 md5-prefix,
+    // Rabin–Karp replay), identical hyperplane literals, and contract
+    // booleans (HLL tolerance) made every query hash-checkable
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == rowsOnly,
-      s"undocumented rows-only queries: ${missing -- rowsOnly}; stale allowlist: ${rowsOnly -- missing}")
+    assert(missing.isEmpty, s"queries without an oracle: $missing")
+    val stale = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"oracles without a query: $stale")
   }
 
   test("csv export round-trips with header") {

@@ -119,15 +119,14 @@ class PropertySpec extends AnyFunSuite {
     val o = graft.sources.Tables.orders(spark, dir)
     val w = Window.partitionBy($"o_orderpriority").orderBy($"h")
     val expected = o
-      .withColumn("h", xxhash64($"o_orderkey"))
+      .withColumn("h", graft.functions.TextFunctions.hash52($"o_orderkey".cast("string")))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 5)
-      .groupBy($"o_orderpriority")
-      .agg(transform(sort_array(collect_list(struct($"h", $"o_orderkey"))),
-        e => e.getField("o_orderkey")).as("keys"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      .select($"o_orderpriority", $"rn".cast("long").as("rnk"),
+        $"o_orderkey".cast("long").as("sample_key"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     val got = graft.operators.Extended.bottomKSamples(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected)
   }
 

