@@ -351,19 +351,24 @@ object SparkEntry {
     // probability is (1-0.99^4)^8 ≈ 5e-12.
     "d3_minhash_lsh" -> JaccardPairsSql,
 
+    // mirrors the Spark side's pre-normalized formulation: norm once per
+    // vector (sequential list_sum ≡ the fused array_dot loop), then one
+    // dot product per pair
     "d5_embedding_neardup" -> """
-      WITH p AS (
-        SELECT a.vec_id AS ia, b.vec_id AS ib, a.embedding AS ea, b.embedding AS eb
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      WITH n0 AS (
+        SELECT vec_id, embedding,
+          sqrt(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      nv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ne
+             FROM n0),
+      p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib, a.ne AS ea, b.ne AS eb
+        FROM nv a JOIN nv b ON a.vec_id < b.vec_id),
       u AS (SELECT ia, ib, unnest(range(1, len(ea) + 1)) AS i, ea, eb FROM p),
-      s AS (
-        SELECT ia, ib,
-          sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
-          sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
-          sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
-        FROM u GROUP BY 1, 2)
-      SELECT ia AS id_a, ib AS id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
-      FROM s WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.45 ORDER BY id_a, id_b""",
+      s AS (SELECT ia, ib, sum(ea[i] * eb[i]) AS dot FROM u GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b, round(dot, 4) AS cos_sim
+      FROM s WHERE dot >= 0.45 ORDER BY id_a, id_b""",
 
     "s1_ann_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),

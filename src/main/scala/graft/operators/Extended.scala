@@ -333,9 +333,15 @@ object Extended {
     */
   def approxDistinctParts(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    li.groupBy(col("l_returnflag"))
+    // dedup (flag, partkey) first, then run BOTH the exact count and the
+    // HLL over the deduped pairs: an HLL sketch is duplicate-insensitive,
+    // so the estimate is bit-identical to feeding the raw column, while the
+    // exact count becomes a plain count — one partial-agg distinct instead
+    // of a countDistinct expand over the full fact table
+    li.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag"))
       .agg(
-        countDistinct(col("l_partkey")).cast("long").as("n_parts_exact"),
+        count(lit(1)).cast("long").as("n_parts_exact"),
         approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
       .withColumn("approx_within_5pct",
         abs(col("approx") - col("n_parts_exact")) <=
