@@ -79,6 +79,12 @@ object SparkEntry {
     "q20_asof_signup"         -> Events.asofSignup _,
     "q21_json_props"          -> Events.jsonPropStats _,
     "q22_trailing_spend"      -> Extended.trailingSpend _,
+    // batch 3 extensions (round 2)
+    "t8_tfidf"                -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
+    "t9_repetition"           -> TextAnalysis.repetitionStats _,
+    "d8_decontaminate"        -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
+    "q29_range_join"          -> Events.purchasesWithRecentClicks _,
+    "q30_unpivot"             -> Extended.unpivotQtyByFlag _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -589,6 +595,104 @@ object SparkEntry {
         round(sum(price) OVER (PARTITION BY o_custkey ORDER BY day_num
           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
       FROM o ORDER BY o_custkey, o_orderkey""",
+
+    // t8: tf·ln(N/df) over whitespace tokens; same +1e-9 rounding nudge.
+    "t8_tfidf" -> """
+      WITH tk AS (
+        SELECT doc_id,
+          unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+      sc AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          tf.tf * ln(n.n_docs / df.df) AS raw
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY raw DESC, term ASC) AS rnk
+        FROM sc)
+      SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+        CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        round(raw + 0.000000001, 4) AS tfidf
+      FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""",
+
+    // t9: Gopher-style repetition metrics — top-trigram share + duplicate
+    // physical lines.
+    "t9_repetition" -> """
+      WITH tk AS (
+        SELECT doc_id, text,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tk
+              WHERE len(t) >= 3),
+      g AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM idx),
+      gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+      tri AS (
+        SELECT doc_id,
+          round(CAST(max(c) AS DOUBLE) / sum(c) + 0.000000001, 4) AS top_trigram_ratio
+        FROM gc GROUP BY 1),
+      ln0 AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+      l AS (
+        SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+          round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+            + 0.000000001, 4) AS dup_line_frac
+        FROM ln0)
+      SELECT l.doc_id, l.n_lines, l.dup_line_frac,
+        COALESCE(tri.top_trigram_ratio, 0.0) AS top_trigram_ratio
+      FROM l LEFT JOIN tri ON l.doc_id = tri.doc_id ORDER BY l.doc_id""",
+
+    // d8: 8-gram overlap of training docs against the doc_id%20=0 "eval"
+    // subset.
+    "d8_decontaminate" -> """
+      WITH tk AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+      idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM tk
+              WHERE len(t) >= 8),
+      sh AS (SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+               t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS s
+             FROM idx),
+      ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+      tr AS (SELECT doc_id, count(*) AS n_ngrams FROM sh WHERE doc_id % 20 <> 0 GROUP BY 1),
+      shared AS (
+        SELECT sh.doc_id, count(*) AS n_shared
+        FROM sh JOIN ev USING (s) WHERE sh.doc_id % 20 <> 0 GROUP BY 1)
+      SELECT s.doc_id, CAST(s.n_shared AS BIGINT) AS n_shared,
+        round(CAST(s.n_shared AS DOUBLE) / t.n_ngrams + 0.000000001, 4)
+          AS contamination_frac
+      FROM shared s JOIN tr t USING (doc_id) ORDER BY doc_id""",
+
+    // q29: exact range-join semantics (the Spark side buckets; the oracle
+    // states the plain interval predicate).
+    "q29_range_join" -> """
+      WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts AS cts FROM e WHERE event_type = 'click'),
+      j AS (
+        SELECT p.event_id, count(c.cts) AS n
+        FROM p LEFT JOIN c ON p.user_id = c.user_id
+          AND c.cts >= p.ts - INTERVAL 30 MINUTE AND c.cts < p.ts
+        GROUP BY 1)
+      SELECT p.event_id, p.user_id, p.ts,
+        CAST(coalesce(j.n, 0) AS BIGINT) AS n_recent_clicks
+      FROM p JOIN j USING (event_id) ORDER BY event_id""",
+
+    // q30: melt replayed as UNION ALL of the wide columns.
+    "q30_unpivot" -> """
+      WITH w AS (
+        SELECT l_linestatus,
+          CAST(round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END), 2) AS DOUBLE) AS qty_r,
+          CAST(round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END), 2) AS DOUBLE) AS qty_a,
+          CAST(round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0 END), 2) AS DOUBLE) AS qty_n
+        FROM lineitem GROUP BY 1)
+      SELECT l_linestatus, 'R' AS l_returnflag, qty_r AS total_qty FROM w
+      UNION ALL SELECT l_linestatus, 'A', qty_a FROM w
+      UNION ALL SELECT l_linestatus, 'N', qty_n FROM w
+      ORDER BY l_linestatus, l_returnflag""",
 
     // d4: per-bit majority over hash52 of tokens — hash52 is reproduced by
     // ('0x' || md5-prefix)::BIGINT, so the full 52-bit signature matches.

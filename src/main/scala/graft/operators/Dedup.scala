@@ -298,6 +298,33 @@ object Dedup {
     g.select(col("doc_id"), sim.as("simhash")).orderBy(col("doc_id"))
   }
 
+  /** d8: benchmark decontamination — flag training documents sharing long
+    * word n-grams with an "evaluation" subset (here: doc_id % 20 == 0
+    * stands in for the benchmark corpus). The standard LLM-training
+    * contamination check (GPT-3 appendix C / PaLM style: 8-gram overlap).
+    * The eval n-gram set is tiny relative to the corpus → broadcast
+    * semi-join against the training scan, no corpus-side shuffle at all —
+    * the shape that scans 100 TB of training text against a few MB of
+    * benchmark n-grams. Shingles ride the same 64-bit hash as d2/d3.
+    */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val sh = Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesOfTokens(col("toks"), n).as("sh_str"))
+      .select(col("doc_id"), transform(col("sh_str"), s => xxhash64(s)).as("sh"))
+    val evalNgrams = sh.filter(col("doc_id") % 20 === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    sh.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), size(col("sh")).as("n_ngrams"), explode(col("sh")).as("s"))
+      .join(broadcast(evalNgrams), Seq("s"), "left_semi")
+      .groupBy(col("doc_id"), col("n_ngrams"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .select(col("doc_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_ngrams") + 1e-9, 4)
+          .as("contamination_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hamming distance between two 64-bit signatures (for tests/probing). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     bit_count(a.bitwiseXOR(b))

@@ -324,6 +324,28 @@ object Extended {
       ORDER BY o_orderpriority, rnk""")
   }
 
+  /** q30: unpivot/melt — the wide→long reshape (inverse of the A1/A4
+    * conditional pivots): a per-linestatus wide row of per-returnflag
+    * quantity sums melts into (linestatus, returnflag, qty) rows via
+    * Spark's native `unpivot` (Expand-based, one pass, no join).
+    */
+  def unpivotQtyByFlag(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val flags = Seq("R", "A", "N")
+    val aggs = flags.map(f =>
+      round(sum(when(col("l_returnflag") === f, col("l_quantity")).otherwise(0.0)), 2)
+        .cast("double").as(s"qty_$f"))
+    val wide = li.groupBy(col("l_linestatus")).agg(aggs.head, aggs.tail: _*)
+    wide.unpivot(
+        Array(col("l_linestatus")),
+        flags.map(f => col(s"qty_$f")).toArray,
+        "flag_col", "total_qty")
+      .select(col("l_linestatus"),
+        substring(col("flag_col"), 5, 1).as("l_returnflag"),
+        col("total_qty"))
+      .orderBy(col("l_linestatus"), col("l_returnflag"))
+  }
+
   /** Approximate distinct (HLL) — the 100 TB path for distinct counting.
     * The HLL estimate itself has no cross-engine oracle (ε implementation
     * differs), so the query *also* computes the exact count and asserts the

@@ -161,6 +161,71 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(50)
 
+  /** t8: TF-IDF top-5 terms per document — the relevance-weighting
+    * primitive behind keyword extraction and near-duplicate topic probes.
+    * tf from one explode+count, df from the distinct (doc, term) pairs of
+    * the same aggregate, N via a broadcast scalar — two shuffles total,
+    * both on `term`-sized keys. tfidf = tf · ln(N/df), 4dp (+1e-9 tie
+    * nudge, shared with the oracle).
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    val n = Tables.documents(spark, dir).select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_raw").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_raw",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        round(col("tfidf_raw") + 1e-9, 4).as("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** t9: repetition metrics per document — the Gopher-style quality rules
+    * (Rae et al. 2021 §A1.1: "fraction of characters in the most common
+    * n-gram", duplicate-line fraction). Per doc: the share of word
+    * trigrams taken by the single most frequent trigram, and the fraction
+    * of duplicated physical lines. One explode + two per-doc aggregations,
+    * no corpus-wide shuffle — embarrassingly parallel at 100 TB.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    // non-distinct trigram list (shinglesOfTokens dedups — here counts matter)
+    val base = Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"),
+        when(size(col("toks")) - 2 <= 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("toks")) - 2), i =>
+            concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+          .as("grams"))
+    val triCounts = base
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("tot"))
+      .select(col("doc_id"),
+        round(col("top_c").cast("double") / col("tot") + 1e-9, 4)
+          .as("top_trigram_ratio"))
+    val lines = base.select(col("doc_id"),
+        split(col("text"), "\n").as("lines"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        round((size(col("lines")) - size(array_distinct(col("lines"))))
+          .cast("double") / size(col("lines")) + 1e-9, 4).as("dup_line_frac"))
+    lines.join(triCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
+        coalesce(col("top_trigram_ratio"), lit(0.0)).as("top_trigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t3: corpus-level quality aggregation per (lang, source) — the shape of
     * a "which crawl sources are worth keeping" report.
     */

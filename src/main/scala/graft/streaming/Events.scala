@@ -114,6 +114,38 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** q29: time-range join, bucketized — for every purchase, the count of
+    * the same user's clicks in the preceding 30 minutes. A naive range
+    * join is a theta-join (quadratic per user); bucketing both sides into
+    * range-width buckets and probing bucket b and b-1 turns it into two
+    * equi-join lookups per purchase — linear, shuffle-partitioned on
+    * (user, bucket), the only interval-join shape that survives 100 TB.
+    * The exact range predicate then filters the candidate pairs.
+    */
+  def purchasesWithRecentClicks(spark: SparkSession, dir: String): DataFrame = {
+    val windowSec = 1800L
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"),
+        floor(unix_timestamp(col("ts")) / windowSec).as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val probes = purchases
+      .withColumn("pbucket", floor(unix_timestamp(col("ts")) / windowSec))
+      .withColumn("bucket",
+        explode(array(col("pbucket"), col("pbucket") - 1)))
+    val counted = probes
+      .join(clicks, Seq("user_id", "bucket"))
+      .filter(col("cts") >= col("ts") - expr("INTERVAL 30 MINUTES") &&
+        col("cts") < col("ts"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    purchases.join(counted, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("n"), lit(0L)).as("n_recent_clicks"))
+      .orderBy(col("event_id"))
+  }
+
   /** q21: JSON property extraction from the string `props` column. */
   def jsonPropStats(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
