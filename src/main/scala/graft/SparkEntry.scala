@@ -85,6 +85,10 @@ object SparkEntry {
     "d8_decontaminate"        -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
     "q29_range_join"          -> Events.purchasesWithRecentClicks _,
     "q30_unpivot"             -> Extended.unpivotQtyByFlag _,
+    "q31_argmax"              -> Extended.argmaxSuite _,
+    "q32_cube"                -> Extended.cubeQtyRevenue _,
+    "q33_hash_sample"         -> Extended.hashSampledOrderStats _,
+    "m3_frame_samples"        -> Multimodal.frameSampleStats _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -693,6 +697,49 @@ object SparkEntry {
       UNION ALL SELECT l_linestatus, 'A', qty_a FROM w
       UNION ALL SELECT l_linestatus, 'N', qty_n FROM w
       ORDER BY l_linestatus, l_returnflag""",
+
+    // q31: lexicographic struct max/min ≡ DuckDB struct aggregate.
+    "q31_argmax" -> """
+      SELECT l_returnflag,
+        CAST(max(struct_pack(p := l_extendedprice, k := l_orderkey)).k AS BIGINT)
+          AS priciest_orderkey,
+        CAST(min(struct_pack(p := l_extendedprice, k := l_orderkey)).k AS BIGINT)
+          AS cheapest_orderkey,
+        round(max(l_extendedprice), 2) AS max_price,
+        round(min(l_extendedprice), 2) AS min_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q32_cube" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS DOUBLE) AS revenue,
+        count(*) AS n_items,
+        CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        CAST(GROUPING(l_linestatus) AS INT) AS g_status
+      FROM lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY g_flag, g_status, l_returnflag, l_linestatus""",
+
+    // q33: the sample membership predicate is the portable hash52.
+    "q33_hash_sample" -> s"""
+      SELECT o_orderstatus, count(*) AS n_sampled,
+        round(sum(o_totalprice), 2) AS sampled_spend,
+        round(avg(o_totalprice), 2) AS avg_price
+      FROM orders
+      WHERE ${graft.functions.TextFunctions.hash52Sql("CAST(o_orderkey AS VARCHAR)")} % 100 < 5
+      GROUP BY 1 ORDER BY 1""",
+
+    // m3: closed-form replay of the strided frame sampler over the
+    // rolling-hash frame count.
+    "m3_frame_samples" -> s"""
+      WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+      b AS (SELECT doc_id, ${RollingHashBytesSql("h")} AS bytes FROM hx),
+      r AS (SELECT doc_id, ${RollingHashReduceSql("bytes")} AS hsh FROM b),
+      f AS (SELECT doc_id, 1 + ((hsh // 1048576) % 16) AS n_frames FROM r),
+      s AS (SELECT doc_id, (n_frames + 3) // 4 AS n_sampled FROM f)
+      SELECT doc_id, CAST(n_sampled AS BIGINT) AS n_sampled,
+        CAST(doc_id * 31 * n_sampled + 4 * (n_sampled * (n_sampled - 1) // 2) AS BIGINT)
+          AS sum_hash
+      FROM s ORDER BY doc_id""",
 
     // d4: per-bit majority over hash52 of tokens — hash52 is reproduced by
     // ('0x' || md5-prefix)::BIGINT, so the full 52-bit signature matches.

@@ -102,6 +102,20 @@ object Multimodal {
     }
   }
 
+  /** m3: per-document frame-sample aggregation — the flatMap fan-out of
+    * [[sampleFrames]] re-aggregated (count + hash checksum per doc). The
+    * whole path (decode → stride sample → relational agg) is deterministic
+    * arithmetic over the rolling hash, so the oracle replays it in closed
+    * form.
+    */
+  def frameSampleStats(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_sampled"),
+        sum(col("frame_hash")).cast("long").as("sum_hash"))
+      .orderBy(col("doc_id"))
+
   /** m2: downstream aggregation over decoded metadata — proves the decoded
     * Dataset composes with normal relational ops. Fully oracle-checked: the
     * stub's rolling-hash is reproduced in DuckDB SQL.

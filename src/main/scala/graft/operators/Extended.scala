@@ -346,6 +346,59 @@ object Extended {
       .orderBy(col("l_linestatus"), col("l_returnflag"))
   }
 
+  /** q31: argmax/argmin per group via lexicographic struct max — the
+    * deterministic form of max_by (a bare max_by(key, price) is
+    * nondeterministic under price ties; ordering by (price, key) breaks
+    * them). One partial+final aggregate, no window, no join — the
+    * single-pass "top-1-per-group" that replaces q3's window when only the
+    * argmax is needed.
+    */
+  def argmaxSuite(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def keyed(c: String) = struct(col(c).as("p"), col("l_orderkey").as("k"))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        max(keyed("l_extendedprice")).getField("k").cast("long").as("priciest_orderkey"),
+        min(keyed("l_extendedprice")).getField("k").cast("long").as("cheapest_orderkey"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        round(min(col("l_extendedprice")), 2).as("min_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q32: CUBE over (returnflag, linestatus) — all four grouping
+    * combinations in one Expand-based pass, grouping markers included
+    * (completes the grouping-set family next to q14's ROLLUP).
+    */
+  def cubeQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).cast("long").as("n_items"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q33: deterministic hash sampling — a ~5% sample selected by the
+    * portable hash52 of the key, then aggregated. Unlike TABLESAMPLE /
+    * rand(), the sample is identical across engines, runs, and partition
+    * layouts (the property that makes sampled validation reproducible at
+    * 100 TB), and membership is a pushed-down scan predicate — no shuffle,
+    * no sort, no RNG state.
+    */
+  def hashSampledOrderStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(graft.functions.TextFunctions.hash52(col("o_orderkey").cast("string")) % 100 < 5)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).cast("long").as("n_sampled"),
+        round(sum(col("o_totalprice")), 2).as("sampled_spend"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Approximate distinct (HLL) — the 100 TB path for distinct counting.
     * The HLL estimate itself has no cross-engine oracle (ε implementation
     * differs), so the query *also* computes the exact count and asserts the

@@ -203,6 +203,44 @@ object Events {
       .select(col("user_id"), col("event_type"), col("ts"))
   }
 
+  /** Shared streaming events source (nanos → µs rebuild, same as the other
+    * stream readers).
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(spark, dir).schema
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(schema.map {
+        case f if f.name == "ts" =>
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
+        case f => f
+      }))
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Stream-stream interval join — the streaming twin of the q29 range
+    * join: purchases joined to the same user's clicks in the preceding 30
+    * minutes. Both sides carry watermarks and the join condition bounds
+    * event time on both sides, so Spark can expire state: per-key buffers
+    * hold at most (watermark + range) of history — bounded state at any
+    * throughput, the only stream-stream join shape that survives an
+    * unbounded 100 TB/day feed. Verified in StreamingSpec against the
+    * batch theta-join pair count.
+    */
+  def streamingPurchaseClickJoin(spark: SparkSession, dir: String): DataFrame = {
+    val src = eventsStream(spark, dir)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("pu"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    purchases.join(clicks,
+      expr("pu = cu AND cts >= pts - INTERVAL 30 MINUTES AND cts < pts"))
+      .select(col("event_id"), col("pu").as("user_id"), col("pts"), col("cts"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: java.sql.Timestamp, last: java.sql.Timestamp,

@@ -67,6 +67,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("year(cast(o_orderdate"), s"no transitive pushdown:\n$p")
   }
 
+  test("d8 decontamination: eval n-grams broadcast into a semi join") {
+    val p = planString(graft.operators.Dedup.decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast left-semi join:\n$p")
+  }
+
+  test("q29 range join: bucketized plan has no nested-loop/cartesian stage") {
+    val p = planString(graft.streaming.Events.purchasesWithRecentClicks(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a quadratic join:\n$p")
+  }
+
+  test("q33 hash sample: membership predicate is a scan-level filter, no shuffle before agg") {
+    val plan = initialPlan(graft.operators.Extended.hashSampledOrderStats(spark, sf))
+    def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case _: ShuffleExchangeExec => 1
+        case a: AdaptiveSparkPlanExec => countShuffles(a.inputPlan)
+      }.sum
+    // one exchange for the groupBy + one for the presentation sort — the
+    // sampling itself must not add any
+    assert(countShuffles(plan) <= 2, s"sampling added shuffles:\n$plan")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     val df = Relational.revenueByNation(spark, sf)
     df.collect() // materialize THIS queryExecution so AQE finalizes in-place

@@ -88,6 +88,28 @@ class StreamingSpec extends AnyFunSuite {
       "no duplicate event_ids across restarts")
   }
 
+  test("stream-stream interval join matches the batch theta-join pair count") {
+    import org.apache.spark.sql.functions._
+    val q = Events.streamingPurchaseClickJoin(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT count(*) AS n FROM ssj_out")
+        .collect()(0).getLong(0)
+      val ev = graft.sources.Tables.events(spark, sf)
+      val batchPairs = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .join(ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("ts").as("cts")),
+          col("user_id") === col("cu") &&
+            col("cts") >= col("ts") - expr("INTERVAL 30 MINUTES") &&
+            col("cts") < col("ts"))
+        .count()
+      assert(streamed == batchPairs, s"streamed=$streamed batch=$batchPairs")
+    } finally q.stop()
+  }
+
   test("stateful sessionization agrees with the declarative sessionizer") {
     val declarative = Events.sessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
