@@ -109,6 +109,43 @@ object Relational {
       .orderBy(col("year_month"))
   }
 
+  /** The reference's tripdata query verbatim as a pure DataFrame→DataFrame
+    * function (`tripdata_monthly_metrics.py:63-77`; golden output pinned in
+    * `/root/reference/default.db`, 36 rows, replicated at
+    * `src/test/resources/tripdata_golden.csv`).
+    *
+    * Faithful quirks, both load-bearing in the golden table:
+    *  - the denominator of every avg is ALL trips in the month (SURVEY A6 ⚠),
+    *    so "mean_trip_count" is really a day-of-week share;
+    *  - the reference ran DAYOFWEEK on ClickHouse, where it is ISO
+    *    (1=Monday…7=Sunday) — so the `sat_*` columns (CASE WHEN = 7) are
+    *    actually SUNDAY metrics and `sun_*` (= 1) are Monday metrics. The
+    *    column names are preserved as written; Spark's `weekday()+1`
+    *    reproduces the executed numbering (`dayofweek()` would silently
+    *    shift every metric by a day).
+    *
+    * Input schema: (pickup_date DATE, pickup_datetime TIMESTAMP,
+    * dropoff_datetime TIMESTAMP, fare_amount DOUBLE).
+    */
+  def tripdataMonthlyMetrics(trip: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val isoDow = weekday(col("pickup_date")) + 1 // ClickHouse DAYOFWEEK: 1=Mon…7=Sun
+    val durMin = expr(
+      "timestampdiff(MINUTE, pickup_datetime, dropoff_datetime)").cast("double")
+    def m(d: Int, v: org.apache.spark.sql.Column, name: String) =
+      round(avg(when(isoDow === d, v).otherwise(0.0)), 2).as(name)
+    trip
+      .filter(col("pickup_date").between("2014-01-01", "2016-12-31"))
+      .groupBy(date_format(col("pickup_date"), "yyyy-MM").as("year_month"))
+      .agg(
+        m(7, lit(1.0), "sat_mean_trip_count"),
+        m(7, col("fare_amount"), "sat_mean_fare_per_trip"),
+        m(7, durMin, "sat_mean_duration_per_trip_in_minutes"),
+        m(1, lit(1.0), "sun_mean_trip_count"),
+        m(1, col("fare_amount"), "sun_mean_fare_per_trip"),
+        m(1, durMin, "sun_mean_duration_per_trip_in_minutes"))
+      .orderBy(col("year_month"))
+  }
+
   /** Multi-join aggregation (J5/J6 shape): revenue per nation.
     * nation/region are tiny dims → explicit broadcast() so the plan stays a
     * single shuffle (the groupBy) even at 100 TB; customer↔orders↔lineitem
