@@ -307,14 +307,21 @@ object Dedup {
     * the shape that scans 100 TB of training text against a few MB of
     * benchmark n-grams. Shingles ride the same 64-bit hash as d2/d3.
     */
-  def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 8,
+                    release: Boolean = true): DataFrame = {
+    // cache the shingled docs: shared by the eval and training branches,
+    // and — critically — a barrier against InferFiltersFromGenerate
+    // pushing a `size(shingles) > 0` predicate below the repartition onto
+    // the single-file scan (which would re-run the whole shingle pipeline
+    // on one core; measured 33s → 3s at sf0.1)
     val sh = Tables.documentsParallel(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesOfTokens(col("toks"), n).as("sh_str"))
       .select(col("doc_id"), transform(col("sh_str"), s => xxhash64(s)).as("sh"))
+      .cache()
     val evalNgrams = sh.filter(col("doc_id") % 20 === 0)
       .select(explode(col("sh")).as("s")).distinct()
-    sh.filter(col("doc_id") % 20 =!= 0)
+    val result = sh.filter(col("doc_id") % 20 =!= 0)
       .select(col("doc_id"), size(col("sh")).as("n_ngrams"), explode(col("sh")).as("s"))
       .join(broadcast(evalNgrams), Seq("s"), "left_semi")
       .groupBy(col("doc_id"), col("n_ngrams"))
@@ -323,6 +330,9 @@ object Dedup {
         round(col("n_shared").cast("double") / col("n_ngrams") + 1e-9, 4)
           .as("contamination_frac"))
       .orderBy(col("doc_id"))
+    // release=false keeps the live plan inspectable (PlanSpec) at the cost
+    // of leaving the cache registered
+    if (release) materializeAndRelease(result, sh) else result
   }
 
   /** Hamming distance between two 64-bit signatures (for tests/probing). */

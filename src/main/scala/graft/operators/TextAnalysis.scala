@@ -197,7 +197,10 @@ object TextAnalysis {
     * no corpus-wide shuffle — embarrassingly parallel at 100 TB.
     */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
-    // non-distinct trigram list (shinglesOfTokens dedups — here counts matter)
+    // non-distinct trigram list (shinglesOfTokens dedups — here counts
+    // matter). Cached: shared by the trigram and line branches, and a
+    // barrier against InferFiltersFromGenerate re-running the gram
+    // pipeline below the repartition on the single-file scan.
     val base = Tables.documentsParallel(spark, dir)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("text"),
@@ -206,6 +209,7 @@ object TextAnalysis {
             concat_ws(" ", element_at(col("toks"), i),
               element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
           .as("grams"))
+      .cache()
     val triCounts = base
       .select(col("doc_id"), explode(col("grams")).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
@@ -220,10 +224,13 @@ object TextAnalysis {
         size(col("lines")).cast("long").as("n_lines"),
         round((size(col("lines")) - size(array_distinct(col("lines"))))
           .cast("double") / size(col("lines")) + 1e-9, 4).as("dup_line_frac"))
-    lines.join(triCounts, Seq("doc_id"), "left")
+    val result = lines.join(triCounts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
         coalesce(col("top_trigram_ratio"), lit(0.0)).as("top_trigram_ratio"))
       .orderBy(col("doc_id"))
+    val out = result.localCheckpoint()
+    base.unpersist()
+    out
   }
 
   /** t3: corpus-level quality aggregation per (lang, source) — the shape of

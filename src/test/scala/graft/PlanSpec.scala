@@ -68,7 +68,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("d8 decontamination: eval n-grams broadcast into a semi join") {
-    val p = planString(graft.operators.Dedup.decontaminate(spark, sf))
+    val p = planString(graft.operators.Dedup.decontaminate(spark, sf, release = false))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       s"expected broadcast left-semi join:\n$p")
   }
