@@ -88,6 +88,7 @@ object SparkEntry {
     "q31_argmax"              -> Extended.argmaxSuite _,
     "q32_cube"                -> Extended.cubeQtyRevenue _,
     "q33_hash_sample"         -> Extended.hashSampledOrderStats _,
+    "q34_approx_percentiles"  -> Extended.approxPercentileContract _,
     "m3_frame_samples"        -> Multimodal.frameSampleStats _,
   )
 
@@ -727,6 +728,15 @@ object SparkEntry {
       FROM orders
       WHERE ${graft.functions.TextFunctions.hash52Sql("CAST(o_orderkey AS VARCHAR)")} % 100 < 5
       GROUP BY 1 ORDER BY 1""",
+
+    // q34: exact anchors + the sketch's rank-error contract as booleans.
+    "q34_approx_percentiles" -> """
+      SELECT event_type,
+        round(quantile_cont(value, 0.5), 4) AS p50_exact,
+        round(quantile_cont(value, 0.95), 4) AS p95_exact,
+        true AS p50_ok, true AS p95_ok,
+        count(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""",
 
     // m3: closed-form replay of the strided frame sampler over the
     // rolling-hash frame count.

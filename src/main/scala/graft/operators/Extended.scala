@@ -399,6 +399,35 @@ object Extended {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** q34: approximate percentiles (the sketch path next to q19's exact
+    * interpolation — at 100 TB the exact form buffers every value per
+    * group; the GK sketch is bounded-memory and mergeable). Like q17, the
+    * estimate itself is engine-specific, so the query asserts the sketch's
+    * rank-error contract against exact neighboring percentiles as boolean
+    * columns; the oracle returns the exact values plus literal trues.
+    * percentile_approx(accuracy=10000) guarantees rank error ≤ 1e-4, so
+    * the p50 estimate must lie within the exact [p49, p51] value band.
+    */
+  def approxPercentileContract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("event_type"))
+      .agg(
+        expr("percentile_approx(value, 0.5, 10000)").as("ap50"),
+        expr("percentile_approx(value, 0.95, 10000)").as("ap95"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95_exact"),
+        expr("percentile(value, 0.49)").as("p49"),
+        expr("percentile(value, 0.51)").as("p51"),
+        expr("percentile(value, 0.94)").as("p94"),
+        expr("percentile(value, 0.96)").as("p96"),
+        count(lit(1)).cast("long").as("n"))
+      .select(col("event_type"), col("p50_exact"), col("p95_exact"),
+        col("ap50").between(col("p49"), col("p51")).as("p50_ok"),
+        col("ap95").between(col("p94"), col("p96")).as("p95_ok"),
+        col("n"))
+      .orderBy(col("event_type"))
+  }
+
   /** Approximate distinct (HLL) — the 100 TB path for distinct counting.
     * The HLL estimate itself has no cross-engine oracle (ε implementation
     * differs), so the query *also* computes the exact count and asserts the

@@ -52,6 +52,30 @@ object Pipeline {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** CSV scan with an explicit malformed-row policy — the ingest decision
+    * the reference leaves to pandas defaults. PERMISSIVE keeps bad rows
+    * (nulls + the raw line in `_corrupt_record` for a quarantine sink),
+    * DROPMALFORMED silently drops, FAILFAST aborts the batch. At 100 TB
+    * PERMISSIVE + quarantine is the only auditable choice.
+    */
+  def readCsvWithPolicy(spark: SparkSession, path: String, schema: StructType,
+                        mode: String = "PERMISSIVE"): DataFrame = {
+    val s =
+      if (mode == "PERMISSIVE" && !schema.fieldNames.contains("_corrupt_record"))
+        schema.add(StructField("_corrupt_record", StringType, nullable = true))
+      else schema
+    spark.read.option("header", "true").option("mode", mode)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(s).csv(path)
+  }
+
+  /** Schema-evolution read: merge the per-file parquet schemas of a staged
+    * directory (a source that grew a column mid-stream stays readable;
+    * missing columns are null for old files).
+    */
+  def readStagingMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Ingest-time normalization for orders: `total_price`→`amount` rename and
     * string→date parse (`TO_DATE(order_date,'YYYY-MM-DD')`, E2).
     */
