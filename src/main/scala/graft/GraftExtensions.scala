@@ -33,6 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollingHash(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("bottom_k_sample"),
+      new ExpressionInfo(classOf[graft.expressions.BottomKSample].getName,
+        "bottom_k_sample"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expressions.BottomKSample(exprs(0), exprs(1), k = 10)
+          .toAggregateExpression()))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

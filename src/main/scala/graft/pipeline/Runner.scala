@@ -116,8 +116,9 @@ object Runner {
 /** JDBC source/sink wrappers — the production staging store (S3/S7/S8
   * parity: Postgres staging, SQLite metrics sink). Thin by design: the
   * semantics (watermark, append, overwrite-truncate) live in [[Pipeline]];
-  * these only bind them to a JDBC URL. Untested in this container (no JDBC
-  * drivers on the classpath) but API-complete.
+  * these only bind them to a JDBC URL. Tested end-to-end in JdbcSpec
+  * against embedded Derby (the in-JVM engine on Spark's classpath) —
+  * identical calls target Postgres/SQLite in production.
   */
 object JdbcStore {
   import java.util.Properties
@@ -132,11 +133,15 @@ object JdbcStore {
 
   /** Watermark query pushed down to the database (runs remotely, returns
     * one row — the reference's `SELECT COALESCE(MAX(CAST(pk AS INT)),0)`).
+    * The pk is ANSI-double-quoted: Spark's JDBC writer creates columns
+    * with case-preserved quoted identifiers, so an unquoted reference
+    * would case-fold and miss (Derby/Postgres fold opposite directions —
+    * quoting is the only portable spelling).
     */
   def currentWatermark(spark: SparkSession, url: String, table: String,
                        pk: String, p: Properties): Long =
     spark.read
-      .jdbc(url, s"(SELECT COALESCE(MAX(CAST($pk AS BIGINT)), 0) AS w FROM $table) t", p)
+      .jdbc(url, s"""(SELECT COALESCE(MAX(CAST("$pk" AS BIGINT)), 0) AS w FROM $table) t""", p)
       .collect()(0).getLong(0)
 
   def appendAbove(df: DataFrame, url: String, table: String, pk: String,

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.JdbcStore
+
+/** Real end-to-end tests of the JDBC staging surface (SURVEY §2.1 S3/S7/
+  * S8/S10) against embedded Derby — the same `DataFrameWriter.jdbc` /
+  * `read.jdbc` calls that target Postgres/SQLite in production, bound to
+  * the in-JVM Derby engine that ships on Spark's classpath.
+  */
+class JdbcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshUrl(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_derby").toString
+    s"jdbc:derby:$dir/db;create=true"
+  }
+  private val props = JdbcStore.props("", "", "org.apache.derby.jdbc.EmbeddedDriver")
+
+  test("S8/S10: jdbc overwrite sink round-trips and is idempotent") {
+    import spark.implicits._
+    val url = freshUrl()
+    val df = Seq((1L, "alpha", 10.5), (2L, "beta", 20.25)).toDF("id", "name", "score")
+    df.write.mode("overwrite").jdbc(url, "metrics", props)
+    val back = spark.read.jdbc(url, "metrics", props)
+    assert(back.count() == 2)
+    assert(back.orderBy("id").collect().map(_.getDouble(2)).toSeq == Seq(10.5, 20.25))
+    // idempotent re-run (truncate-overwrite semantics)
+    JdbcStore.overwriteTruncate(df, url, "metrics", props)
+    assert(spark.read.jdbc(url, "metrics", props).count() == 2)
+  }
+
+  test("S3/S7: watermark read + incremental append against a live database") {
+    import spark.implicits._
+    val url = freshUrl()
+    val b1 = Seq((1L, 100.0), (2L, 200.0), (3L, 300.0)).toDF("order_id", "amount")
+    b1.write.mode("append").jdbc(url, "staging_orders", props)
+
+    val w1 = JdbcStore.currentWatermark(spark, url, "staging_orders", "order_id", props)
+    assert(w1 == 3L)
+
+    // overlapping batch: only order_id 4 and 5 are above the watermark
+    val b2 = Seq((2L, 200.0), (3L, 300.0), (4L, 400.0), (5L, 500.0)).toDF("order_id", "amount")
+    JdbcStore.appendAbove(b2, url, "staging_orders", "order_id", w1, props)
+
+    val staged = spark.read.jdbc(url, "staging_orders", props)
+    assert(staged.count() == 5)
+    assert(staged.select(countDistinct("order_id")).collect()(0).getLong(0) == 5)
+
+    // replay of the same batch: watermark advanced, nothing appended
+    val w2 = JdbcStore.currentWatermark(spark, url, "staging_orders", "order_id", props)
+    assert(w2 == 5L)
+    JdbcStore.appendAbove(b2, url, "staging_orders", "order_id", w2, props)
+    assert(spark.read.jdbc(url, "staging_orders", props).count() == 5)
+  }
+
+  test("S7: predicate and column pruning push into the JDBC source") {
+    import spark.implicits._
+    val url = freshUrl()
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "tag", "v").write.mode("overwrite").jdbc(url, "t", props)
+    val q = spark.read.jdbc(url, "t", props).filter(col("id") > 1).select("id", "v")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // the filter must reach the JDBC scan node (pushed to the database)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      s"no pushdown:\n$plan")
+  }
+}
