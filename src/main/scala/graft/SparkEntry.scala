@@ -89,6 +89,8 @@ object SparkEntry {
     "q32_cube"                -> Extended.cubeQtyRevenue _,
     "q33_hash_sample"         -> Extended.hashSampledOrderStats _,
     "q34_approx_percentiles"  -> Extended.approxPercentileContract _,
+    "q35_funnel"              -> Events.clickToPurchaseFunnel _,
+    "q36_histogram"           -> ((s: SparkSession, d: String) => Extended.priceHistogram(s, d)),
     "m3_frame_samples"        -> Multimodal.frameSampleStats _,
   )
 
@@ -737,6 +739,33 @@ object SparkEntry {
         true AS p50_ok, true AS p95_ok,
         count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q35_funnel" -> """
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      fc AS (
+        SELECT user_id, min(ts) AS first_click FROM e
+        WHERE event_type = 'click' GROUP BY 1),
+      p AS (SELECT user_id AS pu, ts AS pts FROM e WHERE event_type = 'purchase'),
+      j AS (
+        SELECT fc.user_id, fc.first_click, min(p.pts) AS first_purchase_after
+        FROM fc LEFT JOIN p ON fc.user_id = p.pu AND p.pts >= fc.first_click
+        GROUP BY 1, 2)
+      SELECT user_id, first_click, first_purchase_after,
+        first_purchase_after IS NOT NULL AS converted,
+        CAST(date_diff('microsecond', first_click, first_purchase_after) // 1000000
+          AS BIGINT) AS secs_to_convert
+      FROM j ORDER BY user_id""",
+
+    "q36_histogram" -> """
+      WITH b AS (
+        SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket FROM orders),
+      g AS (SELECT bucket, count(*) AS n_orders FROM b GROUP BY 1),
+      t AS (SELECT count(*) AS total FROM orders)
+      SELECT bucket, round(bucket * 50000.0, 2) AS bucket_low, n_orders,
+        round(CAST(n_orders AS DOUBLE) / total * 100.0 + 0.000000001, 4)
+          AS pct_of_orders
+      FROM g CROSS JOIN t ORDER BY bucket""",
 
     // m3: closed-form replay of the strided frame sampler over the
     // rolling-hash frame count.

@@ -399,6 +399,27 @@ object Extended {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** q36: fixed-width histogram of order values — integer bucket index
+    * from pure arithmetic (no width_bucket dialect dependence), per-bucket
+    * count + share. One partial+final aggregate; binning at 100 TB is the
+    * same map-side expression.
+    */
+  def priceHistogram(spark: SparkSession, dir: String,
+                     width: Double = 50000.0): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val total = o.select(count(lit(1)).as("total"))
+    o.select(floor(col("o_totalprice") / width).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_orders"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"),
+        round(col("bucket") * width, 2).as("bucket_low"),
+        col("n_orders"),
+        round(col("n_orders").cast("double") / col("total") * 100.0 + 1e-9, 4)
+          .as("pct_of_orders"))
+      .orderBy(col("bucket"))
+  }
+
   /** q34: approximate percentiles (the sketch path next to q19's exact
     * interpolation — at 100 TB the exact form buffers every value per
     * group; the GK sketch is bounded-memory and mergeable). Like q17, the

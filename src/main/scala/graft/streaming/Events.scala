@@ -146,6 +146,32 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** q35: conversion funnel — per user, the first click and the first
+    * purchase at-or-after it, with conversion flag and time-to-convert.
+    * Two filtered aggregates + one shuffle on user_id; the "sequence"
+    * semantics (purchase must follow the click) ride the join predicate,
+    * not a per-user sort — the funnel shape that scales to billions of
+    * events per day.
+    */
+  def clickToPurchaseFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    firstClick
+      .join(purchases,
+        col("user_id") === col("pu") && col("pts") >= col("first_click"), "left")
+      .groupBy(col("user_id"), col("first_click"))
+      .agg(min(col("pts")).as("first_purchase_after"))
+      .select(col("user_id"), col("first_click"), col("first_purchase_after"),
+        col("first_purchase_after").isNotNull.as("converted"),
+        expr("timestampdiff(SECOND, first_click, first_purchase_after)")
+          .cast("long").as("secs_to_convert"))
+      .orderBy(col("user_id"))
+  }
+
   /** q21: JSON property extraction from the string `props` column. */
   def jsonPropStats(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
