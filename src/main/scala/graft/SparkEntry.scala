@@ -56,6 +56,7 @@ object SparkEntry {
     // streaming-shaped (batch twins of the Structured Streaming plans)
     "st1_windowed_counts"     -> Events.windowedCounts _,
     "st2_sessionize"          -> Events.sessionize _,
+    "st4_session_window"      -> Events.sessionWindows _,
     // multimodal binary plumbing
     "m1_binary_features"      -> Multimodal.binaryFeatures _,
     "m2_format_stats"         -> Multimodal.formatStats _,
@@ -739,6 +740,27 @@ object SparkEntry {
         true AS p50_ok, true AS p95_ok,
         count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // st4: session_window semantics — a new session starts when the gap is
+    // >= 30 min in exact microseconds (st2's declarative form floors to
+    // seconds and uses strict >; the boundary rules differ by design and
+    // both are pinned).
+    "st4_session_window" -> """
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      l AS (
+        SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM e),
+      n AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                        OR date_diff('microsecond', prev_ts, ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS ns FROM l),
+      s AS (
+        SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS seq FROM n)
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM s GROUP BY user_id, seq ORDER BY user_id, session_start""",
 
     "q35_funnel" -> """
       WITH e AS (

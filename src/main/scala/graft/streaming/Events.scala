@@ -65,6 +65,23 @@ object Events {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** st4: native session windows — the same gap-based sessionization as
+    * [[sessionize]] via Spark's built-in `session_window` (which also runs
+    * incrementally over a stream with merging session state, unlike the
+    * lag/cumsum form). A session window ends gap after its last event, so
+    * `window.end - gap` recovers the last event time; equality with the
+    * declarative sessionizer is both oracle-checked and test-pinned.
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        (col("w.end") - expr("INTERVAL 30 MINUTES")).as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** st3: sliding windows — 2-hour windows advancing every 30 minutes;
     * each event lands in 4 overlapping windows (Spark expands via its
     * window generator; the oracle enumerates the same 4 offsets).
