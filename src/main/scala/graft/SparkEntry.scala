@@ -48,6 +48,8 @@ object SparkEntry {
     "d2_ngram_jaccard"        -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "d3_minhash_lsh"          -> ((s: SparkSession, d: String) => Dedup.minhashLshPairs(s, d)),
     "d4_simhash"              -> Dedup.simhashSignatures _,
+    "d9_simhash_pairs"        -> ((s: SparkSession, d: String) => Dedup.simhashNearDupPairs(s, d)),
+    "t10_lang_confusion"      -> TextAnalysis.langConfusionMatrix _,
     "d5_embedding_neardup"    -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupPairs(s, d)),
     // similarity search
     "s1_ann_topk"             -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
@@ -312,24 +314,19 @@ object SparkEntry {
         fingerprint
       FROM r ORDER BY doc_id""",
 
-    "t2_lang_id" -> s"""
-      WITH tk AS (
-        SELECT doc_id, lang AS lang_declared,
-          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
-        FROM documents),
-      h AS (
-        SELECT doc_id, lang_declared,
-          $LangHitsSql
-        FROM tk),
-      b AS (SELECT *, greatest(hits_en, hits_de, hits_es, hits_fr) AS best FROM h)
-      SELECT doc_id, lang_declared,
-        CASE WHEN hits_en = best AND best > 0 THEN 'en'
-             WHEN hits_de = best AND best > 0 THEN 'de'
-             WHEN hits_es = best AND best > 0 THEN 'es'
-             WHEN hits_fr = best AND best > 0 THEN 'fr'
-             ELSE 'und' END AS lang_pred,
-        hits_en, hits_de, hits_es, hits_fr
-      FROM b ORDER BY doc_id""",
+    "t2_lang_id" -> LangIdOracleSql,
+
+    // t10: confusion matrix over the t2 per-doc predictions.
+    "t10_lang_confusion" -> s"""
+      WITH t2 AS ($LangIdOracleSql),
+      g AS (
+        SELECT lang_declared, lang_pred, count(*) AS n_docs
+        FROM t2 GROUP BY 1, 2),
+      t AS (SELECT lang_declared, sum(n_docs) AS tot FROM g GROUP BY 1)
+      SELECT g.lang_declared, g.lang_pred, CAST(g.n_docs AS BIGINT) AS n_docs,
+        round(CAST(g.n_docs AS DOUBLE) / t.tot * 100.0 + 0.000000001, 4)
+          AS pct_of_declared
+      FROM g JOIN t USING (lang_declared) ORDER BY lang_declared, lang_pred""",
 
     "t3_quality_by_source" -> s"""
       WITH n AS (
@@ -804,20 +801,19 @@ object SparkEntry {
 
     // d4: per-bit majority over hash52 of tokens — hash52 is reproduced by
     // ('0x' || md5-prefix)::BIGINT, so the full 52-bit signature matches.
-    "d4_simhash" -> s"""
-      WITH tk AS (
-        SELECT doc_id,
-          unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
-        FROM documents),
-      h AS (SELECT doc_id, ${graft.functions.TextFunctions.hash52Sql("t")} AS h FROM tk),
-      bits AS (SELECT unnest(range(0, ${graft.operators.Dedup.SimHashBits})) AS bit),
-      v AS (
-        SELECT doc_id, bit, sum((h >> bit) & 1) AS ones, count(*) AS n
-        FROM h CROSS JOIN bits GROUP BY 1, 2)
-      SELECT doc_id,
-        CAST(sum(CASE WHEN ones * 2 > n THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
-          AS simhash
-      FROM v GROUP BY doc_id ORDER BY doc_id""",
+    "d4_simhash" -> SimHashOracleSql,
+
+    // d9: banding gives EXACT recall for hamming <= 3 (pigeonhole over 4
+    // bands), so the oracle can state the semantics as a brute-force
+    // all-pairs hamming filter — equal sets by construction.
+    "d9_simhash_pairs" -> s"""
+      WITH sig AS ($SimHashOracleSql),
+      p AS (
+        SELECT a.doc_id AS ia, a.simhash AS sa, b.doc_id AS ib, b.simhash AS sb
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+      SELECT ia AS id_a, ib AS id_b,
+        CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      FROM p WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""",
 
     // q17: HLL estimate has no cross-engine oracle; the *contract* does —
     // the query outputs the exact count plus a 5%-tolerance boolean, the
@@ -968,6 +964,42 @@ object SparkEntry {
   private def RollingHashReduceSql(bytes: String): String =
     s"""CAST(list_reduce(list_prepend(0::HUGEINT, $bytes),
         (a, x) -> (a * 257 + x) % 2305843009213693951) AS BIGINT)"""
+
+  /** d4's full oracle — shared with d9's brute-force pair replay. */
+  private val SimHashOracleSql: String = s"""
+      WITH tk AS (
+        SELECT doc_id,
+          unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+        FROM documents),
+      h AS (SELECT doc_id, ${graft.functions.TextFunctions.hash52Sql("t")} AS h FROM tk),
+      bits AS (SELECT unnest(range(0, ${graft.operators.Dedup.SimHashBits})) AS bit),
+      v AS (
+        SELECT doc_id, bit, sum((h >> bit) & 1) AS ones, count(*) AS n
+        FROM h CROSS JOIN bits GROUP BY 1, 2)
+      SELECT doc_id,
+        CAST(sum(CASE WHEN ones * 2 > n THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+          AS simhash
+      FROM v GROUP BY doc_id ORDER BY doc_id"""
+
+  /** t2's full oracle — shared with t10's confusion matrix. */
+  private def LangIdOracleSql: String = s"""
+      WITH tk AS (
+        SELECT doc_id, lang AS lang_declared,
+          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+        FROM documents),
+      h AS (
+        SELECT doc_id, lang_declared,
+          $LangHitsSql
+        FROM tk),
+      b AS (SELECT *, greatest(hits_en, hits_de, hits_es, hits_fr) AS best FROM h)
+      SELECT doc_id, lang_declared,
+        CASE WHEN hits_en = best AND best > 0 THEN 'en'
+             WHEN hits_de = best AND best > 0 THEN 'de'
+             WHEN hits_es = best AND best > 0 THEN 'es'
+             WHEN hits_fr = best AND best > 0 THEN 'fr'
+             ELSE 'und' END AS lang_pred,
+        hits_en, hits_de, hits_es, hits_fr
+      FROM b ORDER BY doc_id"""
 
   /** DuckDB list literal of TextFunctions.Stopwords. */
   private def StopSqlList: String =

@@ -335,6 +335,40 @@ object Dedup {
     if (release) materializeAndRelease(result, sh) else result
   }
 
+  /** d9: SimHash near-dup PAIRS — the retrieval half of the SimHash path
+    * (d4 computes signatures; this finds the close ones). The 52-bit
+    * signature splits into 4 bands of 13 bits: two signatures within
+    * hamming distance 3 must agree exactly on at least one band
+    * (pigeonhole), so the candidate join is 4 equi-joins on 13-bit keys —
+    * linear like MinHash-LSH banding, and unlike it the pigeonhole
+    * guarantee makes recall EXACT for d <= bands-1. Candidates are then
+    * verified with the true hamming distance.
+    */
+  def simhashNearDupPairs(spark: SparkSession, dir: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val bandBits = SimHashBits / 4 // 13-bit bands
+    val sigs = simhashSignatures(spark, dir).cache()
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band"),
+        expr(s"shiftright(simhash, band * $bandBits) & ${(1L << bandBits) - 1}")
+          .as("bkey"))
+    val candidates = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+    val result = candidates
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+    materializeAndRelease(result, sigs)
+  }
+
   /** Hamming distance between two 64-bit signatures (for tests/probing). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     bit_count(a.bitwiseXOR(b))

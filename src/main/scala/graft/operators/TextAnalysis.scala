@@ -233,6 +233,24 @@ object TextAnalysis {
     out
   }
 
+  /** t10: language-ID confusion matrix — declared vs predicted label
+    * counts with per-cell share of the declared language's documents. The
+    * classifier-evaluation report every labeling pipeline ends with; one
+    * tiny aggregate over t2's per-doc output.
+    */
+  def langConfusionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = langIdPerDoc(spark, dir)
+      .select(col("lang_declared"), col("lang_pred"))
+    val wDecl = Window.partitionBy(col("lang_declared"))
+    perDoc.groupBy(col("lang_declared"), col("lang_pred"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("pct_of_declared",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(wDecl) * 100.0 + 1e-9, 4))
+      .orderBy(col("lang_declared"), col("lang_pred"))
+  }
+
   /** t3: corpus-level quality aggregation per (lang, source) — the shape of
     * a "which crawl sources are worth keeping" report.
     */

@@ -62,6 +62,20 @@ class Round2Spec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("simhash banding recall is exact: pairs equal brute-force hamming filter") {
+    val banded = graft.operators.Dedup.simhashNearDupPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = graft.operators.Dedup.simhashSignatures(spark, sf)
+    val brute = sigs.select(col("doc_id").as("id_a"), col("simhash").as("sa"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("sb")),
+        col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+  }
+
   test("unpivot: melted rows reconstruct the per-flag totals") {
     val out = graft.operators.Extended.unpivotQtyByFlag(spark, sf)
     val li = graft.sources.Tables.lineitem(spark, sf)
