@@ -216,8 +216,12 @@ object Dedup {
     val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .withColumnRenamed("id_a", "src").withColumnRenamed("id_b", "dst")
       .cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("root", col("doc_id"))
+    // seed with the first propagation round for free: root₀ =
+    // min(self, neighbors) — one aggregate instead of a join round
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("min_nbr"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("min_nbr")).as("root"))
     var iter = 0
     var converged = false
     var prevSum = Long.MaxValue

@@ -91,6 +91,28 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(plan) <= 2, s"sampling added shuffles:\n$plan")
   }
 
+  test("no query plan degenerates to a cartesian/nested-loop join (except declared quadratic ones)") {
+    // intentionally non-equi or broadcast-cross plans:
+    //  - d5/s1: exact all-pairs scans (the documented correctness baselines)
+    //  - s3/t8/q36: crossJoin(broadcast(<1-row or dim>)) scalar/centroid fan-in
+    //  - q23: correlated scalar subquery decorrelates to a single-row join
+    val quadraticByDesign = Set(
+      "d5_embedding_neardup", "s1_ann_topk", "s3_ann_ivf_topk",
+      "t8_tfidf", "q36_histogram", "q23_correlated_subq")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(quadraticByDesign)
+      .flatMap { name =>
+        val p =
+          try planString(SparkEntry.queries(name)(spark, sf))
+          catch { case e: Throwable => s"PLAN FAILED: ${e.getMessage}" }
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+          || p.startsWith("PLAN FAILED")) Some(name -> p.linesIterator.take(3).mkString(" | "))
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"unexpected quadratic joins in: ${offenders.map(_._1)}\n${offenders.take(2)}")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     val df = Relational.revenueByNation(spark, sf)
     df.collect() // materialize THIS queryExecution so AQE finalizes in-place
