@@ -33,40 +33,68 @@ object Runner {
     *   <work>/analytics/<table>/                 (parquet, overwritten)
     *   <work>/export/<table>/                    (csv, overwritten)
     */
+  /** T6 parity: log a failing stage to `<work>/error_log.txt` and rethrow
+    * — the reference's log-and-reraise (`extract_load_transform_data_
+    * pipeline.py.py:20-22`), deliberately WITHOUT replicating its tripdata
+    * DAG's swallow-and-return-None bug (`tripdata_monthly_metrics.py:89-90`,
+    * SURVEY.md T6 ⚠).
+    */
+  private def logged[A](work: String, stage: String)(f: => A): A =
+    try f catch {
+      case e: Throwable =>
+        try {
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$work/error_log.txt"),
+            s"${java.time.Instant.now} [$stage] $e\n",
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        } catch { case _: Throwable => () } // logging must not mask the failure
+        throw e
+    }
+
   def run(spark: SparkSession, work: String, runDate: String): RunReport = {
     val landing = s"$work/landing/dt=$runDate"
 
     // 1-2. landing scan + normalization (pinned schemas)
-    val orders = Pipeline.normalizeOrders(
-      Pipeline.readCsv(spark, s"$landing/orders.csv", Pipeline.ordersSchema))
-    val reviews =
-      Pipeline.readCsv(spark, s"$landing/reviews.csv", Pipeline.reviewsSchema)
-    val shipments = Pipeline.normalizeShipments(
-      Pipeline.readCsv(spark, s"$landing/shipment_deliveries.csv", Pipeline.shipmentsSchema))
+    val (orders, reviews, shipments) = logged(work, "landing") {
+      (Pipeline.normalizeOrders(
+         Pipeline.readCsv(spark, s"$landing/orders.csv", Pipeline.ordersSchema)),
+       Pipeline.readCsv(spark, s"$landing/reviews.csv", Pipeline.reviewsSchema),
+       Pipeline.normalizeShipments(
+         Pipeline.readCsv(spark, s"$landing/shipment_deliveries.csv", Pipeline.shipmentsSchema)))
+    }
 
     // 3. staging loads: watermark-incremental for keyed tables, full append
     //    for reviews (reference-faithful at-least-once)
-    val staged = Map(
-      "orders" -> Pipeline.watermarkAppend(spark, orders, "order_id", s"$work/staging/orders"),
-      "shipment_deliveries" -> Pipeline.watermarkAppend(
-        spark, shipments, "shipment_id", s"$work/staging/shipment_deliveries"),
-      "reviews" -> Pipeline.fullAppend(spark, reviews, s"$work/staging/reviews"))
+    val staged = logged(work, "staging") {
+      Map(
+        "orders" -> Pipeline.watermarkAppend(spark, orders, "order_id", s"$work/staging/orders"),
+        "shipment_deliveries" -> Pipeline.watermarkAppend(
+          spark, shipments, "shipment_id", s"$work/staging/shipment_deliveries"),
+        "reviews" -> Pipeline.fullAppend(spark, reviews, s"$work/staging/reviews"))
+    }
 
     // 4. transform: run the analytics queries against the staged views
-    spark.read.parquet(s"$work/staging/orders").createOrReplaceTempView("staging_orders")
-    spark.read.parquet(s"$work/staging/reviews").createOrReplaceTempView("staging_reviews")
-    spark.read.parquet(s"$work/staging/shipment_deliveries")
-      .createOrReplaceTempView("staging_shipment_deliveries")
-    val analytics = transformStaged(spark)
-    analytics.foreach { case (name, df) =>
-      Pipeline.overwriteParquet(df, s"$work/analytics/$name")
+    val analytics = logged(work, "transform") {
+      spark.read.parquet(s"$work/staging/orders").createOrReplaceTempView("staging_orders")
+      spark.read.parquet(s"$work/staging/reviews").createOrReplaceTempView("staging_reviews")
+      spark.read.parquet(s"$work/staging/shipment_deliveries")
+        .createOrReplaceTempView("staging_shipment_deliveries")
+      val a = transformStaged(spark)
+      a.foreach { case (name, df) =>
+        Pipeline.overwriteParquet(df, s"$work/analytics/$name")
+      }
+      a
     }
 
     // 5. export: analytics tables back out as header'd CSV
-    val counts = analytics.map { case (name, _) =>
-      val persisted = spark.read.parquet(s"$work/analytics/$name")
-      Pipeline.exportCsv(persisted, s"$work/export/$name")
-      name -> persisted.count()
+    val counts = logged(work, "export") {
+      analytics.map { case (name, _) =>
+        val persisted = spark.read.parquet(s"$work/analytics/$name")
+        Pipeline.exportCsv(persisted, s"$work/export/$name")
+        name -> persisted.count()
+      }
     }
     RunReport(runDate, staged, counts)
   }

@@ -284,6 +284,40 @@ object Events {
       .select(col("event_id"), col("pu").as("user_id"), col("pts"), col("cts"))
   }
 
+  /** Streaming → JDBC via foreachBatch — the production pattern for
+    * landing a stream in a database: each micro-batch is appended with its
+    * rows filtered to keys not yet present (idempotent under batch
+    * replay, which foreachBatch permits after a restart — the sink must
+    * tolerate at-least-once batch delivery). Partitioned writes inside
+    * the batch go through the normal JDBC writer, so executor-parallel
+    * inserts carry over to a real Postgres target.
+    *
+    * Returns the started query; callers drive it (processAllAvailable)
+    * and stop it.
+    */
+  def streamEventsToJdbc(spark: SparkSession, dir: String, url: String,
+                         props: java.util.Properties,
+                         table: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val src = eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spk = batch.sparkSession
+        val existingKeys =
+          try spk.read.jdbc(url, table, props).select("event_id")
+          catch { case _: Throwable => // first batch: table absent
+            spk.createDataFrame(spk.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("event_id",
+                  org.apache.spark.sql.types.LongType))))
+          }
+        batch.join(existingKeys, Seq("event_id"), "left_anti")
+          .write.mode("append").jdbc(url, table, props)
+        ()
+      }
+      .start()
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: java.sql.Timestamp, last: java.sql.Timestamp,

@@ -56,6 +56,24 @@ class JdbcSpec extends AnyFunSuite {
     assert(spark.read.jdbc(url, "staging_orders", props).count() == 5)
   }
 
+  test("streaming foreachBatch lands the event stream in the database idempotently") {
+    val url = freshUrl()
+    val q = graft.streaming.Events.streamEventsToJdbc(
+      spark, TestSpark.sf, url, props, "events_sink")
+    try q.processAllAvailable() finally q.stop()
+    val n = graft.sources.Tables.events(spark, TestSpark.sf).count()
+    val landed = spark.read.jdbc(url, "events_sink", props)
+    assert(landed.count() == n, "every event landed")
+    assert(landed.select(countDistinct("event_id")).collect()(0).getLong(0) == n,
+      "no duplicates")
+    // replaying the whole stream (fresh checkpoint) appends nothing new —
+    // the anti-join makes batch redelivery a no-op
+    val q2 = graft.streaming.Events.streamEventsToJdbc(
+      spark, TestSpark.sf, url, props, "events_sink")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.jdbc(url, "events_sink", props).count() == n)
+  }
+
   test("S7: predicate and column pruning push into the JDBC source") {
     import spark.implicits._
     val url = freshUrl()

@@ -120,6 +120,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(aggShip.getLong(1) == 1) // tt_undelivered_items
   }
 
+  test("failed stage is logged to error_log.txt and rethrown (T6, no swallow)") {
+    import graft.pipeline.Runner
+    val work = tmpDir() // no landing files → the landing stage fails
+    intercept[Exception] { Runner.run(spark, work, "2026-01-01") }
+    val log = java.nio.file.Paths.get(s"$work/error_log.txt")
+    assert(java.nio.file.Files.exists(log), "error_log.txt written")
+    assert(java.nio.file.Files.readString(log).contains("[landing]"))
+  }
+
   test("upsert: same-key rows replaced, new keys appended, idempotent") {
     val dir = tmpDir()
     val staging = s"$dir/stage_upsert"
