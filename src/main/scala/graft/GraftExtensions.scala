@@ -41,5 +41,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expressions.BottomKSample(exprs(0), exprs(1), k = 10)
           .toAggregateExpression()))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
