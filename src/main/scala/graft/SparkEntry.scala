@@ -93,6 +93,8 @@ object SparkEntry {
     "q33_hash_sample"         -> Extended.hashSampledOrderStats _,
     "q34_approx_percentiles"  -> Extended.approxPercentileContract _,
     "q35_funnel"              -> Events.clickToPurchaseFunnel _,
+    "q37_dim_dates"           -> ((s: SparkSession, _: String) =>
+                                   Dims.dimDates(s).orderBy("calendar_dt")),
     "q36_histogram"           -> ((s: SparkSession, d: String) => Extended.priceHistogram(s, d)),
     "m3_frame_samples"        -> Multimodal.frameSampleStats _,
   )
@@ -775,6 +777,16 @@ object SparkEntry {
         CAST(date_diff('microsecond', first_click, first_purchase_after) // 1000000
           AS BIGINT) AS secs_to_convert
       FROM j ORDER BY user_id""",
+
+    // q37: the generated date dim itself — distributed sequence+explode
+    // generation vs DuckDB generate_series, row for row.
+    "q37_dim_dates" -> s"""
+      WITH ${Dims.dimDatesSqlCte}
+      SELECT calendar_dt, CAST(year_num AS INT) AS year_num,
+        CAST(month_of_the_year_num AS INT) AS month_of_the_year_num,
+        CAST(day_of_the_week_num AS INT) AS day_of_the_week_num,
+        working_day
+      FROM dim_dates ORDER BY calendar_dt""",
 
     "q36_histogram" -> """
       WITH b AS (
