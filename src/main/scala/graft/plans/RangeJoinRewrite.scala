@@ -29,11 +29,24 @@ import org.apache.spark.sql.types.LongType
   *
   * Injected via [[graft.GraftExtensions]] (or
   * `spark.experimental.extraOptimizations`). Runs post-analysis, so all
-  * constructed nodes use resolved attributes. Only non-negative on-values
-  * are bucketed correctly (epoch times; integer division truncates toward
-  * zero) — negative times simply don't match the rewrite guard.
+  * constructed nodes use resolved attributes. Bucketing uses true floor
+  * division (not the truncate-toward-zero IntegralDivide), so negative
+  * on-values — pre-epoch times, offset day numbers — bucket correctly
+  * too.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
+
+  /** floor(a / w) for LONG a and positive literal w: IntegralDivide
+    * truncates toward zero, so subtract 1 when a is negative with a
+    * nonzero remainder.
+    */
+  private def floorDiv(a: Expression, w: Long): Expression = {
+    val q = IntegralDivide(a, Literal(w, LongType))
+    val needsAdjust = And(
+      LessThan(a, Literal(0L, LongType)),
+      Not(EqualTo(Remainder(a, Literal(w, LongType)), Literal(0L, LongType))))
+    If(needsAdjust, Subtract(q, Literal(1L, LongType)), q)
+  }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
@@ -97,11 +110,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         else {
           val rest = conjuncts.filterNot(c => (c eq lowC) || (c eq upper.get))
           // right side: its single bucket
-          val rBucketAlias = Alias(IntegralDivide(rOn, Literal(w, LongType)), "__graft_rbucket")()
+          val rBucketAlias = Alias(floorDiv(rOn, w), "__graft_rbucket")()
           val rightB = Project(right.output :+ rBucketAlias, right)
           val rBucket = rBucketAlias.toAttribute
           // left side: probe buckets b and b-1 via explode
-          val lBucketE = IntegralDivide(lOn, Literal(w, LongType))
+          val lBucketE = floorDiv(lOn, w)
           val probeAttr = AttributeReference("__graft_bucket", LongType, nullable = false)()
           val gen = Generate(
             Explode(CreateArray(Seq(lBucketE, Subtract(lBucketE, Literal(1L, LongType))))),

@@ -292,6 +292,12 @@ object Events {
     * the batch go through the normal JDBC writer, so executor-parallel
     * inserts carry over to a real Postgres target.
     *
+    * Scale note: the idempotence check reads the landed key set per
+    * batch — fine at modest key cardinality; against a large production
+    * target push it down instead (key-range predicate on the read, or a
+    * MERGE/upsert sink so the database enforces uniqueness without the
+    * round-trip).
+    *
     * Returns the started query; callers drive it (processAllAvailable)
     * and stop it.
     */

@@ -44,6 +44,25 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("negative on-values bucket correctly (floor division, not truncation)") {
+    import spark.implicits._
+    // pairs straddling zero: (key, t) with windows crossing the sign boundary
+    val l = Seq((1L, -5L), (1L, 3L), (2L, -100L), (2L, 0L))
+      .toDF("k", "t")
+    val r = Seq((1L, -14L), (1L, -6L), (1L, 2L), (2L, -101L), (2L, -10L))
+      .toDF("rk", "rt")
+    def q() = l.join(r,
+        col("k") === col("rk") &&
+          col("rt") >= col("t") - lit(10L) && col("rt") < col("t"))
+      .select(col("k"), col("t"), col("rt"))
+    val baseline = q().collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
+    try {
+      val got = q().collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got == baseline, s"got=$got base=$baseline")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("rule leaves ordinary equi joins untouched") {
     spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
     try {
