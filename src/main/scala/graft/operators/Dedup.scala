@@ -217,11 +217,18 @@ object Dedup {
       .withColumnRenamed("id_a", "src").withColumnRenamed("id_b", "dst")
       .cache()
     // seed with the first propagation round for free: root₀ =
-    // min(self, neighbors) — one aggregate instead of a join round
+    // min(self, neighbors) — one aggregate instead of a join round.
+    // Each round's labels are localCheckpoint'ed (eager): the new labels
+    // reference the old ones TWICE (union + join), so a cache alone keeps
+    // a logical plan that doubles per round — at graph diameter d the
+    // analyzer/AQE would walk a 2^d-node tree (a 14-hop chain OOMed on
+    // plan stringification alone). Checkpointing truncates the plan to the
+    // materialized blocks, keeping every round's analysis O(1).
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("min_nbr"))
       .select(col("src").as("doc_id"),
         least(col("src"), col("min_nbr")).as("root"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     var prevSum = Long.MaxValue
@@ -237,23 +244,16 @@ object Dedup {
         .select(col("src").as("doc_id"), col("nroot").as("root"))
       // one-hop min-label propagation per round. (Pointer jumping — joining
       // the propagated labels against themselves for log-diameter rounds —
-      // was measured 6× slower here: the twice-referenced uncached
-      // intermediate doubles the recomputed lineage every iteration.)
-      // cache BEFORE the convergence action so that action materializes the
-      // new labels into storage; only then is it safe to drop the previous
-      // round's cache (unpersisting first would force each round to
-      // recompute its whole ancestry — the exponential-lineage trap)
+      // was measured 6× slower here: the twice-referenced intermediate
+      // doubles the recomputed lineage every iteration.)
       val updated = labels.union(viaNeighbor)
         .groupBy(col("doc_id")).agg(min(col("root")).as("root"))
-        .cache()
+        .localCheckpoint() // eager: materializes now, lineage cut
       // convergence check without a self-join: per-doc min labels only ever
-      // decrease, so Σroot is strictly monotone until the fixed point — one
-      // full-scan aggregate doubles as the cache materializer
+      // decrease, so Σroot is strictly monotone until the fixed point
       val curSum = updated.agg(coalesce(sum(col("root")), lit(0L)))
         .collect()(0).getLong(0)
-      val prev = labels
-      labels = updated
-      prev.unpersist() // the first `labels` is uncached → no-op there
+      labels = updated // previous rounds' blocks are freed on GC
       converged = curSum == prevSum
       prevSum = curSum
       iter += 1

@@ -62,6 +62,28 @@ class Round2Spec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("label propagation converges on a chain with diameter far beyond the old cap") {
+    // 14 docs, each a 150-token window slid by 12 over a shared sequence:
+    // shingle Jaccard between windows offset k·12 is (148-12k)/(148+12k) —
+    // ≈0.89 for neighbors (edge), ≈0.72 at distance 2 (no edge) → the
+    // near-dup graph is a PATH with diameter 13 (the round-1 advisor
+    // scenario: the old maxIters=5 silently returned wrong roots here)
+    import spark.implicits._
+    val slide = 12
+    val words = (0 until 14 * slide + 160).map(i => s"w$i")
+    val docs = (0 until 14).map { i =>
+      val text = words.slice(i * slide, i * slide + 150).mkString(" ")
+      (i.toLong, "en", "synthetic", text.length.toLong, text)
+    }.toDF("doc_id", "lang", "source", "n_chars", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chain").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val clusters = graft.operators.Dedup.nearDupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 14, s"all chain members clustered: $clusters")
+    assert(clusters.values.toSet == Set(0L), s"single component rooted at 0: $clusters")
+  }
+
   test("simhash banding recall is exact: pairs equal brute-force hamming filter") {
     val banded = graft.operators.Dedup.simhashNearDupPairs(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
