@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampType}
 
 /** Optimizer rule: rewrite a bounded range join into its bucketized form.
   *
@@ -58,17 +58,41 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** (leftOn, rightOn, width) if `c` is the lower bound `rOn >= lOn - W`. */
+  private def tsAttr(e: Expression): Option[Attribute] = e match {
+    case a: Attribute if a.dataType == TimestampType => Some(a)
+    case _ => None
+  }
+
+  /** On-value as micros-long for bucketing: identity for LONG columns,
+    * unix_micros for timestamps (the internal representation, zero-cost).
+    */
+  private def asLong(a: Attribute): Expression =
+    if (a.dataType == TimestampType) UnixMicros(a) else a
+
+  /** (leftOn, rightOn, width) if `c` is the lower bound `rOn >= lOn - W` —
+    * LONG form `rOn >= lOn - <long literal>` or, post-optimization,
+    * timestamp form `rOn >= lOn + INTERVAL '-W'` (TimeAdd with a negative
+    * day-time-interval literal, micros).
+    */
   private def lowerBound(c: Expression, left: LogicalPlan, right: LogicalPlan)
       : Option[(Attribute, Attribute, Long)] = {
+    def check(lOn: Attribute, rOn: Attribute, w: Long): Option[(Attribute, Attribute, Long)] =
+      if (w > 0 && right.outputSet.contains(rOn) && left.outputSet.contains(lOn))
+        Some((lOn, rOn, w))
+      else None
     def decode(r: Expression, l: Expression): Option[(Attribute, Attribute, Long)] =
-      (longAttr(r), l) match {
-        case (Some(rOn), Subtract(lOnE, Literal(w: Long, LongType), _))
-            if w > 0 && longAttr(lOnE).isDefined =>
-          val lOn = longAttr(lOnE).get
-          if (right.outputSet.contains(rOn) && left.outputSet.contains(lOn))
-            Some((lOn, rOn, w))
-          else None
+      (r, l) match {
+        case (rE, Subtract(lOnE, Literal(w: Long, LongType), _)) =>
+          (longAttr(rE), longAttr(lOnE)) match {
+            case (Some(rOn), Some(lOn)) => check(lOn, rOn, w)
+            case _ => None
+          }
+        case (rE, TimestampAddInterval(lOnE, Literal(micros: Long, _: DayTimeIntervalType), _))
+            if micros < 0 =>
+          (tsAttr(rE), tsAttr(lOnE)) match {
+            case (Some(rOn), Some(lOn)) => check(lOn, rOn, -micros)
+            case _ => None
+          }
         case _ => None
       }
     c match {
@@ -110,11 +134,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         else {
           val rest = conjuncts.filterNot(c => (c eq lowC) || (c eq upper.get))
           // right side: its single bucket
-          val rBucketAlias = Alias(floorDiv(rOn, w), "__graft_rbucket")()
+          val rBucketAlias = Alias(floorDiv(asLong(rOn), w), "__graft_rbucket")()
           val rightB = Project(right.output :+ rBucketAlias, right)
           val rBucket = rBucketAlias.toAttribute
           // left side: probe buckets b and b-1 via explode
-          val lBucketE = floorDiv(lOn, w)
+          val lBucketE = floorDiv(asLong(lOn), w)
           val probeAttr = AttributeReference("__graft_bucket", LongType, nullable = false)()
           val gen = Generate(
             Explode(CreateArray(Seq(lBucketE, Subtract(lBucketE, Literal(1L, LongType))))),

@@ -63,6 +63,30 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("timestamp-interval range joins rewrite too (q29's natural spelling)") {
+    val ev = graft.sources.Tables.events(spark, TestSpark.sf)
+    def q() = {
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+      p.join(c, col("user_id") === col("cu") &&
+          col("cts") >= col("ts") - expr("INTERVAL 30 MINUTES") &&
+          col("cts") < col("ts"))
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+    }
+    val baseline = q().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
+    try {
+      val df = q()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"timestamp form did not rewrite:\n$plan")
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == baseline)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("rule leaves ordinary equi joins untouched") {
     spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
     try {
