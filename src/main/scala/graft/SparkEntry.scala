@@ -95,6 +95,8 @@ object SparkEntry {
     "q35_funnel"              -> Events.clickToPurchaseFunnel _,
     "q37_dim_dates"           -> ((s: SparkSession, _: String) =>
                                    Dims.dimDates(s).orderBy("calendar_dt")),
+    "q38_array_agg"           -> Extended.arrayAggSuite _,
+    "q39_regex_suite"         -> Extended.regexSuite _,
     "q36_histogram"           -> ((s: SparkSession, d: String) => Extended.priceHistogram(s, d)),
     "m3_frame_samples"        -> Multimodal.frameSampleStats _,
   )
@@ -787,6 +789,28 @@ object SparkEntry {
         CAST(day_of_the_week_num AS INT) AS day_of_the_week_num,
         working_day
       FROM dim_dates ORDER BY calendar_dt""",
+
+    "q38_array_agg" -> """
+      WITH g AS (
+        SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS keys
+        FROM orders WHERE o_custkey % 100 = 0 GROUP BY 1)
+      SELECT o_custkey,
+        CAST(len(keys) AS BIGINT) AS n_orders,
+        keys[1] AS first_key,
+        keys[-1] AS last_key,
+        array_to_string(keys[1:3], ',') AS first3_csv,
+        list_contains(keys, o_custkey) AS has_own_key,
+        array_to_string(keys, ',') AS keys_csv
+      FROM g ORDER BY o_custkey""",
+
+    "q39_regex_suite" -> """
+      SELECT c_custkey,
+        regexp_extract(c_name, '([0-9]+)$', 1) AS name_digits,
+        regexp_extract(c_name, '^([A-Za-z]+)', 1) AS name_word,
+        CAST(len(regexp_extract_all(c_name, '[0-9]')) AS BIGINT) AS n_digits,
+        regexp_matches(c_name, '^Customer#[0-9]+$') AS canonical_form,
+        regexp_replace(c_name, '(0+)([1-9])', '\2', 'g') AS unpadded
+      FROM customer WHERE c_custkey % 10 = 0 ORDER BY c_custkey""",
 
     "q36_histogram" -> """
       WITH b AS (

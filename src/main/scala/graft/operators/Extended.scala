@@ -420,6 +420,45 @@ object Extended {
       .orderBy(col("bucket"))
   }
 
+  /** q38: array aggregation/manipulation suite — collect per-group arrays
+    * (deterministically sorted), slice/index/membership, then serialize to
+    * CSV strings: the driver's compare (and most downstream sinks) want
+    * scalars, and `array_join(sort_array(collect_list(..)))` ≡ DuckDB
+    * `string_agg(.. ORDER BY ..)`.
+    */
+  def arrayAggSuite(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_custkey") % 100 === 0)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("keys"))
+      .select(
+        col("o_custkey"),
+        size(col("keys")).cast("long").as("n_orders"),
+        element_at(col("keys"), 1).as("first_key"),
+        element_at(col("keys"), -1).as("last_key"),
+        array_join(slice(col("keys"), 1, 3), ",").as("first3_csv"),
+        array_contains(col("keys"), col("o_custkey")).as("has_own_key"),
+        array_join(col("keys"), ",").as("keys_csv"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** q39: regex suite — group extraction, match counting, splitting,
+    * anchored predicates; the pattern dialect (RE2-free Java/PCRE subset)
+    * is chosen to evaluate identically in DuckDB.
+    */
+  def regexSuite(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.filter(col("c_custkey") % 10 === 0)
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)$", 1).as("name_digits"),
+        regexp_extract(col("c_name"), "^([A-Za-z]+)", 1).as("name_word"),
+        size(expr("regexp_extract_all(c_name, '[0-9]', 0)")).cast("long").as("n_digits"),
+        col("c_name").rlike("^Customer#[0-9]+$").as("canonical_form"),
+        regexp_replace(col("c_name"), "(0+)([1-9])", "$2").as("unpadded"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** q34: approximate percentiles (the sketch path next to q19's exact
     * interpolation — at 100 TB the exact form buffers every value per
     * group; the GK sketch is bounded-memory and mergeable). Like q17, the
