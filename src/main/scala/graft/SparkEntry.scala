@@ -96,6 +96,7 @@ object SparkEntry {
     "q37_dim_dates"           -> ((s: SparkSession, _: String) =>
                                    Dims.dimDates(s).orderBy("calendar_dt")),
     "q38_array_agg"           -> Extended.arrayAggSuite _,
+    "q40_asof_next"           -> Events.asofNextSignup _,
     "q39_regex_suite"         -> Extended.regexSuite _,
     "q36_histogram"           -> ((s: SparkSession, d: String) => Extended.priceHistogram(s, d)),
     "m3_frame_samples"        -> Multimodal.frameSampleStats _,
@@ -789,6 +790,17 @@ object SparkEntry {
         CAST(day_of_the_week_num AS INT) AS day_of_the_week_num,
         working_day
       FROM dim_dates ORDER BY calendar_dt""",
+
+    // q40: DuckDB ASOF with <= picks the nearest FOLLOWING right row.
+    "q40_asof_next" -> """
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      s AS (SELECT user_id AS s_user, CAST(ts AS TIMESTAMP) AS signup_ts
+            FROM events WHERE event_type = 'signup')
+      SELECT event_id, e.user_id, e.ts, s.signup_ts AS next_signup_ts,
+        CAST(date_diff('microsecond', e.ts, s.signup_ts) // 1000000 AS BIGINT)
+          AS secs_until_signup
+      FROM e ASOF LEFT JOIN s ON e.user_id = s.s_user AND e.ts <= s.signup_ts
+      ORDER BY event_id""",
 
     "q38_array_agg" -> """
       WITH g AS (

@@ -189,6 +189,30 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** q40: FORWARD as-of join — each event matched to the EARLIEST signup
+    * of the same user at-or-after its timestamp. Reuses the backward
+    * as-of operator ([[graft.plans.AsOfJoin]]) by order reversal: run it
+    * on negated epoch micros (greatest -t' <= -t  ⟺  smallest t' >= t),
+    * so one physical operator serves both directions — same single
+    * co-partitioning exchange per side, same linear merge.
+    */
+  def asofNextSignup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (-unix_micros(col("ts"))).as("neg_ts"))
+    val signups = Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"),
+        (-unix_micros(col("ts"))).as("neg_sts"))
+    graft.plans.AsOfJoin.asof(spark, ev, signups,
+        col("user_id"), col("s_user"), col("neg_ts"), col("neg_sts"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("signup_ts").as("next_signup_ts"),
+        expr("timestampdiff(SECOND, ts, signup_ts)").cast("long")
+          .as("secs_until_signup"))
+      .orderBy(col("event_id"))
+  }
+
   /** q21: JSON property extraction from the string `props` column. */
   def jsonPropStats(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
