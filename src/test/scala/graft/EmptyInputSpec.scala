@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input behavior: every operator must return empty results —
+  * not crash, not hang — on an empty corpus (the first run of a pipeline
+  * always sees one).
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** A testdata-shaped directory whose documents/events/orders are empty. */
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    def writeEmpty(name: String): Unit = {
+      val schema = graft.sources.Tables.load(spark, TestSpark.sf, name).schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    Seq("documents", "orders", "customer").foreach(writeEmpty)
+    // events needs the raw long-nanos ts column the reader rebuilds from
+    val evSchema = org.apache.spark.sql.types.StructType(
+      graft.sources.Tables.events(spark, TestSpark.sf).schema.map {
+        case f if f.name == "ts" =>
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
+        case f => f
+      })
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], evSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("dedup family returns empty on an empty corpus") {
+    assert(graft.operators.Dedup.exactDedupGroups(spark, emptyDir).count() == 0)
+    assert(graft.operators.Dedup.ngramJaccardPairs(spark, emptyDir).count() == 0)
+    assert(graft.operators.Dedup.minhashLshPairs(spark, emptyDir).count() == 0)
+    assert(graft.operators.Dedup.nearDupClusters(spark, emptyDir).count() == 0)
+    assert(graft.operators.Dedup.dedupedCorpus(spark, emptyDir).count() == 0)
+    assert(graft.operators.Dedup.simhashSignatures(spark, emptyDir).count() == 0)
+    assert(graft.operators.Dedup.simhashNearDupPairs(spark, emptyDir).count() == 0)
+    assert(graft.operators.Dedup.decontaminate(spark, emptyDir).count() == 0)
+  }
+
+  test("text analysis returns empty on an empty corpus") {
+    assert(graft.operators.TextAnalysis.textStats(spark, emptyDir).count() == 0)
+    assert(graft.operators.TextAnalysis.tfidfTopTerms(spark, emptyDir).count() == 0)
+    assert(graft.operators.TextAnalysis.repetitionStats(spark, emptyDir).count() == 0)
+    assert(graft.operators.TextAnalysis.tokenFrequencies(spark, emptyDir).count() == 0)
+  }
+
+  test("event operators return empty on an empty stream history") {
+    assert(graft.streaming.Events.windowedCounts(spark, emptyDir).count() == 0)
+    assert(graft.streaming.Events.sessionize(spark, emptyDir).count() == 0)
+    assert(graft.streaming.Events.purchasesWithRecentClicks(spark, emptyDir).count() == 0)
+    assert(graft.streaming.Events.clickToPurchaseFunnel(spark, emptyDir).count() == 0)
+    assert(graft.streaming.Events.asofSignup(spark, emptyDir).count() == 0)
+  }
+
+  test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {
+    // a global aggregate over zero rows still emits one row — pinned so the
+    // contract is explicit, not accidental
+    assert(graft.operators.Extended.hashSampledOrderStats(spark, emptyDir).count() == 0)
+    assert(graft.operators.Extended.priceHistogram(spark, emptyDir).count() == 0)
+    val profile = graft.operators.Profile.ordersProfile(spark, emptyDir).collect()
+    assert(profile.length == 1 && profile(0).getLong(0) == 0)
+  }
+}
