@@ -97,6 +97,8 @@ object SparkEntry {
                                    Dims.dimDates(s).orderBy("calendar_dt")),
     "q38_array_agg"           -> Extended.arrayAggSuite _,
     "q40_asof_next"           -> Events.asofNextSignup _,
+    "q41_native_pivot"        -> Extended.nativePivotQty _,
+    "q42_bag_ops"             -> Extended.bagSetOps _,
     "q39_regex_suite"         -> Extended.regexSuite _,
     "q36_histogram"           -> ((s: SparkSession, d: String) => Extended.priceHistogram(s, d)),
     "m3_frame_samples"        -> Multimodal.frameSampleStats _,
@@ -790,6 +792,29 @@ object SparkEntry {
         CAST(day_of_the_week_num AS INT) AS day_of_the_week_num,
         working_day
       FROM dim_dates ORDER BY calendar_dt""",
+
+    "q41_native_pivot" -> """
+      SELECT l_linestatus,
+        CAST(round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS DOUBLE) AS qty_r,
+        CAST(round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS DOUBLE) AS qty_a,
+        CAST(round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS DOUBLE) AS qty_n
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "q42_bag_ops" -> """
+      WITH e AS (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+      i AS (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+      g AS (
+        SELECT 'except_all' AS op, o_custkey, count(*) AS n FROM e GROUP BY 2
+        UNION ALL
+        SELECT 'intersect_all' AS op, o_custkey, count(*) AS n FROM i GROUP BY 2)
+      SELECT op, o_custkey, CAST(n AS BIGINT) AS n
+      FROM g ORDER BY op, o_custkey""",
 
     // q40: DuckDB ASOF with <= picks the nearest FOLLOWING right row.
     "q40_asof_next" -> """

@@ -420,6 +420,40 @@ object Extended {
       .orderBy(col("bucket"))
   }
 
+  /** q41: Spark's NATIVE pivot operator (q1/q9 build the same shape from
+    * conditional aggregates — the portable form; this is the first-class
+    * `.pivot()` with an explicit value list, which keeps the plan a single
+    * pass like the manual form but derives the columns).
+    */
+  def nativePivotQty(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("R", "A", "N"))
+      .agg(round(sum(col("l_quantity")), 2).cast("double"))
+      .withColumnsRenamed(Map("R" -> "qty_r", "A" -> "qty_a", "N" -> "qty_n"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** q42: bag-semantics set operations — EXCEPT ALL / INTERSECT ALL keep
+    * multiplicities (q12's distinct-set forms collapse them): the
+    * difference matters for any multiset reconciliation (e.g. diffing two
+    * staged loads including duplicate rows).
+    */
+  def bagSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def keysIn(y: Int) =
+      o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    val except = keysIn(1995).exceptAll(keysIn(1996))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("op", lit("except_all"))
+    val intersect = keysIn(1995).intersectAll(keysIn(1996))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("op", lit("intersect_all"))
+    except.unionByName(intersect)
+      .select(col("op"), col("o_custkey"), col("n"))
+      .orderBy(col("op"), col("o_custkey"))
+  }
+
   /** q38: array aggregation/manipulation suite — collect per-group arrays
     * (deterministically sorted), slice/index/membership, then serialize to
     * CSV strings: the driver's compare (and most downstream sinks) want
