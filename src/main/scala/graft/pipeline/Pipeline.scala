@@ -157,6 +157,66 @@ object Pipeline {
     rows
   }
 
+  /** SCD Type-2 merge: history-tracking upsert. Each staged row carries
+    * `effective_from` / `effective_to` / `is_current`; merging a snapshot
+    * batch (rows as-of `asOf`):
+    *
+    *  - a key whose attributes CHANGED closes its current row
+    *    (`effective_to = asOf`, `is_current = false`) and appends the new
+    *    version;
+    *  - an unchanged key is a no-op (no new version);
+    *  - a brand-new key appends its first version;
+    *  - closed history rows are never touched.
+    *
+    * Change detection hashes the non-key payload columns, so callers don't
+    * enumerate attributes. Rewrite-on-merge like [[upsert]]; on a
+    * MERGE-capable warehouse sink the same row-level contract rides a
+    * single MERGE statement.
+    */
+  def scd2Merge(spark: SparkSession, incoming: DataFrame, pk: String,
+                asOf: java.sql.Timestamp, stagingPath: String): Long = {
+    val payloadCols = incoming.columns.filterNot(_ == pk).sorted
+    def withHash(df: DataFrame): DataFrame =
+      df.withColumn("__payload_hash",
+        md5(to_json(struct(payloadCols.map(col).toIndexedSeq: _*))))
+
+    val versionedSchema = StructType(incoming.schema.fields ++ Seq(
+      StructField("effective_from", TimestampType, nullable = false),
+      StructField("effective_to", TimestampType, nullable = true),
+      StructField("is_current", BooleanType, nullable = false)))
+    val existing = readStagingOrEmpty(spark, stagingPath, versionedSchema)
+
+    val inc = withHash(incoming)
+    val current = withHash(existing.filter(col("is_current")))
+      .withColumnRenamed("__payload_hash", "__cur_hash")
+    val history = existing.filter(!col("is_current"))
+
+    // classify incoming keys against the current version
+    val joined = inc.join(
+      current.select(col(pk), col("__cur_hash")), Seq(pk), "left")
+    val newVersions = joined
+      .filter(col("__cur_hash").isNull || col("__cur_hash") =!= col("__payload_hash"))
+      .select(incoming.columns.map(col).toIndexedSeq: _*)
+      .withColumn("effective_from", lit(asOf))
+      .withColumn("effective_to", lit(null).cast(TimestampType))
+      .withColumn("is_current", lit(true))
+    // close current rows superseded by a changed incoming version
+    val changedKeys = newVersions.select(col(pk)).distinct()
+    val closed = existing.filter(col("is_current"))
+      .join(changedKeys, Seq(pk), "left_semi")
+      .withColumn("effective_to", lit(asOf))
+      .withColumn("is_current", lit(false))
+    val untouchedCurrent = existing.filter(col("is_current"))
+      .join(changedKeys, Seq(pk), "left_anti")
+
+    val merged = history.unionByName(untouchedCurrent)
+      .unionByName(closed).unionByName(newVersions)
+    val rows = merged.cache().count() // materialize before overwriting the source dir
+    merged.write.mode(SaveMode.Overwrite).parquet(stagingPath)
+    merged.unpersist()
+    rows
+  }
+
   /** Small-file compaction: rewrite a staged directory into
     * ceil(bytes / targetBytes) files. Streaming/incremental appends
     * accumulate small files; periodic compaction keeps scan parallelism

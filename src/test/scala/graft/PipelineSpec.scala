@@ -147,6 +147,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows2 == rows)
   }
 
+  test("scd2 merge: changed keys version, unchanged no-op, history preserved") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val staging = s"$dir/scd2"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    // day 1: two customers
+    val b1 = Seq((1, "alice", "gold"), (2, "bob", "silver")).toDF("id", "name", "tier")
+    assert(Pipeline.scd2Merge(spark, b1, "id", ts("2026-01-01 00:00:00"), staging) == 2)
+
+    // day 2: alice upgraded, bob unchanged, carol new
+    val b2 = Seq((1, "alice", "platinum"), (2, "bob", "silver"), (3, "carol", "gold"))
+      .toDF("id", "name", "tier")
+    assert(Pipeline.scd2Merge(spark, b2, "id", ts("2026-01-02 00:00:00"), staging) == 4)
+
+    val t = spark.read.parquet(staging)
+    // alice: closed v1 + current v2; bob: single still-current v1; carol: current v1
+    assert(t.count() == 4)
+    val cur = t.filter(col("is_current")).collect()
+      .map(r => r.getInt(0) -> r.getString(2)).toMap
+    assert(cur == Map(1 -> "platinum", 2 -> "silver", 3 -> "gold"))
+    val aliceV1 = t.filter(col("id") === 1 && !col("is_current")).collect()(0)
+    assert(aliceV1.getString(2) == "gold")
+    assert(aliceV1.getTimestamp(aliceV1.fieldIndex("effective_to")) == ts("2026-01-02 00:00:00"))
+    val bobRows = t.filter(col("id") === 2).collect()
+    assert(bobRows.length == 1 && bobRows(0).getBoolean(bobRows(0).fieldIndex("is_current")),
+      "unchanged key produced no new version")
+
+    // day 3 replay of day 2: pure no-op
+    assert(Pipeline.scd2Merge(spark, b2, "id", ts("2026-01-03 00:00:00"), staging) == 4)
+  }
+
   test("compaction preserves content and reduces file count") {
     val dir = tmpDir()
     val staging = s"$dir/stage_compact"
