@@ -268,7 +268,7 @@ object SqlScriptRunner {
     * inside '…' / "…" literals (with '' and "" escapes) and in `--` or
     * slash-star comments are part of the statement text.
     */
-  private[pipeline] def splitStatements(script: String): Seq[String] = {
+  def splitStatements(script: String): Seq[String] = {
     val stmts = Seq.newBuilder[String]
     val cur = new StringBuilder
     var i = 0

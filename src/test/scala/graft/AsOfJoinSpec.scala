@@ -37,6 +37,33 @@ class AsOfJoinSpec extends AnyFunSuite {
       4L -> None, 5L -> None))
   }
 
+  test("asof: null on-values match nothing and null right rows are skipped, not a crash") {
+    val left = Seq(
+      (1L, 1L, Some(ts("2024-01-01 10:00:00"))), // normal match
+      (2L, 1L, None),                            // null on-value → unmatched
+      (3L, 2L, Some(ts("2024-01-01 10:00:00")))  // key whose rights include a null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, Some(ts("2024-01-01 09:00:00")), "r1"),
+      (2L, None, "rnull"),                       // null right on-value → never a candidate
+      (2L, Some(ts("2024-01-01 08:00:00")), "r2")
+    ).toDF("rk", "rt", "tag")
+    val out = AsOfJoin.asof(spark, left, right,
+        col("k"), col("rk"), col("t"), col("rt"))
+      .select(col("id"), col("tag"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> Some("r1"), 2L -> None, 3L -> Some("r2")))
+  }
+
+  test("asof: unsupported on-key type is rejected at build time") {
+    val l = Seq((1L, "a")).toDF("k", "s")
+    val r = Seq((1L, "b")).toDF("rk", "rs")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(spark, l, r, col("k"), col("rk"), col("s"), col("rs"))
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+
   test("asof agrees with the compositional window formulation on real data") {
     val dir = TestSpark.sf
     val viaCustom = graft.streaming.Events.asofSignup(spark, dir)

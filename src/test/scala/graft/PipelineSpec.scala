@@ -86,6 +86,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.get.collect()(0).getLong(0) > 0)
   }
 
+  test("sql splitter: semicolons inside literals and comments do not split statements") {
+    val stmts = SqlScriptRunner.splitStatements(
+      """SELECT 'a;b' AS s1, "c;d" AS s2 -- trailing comment; with semicolon
+        |FROM t;
+        |/* block; comment */ SELECT 2;
+        |SELECT 'it''s;fine'""".stripMargin)
+    assert(stmts.length == 3, s"got ${stmts.length}: $stmts")
+    assert(stmts(0).contains("'a;b'") && stmts(0).contains("\"c;d\""))
+    assert(stmts(2).contains("it''s;fine"))
+  }
+
   test("runner: full landing→staging→transform→export run, idempotent re-run") {
     import graft.pipeline.Runner
     val work = tmpDir()
