@@ -99,6 +99,8 @@ object SparkEntry {
     "q40_asof_next"           -> Events.asofNextSignup _,
     "q41_native_pivot"        -> Extended.nativePivotQty _,
     "q42_bag_ops"             -> Extended.bagSetOps _,
+    "q43_latest_per_key"      -> Events.latestEventPerKey _,
+    "t11_length_buckets"      -> TextAnalysis.lengthCurriculumBuckets _,
     "q39_regex_suite"         -> Extended.regexSuite _,
     "q36_histogram"           -> ((s: SparkSession, d: String) => Extended.priceHistogram(s, d)),
     "m3_frame_samples"        -> Multimodal.frameSampleStats _,
@@ -792,6 +794,31 @@ object SparkEntry {
         CAST(day_of_the_week_num AS INT) AS day_of_the_week_num,
         working_day
       FROM dim_dates ORDER BY calendar_dt""",
+
+    "q43_latest_per_key" -> """
+      WITH r AS (
+        SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+          row_number() OVER (PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, event_type, event_id, ts AS latest_ts,
+        round(value, 2) AS latest_value
+      FROM r WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    "t11_length_buckets" -> """
+      WITH n AS (
+        SELECT doc_id,
+          CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+            AS BIGINT) AS n_tokens
+        FROM documents),
+      b AS (
+        SELECT doc_id, n_tokens,
+          CAST(ntile(4) OVER (ORDER BY n_tokens ASC, doc_id ASC) AS BIGINT) AS bucket
+        FROM n)
+      SELECT bucket, count(*) AS n_docs,
+        min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+        round(avg(n_tokens), 2) AS avg_tokens
+      FROM b GROUP BY bucket ORDER BY bucket""",
 
     "q41_native_pivot" -> """
       SELECT l_linestatus,

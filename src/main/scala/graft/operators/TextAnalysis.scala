@@ -251,6 +251,25 @@ object TextAnalysis {
       .orderBy(col("lang_declared"), col("lang_pred"))
   }
 
+  /** t11: curriculum length buckets — quartile documents by token count
+    * (ntile) and report per-bucket corpus statistics: the binning step of
+    * length-based curriculum sampling / sequence-length-aware batching.
+    */
+  def lengthCurriculumBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n_tokens").asc, col("doc_id").asc)
+    staged(spark, dir)
+      .select(col("doc_id"), col("n_tokens"))
+      .withColumn("bucket", ntile(4).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        round(avg(col("n_tokens")), 2).as("avg_tokens"))
+      .orderBy(col("bucket"))
+  }
+
   /** t3: corpus-level quality aggregation per (lang, source) — the shape of
     * a "which crawl sources are worth keeping" report.
     */

@@ -213,6 +213,24 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** q43: CDC-style "keep latest per key" — the change-log compaction
+    * every mutable-source ingest needs: rank each (user, event_type)
+    * group's records by recency (event_id tiebreak) and keep the newest.
+    * One shuffle; at 100 TB this is the same plan with the window key as
+    * the shuffle key, and AQE splits skewed users.
+    */
+  def latestEventPerKey(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("latest_ts"), round(col("value"), 2).as("latest_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** q21: JSON property extraction from the string `props` column. */
   def jsonPropStats(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
