@@ -100,6 +100,7 @@ object SparkEntry {
     "q41_native_pivot"        -> Extended.nativePivotQty _,
     "q42_bag_ops"             -> Extended.bagSetOps _,
     "q43_latest_per_key"      -> Events.latestEventPerKey _,
+    "q44_supplier_revenue"    -> Extended.supplierNationRevenue _,
     "t11_length_buckets"      -> TextAnalysis.lengthCurriculumBuckets _,
     "q39_regex_suite"         -> Extended.regexSuite _,
     "q36_histogram"           -> ((s: SparkSession, d: String) => Extended.priceHistogram(s, d)),
@@ -794,6 +795,20 @@ object SparkEntry {
         CAST(day_of_the_week_num AS INT) AS day_of_the_week_num,
         working_day
       FROM dim_dates ORDER BY calendar_dt""",
+
+    "q44_supplier_revenue" -> """
+      WITH a AS (
+        SELECT n_name,
+          round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS supp_revenue,
+          CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name),
+      t AS (SELECT sum(supp_revenue) AS total FROM a)
+      SELECT n_name, supp_revenue, n_suppliers,
+        round(supp_revenue / total * 100.0 + 0.000000001, 4) AS pct_of_total
+      FROM a CROSS JOIN t ORDER BY n_name""",
 
     "q43_latest_per_key" -> """
       WITH r AS (

@@ -420,6 +420,30 @@ object Extended {
       .orderBy(col("bucket"))
   }
 
+  /** q44: supplier-side revenue rollup — lineitem joined through supplier
+    * to nation (the one fact→dim path the other queries don't walk), with
+    * each nation's share of total supplier revenue via a window over the
+    * aggregate. Completes table coverage: every testdata table feeds at
+    * least one oracle-checked query.
+    */
+  def supplierNationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir).select("l_suppkey", "l_extendedprice", "l_discount")
+    val s  = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n  = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val agg = li.join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("supp_revenue"),
+        countDistinct(col("s_suppkey")).cast("long").as("n_suppliers"))
+    agg.withColumn("pct_of_total",
+        round(col("supp_revenue") / sum(col("supp_revenue")).over(Window.partitionBy())
+          * 100.0 + 1e-9, 4))
+      .orderBy(col("n_name"))
+  }
+
   /** q41: Spark's NATIVE pivot operator (q1/q9 build the same shape from
     * conditional aggregates — the portable form; this is the first-class
     * `.pivot()` with an explicit value list, which keeps the plan a single
