@@ -101,6 +101,8 @@ object SparkEntry {
     "q42_bag_ops"             -> Extended.bagSetOps _,
     "q43_latest_per_key"      -> Events.latestEventPerKey _,
     "q44_supplier_revenue"    -> Extended.supplierNationRevenue _,
+    "t12_pii_scrub"           -> TextAnalysis.piiScrub _,
+    "t13_quality_filter"      -> TextAnalysis.qualityFilterVerdicts _,
     "t11_length_buckets"      -> TextAnalysis.lengthCurriculumBuckets _,
     "q39_regex_suite"         -> Extended.regexSuite _,
     "q36_histogram"           -> ((s: SparkSession, d: String) => Extended.priceHistogram(s, d)),
@@ -299,30 +301,40 @@ object SparkEntry {
         round(o_totalprice / 7.0, 3) AS weekly_rate
       FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""",
 
-    "t1_text_stats" -> s"""
-      WITH n AS (
-        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
-        FROM documents),
-      tk AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM n),
-      m AS (
-        SELECT doc_id, norm, toks,
-          CAST(len(toks) AS BIGINT) AS n_tokens,
-          CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
-        FROM tk),
-      r AS (
-        SELECT doc_id, n_tokens, n_distinct_tokens,
-          round(CAST(n_distinct_tokens AS DOUBLE) / greatest(n_tokens, 1), 4) AS type_token_ratio,
-          round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / greatest(n_tokens, 1), 4) AS avg_token_len,
-          round(CAST(len(list_filter(toks, t -> list_contains($StopSqlList, t))) AS DOUBLE)
-            / greatest(n_tokens, 1), 4) AS stopword_ratio,
-          md5(norm) AS fingerprint
-        FROM m)
-      SELECT doc_id, n_tokens, n_distinct_tokens, type_token_ratio, avg_token_len,
-        stopword_ratio,
-        round(least(CAST(n_tokens AS DOUBLE) / 500.0, 1.0) * 0.4
-          + type_token_ratio * 0.3 + (1.0 - stopword_ratio) * 0.3 + 0.000000001, 4) AS quality_score,
-        fingerprint
-      FROM r ORDER BY doc_id""",
+    "t1_text_stats" -> TextStatsOracleSql,
+
+    // t12: identical PII regexes, counts + nested masking replace.
+    "t12_pii_scrub" -> {
+      import graft.operators.TextAnalysis.{EmailRx, Ipv4Rx, PhoneRx}
+      s"""WITH n AS (SELECT doc_id, lower(text) AS t FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '$EmailRx')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t, '$PhoneRx')) AS BIGINT) AS n_phones,
+        CAST(len(regexp_extract_all(t, '$Ipv4Rx')) AS BIGINT) AS n_ips,
+        CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+          '$EmailRx', '<email>', 'g'), '$PhoneRx', '<phone>', 'g'),
+          '$Ipv4Rx', '<ip>', 'g')) AS BIGINT) AS masked_len,
+        md5(regexp_replace(regexp_replace(regexp_replace(t,
+          '$EmailRx', '<email>', 'g'), '$PhoneRx', '<phone>', 'g'),
+          '$Ipv4Rx', '<ip>', 'g')) AS masked_md5
+      FROM n ORDER BY doc_id"""
+    },
+
+    // t13: the composite filter over the t1 + t9 oracle metrics.
+    "t13_quality_filter" -> s"""
+      WITH t1 AS ($TextStatsOracleSql),
+      t9 AS ($RepetitionOracleSql),
+      j AS (
+        SELECT t1.doc_id, t1.n_tokens, t1.quality_score, t9.top_trigram_ratio,
+          CASE WHEN t1.n_tokens < 10 THEN 'too_short'
+               WHEN t1.n_tokens > 100000 THEN 'too_long'
+               WHEN t1.quality_score < 0.3 THEN 'low_quality'
+               WHEN t9.top_trigram_ratio > 0.2 THEN 'repetitive'
+               ELSE 'kept' END AS reject_reason
+        FROM t1 JOIN t9 ON t1.doc_id = t9.doc_id)
+      SELECT doc_id, n_tokens, quality_score, top_trigram_ratio,
+        reject_reason = 'kept' AS kept, reject_reason
+      FROM j ORDER BY doc_id""",
 
     "t2_lang_id" -> LangIdOracleSql,
 
@@ -634,28 +646,7 @@ object SparkEntry {
 
     // t9: Gopher-style repetition metrics — top-trigram share + duplicate
     // physical lines.
-    "t9_repetition" -> """
-      WITH tk AS (
-        SELECT doc_id, text,
-          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
-        FROM documents),
-      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tk
-              WHERE len(t) >= 3),
-      g AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM idx),
-      gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
-      tri AS (
-        SELECT doc_id,
-          round(CAST(max(c) AS DOUBLE) / sum(c) + 0.000000001, 4) AS top_trigram_ratio
-        FROM gc GROUP BY 1),
-      ln0 AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
-      l AS (
-        SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
-          round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
-            + 0.000000001, 4) AS dup_line_frac
-        FROM ln0)
-      SELECT l.doc_id, l.n_lines, l.dup_line_frac,
-        COALESCE(tri.top_trigram_ratio, 0.0) AS top_trigram_ratio
-      FROM l LEFT JOIN tri ON l.doc_id = tri.doc_id ORDER BY l.doc_id""",
+    "t9_repetition" -> RepetitionOracleSql,
 
     // d8: 8-gram overlap of training docs against the doc_id%20=0 "eval"
     // subset.
@@ -1079,6 +1070,56 @@ object SparkEntry {
   private def RollingHashReduceSql(bytes: String): String =
     s"""CAST(list_reduce(list_prepend(0::HUGEINT, $bytes),
         (a, x) -> (a * 257 + x) % 2305843009213693951) AS BIGINT)"""
+
+  /** t1's full oracle — shared with t13's composite filter. */
+  private def TextStatsOracleSql: String = s"""
+      WITH n AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents),
+      tk AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM n),
+      m AS (
+        SELECT doc_id, norm, toks,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
+        FROM tk),
+      r AS (
+        SELECT doc_id, n_tokens, n_distinct_tokens,
+          round(CAST(n_distinct_tokens AS DOUBLE) / greatest(n_tokens, 1), 4) AS type_token_ratio,
+          round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / greatest(n_tokens, 1), 4) AS avg_token_len,
+          round(CAST(len(list_filter(toks, t -> list_contains($StopSqlList, t))) AS DOUBLE)
+            / greatest(n_tokens, 1), 4) AS stopword_ratio,
+          md5(norm) AS fingerprint
+        FROM m)
+      SELECT doc_id, n_tokens, n_distinct_tokens, type_token_ratio, avg_token_len,
+        stopword_ratio,
+        round(least(CAST(n_tokens AS DOUBLE) / 500.0, 1.0) * 0.4
+          + type_token_ratio * 0.3 + (1.0 - stopword_ratio) * 0.3 + 0.000000001, 4) AS quality_score,
+        fingerprint
+      FROM r ORDER BY doc_id"""
+
+  /** t9's full oracle — shared with t13's composite filter. */
+  private val RepetitionOracleSql: String = """
+      WITH tk AS (
+        SELECT doc_id, text,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tk
+              WHERE len(t) >= 3),
+      g AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM idx),
+      gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+      tri AS (
+        SELECT doc_id,
+          round(CAST(max(c) AS DOUBLE) / sum(c) + 0.000000001, 4) AS top_trigram_ratio
+        FROM gc GROUP BY 1),
+      ln0 AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+      l AS (
+        SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+          round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+            + 0.000000001, 4) AS dup_line_frac
+        FROM ln0)
+      SELECT l.doc_id, l.n_lines, l.dup_line_frac,
+        COALESCE(tri.top_trigram_ratio, 0.0) AS top_trigram_ratio
+      FROM l LEFT JOIN tri ON l.doc_id = tri.doc_id ORDER BY l.doc_id"""
 
   /** d4's full oracle — shared with d9's brute-force pair replay. */
   private val SimHashOracleSql: String = s"""

@@ -270,6 +270,59 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** PII-ish patterns (email, phone-ish digit runs, IPv4) — deliberately
+    * simple and RE2-compatible so the DuckDB oracle shares them verbatim.
+    */
+  val EmailRx = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRx = "\\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b"
+  val Ipv4Rx  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** t12: PII scrubbing — count and redact email/phone/IP patterns per
+    * document (the privacy-filtering pass every training corpus gets).
+    * Counting + masking are pure regexp built-ins: one scan, no shuffle.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val norm = lower(col("text"))
+    def cnt(rx: String) =
+      size(regexp_extract_all(norm, lit(rx), lit(0))).cast("long")
+    val masked = regexp_replace(
+      regexp_replace(regexp_replace(norm, EmailRx, "<email>"),
+        PhoneRx, "<phone>"), Ipv4Rx, "<ip>")
+    Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"),
+        cnt(EmailRx).as("n_emails"),
+        cnt(PhoneRx).as("n_phones"),
+        cnt(Ipv4Rx).as("n_ips"),
+        length(masked).cast("long").as("masked_len"),
+        md5(masked).as("masked_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t13: the composite quality filter — C4/Gopher-style keep/reject
+    * verdict per document with the FIRST failing rule as the reject
+    * reason: too-short, too-long, low quality score, high repetition.
+    * Composes the t1 quality metrics and t9 repetition in one pass; the
+    * downstream "filtered corpus" is a semi-join on kept doc_ids.
+    */
+  def qualityFilterVerdicts(spark: SparkSession, dir: String): DataFrame = {
+    val q = textStats(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val rep = repetitionStats(spark, dir)
+      .select(col("doc_id"), col("top_trigram_ratio"))
+    q.join(rep, "doc_id")
+      .withColumn("reject_reason",
+        when(col("n_tokens") < 10, "too_short")
+          .when(col("n_tokens") > 100000, "too_long")
+          .when(col("quality_score") < 0.3, "low_quality")
+          .when(col("top_trigram_ratio") > 0.2, "repetitive")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        col("top_trigram_ratio"),
+        (col("reject_reason") === "kept").as("kept"),
+        col("reject_reason"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t3: corpus-level quality aggregation per (lang, source) — the shape of
     * a "which crawl sources are worth keeping" report.
     */
