@@ -254,6 +254,13 @@ object TextAnalysis {
   /** t11: curriculum length buckets — quartile documents by token count
     * (ntile) and report per-bucket corpus statistics: the binning step of
     * length-based curriculum sampling / sequence-length-aware batching.
+    *
+    * Scale note: exact ntile over the whole corpus is an empty-partition
+    * window — a single global sort. That is the price of the exact
+    * equal-count contract the oracle pins; at 100 TB bin against
+    * percentile_approx boundaries instead (map-side comparison, no global
+    * sort, bucket sizes approximate within the sketch's rank error —
+    * the q34 pattern).
     */
   def lengthCurriculumBuckets(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
