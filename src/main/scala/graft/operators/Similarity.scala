@@ -110,31 +110,41 @@ object Similarity {
 
     val e = raw.select(col("vec_id"), col("embedding"))
 
-    // nearest-centroid assignment (argmax over the broadcast centroid set)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cc").desc, col("cent_id").asc)
-    val assigned = e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        expr("array_cosine(embedding, cv)").as("cc"))
-      .withColumn("r", row_number().over(wAssign))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    // the whole centroid set as ONE row holding an array of (cent_id, cv)
+    // structs: broadcast-joining this single row lets every argmax below
+    // run map-side — the corpus is never shuffled (or windowed) just to
+    // learn its cell. (The previous shape — crossJoin to corpus×ncells
+    // rows + row_number over Window.partitionBy(vec_id) — moved the
+    // expanded rows through an exchange+sort for the identical answer.)
+    val centArr = centroids
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("cv")))).as("cents"))
 
-    // queries probe their nprobe nearest cells
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cc").desc, col("cent_id").asc)
+    // per-centroid scores, sorted best-first: struct comparison is
+    // field-by-field, so ordering by (-cc, cent_id) ascending ranks by
+    // cosine DESC with ties to the smallest cent_id — the same rule the
+    // oracle's row_number(ORDER BY cc DESC, cent_id ASC) pins.
+    def rankedCells(vec: org.apache.spark.sql.Column) =
+      transform(
+        sort_array(transform(col("cents"), c =>
+          struct((-cosine(vec, c.getField("cv"))).as("ncc"),
+            c.getField("cent_id").as("cent_id")))),
+        s => s.getField("cent_id"))
+
+    // nearest-centroid assignment: zero-shuffle expression argmax
+    val assigned = e.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("embedding"),
+        element_at(rankedCells(col("embedding")), 1).as("cent_id"))
+
+    // queries probe their nprobe nearest cells (same map-side ranking)
     val probes = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qe"), col("cent_id"),
-        expr("array_cosine(qe, cv)").as("cc"))
-      .withColumn("r", row_number().over(wProbe))
-      .filter(col("r") <= IvfNProbe)
-      .select(col("query_id"), col("qe"), col("cent_id"))
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("qe"),
+        explode(slice(rankedCells(col("qe")), 1, IvfNProbe)).as("cent_id"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    assigned.join(probes, "cent_id")
+    assigned.join(broadcast(probes), "cent_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         expr("array_cosine(qe, embedding)").as("cos"))

@@ -252,17 +252,49 @@ object TextAnalysis {
   }
 
   /** t11: curriculum length buckets — quartile documents by token count
-    * (ntile) and report per-bucket corpus statistics: the binning step of
+    * and report per-bucket corpus statistics: the binning step of
     * length-based curriculum sampling / sequence-length-aware batching.
     *
-    * Scale note: exact ntile over the whole corpus is an empty-partition
-    * window — a single global sort. That is the price of the exact
-    * equal-count contract the oracle pins; at 100 TB bin against
-    * percentile_approx boundaries instead (map-side comparison, no global
-    * sort, bucket sizes approximate within the sketch's rank error —
-    * the q34 pattern).
+    * Scale design: the quartile BOUNDARIES are one `percentile_approx`
+    * aggregate (a mergeable sketch — map-side partials, no row leaves its
+    * partition un-aggregated), broadcast back as a single row; each
+    * document is then binned with three map-side comparisons. No global
+    * sort anywhere: the only ordering in the plan is the 4-row result
+    * presentation. Boundary ties all land in the lower bucket, so bucket
+    * sizes are equal up to ties (and, past the sketch's retention
+    * threshold, up to its rank error) — the contract both engines replay
+    * exactly: at gate scale (n ≤ accuracy) Spark's Greenwald–Khanna
+    * summary retains every value and returns precisely the element of
+    * rank ⌈q·n⌉, which the oracle reproduces with an explicit row_number.
+    * The exact-ntile form this replaces survives as
+    * [[lengthCurriculumBucketsExactNtile]], the test-scale baseline
+    * (equal counts, but an empty-partition window = single-partition sort
+    * of the whole corpus — the plan that dies at 100 TB).
     */
   def lengthCurriculumBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val toks = staged(spark, dir).select(col("doc_id"), col("n_tokens"))
+    val bounds = toks.agg(percentile_approx(col("n_tokens"),
+      array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("bs"))
+    val bucket = lit(1) +
+      (col("n_tokens") > element_at(col("bs"), 1)).cast("int") +
+      (col("n_tokens") > element_at(col("bs"), 2)).cast("int") +
+      (col("n_tokens") > element_at(col("bs"), 3)).cast("int")
+    toks.crossJoin(broadcast(bounds))
+      .select(col("n_tokens"), bucket.cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        round(avg(col("n_tokens")), 2).as("avg_tokens"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Exact equal-count quartiles via ntile — the test-scale baseline for
+    * [[lengthCurriculumBuckets]]. The empty-partition window is a global
+    * single-partition sort; never ship this plan against a real corpus.
+    */
+  def lengthCurriculumBucketsExactNtile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("n_tokens").asc, col("doc_id").asc)
     staged(spark, dir)

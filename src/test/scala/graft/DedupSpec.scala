@@ -48,6 +48,36 @@ class DedupSpec extends AnyFunSuite {
     assert(sumCopies == total)
   }
 
+  test("d5 banded-LSH near-dup pairs: subset of naive with high recall") {
+    val naive = Dedup.embeddingNearDupPairsNaive(spark, sf).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.embeddingNearDupPairs(spark, sf).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty, "test data should contain above-threshold pairs")
+    // exact-cosine verification ⇒ no false positives, ever
+    assert((banded -- naive).isEmpty, s"false positives: ${banded -- naive}")
+    // recall on the isotropic corpus (pair cosines ≈0.45 ⇒ p≈0.65/bit;
+    // expected 1-(1-p³)⁸ ≈ 0.92 — the floor leaves room for per-pair luck)
+    val recall = (banded intersect naive).size.toDouble / naive.size
+    assert(recall >= 0.6, s"banded recall = $recall (${banded.size}/${naive.size})")
+  }
+
+  test("t11 boundary binning tracks the exact-ntile baseline") {
+    import graft.operators.TextAnalysis
+    val approx = TextAnalysis.lengthCurriculumBuckets(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = TextAnalysis.lengthCurriculumBucketsExactNtile(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    assert(approx.values.sum == total, "binning must partition the corpus")
+    assert(approx.keySet == Set(1L, 2L, 3L, 4L))
+    // bucket sizes match the equal-count baseline up to boundary ties
+    approx.foreach { case (b, n) =>
+      assert(math.abs(n - total / 4.0) <= total * 0.15,
+        s"bucket $b size $n drifts from ${total / 4} beyond tie slack")
+    }
+  }
+
   test("IVF ANN achieves >=40% recall@5 on isotropic data (nprobe=3 of 10 cells)") {
     val bf = Similarity.annBruteForceTopK(spark, sf).select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -93,12 +93,13 @@ class PlanSpec extends AnyFunSuite {
 
   test("no query plan degenerates to a cartesian/nested-loop join (except declared quadratic ones)") {
     // intentionally non-equi or broadcast-cross plans:
-    //  - d5/s1: exact all-pairs scans (the documented correctness baselines)
-    //  - s3/t8/q36: crossJoin(broadcast(<1-row or dim>)) scalar/centroid fan-in
+    //  - s1: exact all-pairs scan (the documented correctness baseline)
+    //  - s3/t8/t11/q36: crossJoin(broadcast(<1-row or dim>)) scalar/centroid fan-in
     //  - q23: correlated scalar subquery decorrelates to a single-row join
+    // (d5 earned its way OUT of this set: banded-LSH candidates, r3)
     val quadraticByDesign = Set(
-      "d5_embedding_neardup", "s1_ann_topk", "s3_ann_ivf_topk",
-      "t8_tfidf", "q36_histogram", "q23_correlated_subq")
+      "s1_ann_topk", "s3_ann_ivf_topk",
+      "t8_tfidf", "t11_length_buckets", "q36_histogram", "q23_correlated_subq")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticByDesign)
       .flatMap { name =>
@@ -111,6 +112,38 @@ class PlanSpec extends AnyFunSuite {
       }
     assert(offenders.isEmpty,
       s"unexpected quadratic joins in: ${offenders.map(_._1)}\n${offenders.take(2)}")
+  }
+
+  private def allWindows(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.window.WindowExec] =
+    p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+      case a: AdaptiveSparkPlanExec => allWindows(a.inputPlan)
+    }.flatten
+
+  test("t11 curriculum buckets: no global sort / empty-partition window in the shipped plan") {
+    val plan = initialPlan(graft.operators.TextAnalysis.lengthCurriculumBuckets(spark, sf))
+    // the scale-killer this replaces was ntile over Window.orderBy with no
+    // partition key — a single-partition sort of the whole corpus
+    assert(allWindows(plan).isEmpty, s"unexpected window:\n$plan")
+    assert(!plan.toString.contains("ntile("), s"ntile leaked back in:\n$plan")
+  }
+
+  test("s3 IVF: centroid assignment is map-side (no window/exchange touches the corpus scan)") {
+    val plan = initialPlan(graft.operators.Similarity.annIvfTopK(spark, sf))
+    // the only window allowed is the final per-query top-k (partitioned by
+    // query_id over the bounded candidate set) — assignment/probe argmax
+    // must not reintroduce a Window.partitionBy(vec_id) over corpus×ncells
+    val offending = allWindows(plan).filterNot { w =>
+      w.partitionSpec.nonEmpty &&
+        w.partitionSpec.forall(_.references.map(_.name).forall(_ == "query_id"))
+    }
+    assert(offending.isEmpty, s"non-top-k window in IVF plan:\n$offending")
+  }
+
+  test("d5 banded-LSH: covered by the suite no-cartesian gate without exemption") {
+    val p = planString(graft.operators.Dedup.embeddingNearDupPairs(spark, sf, release = false))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d5 fell back to a quadratic join:\n$p")
   }
 
   test("whole-stage codegen covers the relational hot paths") {
