@@ -101,6 +101,7 @@ object SparkEntry {
     "q42_bag_ops"             -> Extended.bagSetOps _,
     "q43_latest_per_key"      -> Events.latestEventPerKey _,
     "q44_supplier_revenue"    -> Extended.supplierNationRevenue _,
+    "q45_asof_within"         -> Events.asofSignupWithin _,
     "t12_pii_scrub"           -> TextAnalysis.piiScrub _,
     "t13_quality_filter"      -> TextAnalysis.qualityFilterVerdicts _,
     "t11_length_buckets"      -> TextAnalysis.lengthCurriculumBuckets _,
@@ -615,6 +616,24 @@ object SparkEntry {
           AS secs_since_signup
       FROM e ASOF LEFT JOIN s ON e.user_id = s.s_user AND e.ts >= s.signup_ts
       ORDER BY event_id""",
+
+    // q45: tolerance-bounded as-of — the most-recent-within-window signup
+    // IS max(signup_ts) over (ts - 1h, ts], so the replay is a filtered
+    // groupBy-max re-joined to the left side (left outer for unmatched).
+    "q45_asof_within" -> """
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      s AS (SELECT user_id AS s_user, CAST(ts AS TIMESTAMP) AS signup_ts
+            FROM events WHERE event_type = 'signup'),
+      m AS (
+        SELECT e.event_id, max(s.signup_ts) AS signup_ts
+        FROM e JOIN s ON e.user_id = s.s_user
+          AND s.signup_ts <= e.ts
+          AND date_diff('microsecond', s.signup_ts, e.ts) <= 3600000000
+        GROUP BY e.event_id)
+      SELECT e.event_id, e.user_id, e.ts, m.signup_ts,
+        CAST(date_diff('microsecond', m.signup_ts, e.ts) // 1000000 AS BIGINT)
+          AS secs_since_signup
+      FROM e LEFT JOIN m USING (event_id) ORDER BY event_id""",
 
     "q21_json_props" -> """
       WITH k AS (

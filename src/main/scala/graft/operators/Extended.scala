@@ -559,7 +559,12 @@ object Extended {
     // HLL over the deduped pairs: an HLL sketch is duplicate-insensitive,
     // so the estimate is bit-identical to feeding the raw column, while the
     // exact count becomes a plain count — one partial-agg distinct instead
-    // of a countDistinct expand over the full fact table
+    // of a countDistinct expand over the full fact table. (Measured at
+    // sf0.1: this shape 1.38s vs 3.66s for the one-pass
+    // groupBy(flag).agg(countDistinct, approx) plan — the mixed
+    // distinct/non-distinct rewrite re-aggregates the full fact table.
+    // The remaining cost over the r1 HLL-only query is the exact-count
+    // contract itself: a distinct of the pair set cannot skip its shuffle.)
     li.select(col("l_returnflag"), col("l_partkey")).distinct()
       .groupBy(col("l_returnflag"))
       .agg(

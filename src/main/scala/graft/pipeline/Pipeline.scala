@@ -48,9 +48,39 @@ object Pipeline {
     StructField("shipment_date", StringType, nullable = true),
     StructField("delivery_date", StringType, nullable = true)))
 
-  /** S1/S2: schema-pinned CSV scan (header row skipped by name). */
+  /** S1/S2: schema-pinned CSV scan (header row skipped by name). The path
+    * is scheme-agnostic — `file:`, `hdfs:`, or `s3a:` all resolve through
+    * the Hadoop filesystem layer, so the reference's S3 ingest is this
+    * same call over an `s3a://bucket/key` path once [[s3aConf]] has been
+    * applied to the session.
+    */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S1: the reference's defining ingest is an UNSIGNED GET from a public
+    * S3 bucket (anonymous boto3 client,
+    * `extract_load_transform_data_pipeline.py.py:43-63`). The Spark-native
+    * equivalent is the `s3a://` filesystem with the anonymous credentials
+    * provider — a session configuration, not a code path: every reader in
+    * this class then accepts `s3a://` URIs unchanged, and the SCAN runs
+    * distributed on the executors instead of the reference's
+    * single-client download-then-read. Returns the session for chaining.
+    */
+  def s3aConf(spark: SparkSession, anonymous: Boolean = true,
+              endpoint: Option[String] = None): SparkSession = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", "org.apache.hadoop.fs.s3a.S3AFileSystem")
+    if (anonymous)
+      hc.set("fs.s3a.aws.credentials.provider",
+        "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider")
+    else
+      hc.unset("fs.s3a.aws.credentials.provider") // default chain (env/IAM)
+    endpoint.foreach(hc.set("fs.s3a.endpoint", _))
+    // object stores have no rename/list consistency worth paying for on a
+    // read-only landing scan; favor sequential whole-object reads (CSV)
+    hc.set("fs.s3a.experimental.input.fadvise", "sequential")
+    spark
+  }
 
   /** CSV scan with an explicit malformed-row policy — the ingest decision
     * the reference leaves to pandas defaults. PERMISSIVE keeps bad rows

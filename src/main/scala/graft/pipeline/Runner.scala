@@ -161,16 +161,56 @@ object JdbcStore {
 
   /** Watermark query pushed down to the database (runs remotely, returns
     * one row — the reference's `SELECT COALESCE(MAX(CAST(pk AS INT)),0)`).
-    * The pk is ANSI-double-quoted: Spark's JDBC writer creates columns
-    * with case-preserved quoted identifiers, so an unquoted reference
-    * would case-fold and miss (Derby/Postgres fold opposite directions —
-    * quoting is the only portable spelling).
+    * Rendering is dialect-owned (see [[SqlDialect.watermarkSql]]): the pk
+    * is ANSI-double-quoted because Spark's JDBC writer creates columns
+    * with case-preserved quoted identifiers, and Derby/Postgres case-fold
+    * opposite directions.
     */
   def currentWatermark(spark: SparkSession, url: String, table: String,
-                       pk: String, p: Properties): Long =
+                       pk: String, p: Properties,
+                       dialect: SqlDialect = PostgresDialect): Long =
     spark.read
-      .jdbc(url, s"""(SELECT COALESCE(MAX(CAST("$pk" AS BIGINT)), 0) AS w FROM $table) t""", p)
+      .jdbc(url, dialect.watermarkSql(table, pk), p)
       .collect()(0).getLong(0)
+
+  /** S9: dialect-rendered CREATE TABLE, idempotent — `IF NOT EXISTS`
+    * where the target supports it, an already-exists SQLState guard where
+    * it doesn't (Derby).
+    */
+  def ensureTable(url: String, table: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  dialect: SqlDialect, p: Properties): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, p)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(dialect.createTableSql(table, schema))
+      catch {
+        case e: java.sql.SQLException
+          if e.getSQLState == dialect.tableExistsSqlState => ()
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** Key-upsert of a small batch through the dialect's MERGE/ON CONFLICT
+    * statement — for MERGE-capable sinks where [[Pipeline.upsert]]'s
+    * anti-join rewrite would be wasteful. Driver-side JDBC by design:
+    * this is the control-plane path (dimension trickle, metrics rows),
+    * not the bulk load — bulk stays on `DataFrameWriter.jdbc`.
+    */
+  def upsertRows(url: String, table: String,
+                 schema: org.apache.spark.sql.types.StructType, pk: String,
+                 rows: Seq[Seq[Any]], dialect: SqlDialect,
+                 p: Properties): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, p)
+    try {
+      val ps = conn.prepareStatement(dialect.upsertSql(table, schema, pk))
+      val order = dialect.upsertParamOrder(schema, pk)
+      try rows.foreach { r =>
+        order.zipWithIndex.foreach { case (fi, pos) => ps.setObject(pos + 1, r(fi)) }
+        ps.executeUpdate()
+      } finally ps.close()
+    } finally conn.close()
+  }
 
   def appendAbove(df: DataFrame, url: String, table: String, pk: String,
                   watermark: Long, p: Properties): Unit =

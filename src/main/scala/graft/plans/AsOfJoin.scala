@@ -24,7 +24,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftBy: Expression, rightBy: Expression,
-                        leftOn: Expression, rightOn: Expression)
+                        leftOn: Expression, rightOn: Expression,
+                        tolerance: Option[Long] = None)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -34,15 +35,16 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lBy, rBy, lOn, rOn) =>
-      AsOfJoinExec(planLater(l), planLater(r), lBy, rBy, lOn, rOn) :: Nil
+    case AsOfJoinNode(l, r, lBy, rBy, lOn, rOn, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lBy, rBy, lOn, rOn, tol) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftBy: Expression, rightBy: Expression,
-                        leftOn: Expression, rightOn: Expression)
+                        leftOn: Expression, rightOn: Expression,
+                        tolerance: Option[Long] = None)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -70,6 +72,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       .asInstanceOf[Ordering[Any]]
     val nRight = right.output.size
     val outAttrs = output
+    val hasTol = tolerance.isDefined
+    val tolV = tolerance.getOrElse(0L)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joiner = UnsafeProjection.create(outAttrs, outAttrs)
@@ -79,6 +83,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var rCur: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
       var candidate: InternalRow = null
       var candidateKey: Any = null
+      var candidateOn: Long = 0L
 
       lIter.map { l =>
         val lk = lByB.eval(l)
@@ -102,12 +107,20 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             } else {
               val c = keyOrdering.compare(rk, lk)
               if (c < 0 || (c == 0 && rOnV.asInstanceOf[Number].longValue() <= lt)) {
-                if (c == 0) { candidate = rCur; candidateKey = rk }
+                if (c == 0) {
+                  candidate = rCur; candidateKey = rk
+                  candidateOn = rOnV.asInstanceOf[Number].longValue()
+                }
                 rCur = if (rIter.hasNext) rIter.next().copy() else null
               } else advancing = false
             }
           }
-          val matched = candidate != null && keyOrdering.compare(candidateKey, lk) == 0
+          // `within` bound: the candidate is the greatest on-value ≤ lt for
+          // this key, so if IT falls outside the tolerance no earlier right
+          // row can fall inside — unmatched, not "try an older one"
+          val matched = candidate != null &&
+            keyOrdering.compare(candidateKey, lk) == 0 &&
+            (!hasTol || lt - candidateOn <= tolV)
           joiner(joined(l, if (matched) candidate else nullRight))
         }
       }
@@ -122,11 +135,18 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 object AsOfJoin {
 
   /** `asof(left, right, by, on)`: left outer as-of join. Column arguments
-    * must resolve against the respective inputs.
+    * must resolve against the respective inputs. `within`, if given,
+    * bounds the match: a right row only matches when
+    * `leftOn - rightOn <= within`, in the on-key's native units
+    * (microseconds for timestamps, days for dates, the value itself for
+    * integers) — the DuckDB/kdb ASOF tolerance, and the guard every
+    * sensor/trade alignment needs against matching a reading from hours
+    * ago.
     */
   def asof(spark: SparkSession, left: DataFrame, right: DataFrame,
            leftBy: Column, rightBy: Column,
-           leftOn: Column, rightOn: Column): DataFrame = {
+           leftOn: Column, rightOn: Column,
+           within: Option[Long] = None): DataFrame = {
     GraftSqlShim.addStrategy(spark, AsOfJoinStrategy)
     val lPlan = GraftSqlShim.analyzedPlan(left)
     val rPlan = GraftSqlShim.analyzedPlan(right)
@@ -151,9 +171,12 @@ object AsOfJoin {
     }
     checkOnType(lOn, "left")
     checkOnType(rOn, "right")
+    within.foreach { t =>
+      require(t >= 0, s"as-of join: `within` must be non-negative, got $t")
+    }
     val node = AsOfJoinNode(lPlan, rPlan,
       resolve(leftBy, lPlan, left), resolve(rightBy, rPlan, right),
-      lOn, rOn)
+      lOn, rOn, within)
     GraftSqlShim.ofRows(spark, node)
   }
 }

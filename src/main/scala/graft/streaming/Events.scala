@@ -131,6 +131,28 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** q45: tolerance-bounded as-of — q20's alignment, but a signup only
+    * matches if it happened within the last hour (`within` on the custom
+    * operator, microsecond units for timestamp on-keys). The guard every
+    * sensor/trade alignment needs: without it, a stale quote from hours
+    * ago silently matches. Same one-exchange-per-side sort-merge plan.
+    */
+  def asofSignupWithin(spark: SparkSession, dir: String): DataFrame = {
+    val tolMicros = 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+    graft.plans.AsOfJoin.asof(spark, ev, signups,
+        col("user_id"), col("s_user"), col("ts"), col("signup_ts"),
+        within = Some(tolMicros))
+      .select(col("event_id"), col("user_id"), col("ts"), col("signup_ts"),
+        expr("timestampdiff(SECOND, signup_ts, ts)").cast("long")
+          .as("secs_since_signup"))
+      .orderBy(col("event_id"))
+  }
+
   /** q29: time-range join, bucketized — for every purchase, the count of
     * the same user's clicks in the preceding 30 minutes. A naive range
     * join is a theta-join (quadratic per user); bucketing both sides into

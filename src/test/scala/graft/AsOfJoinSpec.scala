@@ -37,6 +37,44 @@ class AsOfJoinSpec extends AnyFunSuite {
       4L -> None, 5L -> None))
   }
 
+  test("asof within: matches outside the tolerance become unmatched, inside are unchanged") {
+    val left = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),  // r1 is 60 min old → at the bound, kept
+      (2L, 1L, ts("2024-01-01 10:00:01")),  // r1 is 60 min 1 s old → dropped
+      (3L, 1L, ts("2024-01-01 12:30:00")),  // r2 is 30 min old → kept
+      (4L, 2L, ts("2024-01-01 10:00:00"))   // no right at all → null either way
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "r1"),
+      (1L, ts("2024-01-01 12:00:00"), "r2")
+    ).toDF("rk", "rt", "tag")
+
+    val hour = 3600L * 1000000L // timestamp on-keys: micros
+    val out = AsOfJoin.asof(spark, left, right,
+        col("k"), col("rk"), col("t"), col("rt"), within = Some(hour))
+      .select(col("id"), col("tag"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+
+    assert(out == Map(
+      1L -> Some("r1"), 2L -> None, 3L -> Some("r2"), 4L -> None))
+  }
+
+  test("asof within: q45 equals q20 with out-of-tolerance matches masked") {
+    val sf = TestSpark.sf
+    val bounded = graft.streaming.Events.asofSignupWithin(spark, sf)
+      .select(col("event_id"), col("secs_since_signup"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val unbounded = graft.streaming.Events.asofSignup(spark, sf)
+      .select(col("event_id"), col("secs_since_signup"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val masked = unbounded.view.mapValues(_.filter(
+      _.asInstanceOf[Long] <= 3600L)).toMap
+    assert(bounded == masked)
+    // the tolerance must actually bite on this data
+    assert(bounded.values.count(_.isEmpty) > unbounded.values.count(_.isEmpty),
+      "no match fell outside the 1h window — tolerance untested")
+  }
+
   test("asof: null on-values match nothing and null right rows are skipped, not a crash") {
     val left = Seq(
       (1L, 1L, Some(ts("2024-01-01 10:00:00"))), // normal match

@@ -74,6 +74,44 @@ class JdbcSpec extends AnyFunSuite {
     assert(spark.read.jdbc(url, "events_sink", props).count() == n)
   }
 
+  test("dialect seam: Derby renders executable DDL/MERGE (live); Postgres renders the documented forms") {
+    import org.apache.spark.sql.types._
+    import graft.pipeline.{DerbyDialect, PostgresDialect}
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("score", DoubleType)))
+
+    // both dialects spell the watermark subquery identically (pure ANSI)
+    assert(DerbyDialect.watermarkSql("t", "id") == PostgresDialect.watermarkSql("t", "id"))
+
+    // Postgres renderings: asserted against the documented spellings
+    // (unreachable in-sandbox; the text IS the contract)
+    val pgDdl = PostgresDialect.createTableSql("staging_orders", schema)
+    assert(pgDdl == """CREATE TABLE IF NOT EXISTS staging_orders ("id" BIGINT NOT NULL, "name" TEXT, "score" DOUBLE PRECISION)""")
+    val pgUp = PostgresDialect.upsertSql("staging_orders", schema, "id")
+    assert(pgUp.contains("""ON CONFLICT ("id") DO UPDATE SET"""))
+    assert(pgUp.contains(""""name" = EXCLUDED."name""""))
+
+    // Derby renderings: EXECUTED against the live embedded engine
+    val url = freshUrl()
+    JdbcStore.ensureTable(url, "staging_orders", schema, DerbyDialect, props)
+    JdbcStore.ensureTable(url, "staging_orders", schema, DerbyDialect, props) // idempotent
+    JdbcStore.upsertRows(url, "staging_orders", schema, "id",
+      Seq(Seq(1L, "alpha", 1.5), Seq(2L, "beta", 2.5)), DerbyDialect, props)
+    // second wave: update key 2, insert key 3
+    JdbcStore.upsertRows(url, "staging_orders", schema, "id",
+      Seq(Seq(2L, "beta2", 9.0), Seq(3L, "gamma", 3.5)), DerbyDialect, props)
+    val back = spark.read.jdbc(url, "staging_orders", props)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(back.toSeq == Seq((1L, "alpha", 1.5), (2L, "beta2", 9.0), (3L, "gamma", 3.5)))
+
+    // the dialect-routed watermark runs live on Derby too
+    val w = JdbcStore.currentWatermark(spark, url, "staging_orders", "id",
+      props, graft.pipeline.DerbyDialect)
+    assert(w == 3L)
+  }
+
   test("S7: predicate and column pruning push into the JDBC source") {
     import spark.implicits._
     val url = freshUrl()
