@@ -102,6 +102,10 @@ object SparkEntry {
     "q43_latest_per_key"      -> Events.latestEventPerKey _,
     "q44_supplier_revenue"    -> Extended.supplierNationRevenue _,
     "q45_asof_within"         -> Events.asofSignupWithin _,
+    "q46_grouping_sets"       -> Extended.groupingSetsRevenue _,
+    "d10_dup_ngram_frac"      -> ((s: SparkSession, d: String) => Dedup.dupNgramFraction(s, d)),
+    "t14_mixture_sample"      -> TextAnalysis.mixtureSample _,
+    "s4_quantize_int8"        -> Similarity.quantizeInt8 _,
     "t12_pii_scrub"           -> TextAnalysis.piiScrub _,
     "t13_quality_filter"      -> TextAnalysis.qualityFilterVerdicts _,
     "t11_length_buckets"      -> TextAnalysis.lengthCurriculumBuckets _,
@@ -751,6 +755,75 @@ object SparkEntry {
       FROM lineitem
       GROUP BY CUBE(l_returnflag, l_linestatus)
       ORDER BY g_flag, g_status, l_returnflag, l_linestatus""",
+
+    "q46_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS DOUBLE) AS revenue,
+        count(*) AS n_items,
+        CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        CAST(GROUPING(l_linestatus) AS INT) AS g_status
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+        (l_linestatus), ())
+      ORDER BY g_flag, g_status, l_returnflag, l_linestatus""",
+
+    // d10: document frequency of distinct word 8-grams, replayed over the
+    // string shingles (the Spark side hashes them; counts are identical).
+    "d10_dup_ngram_frac" -> """
+      WITH tk AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 6, 1))) AS i FROM tk),
+      sh AS (SELECT DISTINCT doc_id,
+        t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7] AS s
+        FROM idx),
+      dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+      agg AS (
+        SELECT sh.doc_id, count(*) AS n_ngrams,
+          sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM sh JOIN dfq USING (s) GROUP BY 1)
+      SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+        CAST(n_dup AS BIGINT) AS n_dup,
+        round(n_dup / greatest(n_ngrams, 1) + 0.000000001, 4) AS dup_frac
+      FROM agg ORDER BY doc_id""",
+
+    // t14: the sampling decision is the portable hash52 against a
+    // rate-derived threshold — the whole query replays exactly.
+    "t14_mixture_sample" -> s"""
+      WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+      t AS (SELECT sum(n_lang) AS total, count(*) AS n_langs FROM c),
+      r AS (SELECT lang, n_lang,
+              least(1.0, (CAST(total AS DOUBLE) / n_langs) / n_lang) AS rate
+            FROM c CROSS JOIN t),
+      k AS (
+        SELECT d.lang, r.rate,
+          (${graft.functions.TextFunctions.hash52Sql("CAST(doc_id AS VARCHAR)")} % 1000000
+            < floor(r.rate * 1000000)) AS keep
+        FROM documents d JOIN r ON d.lang = r.lang)
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        round(max(rate) + 0.000000001, 6) AS sample_rate
+      FROM k GROUP BY lang ORDER BY lang""",
+
+    // s4: the 6dp-rounded per-dimension grid pins the quantizer across
+    // engines; reconstruction arithmetic mirrors term-for-term.
+    "s4_quantize_int8" -> """
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      u AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding FROM e),
+      x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM u),
+      d AS (SELECT i, round(min(x), 6) AS lo, round(max(x), 6) AS hi FROM x GROUP BY 1),
+      q AS (
+        SELECT vec_id, x.i, x.x,
+          CASE WHEN hi = lo THEN lo
+               ELSE lo + round((x.x - lo) / (hi - lo) * 255.0, 0) / 255.0 * (hi - lo)
+          END AS recon
+        FROM x JOIN d ON x.i = d.i),
+      a AS (SELECT vec_id, max(abs(x - recon)) AS mx, avg(abs(x - recon)) AS mn
+            FROM q GROUP BY 1)
+      SELECT vec_id, round(mx + 0.000000001, 6) AS max_abs_err,
+        round(mn + 0.000000001, 6) AS mean_abs_err
+      FROM a ORDER BY vec_id""",
 
     // q33: the sample membership predicate is the portable hash52.
     "q33_hash_sample" -> s"""

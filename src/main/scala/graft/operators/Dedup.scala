@@ -339,6 +339,41 @@ object Dedup {
     if (release) materializeAndRelease(result, sh) else result
   }
 
+  /** d10: duplicated-n-gram fraction — for each document, the share of its
+    * distinct word 8-grams that also appear in at least one OTHER document
+    * (global document frequency ≥ minDf). The RefinedWeb/Gopher corpus-
+    * duplication signal: unlike pairwise dedup (d2/d3) it needs no pair
+    * enumeration at all — one shuffle to count n-gram document frequency,
+    * one join back — so it stays linear even on a corpus where near-dup
+    * pairs would be quadratic. Shingles ride the same 64-bit hash as d2/d8.
+    */
+  def dupNgramFraction(spark: SparkSession, dir: String, n: Int = 8,
+                       minDf: Int = 2): DataFrame = {
+    // cache barrier: same InferFiltersFromGenerate trap as d8 — without it
+    // the inferred size(sh)>0 filter re-runs the shingle pipeline on the
+    // single-file scan
+    val sh = Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesOfTokens(col("toks"), n).as("sh_str"))
+      .select(col("doc_id"), transform(col("sh_str"), s => xxhash64(s)).as("sh"))
+      .cache()
+    val ds = sh.select(col("doc_id"), size(col("sh")).as("n_ngrams"),
+      explode(col("sh")).as("s"))
+    // per-doc shingles are distinct, so count(*) per shingle IS document
+    // frequency
+    val dfreq = ds.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val result = ds.join(dfreq, "s")
+      .groupBy(col("doc_id"), col("n_ngrams"))
+      .agg(sum(when(col("df") >= minDf, 1).otherwise(0)).cast("long").as("n_dup"))
+      .select(col("doc_id"), col("n_ngrams").cast("long").as("n_ngrams"),
+        col("n_dup"),
+        round(col("n_dup").cast("double") /
+          greatest(col("n_ngrams"), lit(1)).cast("double") + 1e-9, 4)
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+    materializeAndRelease(result, sh)
+  }
+
   /** d9: SimHash near-dup PAIRS — the retrieval half of the SimHash path
     * (d4 computes signatures; this finds the close ones). The 52-bit
     * signature splits into 4 bands of 13 bits: two signatures within

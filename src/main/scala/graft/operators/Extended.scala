@@ -381,6 +381,26 @@ object Extended {
       .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q46: explicit GROUPING SETS — the asymmetric grouping combinations
+    * ROLLUP/CUBE can't spell: per (flag, status), per flag, per STATUS,
+    * and grand total, one Expand-based pass (completes the grouping-set
+    * family next to q14's ROLLUP and q32's CUBE).
+    */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).cast("long").as("n_items"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** q33: deterministic hash sampling — a ~5% sample selected by the
     * portable hash52 of the key, then aggregated. Unlike TABLESAMPLE /
     * rand(), the sample is identical across engines, runs, and partition

@@ -154,4 +154,41 @@ object Similarity {
         round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** s4: int8 scalar quantization of the embedding column — per-dimension
+    * [min,max] learned in one distributive pass (posexplode + groupBy(pos),
+    * 6dp-rounded to pin the grid across engines), then every vector
+    * quantized MAP-SIDE against the broadcast grid: 4× memory compression
+    * for the ANN corpus with the reconstruction error reported per vector.
+    * The compaction step a 100 TB embedding store runs before s2/s3 —
+    * corpus rows never shuffle; the only exchanges touch the 64-row
+    * dimension stats.
+    */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+    val dims = raw
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      // cast BEFORE min/max: a float min rounded to 6dp snaps back to the
+      // nearest float (~1e-8 off the exact 6dp value the oracle computes)
+      .agg(round(min(col("x").cast("double")), 6).as("lo"),
+        round(max(col("x").cast("double")), 6).as("hi"))
+    val grid = dims.agg(sort_array(collect_list(
+      struct(col("pos"), col("lo"), col("hi")))).as("dm"))
+    val recon = zip_with(col("embedding"), col("dm"), (x, m) => {
+      val lo = m.getField("lo"); val hi = m.getField("hi")
+      val q = round((x.cast("double") - lo) / (hi - lo) * lit(255.0), 0)
+      when(hi === lo, lo).otherwise(lo + q / lit(255.0) * (hi - lo))
+    })
+    raw.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(grid))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), recon,
+          (x, r) => abs(x.cast("double") - r)).as("errs"))
+      .select(col("vec_id"),
+        round(array_max(col("errs")) + 1e-9, 6).as("max_abs_err"),
+        round(aggregate(col("errs"), lit(0.0), _ + _) /
+          size(col("errs")) + 1e-9, 6).as("mean_abs_err"))
+      .orderBy(col("vec_id"))
+  }
 }

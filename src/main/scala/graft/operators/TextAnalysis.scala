@@ -362,6 +362,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t14: corpus mixture resampling — rebalance the corpus toward a
+    * uniform per-language share by deterministic hash sampling: each
+    * language gets rate = min(1, fair_share / its_count), and a document
+    * survives iff hash52(doc_id) mod 1e6 clears the rate threshold. The
+    * data-mixture pass every pretraining corpus gets (up-weighting is the
+    * same operator with rates > 1 and replication instead of filtering).
+    * Wholly map-side after a tiny per-language count: the sampling
+    * decision is a pure function of (doc_id, rate), so it is reproducible
+    * across engines, runs, and retries — no RNG state, no sort.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.hash52
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val tot = counts.agg(sum(col("n_lang")).as("total"),
+      count(lit(1)).as("n_langs"))
+    val withRate = counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_lang"),
+        least(lit(1.0), col("total").cast("double") / col("n_langs") /
+          col("n_lang")).as("rate"))
+    d.join(broadcast(withRate), "lang")
+      .select(col("lang"), col("rate"),
+        (hash52(col("doc_id").cast("string")) % 1000000 <
+          floor(col("rate") * 1000000)).as("keep"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_sampled"),
+        round(max(col("rate")) + 1e-9, 6).as("sample_rate"))
+      .orderBy(col("lang"))
+  }
+
   /** t3: corpus-level quality aggregation per (lang, source) — the shape of
     * a "which crawl sources are worth keeping" report.
     */

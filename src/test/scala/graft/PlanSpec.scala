@@ -98,8 +98,9 @@ class PlanSpec extends AnyFunSuite {
     //  - q23: correlated scalar subquery decorrelates to a single-row join
     // (d5 earned its way OUT of this set: banded-LSH candidates, r3)
     val quadraticByDesign = Set(
-      "s1_ann_topk", "s3_ann_ivf_topk",
-      "t8_tfidf", "t11_length_buckets", "q36_histogram", "q23_correlated_subq")
+      "s1_ann_topk", "s3_ann_ivf_topk", "s4_quantize_int8",
+      "t8_tfidf", "t11_length_buckets", "t14_mixture_sample",
+      "q36_histogram", "q23_correlated_subq")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticByDesign)
       .flatMap { name =>
