@@ -103,7 +103,9 @@ object SparkEntry {
     "q44_supplier_revenue"    -> Extended.supplierNationRevenue _,
     "q45_asof_within"         -> Events.asofSignupWithin _,
     "q46_grouping_sets"       -> Extended.groupingSetsRevenue _,
+    "q47_event_transitions"   -> Events.eventTransitionMatrix _,
     "d10_dup_ngram_frac"      -> ((s: SparkSession, d: String) => Dedup.dupNgramFraction(s, d)),
+    "d11_incremental_dedup"   -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "t14_mixture_sample"      -> TextAnalysis.mixtureSample _,
     "s4_quantize_int8"        -> Similarity.quantizeInt8 _,
     "t12_pii_scrub"           -> TextAnalysis.piiScrub _,
@@ -766,6 +768,50 @@ object SparkEntry {
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
         (l_linestatus), ())
       ORDER BY g_flag, g_status, l_returnflag, l_linestatus""",
+
+    // q47: same lead window, same (ts, event_id) tiebreak, same
+    // share-of-source rounding nudge as t10.
+    "q47_event_transitions" -> """
+      WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events),
+      n AS (
+        SELECT event_type,
+          lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS next_type
+        FROM e),
+      c AS (
+        SELECT event_type, next_type, count(*) AS n_transitions
+        FROM n WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      SELECT event_type, next_type, CAST(n_transitions AS BIGINT) AS n_transitions,
+        round(n_transitions / (sum(n_transitions)
+          OVER (PARTITION BY event_type)) * 100.0 + 0.000000001, 4) AS pct_of_type
+      FROM c ORDER BY event_type, next_type""",
+
+    // d11: the exact-Jaccard contract restricted to batch(odd)×corpus(even)
+    // pairs — LSH banding is recall machinery, verified output is exact
+    // (same reasoning as d3 sharing d2's oracle).
+    "d11_incremental_dedup" -> """
+      WITH tk AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tk),
+      sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s
+          AND a.doc_id % 2 <> 0 AND b.doc_id % 2 = 0
+        GROUP BY 1, 2),
+      j AS (
+        SELECT batch_id, corpus_id,
+          shared / (ca.n + cb.n - shared) AS jaccard
+        FROM pairs
+        JOIN cnt ca ON ca.doc_id = batch_id
+        JOIN cnt cb ON cb.doc_id = corpus_id)
+      SELECT batch_id, corpus_id, round(jaccard, 4) AS jaccard
+      FROM j WHERE jaccard >= 0.8 ORDER BY batch_id, corpus_id""",
 
     // d10: document frequency of distinct word 8-grams, replayed over the
     // string shingles (the Spark side hashes them; counts are identical).

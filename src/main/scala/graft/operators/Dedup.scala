@@ -156,27 +156,30 @@ object Dedup {
     * probability (1-0.8^4)^8 ≈ 3e-4 per pair, and the driver gate's planted
     * near-dups sit at j≈0.99 where miss probability is ~5e-12.
     */
-  def minhashLshPairs(spark: SparkSession, dir: String,
-                      threshold: Double = 0.8): DataFrame = {
-    val docs = docShingles(spark, dir).cache()
-
-    // signature: for each of K hash seeds, min over shingles of
-    // xxhash64(seed, shingle) — computed per document with higher-order
-    // functions, so signature generation is shuffle-free (the explode +
-    // double-groupBy formulation moves |shingles|·K rows through an
-    // exchange for the identical result)
+  /** MinHash band keys for a shingled-docs frame: for each of K hash
+    * seeds, min over shingles of xxhash64(seed, shingle) — computed per
+    * document with higher-order functions, so signature generation is
+    * shuffle-free (the explode + double-groupBy formulation moves
+    * |shingles|·K rows through an exchange for the identical result) —
+    * then one (band, bkey) row per band.
+    */
+  private def minhashBands(docs: DataFrame): DataFrame = {
     val sigCols = (0 until MinHashK).map { k =>
       array_min(transform(col("sh"), s => xxhash64(lit(k), s)))
     }
     val sig = docs.select(col("doc_id"), array(sigCols: _*).as("sig"))
-
-    // bands: hash a fixed slice of the signature per band; bucket join
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
         explode(sequence(lit(0), lit(Bands - 1))).as("band"))
       .join(sig, "doc_id")
       .select(col("doc_id"), col("band"),
         hash(col("band"), slice(col("sig"), col("band") * RowsPerBand + 1,
           lit(RowsPerBand))).as("bkey"))
+  }
+
+  def minhashLshPairs(spark: SparkSession, dir: String,
+                      threshold: Double = 0.8): DataFrame = {
+    val docs = docShingles(spark, dir).cache()
+    val bands = minhashBands(docs)
 
     val candidates = bands.as("a")
       .join(bands.as("b"),
@@ -372,6 +375,39 @@ object Dedup {
           .as("dup_frac"))
       .orderBy(col("doc_id"))
     materializeAndRelease(result, sh)
+  }
+
+  /** d11: INCREMENTAL dedup — near-dup matches of a new batch against an
+    * already-deduplicated corpus, without ever re-pairing the corpus with
+    * itself. The production ingest shape: corpus bands are a (persisted)
+    * index; each arriving batch computes its own bands and probes
+    * cross-side only, so per-batch cost is O(batch + collisions)
+    * regardless of corpus size — corpus×corpus pairs are never formed.
+    * Here `doc_id % 2` splits the table into stand-in corpus (even) and
+    * batch (odd); candidates are verified with exact Jaccard like d3.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String,
+                       threshold: Double = 0.8): DataFrame = {
+    val docs = docShingles(spark, dir).cache()
+    val bands = minhashBands(docs)
+    val corpusBands = bands.filter(col("doc_id") % 2 === 0)
+    val batchBands = bands.filter(col("doc_id") % 2 =!= 0)
+    val candidates = batchBands.as("a")
+      .join(corpusBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+    val verified = candidates
+      .join(docs.select(col("doc_id").as("batch_id"), col("sh").as("sh_a")), "batch_id")
+      .join(docs.select(col("doc_id").as("corpus_id"), col("sh").as("sh_b")), "corpus_id")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+    materializeAndRelease(verified, docs)
   }
 
   /** d9: SimHash near-dup PAIRS — the retrieval half of the SimHash path

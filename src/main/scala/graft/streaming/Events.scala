@@ -235,6 +235,30 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** q47: event-transition matrix — per-user next-event via `lead`, then
+    * global (from → to) counts with each cell's share of its source type:
+    * the Markov-chain view of user journeys (the generalization of q35's
+    * fixed click→purchase funnel to ALL transitions). One exchange on
+    * user_id for the window, one tiny aggregate; at 100 TB the window key
+    * is the shuffle key and AQE splits hot users.
+    */
+  def eventTransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wType = Window.partitionBy(col("event_type"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).cast("long").as("n_transitions"))
+      .withColumn("pct_of_type",
+        round(col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(wType) * 100.0 + 1e-9, 4))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
   /** q43: CDC-style "keep latest per key" — the change-log compaction
     * every mutable-source ingest needs: rank each (user, event_type)
     * group's records by recency (event_id tiebreak) and keep the newest.

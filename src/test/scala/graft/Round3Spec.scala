@@ -61,6 +61,39 @@ class Round3Spec extends AnyFunSuite {
     assert(mn <= mx)
   }
 
+  test("d11 incremental dedup: exactly the cross-parity slice of the full pair set") {
+    val full = Dedup.ngramJaccardPairs(spark, sf)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the full set's batch×corpus pairs, normalized to (batch, corpus)
+    val expected = full.collect {
+      case (a, b) if a % 2 != 0 && b % 2 == 0 => (a, b)
+      case (a, b) if a % 2 == 0 && b % 2 != 0 => (b, a)
+    }
+    val inc = Dedup.incrementalDedup(spark, sf)
+      .select("batch_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == expected, s"inc=${inc.size} expected=${expected.size}")
+    assert(inc.nonEmpty, "planted near-dups should cross the parity split")
+    // no corpus×corpus or batch×batch pair may appear
+    assert(inc.forall { case (b, c) => b % 2 != 0 && c % 2 == 0 })
+  }
+
+  test("q47 transition matrix: counts account for every non-final event; shares sum to 100") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val totalEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    val m = graft.streaming.Events.eventTransitionMatrix(spark, sf).cache()
+    val totalTransitions = m.agg(sum(col("n_transitions"))).collect()(0).getLong(0)
+    assert(totalTransitions == totalEvents - nUsers,
+      "each user contributes (events - 1) transitions")
+    val offSums = m.groupBy(col("event_type"))
+      .agg(sum(col("pct_of_type")).as("p"))
+      .filter(abs(col("p") - 100.0) > 0.01).count()
+    assert(offSums == 0, "per-source shares must sum to 100")
+    m.unpersist()
+  }
+
   test("q46 grouping sets: slices are consistent with the CUBE totals") {
     val gs = Extended.groupingSetsRevenue(spark, sf).cache()
     val cube = Extended.cubeQtyRevenue(spark, sf).cache()
