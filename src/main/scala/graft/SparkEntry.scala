@@ -104,6 +104,7 @@ object SparkEntry {
     "q45_asof_within"         -> Events.asofSignupWithin _,
     "q46_grouping_sets"       -> Extended.groupingSetsRevenue _,
     "q47_event_transitions"   -> Events.eventTransitionMatrix _,
+    "q48_regression_suite"    -> Extended.regressionSuite _,
     "d10_dup_ngram_frac"      -> ((s: SparkSession, d: String) => Dedup.dupNgramFraction(s, d)),
     "d11_incremental_dedup"   -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "t14_mixture_sample"      -> TextAnalysis.mixtureSample _,
@@ -583,6 +584,20 @@ object SparkEntry {
           * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0))
           + 0.000000001, 4) AS price_skew,
         count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q48_regression_suite" -> """
+      SELECT l_returnflag,
+        round(regr_slope(l_extendedprice, CAST(l_quantity AS DOUBLE))
+          + 0.000000001, 4) AS slope,
+        round(regr_intercept(l_extendedprice, CAST(l_quantity AS DOUBLE))
+          + 0.000000001, 4) AS intercept,
+        round(regr_r2(l_extendedprice, CAST(l_quantity AS DOUBLE))
+          + 0.000000001, 6) AS r2,
+        round(regr_avgx(l_extendedprice, CAST(l_quantity AS DOUBLE))
+          + 0.000000001, 4) AS avg_qty,
+        CAST(regr_count(l_extendedprice, CAST(l_quantity AS DOUBLE)) AS BIGINT)
+          AS n_pairs
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q24_orders_profile" -> """

@@ -116,6 +116,21 @@ case class ArrayDot(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
+  import org.apache.spark.sql.{Column, GraftSqlShim}
+
+  /** Column-level fused cosine — usable inside higher-order-function
+    * lambdas (where `expr("array_cosine(...)")` cannot bind the lambda
+    * variable). Same codegen'd single-loop expression as the registered
+    * SQL function.
+    */
+  def arrayCosine(a: Column, b: Column): Column =
+    GraftSqlShim.column(ArrayCosine(GraftSqlShim.expression(a),
+      GraftSqlShim.expression(b)))
+
+  def arrayDot(a: Column, b: Column): Column =
+    GraftSqlShim.column(ArrayDot(GraftSqlShim.expression(a),
+      GraftSqlShim.expression(b)))
+
   /** Register `array_cosine` / `array_dot` in the session's function
     * registry (idempotent) — query builders call this and then use the
     * functions via `expr("array_cosine(a, b)")`.

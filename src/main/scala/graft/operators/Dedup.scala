@@ -475,10 +475,12 @@ object Dedup {
     */
   def embeddingNearDupPairs(spark: SparkSession, dir: String,
                             threshold: Double = 0.45,
-                            release: Boolean = true): DataFrame = {
+                            release: Boolean = true,
+                            bands: Int = EmbBands,
+                            bandBits: Int = EmbBandBits): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     import graft.functions.VectorFunctions.hyperplaneBucketSql
-    val nBits = EmbBands * EmbBandBits
+    val nBits = bands * bandBits
     // normalize once per vector (the exact-verify stage is then one fused
     // dot per candidate); the signature is computed on the RAW embedding —
     // sign bits are scale-invariant, and the oracle twin replays the same
@@ -491,14 +493,14 @@ object Dedup {
         transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"),
         col("sig"))
       .cache()
-    val bands = base
+    val banded = base
       .select(col("vec_id"), col("sig"),
-        explode(sequence(lit(0), lit(EmbBands - 1))).as("band"))
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("vec_id"), col("band"),
-        expr(s"shiftright(sig, band * $EmbBandBits) & ${(1 << EmbBandBits) - 1}")
+        expr(s"shiftright(sig, band * $bandBits) & ${(1 << bandBits) - 1}")
           .as("bkey"))
-    val candidates = bands.as("a")
-      .join(bands.as("b"),
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))

@@ -249,6 +249,26 @@ object Extended {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q48: linear-regression aggregates — slope/intercept/R² of extended
+    * price on quantity per return flag, plus the regression counts. The
+    * closed-form OLS every profiling/drift report wants, computed as
+    * partial-aggregable moment sums (one map-side-combined pass, same
+    * plan family as q28's stats suite).
+    */
+  def regressionSuite(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val x = col("l_quantity").cast("double")
+    val y = col("l_extendedprice")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        round(regr_slope(y, x) + 1e-9, 4).as("slope"),
+        round(regr_intercept(y, x) + 1e-9, 4).as("intercept"),
+        round(regr_r2(y, x) + 1e-9, 6).as("r2"),
+        round(regr_avgx(y, x) + 1e-9, 4).as("avg_qty"),
+        regr_count(y, x).cast("long").as("n_pairs"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q23: correlated subqueries — scalar subquery in the projection and a
     * correlated EXISTS in the predicate; Catalyst decorrelates both into
     * joins (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery),

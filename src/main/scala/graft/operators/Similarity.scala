@@ -79,34 +79,52 @@ object Similarity {
 
   val IvfNProbe = 3
 
-  /** s3: IVF-style ANN — coarse quantization with per-label centroids
-    * ("pretrained" quantizer: mean embedding per label, computed
-    * distributively via posexplode + per-dimension avg), every vector
-    * assigned to its nearest centroid, each query probing the `IvfNProbe`
-    * nearest centroid cells. Scan fraction ≈ nprobe/ncells regardless of
-    * corpus size — the property that matters at 100 TB. On isotropic data
-    * (this test set) recall@5 ≈ 0.6 at 30% scan; on genuinely clustered
-    * embeddings the same plan gives >0.9.
+  /** s3: IVF-style ANN — coarse quantization with seeded centroids, every
+    * vector assigned to its nearest centroid (map-side argmax), each query
+    * probing the `IvfNProbe` nearest cells. Scan fraction ≈ nprobe/ncells.
+    *
+    * The cell count must GROW with the corpus or that fraction is a
+    * constant-factor lie: probing 3 of 10 cells scans 30% of 100 TB. So
+    * the quantizer is two-level — seed cells are (label × 2^subBits
+    * hyperplane sign-buckets), with ncells ≈ √n/2: assignment costs
+    * n·ncells map-side cosines while the probe stage shuffles
+    * nQ·nprobe·(n/ncells) candidate rows, and the √n point balances the
+    * two (the standard IVF nlist rule). At the oracle scale factors the
+    * corpus is small enough that subBits = 0 and the quantizer
+    * degenerates to exactly the per-label centroids the DuckDB twin
+    * replays. Centroid = per-dimension mean of its seed group,
+    * 6dp-rounded: double partial-sum order differs across engines, and
+    * 1e-6 granularity absorbs the ~1e-15 noise so assignments reproduce
+    * exactly. Assignment-by-argmax over the seeded means is one Lloyd
+    * step from a deterministic seeding — no iteration, no RNG, fully
+    * replayable.
     */
   def annIvfTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val raw = Tables.embeddings(spark, dir)
 
-    // centroids: per-label elementwise mean (cosine is scale-invariant, so
-    // no normalization needed)
+    // one scalar pass to size the quantizer (cheap: count + distinct over
+    // a dictionary-encoded column; at production scale this is the kind
+    // of statistic the catalog already has)
+    val statsRow = raw.agg(count(lit(1)), countDistinct(col("label"))).collect()(0)
+    val (n, nLabels) = (statsRow.getLong(0), statsRow.getLong(1).max(1))
+    val subBits = math.max(0, math.round(
+      math.log(math.sqrt(n.toDouble) / 2.0 / nLabels) / math.log(2.0)).toInt)
+
+    val cell =
+      if (subBits == 0) col("label").cast("int")
+      else (col("label").cast("int") * (1 << subBits) +
+        expr(hyperplaneBucketSql("embedding", 64, subBits)).cast("int"))
+
     val centroids = raw
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      // round to 6dp: pins the centroid to an engine-independent value
-      // (double partial-sum order differs across engines/runs; 1e-6
-      // granularity absorbs the ~1e-15 noise) so the DuckDB oracle
-      // reproduces assignments exactly
+      .select(cell.as("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
       .agg(round(avg(col("x")), 6).as("m"))
-      .groupBy(col("label"))
+      .groupBy(col("cell"))
       .agg(transform(
         sort_array(collect_list(struct(col("pos"), col("m")))),
         e => e.getField("m")).as("cv"))
-      .select(col("label").as("cent_id"), col("cv"))
+      .select(col("cell").as("cent_id"), col("cv"))
 
     val e = raw.select(col("vec_id"), col("embedding"))
 
@@ -122,18 +140,29 @@ object Similarity {
     // per-centroid scores, sorted best-first: struct comparison is
     // field-by-field, so ordering by (-cc, cent_id) ascending ranks by
     // cosine DESC with ties to the smallest cent_id — the same rule the
-    // oracle's row_number(ORDER BY cc DESC, cent_id ASC) pins.
+    // oracle's row_number(ORDER BY cc DESC, cent_id ASC) pins. The score
+    // is the fused native ArrayCosine applied to the lambda variable
+    // (identical accumulation order to the zip_with form, but one
+    // allocation-free loop — the assignment scores corpus×ncells pairs).
     def rankedCells(vec: org.apache.spark.sql.Column) =
       transform(
         sort_array(transform(col("cents"), c =>
-          struct((-cosine(vec, c.getField("cv"))).as("ncc"),
+          struct((-graft.expressions.VectorExpressions
+            .arrayCosine(vec, c.getField("cv"))).as("ncc"),
             c.getField("cent_id").as("cent_id")))),
         s => s.getField("cent_id"))
 
-    // nearest-centroid assignment: zero-shuffle expression argmax
+    // nearest-centroid assignment: zero-shuffle expression argmax.
+    // array_max of (cc, -cent_id) structs — NOT a sort: the corpus pays
+    // this per row, and sorting the ncells-wide score array per vector
+    // was measured 3× slower than the single max pass at soak scale
+    val best = array_max(transform(col("cents"), c =>
+      struct(graft.expressions.VectorExpressions
+        .arrayCosine(col("embedding"), c.getField("cv")).as("cc"),
+        (-c.getField("cent_id")).as("nid"))))
     val assigned = e.crossJoin(broadcast(centArr))
       .select(col("vec_id"), col("embedding"),
-        element_at(rankedCells(col("embedding")), 1).as("cent_id"))
+        (-best.getField("nid")).cast("int").as("cent_id"))
 
     // queries probe their nprobe nearest cells (same map-side ranking)
     val probes = e.filter(col("vec_id") % 50 === 0)

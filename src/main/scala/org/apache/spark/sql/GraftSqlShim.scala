@@ -25,4 +25,15 @@ object GraftSqlShim {
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
     }
   }
+
+  /** Column ⇄ Expression bridge — lets custom codegen'd expressions
+    * (ArrayCosine et al.) be applied to higher-order-function lambda
+    * variables, where the SQL-string route (`expr("array_cosine(...)")`)
+    * cannot reach.
+    */
+  def expression(c: Column): catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }
