@@ -460,10 +460,15 @@ object Dedup {
     * B=16 gives recall ≈0.96 with 65k buckets per band). The defaults
     * here (R=3, B=8) are sized for the isotropic test corpus, where the
     * planted-pair cosine is ≈0.46 (p≈0.65 → recall ≈0.92, measured in
-    * DedupSpec against the naive baseline).
+    * DedupSpec against the naive baseline). `bandBits <= 0` derives R
+    * from the corpus count (bucket ≈ [[EmbTargetBucket]] vectors — the
+    * rule that at soak scale kept candidates 60× below the fixed-R
+    * disk-filling run), matching [[EmbBandBits]] exactly at gate scale so
+    * the oracle twin stays static.
     */
   val EmbBands = 8
   val EmbBandBits = 3
+  val EmbTargetBucket = 60
 
   /** d5: embedding near-dup pairs — banded hyperplane-LSH candidates,
     * verified with the exact cosine ≥ threshold. The shipped plan is
@@ -477,10 +482,21 @@ object Dedup {
                             threshold: Double = 0.45,
                             release: Boolean = true,
                             bands: Int = EmbBands,
-                            bandBits: Int = EmbBandBits): DataFrame = {
+                            bandBits: Int = 0): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     import graft.functions.VectorFunctions.hyperplaneBucketSql
-    val nBits = bands * bandBits
+    val (effBands, bits) =
+      if (bandBits > 0) (bands, bandBits)
+      else {
+        val n = Tables.embeddings(spark, dir).count().max(1L)
+        val b = math.max(EmbBandBits, math.round(
+          math.log(n.toDouble / EmbTargetBucket) / math.log(2.0)).toInt)
+        // the signature lives in one long; when wide bands are needed,
+        // trade band count for band width (recall 1-(1-p^R)^B degrades
+        // gracefully; candidate volume is what kills runs, not B)
+        (math.min(bands, 63 / b), b)
+      }
+    val nBits = effBands * bits
     // normalize once per vector (the exact-verify stage is then one fused
     // dot per candidate); the signature is computed on the RAW embedding —
     // sign bits are scale-invariant, and the oracle twin replays the same
@@ -495,9 +511,9 @@ object Dedup {
       .cache()
     val banded = base
       .select(col("vec_id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+        explode(sequence(lit(0), lit(effBands - 1))).as("band"))
       .select(col("vec_id"), col("band"),
-        expr(s"shiftright(sig, band * $bandBits) & ${(1 << bandBits) - 1}")
+        expr(s"shiftright(sig, band * $bits) & ${(1L << bits) - 1}")
           .as("bkey"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
