@@ -106,6 +106,25 @@ object Pipeline {
   def readStagingMerged(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** JSON-lines scan with a pinned schema and the same malformed-row
+    * policy surface as [[readCsvWithPolicy]] — the landing format of
+    * every web-scale text corpus (one JSON document per line; a corrupt
+    * line quarantines under PERMISSIVE instead of failing the batch).
+    * Schema pinning matters doubly for JSONL: inference requires an extra
+    * full pass AND drifts with whichever keys happen to appear in the
+    * sampled split.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+                mode: String = "PERMISSIVE"): DataFrame = {
+    val s =
+      if (mode == "PERMISSIVE" && !schema.fieldNames.contains("_corrupt_record"))
+        schema.add(StructField("_corrupt_record", StringType, nullable = true))
+      else schema
+    spark.read.option("mode", mode)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(s).json(path)
+  }
+
   /** Ingest-time normalization for orders: `total_price`→`amount` rename and
     * string→date parse (`TO_DATE(order_date,'YYYY-MM-DD')`, E2).
     */

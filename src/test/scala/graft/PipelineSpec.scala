@@ -265,6 +265,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(dropped.collect().length == 2, "DROPMALFORMED removes the bad row")
   }
 
+  test("jsonl landing: pinned schema, corrupt lines quarantined not fatal") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir()
+    val p = s"$dir/docs.jsonl"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      """{"doc_id": 1, "text": "alpha beta", "lang": "en"}
+        |{"doc_id": 2, "text": "gamma", "lang": "fr"}
+        |{"doc_id": broken not json
+        |{"doc_id": 3, "text": "delta", "lang": "de"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val df = Pipeline.readJsonl(spark, p, schema).cache()
+    assert(df.count() == 4)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(df.filter(col("doc_id").isNotNull).count() == 3)
+    // FAILFAST is the strict-batch alternative
+    val strict = Pipeline.readJsonl(spark, p, schema, mode = "DROPMALFORMED")
+    assert(strict.count() == 3)
+    df.unpersist()
+  }
+
+  test("orc staging: columnar round-trip with predicate pushdown") {
+    val dir = tmpDir()
+    val src = graft.sources.Tables.orders(spark, TestSpark.sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    src.write.mode("overwrite").orc(s"$dir/orders_orc")
+    val back = spark.read.orc(s"$dir/orders_orc")
+    assert(back.count() == src.count())
+    val q = back.filter(col("o_orderkey") === 1).select("o_totalprice")
+    assert(q.count() <= 1)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("pushed"),
+      s"ORC scan lost filter pushdown:\n$plan")
+  }
+
   test("schema evolution: mergeSchema unions per-file parquet schemas") {
     val dir = tmpDir()
     val staging = s"$dir/stage_evolve"
