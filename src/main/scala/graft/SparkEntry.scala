@@ -105,6 +105,8 @@ object SparkEntry {
     "q46_grouping_sets"       -> Extended.groupingSetsRevenue _,
     "q47_event_transitions"   -> Events.eventTransitionMatrix _,
     "q48_regression_suite"    -> Extended.regressionSuite _,
+    "q49_expectations"        -> Extended.dataExpectations _,
+    "st5_window_topk"         -> ((s: SparkSession, d: String) => Events.windowTopTypes(s, d)),
     "d10_dup_ngram_frac"      -> ((s: SparkSession, d: String) => Dedup.dupNgramFraction(s, d)),
     "d11_incremental_dedup"   -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "t14_mixture_sample"      -> TextAnalysis.mixtureSample _,
@@ -447,6 +449,19 @@ object SparkEntry {
         event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
 
+    "st5_window_topk" -> """
+      WITH c AS (
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+          event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY window_start
+          ORDER BY n_events DESC, event_type ASC) AS rnk
+        FROM c)
+      SELECT window_start, event_type, CAST(n_events AS BIGINT) AS n_events,
+        CAST(rnk AS BIGINT) AS rnk
+      FROM r WHERE rnk <= 3 ORDER BY window_start, rnk""",
+
     "st2_sessionize" -> """
       WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
       l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
@@ -599,6 +614,27 @@ object SparkEntry {
         CAST(regr_count(l_extendedprice, CAST(l_quantity AS DOUBLE)) AS BIGINT)
           AS n_pairs
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q49_expectations" -> """
+      WITH s AS (
+        SELECT count(*) AS n, count(DISTINCT o_orderkey) AS n_keys,
+          sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+          sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos_price
+        FROM orders),
+      r AS (
+        SELECT count(*) AS n_orphans FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      SELECT check_name, metric, passed FROM (
+        SELECT 'orderkey_unique' AS check_name,
+          CAST(n - n_keys AS DOUBLE) AS metric, n = n_keys AS passed
+        FROM s
+        UNION ALL
+        SELECT 'custkey_complete', CAST(null_cust AS DOUBLE), null_cust = 0 FROM s
+        UNION ALL
+        SELECT 'totalprice_positive', CAST(nonpos_price AS DOUBLE), nonpos_price = 0 FROM s
+        UNION ALL
+        SELECT 'custkey_in_customer', CAST(n_orphans AS DOUBLE), n_orphans = 0 FROM r)
+      ORDER BY check_name""",
 
     "q24_orders_profile" -> """
       SELECT count(*) AS n_rows,

@@ -269,6 +269,43 @@ object Extended {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q49: declarative data-quality expectations — the validation gate a
+    * staging load runs before committing a batch (deequ-style):
+    * uniqueness of the key, completeness of a foreign key, a value-range
+    * rule, and referential integrity against the dimension. All scan
+    * metrics ride ONE aggregate pass over the fact table; the RI check is
+    * a broadcast anti-join count; results unpivot to one row per check so
+    * downstream alerting is a filter on `passed = false`.
+    */
+  def dataExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val scan = o.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("o_orderkey")).as("n_keys"),
+      sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("null_cust"),
+      sum(when(col("o_totalprice") <= 0, 1).otherwise(0)).as("nonpos_price"))
+    val orphans = o.join(broadcast(c),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val checks = scan.crossJoin(orphans).select(explode(array(
+      struct(lit("orderkey_unique").as("check_name"),
+        (col("n") - col("n_keys")).cast("double").as("metric"),
+        (col("n") === col("n_keys")).as("passed")),
+      struct(lit("custkey_complete").as("check_name"),
+        col("null_cust").cast("double").as("metric"),
+        (col("null_cust") === 0).as("passed")),
+      struct(lit("totalprice_positive").as("check_name"),
+        col("nonpos_price").cast("double").as("metric"),
+        (col("nonpos_price") === 0).as("passed")),
+      struct(lit("custkey_in_customer").as("check_name"),
+        col("n_orphans").cast("double").as("metric"),
+        (col("n_orphans") === 0).as("passed")))).as("c"))
+    checks.select(col("c.check_name").as("check_name"),
+        col("c.metric").as("metric"), col("c.passed").as("passed"))
+      .orderBy(col("check_name"))
+  }
+
   /** q23: correlated subqueries — scalar subquery in the projection and a
     * correlated EXISTS in the predicate; Catalyst decorrelates both into
     * joins (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery),

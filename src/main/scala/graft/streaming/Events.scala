@@ -36,6 +36,27 @@ object Events {
         col("n_events"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** st5: per-window top-k — rank event types inside each tumbling hour
+    * by count and keep the top 3: the "trending now" aggregation. Batch
+    * form ranks over the windowed aggregate (the window function runs on
+    * window-start keys, ~rows/3600 of the input, after the time-window
+    * groupBy's map-side combine); the streaming form of the same
+    * aggregate runs in complete output mode with the rank applied per
+    * emitted result set (StreamingSpec).
+    */
+  def windowTopTypes(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byWindow = Window.partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("event_type").asc)
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+      .withColumn("rnk", row_number().over(byWindow).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy(col("window_start"), col("rnk"))
+  }
+
   /** st2: gap-based sessionization, declarative form — new session when the
     * gap to the previous event of the same user exceeds 30 minutes; session
     * id = running count of session starts. One shuffle (user_id), two

@@ -100,7 +100,7 @@ class PlanSpec extends AnyFunSuite {
     val quadraticByDesign = Set(
       "s1_ann_topk", "s3_ann_ivf_topk", "s4_quantize_int8",
       "t8_tfidf", "t11_length_buckets", "t14_mixture_sample",
-      "q36_histogram", "q23_correlated_subq")
+      "q36_histogram", "q23_correlated_subq", "q49_expectations")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticByDesign)
       .flatMap { name =>

@@ -24,6 +24,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st5: per-window top-k over the streamed aggregate equals the batch twin") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val batch = Events.windowTopTypes(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(3)) -> r.getString(1)).toMap
+
+    // the streaming aggregate runs in complete mode; the rank is applied
+    // to each emitted result set (ranking is not a streaming operator —
+    // it re-ranks the complete aggregate, which is exactly the contract)
+    val q = Events.streamingWindowedCounts(spark, sf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("topk_out").start()
+    try {
+      q.processAllAvailable()
+      val w = Window.partitionBy(col("window_start"))
+        .orderBy(col("n_events").desc, col("event_type").asc)
+      val streamed = spark.sql("SELECT window_start, event_type, n_events FROM topk_out")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .collect().map(r => (r.getTimestamp(0), r.getLong(3)) -> r.getString(1)).toMap
+      assert(streamed == batch,
+        s"streamed=${streamed.size} batch=${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming dedup-within-watermark covers every distinct key exactly once") {
     val q = Events.streamingDedup(spark, sf)
       .writeStream.outputMode("append")
