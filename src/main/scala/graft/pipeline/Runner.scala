@@ -75,6 +75,25 @@ object Runner {
         "reviews" -> Pipeline.fullAppend(spark, reviews, s"$work/staging/reviews"))
     }
 
+    // 3.5 validate: expectations gate between staging and transform — a
+    // batch that breaks key uniqueness or value rules must fail HERE,
+    // loudly, not silently corrupt every analytics table downstream
+    // (stage logged + rethrown like any other, T6)
+    logged(work, "validate") {
+      import org.apache.spark.sql.functions._
+      val checks = spark.read.parquet(s"$work/staging/orders").agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("order_id")).as("n_keys"),
+          sum(when(col("amount") < 0, 1).otherwise(0)).as("neg"))
+        .collect()(0)
+      if (checks.getLong(0) != checks.getLong(1))
+        throw new IllegalStateException(
+          s"validate: staged orders key not unique (${checks.getLong(0)} rows, ${checks.getLong(1)} keys)")
+      if (checks.getLong(2) != 0L)
+        throw new IllegalStateException(
+          s"validate: ${checks.getLong(2)} staged orders with negative amount")
+    }
+
     // 4. transform: run the analytics queries against the staged views
     val analytics = logged(work, "transform") {
       spark.read.parquet(s"$work/staging/orders").createOrReplaceTempView("staging_orders")

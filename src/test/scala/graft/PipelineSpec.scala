@@ -154,6 +154,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(aggShip.getLong(1) == 1) // tt_undelivered_items
   }
 
+  test("validate stage: a batch breaking the amount rule fails the run loudly") {
+    import graft.pipeline.Runner
+    val work = tmpDir()
+    val landing = s"$work/landing/dt=2026-01-01"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    // order 2 carries a negative amount — staging accepts it (landing is
+    // faithful), the validate gate must refuse to transform it
+    writeCsv(landing, "orders.csv",
+      """order_id,customer_id,order_date,product_id,unit_price,quantity,total_price
+        |1,10,2022-01-03,5,100,2,200
+        |2,11,2022-01-04,6,50,1,-50
+        |""".stripMargin)
+    writeCsv(landing, "reviews.csv", "review,product_id\n5,5\n")
+    writeCsv(landing, "shipment_deliveries.csv",
+      "shipment_id,order_id,shipment_date,delivery_date\n1,1,2022-01-10,\n")
+    val e = intercept[IllegalStateException] { Runner.run(spark, work, "2026-01-01") }
+    assert(e.getMessage.contains("negative amount"))
+    val log = java.nio.file.Paths.get(s"$work/error_log.txt")
+    assert(java.nio.file.Files.exists(log) &&
+      java.nio.file.Files.readString(log).contains("[validate]"))
+    // nothing was transformed or exported
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$work/analytics")))
+  }
+
   test("failed stage is logged to error_log.txt and rethrown (T6, no swallow)") {
     import graft.pipeline.Runner
     val work = tmpDir() // no landing files → the landing stage fails
