@@ -9,15 +9,16 @@ import org.apache.spark.sql.functions._
   * tail token, making replicas NEAR-duplicates rather than exact ones:
   * the hardest case, because the near-dup pair count grows
   * factor²-per-group while exact-fingerprint dedup is blind to it), then
-  * runs d2/d3/d6/d8 end-to-end and prints one timing line each.
+  * runs d2/d3/d6/d8/d10 end-to-end and prints one timing line each.
   *
   * The similarity mode does the analogue for `embeddings`: 10·factor
   * replicas with deterministic per-dimension pseudo-noise (replicas are
   * near — not identical — vectors, so the banded/bucketed candidate
   * machinery does real work), then runs s2/s3/d5/s4. d5 runs with the
-  * at-scale banding (3 bands × 8 bits = 256 buckets/band) — the
-  * log₂(corpus/bucket) tuning its scaladoc prescribes, which the small
-  * oracle defaults deliberately do not use.
+  * at-scale banding (3 bands × 11 bits = 2048 buckets/band) — the
+  * log₂(corpus/bucket) tuning its scaladoc prescribes; the 8-bit bands
+  * this replaced produced 234M candidates and filled the disk (see the
+  * inline note at the call site).
   *
   * Usage: runMain graft.Soak [srcSfDir] [factor] [workDir] [dedup|sim|all]
   */

@@ -50,11 +50,17 @@ object SparkEntry {
     "d4_simhash"              -> Dedup.simhashSignatures _,
     "d9_simhash_pairs"        -> ((s: SparkSession, d: String) => Dedup.simhashNearDupPairs(s, d)),
     "t10_lang_confusion"      -> TextAnalysis.langConfusionMatrix _,
-    "d5_embedding_neardup"    -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupPairs(s, d)),
+    "d5_embedding_neardup"    -> ((s: SparkSession, d: String) =>
+                                   Dedup.embeddingNearDupPairs(s, d,
+                                     bandBits = Dedup.EmbBandBits)),
     // similarity search
     "s1_ann_topk"             -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
     "s2_ann_lsh_topk"         -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
-    "s3_ann_ivf_topk"         -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
+    // d5/s3 registrations pin the static banding/cell configuration the
+    // oracle twins replay — the auto-scaling derivations stay the API
+    // default, equal to these at gate scale (asserted in DedupSpec)
+    "s3_ann_ivf_topk"         -> ((s: SparkSession, d: String) =>
+                                   Similarity.annIvfTopK(s, d, autoCells = false)),
     // streaming-shaped (batch twins of the Structured Streaming plans)
     "st1_windowed_counts"     -> Events.windowedCounts _,
     "st2_sessionize"          -> Events.sessionize _,
@@ -839,30 +845,7 @@ object SparkEntry {
           OVER (PARTITION BY event_type)) * 100.0 + 0.000000001, 4) AS pct_of_type
       FROM c ORDER BY event_type, next_type""",
 
-    // d11: the exact-Jaccard contract restricted to batch(odd)×corpus(even)
-    // pairs — LSH banding is recall machinery, verified output is exact
-    // (same reasoning as d3 sharing d2's oracle).
-    "d11_incremental_dedup" -> """
-      WITH tk AS (
-        SELECT doc_id,
-          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
-        FROM documents),
-      idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tk),
-      sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
-      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-      pairs AS (
-        SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, count(*) AS shared
-        FROM sh a JOIN sh b ON a.s = b.s
-          AND a.doc_id % 2 <> 0 AND b.doc_id % 2 = 0
-        GROUP BY 1, 2),
-      j AS (
-        SELECT batch_id, corpus_id,
-          shared / (ca.n + cb.n - shared) AS jaccard
-        FROM pairs
-        JOIN cnt ca ON ca.doc_id = batch_id
-        JOIN cnt cb ON cb.doc_id = corpus_id)
-      SELECT batch_id, corpus_id, round(jaccard, 4) AS jaccard
-      FROM j WHERE jaccard >= 0.8 ORDER BY batch_id, corpus_id""",
+    "d11_incremental_dedup" -> IncrementalDedupSql,
 
     // d10: document frequency of distinct word 8-grams, replayed over the
     // string shingles (the Spark side hashes them; counts are identical).
@@ -1419,15 +1402,21 @@ object SparkEntry {
       SELECT doc AS doc_id, min(other) AS cluster_root
       FROM reach GROUP BY doc ORDER BY doc_id"""
 
-  /** Exact n-gram Jaccard pairs (j >= 0.8) — oracle for both d2 and d3. */
-  private val JaccardPairsSql: String = """
+  /** Shared word-trigram shingle CTE block (tk/idx/sh/cnt) — ONE spelling
+    * of the normalization + n-gram definition for every Jaccard oracle
+    * (d2, d3, d11); editing the shingle rule here keeps them in lockstep.
+    */
+  private val ShingleCtesSql: String = """
       WITH tk AS (
         SELECT doc_id,
           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
         FROM documents),
       idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tk),
       sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
-      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)"""
+
+  /** Exact n-gram Jaccard pairs (j >= 0.8) — oracle for both d2 and d3. */
+  private val JaccardPairsSql: String = ShingleCtesSql + """,
       pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -1440,4 +1429,23 @@ object SparkEntry {
         JOIN cnt cb ON id_b = cb.doc_id)
       SELECT id_a, id_b, round(jaccard, 4) AS jaccard
       FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""
+
+  /** d11: the same exact-Jaccard contract restricted to
+    * batch(odd)×corpus(even) pairs — LSH banding is recall machinery,
+    * verified output is exact (same reasoning as d3 sharing d2's oracle).
+    */
+  private val IncrementalDedupSql: String = ShingleCtesSql + """,
+      pairs AS (
+        SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s
+          AND a.doc_id % 2 <> 0 AND b.doc_id % 2 = 0
+        GROUP BY 1, 2),
+      j AS (
+        SELECT batch_id, corpus_id,
+          shared / (ca.n + cb.n - shared) AS jaccard
+        FROM pairs
+        JOIN cnt ca ON ca.doc_id = batch_id
+        JOIN cnt cb ON cb.doc_id = corpus_id)
+      SELECT batch_id, corpus_id, round(jaccard, 4) AS jaccard
+      FROM j WHERE jaccard >= 0.8 ORDER BY batch_id, corpus_id"""
 }

@@ -98,18 +98,28 @@ object Similarity {
     * exactly. Assignment-by-argmax over the seeded means is one Lloyd
     * step from a deterministic seeding — no iteration, no RNG, fully
     * replayable.
+    *
+    * `autoCells = false` pins subBits to 0 (pure per-label cells) — the
+    * configuration the static DuckDB twin replays at ANY scale factor;
+    * the registered `s3_ann_ivf_topk` query uses it so oracle parity
+    * cannot silently break on a bigger fixture, while API callers get
+    * the scaling quantizer by default (gate-scale equivalence of the two
+    * is asserted in DedupSpec).
     */
-  def annIvfTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+  def annIvfTopK(spark: SparkSession, dir: String, k: Int = TopK,
+                 autoCells: Boolean = true): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val raw = Tables.embeddings(spark, dir)
 
     // one scalar pass to size the quantizer (cheap: count + distinct over
     // a dictionary-encoded column; at production scale this is the kind
     // of statistic the catalog already has)
-    val statsRow = raw.agg(count(lit(1)), countDistinct(col("label"))).collect()(0)
-    val (n, nLabels) = (statsRow.getLong(0), statsRow.getLong(1).max(1))
-    val subBits = math.max(0, math.round(
-      math.log(math.sqrt(n.toDouble) / 2.0 / nLabels) / math.log(2.0)).toInt)
+    val subBits = if (!autoCells) 0 else {
+      val statsRow = raw.agg(count(lit(1)), countDistinct(col("label"))).collect()(0)
+      val (n, nLabels) = (statsRow.getLong(0), statsRow.getLong(1).max(1))
+      math.max(0, math.round(
+        math.log(math.sqrt(n.toDouble) / 2.0 / nLabels) / math.log(2.0)).toInt)
+    }
 
     val cell =
       if (subBits == 0) col("label").cast("int")

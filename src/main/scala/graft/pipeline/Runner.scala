@@ -65,6 +65,28 @@ object Runner {
          Pipeline.readCsv(spark, s"$landing/shipment_deliveries.csv", Pipeline.shipmentsSchema)))
     }
 
+    // 2.5 validate: expectations gate on the INCOMING batch, before any
+    // append — a batch that breaks key uniqueness or value rules must
+    // fail HERE, loudly, not silently corrupt the staging store. Order
+    // matters: validating after the append would advance the watermark
+    // past the bad keys, so a corrected re-delivery of the same batch
+    // would be filtered out forever — the pipeline would be wedged with
+    // no in-band recovery. (Stage logged + rethrown like any other, T6.)
+    logged(work, "validate") {
+      import org.apache.spark.sql.functions._
+      val checks = orders.agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("order_id")).as("n_keys"),
+          coalesce(sum(when(col("amount") < 0, 1).otherwise(0)), lit(0L)).as("neg"))
+        .collect()(0)
+      if (checks.getLong(0) != checks.getLong(1))
+        throw new IllegalStateException(
+          s"validate: incoming orders key not unique (${checks.getLong(0)} rows, ${checks.getLong(1)} keys)")
+      if (checks.getLong(2) != 0L)
+        throw new IllegalStateException(
+          s"validate: ${checks.getLong(2)} incoming orders with negative amount")
+    }
+
     // 3. staging loads: watermark-incremental for keyed tables, full append
     //    for reviews (reference-faithful at-least-once)
     val staged = logged(work, "staging") {
@@ -73,25 +95,6 @@ object Runner {
         "shipment_deliveries" -> Pipeline.watermarkAppend(
           spark, shipments, "shipment_id", s"$work/staging/shipment_deliveries"),
         "reviews" -> Pipeline.fullAppend(spark, reviews, s"$work/staging/reviews"))
-    }
-
-    // 3.5 validate: expectations gate between staging and transform — a
-    // batch that breaks key uniqueness or value rules must fail HERE,
-    // loudly, not silently corrupt every analytics table downstream
-    // (stage logged + rethrown like any other, T6)
-    logged(work, "validate") {
-      import org.apache.spark.sql.functions._
-      val checks = spark.read.parquet(s"$work/staging/orders").agg(
-          count(lit(1)).as("n"),
-          countDistinct(col("order_id")).as("n_keys"),
-          sum(when(col("amount") < 0, 1).otherwise(0)).as("neg"))
-        .collect()(0)
-      if (checks.getLong(0) != checks.getLong(1))
-        throw new IllegalStateException(
-          s"validate: staged orders key not unique (${checks.getLong(0)} rows, ${checks.getLong(1)} keys)")
-      if (checks.getLong(2) != 0L)
-        throw new IllegalStateException(
-          s"validate: ${checks.getLong(2)} staged orders with negative amount")
     }
 
     // 4. transform: run the analytics queries against the staged views

@@ -64,14 +64,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     val bounded = graft.streaming.Events.asofSignupWithin(spark, sf)
       .select(col("event_id"), col("secs_since_signup"))
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
-    val unbounded = graft.streaming.Events.asofSignup(spark, sf)
-      .select(col("event_id"), col("secs_since_signup"))
-      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
-    val masked = unbounded.view.mapValues(_.filter(
-      _.asInstanceOf[Long] <= 3600L)).toMap
+    // mask on the exact MICROSECOND gap, not the truncated seconds the
+    // query reports — an event 3600.5 s after its signup reports
+    // secs = 3600 but must be unmatched under the 1 h tolerance
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+    val unbounded = AsOfJoin.asof(spark, ev, signups,
+        col("user_id"), col("s_user"), col("ts"), col("signup_ts"))
+      .select(col("event_id"),
+        expr("timestampdiff(MICROSECOND, signup_ts, ts)").cast("long").as("du"),
+        expr("timestampdiff(SECOND, signup_ts, ts)").cast("long").as("secs"))
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    val masked = unbounded.view.mapValues { case (du, secs) =>
+      secs.filter(_ => du.exists(_.asInstanceOf[Long] <= 3600000000L))
+    }.toMap
     assert(bounded == masked)
     // the tolerance must actually bite on this data
-    assert(bounded.values.count(_.isEmpty) > unbounded.values.count(_.isEmpty),
+    assert(bounded.values.count(_.isEmpty) >
+      unbounded.values.count(_._1.isEmpty),
       "no match fell outside the 1h window — tolerance untested")
   }
 

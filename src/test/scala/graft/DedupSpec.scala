@@ -48,6 +48,25 @@ class DedupSpec extends AnyFunSuite {
     assert(sumCopies == total)
   }
 
+  test("gate-scale coupling: auto-derived d5/s3 parameters equal the oracle-pinned ones") {
+    // the registered queries pin bandBits/cells to what the static DuckDB
+    // twins replay; the auto-scaling API defaults must coincide at the
+    // fixture sizes the correctness gate runs — if a regenerated fixture
+    // grows past the derivation breakpoints, THIS fails instead of the
+    // oracle silently diverging
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val n = e.count().max(1L)
+    val nLabels = e.select("label").distinct().count().max(1L)
+    val d5Bits = math.max(Dedup.EmbBandBits,
+      math.round(math.log(n.toDouble / Dedup.EmbTargetBucket) / math.log(2.0)).toInt)
+    assert(d5Bits == Dedup.EmbBandBits,
+      s"d5 auto-derivation ($d5Bits bits at n=$n) left the oracle's ${Dedup.EmbBandBits}")
+    val s3SubBits = math.max(0, math.round(
+      math.log(math.sqrt(n.toDouble) / 2.0 / nLabels) / math.log(2.0)).toInt)
+    assert(s3SubBits == 0,
+      s"s3 auto-derivation (subBits=$s3SubBits at n=$n) left the oracle's per-label cells")
+  }
+
   test("d5 banded-LSH near-dup pairs: subset of naive with high recall") {
     val naive = Dedup.embeddingNearDupPairsNaive(spark, sf).select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -159,8 +159,9 @@ class PipelineSpec extends AnyFunSuite {
     val work = tmpDir()
     val landing = s"$work/landing/dt=2026-01-01"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
-    // order 2 carries a negative amount — staging accepts it (landing is
-    // faithful), the validate gate must refuse to transform it
+    // order 2 carries a negative amount — the gate must refuse the batch
+    // BEFORE anything stages (validating after the append would advance
+    // the watermark past the bad keys and wedge the pipeline forever)
     writeCsv(landing, "orders.csv",
       """order_id,customer_id,order_date,product_id,unit_price,quantity,total_price
         |1,10,2022-01-03,5,100,2,200
@@ -174,8 +175,17 @@ class PipelineSpec extends AnyFunSuite {
     val log = java.nio.file.Paths.get(s"$work/error_log.txt")
     assert(java.nio.file.Files.exists(log) &&
       java.nio.file.Files.readString(log).contains("[validate]"))
-    // nothing was transformed or exported
+    // nothing was staged, transformed, or exported
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$work/staging")))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$work/analytics")))
+    // recovery: upstream corrects the batch, the SAME keys stage cleanly
+    writeCsv(landing, "orders.csv",
+      """order_id,customer_id,order_date,product_id,unit_price,quantity,total_price
+        |1,10,2022-01-03,5,100,2,200
+        |2,11,2022-01-04,6,50,1,50
+        |""".stripMargin)
+    val r = Runner.run(spark, work, "2026-01-01")
+    assert(r.stagedRows("orders") == 2L, "corrected batch must not be watermark-blocked")
   }
 
   test("failed stage is logged to error_log.txt and rethrown (T6, no swallow)") {
