@@ -123,6 +123,7 @@ object SparkEntry {
     "q39_regex_suite"         -> Extended.regexSuite _,
     "q36_histogram"           -> ((s: SparkSession, d: String) => Extended.priceHistogram(s, d)),
     "m3_frame_samples"        -> Multimodal.frameSampleStats _,
+    "m4_typed_moments"        -> Multimodal.typedFormatMoments _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -1170,6 +1171,21 @@ object SparkEntry {
         round(avg(width), 2) AS avg_width,
         round(avg(height), 2) AS avg_height,
         CAST(max(n_frames) AS INT) AS max_frames
+      FROM d GROUP BY format ORDER BY format""",
+
+    // m4: the typed Welford Aggregator's (n, mean, M2) reduce to plain
+    // avg/var_samp — same format derivation as m2.
+    "m4_typed_moments" -> s"""
+      WITH hx AS (SELECT doc_id, octet_length(encode(text)) AS blen,
+          hex(encode(text)) AS h FROM documents),
+      b AS (SELECT doc_id, blen, ${RollingHashBytesSql("h")} AS bytes FROM hx),
+      r AS (SELECT doc_id, blen, ${RollingHashReduceSql("bytes")} AS hsh FROM b),
+      d AS (SELECT doc_id, blen,
+          CASE WHEN hsh % 2 = 0 THEN 'img' ELSE 'vid' END AS format
+        FROM r)
+      SELECT format, count(*) AS n_media,
+        round(avg(CAST(blen AS DOUBLE)) + 0.000000001, 4) AS mean_len,
+        round(var_samp(CAST(blen AS DOUBLE)) + 0.000000001, 4) AS var_len
       FROM d GROUP BY format ORDER BY format""",
 
     // s2: identical hyperplane literals → identical buckets → identical

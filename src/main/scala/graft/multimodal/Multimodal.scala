@@ -116,6 +116,62 @@ object Multimodal {
         sum(col("frame_hash")).cast("long").as("sum_hash"))
       .orderBy(col("doc_id"))
 
+  /** Welford running-moment accumulator — the numerically-stable
+    * streaming form of (count, mean, variance): partials merge with the
+    * standard parallel-variance formula, so the aggregation is map-side
+    * combinable like any built-in.
+    */
+  case class Moments(n: Long, mean: Double, m2: Double)
+
+  /** Typed `Aggregator` over the decoded-media Dataset — the
+    * Encoder-based rung of the extension ladder (next to the
+    * TypedImperativeAggregate BottomKSample and the codegen'd
+    * expressions): business logic as plain Scala on case classes, yet
+    * planned as a real two-phase aggregate, not a collect.
+    */
+  object ByteLenMoments
+      extends org.apache.spark.sql.expressions.Aggregator[DecodedMedia, Moments, Moments] {
+    def zero: Moments = Moments(0L, 0.0, 0.0)
+    def reduce(b: Moments, a: DecodedMedia): Moments = {
+      val n1 = b.n + 1
+      val d = a.byte_len.toDouble - b.mean
+      val mean1 = b.mean + d / n1
+      Moments(n1, mean1, b.m2 + d * (a.byte_len.toDouble - mean1))
+    }
+    def merge(x: Moments, y: Moments): Moments = {
+      if (x.n == 0) y
+      else if (y.n == 0) x
+      else {
+        val n = x.n + y.n
+        val d = y.mean - x.mean
+        Moments(n, x.mean + d * y.n / n,
+          x.m2 + y.m2 + d * d * x.n * y.n / n)
+      }
+    }
+    def finish(r: Moments): Moments = r
+    def bufferEncoder = org.apache.spark.sql.Encoders.product[Moments]
+    def outputEncoder = org.apache.spark.sql.Encoders.product[Moments]
+  }
+
+  /** m4: typed per-format moments via the [[ByteLenMoments]] Aggregator —
+    * `groupByKey(...).agg(agg.toColumn)` over the typed Dataset, then the
+    * sample variance from the merged M2. Oracle-checked against DuckDB's
+    * avg/var_samp (mathematically identical; the merge-order float noise
+    * is absorbed by the rounding nudge).
+    */
+  def typedFormatMoments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeAll(spark, dir)
+      .groupByKey(_.format)
+      .agg(ByteLenMoments.toColumn.name("m"))
+      .select(col("key").as("format"),
+        col("m.n").as("n_media"),
+        round(col("m.mean") + lit(1e-9), 4).as("mean_len"),
+        round(col("m.m2") / (col("m.n") - 1).cast("double") + lit(1e-9), 4)
+          .as("var_len"))
+      .orderBy(col("format"))
+  }
+
   /** m2: downstream aggregation over decoded metadata — proves the decoded
     * Dataset composes with normal relational ops. Fully oracle-checked: the
     * stub's rolling-hash is reproduced in DuckDB SQL.

@@ -41,6 +41,21 @@ class MultimodalSpec extends AnyFunSuite {
     new graft.GraftExtensions().apply(e) // builder-time injection contract
   }
 
+  test("m4 typed Welford Aggregator equals the untyped avg/var aggregate") {
+    import org.apache.spark.sql.functions._
+    val typed = Multimodal.typedFormatMoments(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val untyped = Multimodal.decodeAll(spark, sf)
+      .groupBy(col("format"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(avg(col("byte_len")) + lit(1e-9), 4).as("m"),
+        round(var_samp(col("byte_len")) + lit(1e-9), 4).as("v"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(typed == untyped,
+      s"typed=$typed\nuntyped=$untyped")
+  }
+
   test("partition-wise decode is deterministic and composes with aggregation") {
     val d1 = Multimodal.decodeAll(spark, sf).collect().map(d => d.doc_id -> d).toMap
     val d2 = Multimodal.decodeAll(spark, sf).collect().map(d => d.doc_id -> d).toMap
