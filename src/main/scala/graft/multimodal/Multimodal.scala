@@ -167,7 +167,10 @@ object Multimodal {
       .select(col("key").as("format"),
         col("m.n").as("n_media"),
         round(col("m.mean") + lit(1e-9), 4).as("mean_len"),
-        round(col("m.m2") / (col("m.n") - 1).cast("double") + lit(1e-9), 4)
+        // var_samp semantics: a single-member group has NO sample
+        // variance — null, like the built-in, never NaN from 0/0
+        when(col("m.n") > 1,
+          round(col("m.m2") / (col("m.n") - 1).cast("double") + lit(1e-9), 4))
           .as("var_len"))
       .orderBy(col("format"))
   }

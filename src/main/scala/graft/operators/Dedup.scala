@@ -470,6 +470,14 @@ object Dedup {
   val EmbBandBits = 3
   val EmbTargetBucket = 60
 
+  /** The d5 auto-derivation: bits-per-band for a corpus of `n` vectors —
+    * THE single spelling, shared by production and the gate-scale
+    * coupling test so formula drift cannot escape the assertion.
+    */
+  def deriveBandBits(n: Long): Int =
+    math.max(EmbBandBits, math.round(
+      math.log(n.toDouble / EmbTargetBucket) / math.log(2.0)).toInt)
+
   /** d5: embedding near-dup pairs — banded hyperplane-LSH candidates,
     * verified with the exact cosine ≥ threshold. The shipped plan is
     * linear: signature generation is map-side (24 fused dot products per
@@ -488,9 +496,7 @@ object Dedup {
     val (effBands, bits) =
       if (bandBits > 0) (bands, bandBits)
       else {
-        val n = Tables.embeddings(spark, dir).count().max(1L)
-        val b = math.max(EmbBandBits, math.round(
-          math.log(n.toDouble / EmbTargetBucket) / math.log(2.0)).toInt)
+        val b = deriveBandBits(Tables.embeddings(spark, dir).count().max(1L))
         // the signature lives in one long; when wide bands are needed,
         // trade band count for band width (recall 1-(1-p^R)^B degrades
         // gracefully; candidate volume is what kills runs, not B)

@@ -79,6 +79,15 @@ object Similarity {
 
   val IvfNProbe = 3
 
+  /** The s3 auto-derivation: sub-bucket bits for a corpus of `n` vectors
+    * over `nLabels` seed labels (ncells ≈ √n/2) — THE single spelling,
+    * shared by production and the gate-scale coupling test so formula
+    * drift cannot escape the assertion.
+    */
+  def deriveSubBits(n: Long, nLabels: Long): Int =
+    math.max(0, math.round(
+      math.log(math.sqrt(n.toDouble) / 2.0 / nLabels.max(1L)) / math.log(2.0)).toInt)
+
   /** s3: IVF-style ANN — coarse quantization with seeded centroids, every
     * vector assigned to its nearest centroid (map-side argmax), each query
     * probing the `IvfNProbe` nearest cells. Scan fraction ≈ nprobe/ncells.
@@ -116,9 +125,7 @@ object Similarity {
     // of statistic the catalog already has)
     val subBits = if (!autoCells) 0 else {
       val statsRow = raw.agg(count(lit(1)), countDistinct(col("label"))).collect()(0)
-      val (n, nLabels) = (statsRow.getLong(0), statsRow.getLong(1).max(1))
-      math.max(0, math.round(
-        math.log(math.sqrt(n.toDouble) / 2.0 / nLabels) / math.log(2.0)).toInt)
+      deriveSubBits(statsRow.getLong(0), statsRow.getLong(1))
     }
 
     val cell =

@@ -66,17 +66,14 @@ class AsOfJoinSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     // mask on the exact MICROSECOND gap, not the truncated seconds the
     // query reports — an event 3600.5 s after its signup reports
-    // secs = 3600 but must be unmatched under the 1 h tolerance
-    val ev = graft.sources.Tables.events(spark, sf)
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val signups = graft.sources.Tables.events(spark, sf)
-      .filter(col("event_type") === "signup")
-      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
-    val unbounded = AsOfJoin.asof(spark, ev, signups,
-        col("user_id"), col("s_user"), col("ts"), col("signup_ts"))
+    // secs = 3600 but must be unmatched under the 1 h tolerance. The
+    // mask is computed on q20's OWN output (it exposes ts + signup_ts),
+    // so this really is the q45 ≡ masked-q20 contract, not a private
+    // reconstruction of q20.
+    val unbounded = graft.streaming.Events.asofSignup(spark, sf)
       .select(col("event_id"),
         expr("timestampdiff(MICROSECOND, signup_ts, ts)").cast("long").as("du"),
-        expr("timestampdiff(SECOND, signup_ts, ts)").cast("long").as("secs"))
+        col("secs_since_signup").as("secs"))
       .collect()
       .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
     val masked = unbounded.view.mapValues { case (du, secs) =>

@@ -57,12 +57,10 @@ class DedupSpec extends AnyFunSuite {
     val e = graft.sources.Tables.embeddings(spark, sf)
     val n = e.count().max(1L)
     val nLabels = e.select("label").distinct().count().max(1L)
-    val d5Bits = math.max(Dedup.EmbBandBits,
-      math.round(math.log(n.toDouble / Dedup.EmbTargetBucket) / math.log(2.0)).toInt)
+    val d5Bits = Dedup.deriveBandBits(n)
     assert(d5Bits == Dedup.EmbBandBits,
       s"d5 auto-derivation ($d5Bits bits at n=$n) left the oracle's ${Dedup.EmbBandBits}")
-    val s3SubBits = math.max(0, math.round(
-      math.log(math.sqrt(n.toDouble) / 2.0 / nLabels) / math.log(2.0)).toInt)
+    val s3SubBits = Similarity.deriveSubBits(n, nLabels)
     assert(s3SubBits == 0,
       s"s3 auto-derivation (subBits=$s3SubBits at n=$n) left the oracle's per-label cells")
   }
