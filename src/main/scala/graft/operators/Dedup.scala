@@ -58,12 +58,18 @@ object Dedup {
     * own projection so the regex split runs once per document (see
     * [[graft.functions.TextFunctions.shinglesOfTokens]]).
     */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documentsParallel(spark, dir)
+  /** The shingle pipeline over ANY (doc_id, text) frame — shared by the
+    * directory-based batch form and the per-micro-batch streaming form.
+    */
+  private[operators] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesOfTokens(col("toks")).as("sh_str"))
       .select(col("doc_id"),
         transform(col("sh_str"), s => xxhash64(s)).as("sh"))
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documentsParallel(spark, dir))
 
   /** d2: exact n-gram Jaccard near-dup pairs (j >= threshold), via
     * prefix-filtered similarity join (AllPairs/PPJoin): under any fixed
@@ -408,6 +414,61 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("batch_id"), col("corpus_id"))
     materializeAndRelease(verified, docs)
+  }
+
+  /** Streaming ingest dedup — the streaming face of [[incrementalDedup]]:
+    * documents ARRIVE as a stream, each micro-batch probes the static
+    * corpus band index, and only verified-novel documents reach the sink.
+    * The dedup-on-arrival gate a continuously-fed training corpus runs.
+    *
+    * Shape notes for scale: the corpus index (shingles + bands) is
+    * computed once and cached — per micro-batch cost is the batch's own
+    * shingling plus the band equi-join against the index, independent of
+    * how many batches came before. `foreachBatch` is the right vehicle
+    * because the candidate→verify stage is a multi-join batch plan, not
+    * an incremental aggregation; the sink append is the same
+    * at-least-once contract as the JDBC landing. Batch-internal
+    * duplicates are d3's job (run it inside the batch first if arrivals
+    * can collide with each other); this operator's contract is
+    * batch-vs-corpus only, like d11.
+    */
+  def streamingIncrementalDedup(spark: SparkSession, dir: String,
+                                sinkPath: String, checkpointPath: String,
+                                threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val corpusDocs = docShingles(spark, dir)
+      .filter(col("doc_id") % 2 === 0).cache()
+    val corpusBands = minhashBands(corpusDocs).cache()
+
+    val schema = Tables.documents(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$dir/documents*.parquet")
+      .filter(col("doc_id") % 2 =!= 0) // odd doc_ids arrive; even ARE the corpus
+
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batchSh = shinglesOf(batch.select(col("doc_id"), col("text"))).cache()
+        val batchBands = minhashBands(batchSh)
+        val candidates = batchBands.as("a")
+          .join(corpusBands.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+          .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("corpus_id"))
+          .distinct()
+        val dupIds = candidates
+          .join(batchSh.select(col("doc_id").as("batch_id"), col("sh").as("sh_a")), "batch_id")
+          .join(corpusDocs.select(col("doc_id").as("corpus_id"), col("sh").as("sh_b")), "corpus_id")
+          .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .filter(col("shared").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("shared")).cast("double")
+            >= threshold)
+          .select(col("batch_id").as("doc_id")).distinct()
+        batch.join(dupIds, Seq("doc_id"), "left_anti")
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sinkPath)
+        batchSh.unpersist()
+        ()
+      }
+      .start()
   }
 
   /** d9: SimHash near-dup PAIRS — the retrieval half of the SimHash path

@@ -49,6 +49,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup: sink holds exactly the arrivals d11 clears against the corpus") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val q = graft.operators.Dedup.streamingIncrementalDedup(
+      spark, sf, s"$work/sink", s"$work/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    val landed = spark.read.parquet(s"$work/sink")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val arrivals = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 =!= 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dups = graft.operators.Dedup.incrementalDedup(spark, sf)
+      .select("batch_id").collect().map(_.getLong(0)).toSet
+    assert(landed == (arrivals -- dups),
+      s"landed=${landed.size} arrivals=${arrivals.size} dups=${dups.size}")
+    assert(dups.nonEmpty, "planted near-dups should cross the parity split")
+  }
+
   test("streaming dedup-within-watermark covers every distinct key exactly once") {
     val q = Events.streamingDedup(spark, sf)
       .writeStream.outputMode("append")
