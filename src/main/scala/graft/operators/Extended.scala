@@ -283,8 +283,12 @@ object Extended {
     val scan = o.agg(
       count(lit(1)).as("n"),
       countDistinct(col("o_orderkey")).as("n_keys"),
-      sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("null_cust"),
-      sum(when(col("o_totalprice") <= 0, 1).otherwise(0)).as("nonpos_price"))
+      // coalesce: sum over an EMPTY batch is null, and a null rule result
+      // must not poison the report (an empty batch passes trivially)
+      coalesce(sum(when(col("o_custkey").isNull, 1).otherwise(0)), lit(0L))
+        .as("null_cust"),
+      coalesce(sum(when(col("o_totalprice") <= 0, 1).otherwise(0)), lit(0L))
+        .as("nonpos_price"))
     val orphans = o.join(broadcast(c),
         col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("n_orphans"))

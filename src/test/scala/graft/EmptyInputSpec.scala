@@ -18,7 +18,7 @@ class EmptyInputSpec extends AnyFunSuite {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
     }
-    Seq("documents", "orders", "customer").foreach(writeEmpty)
+    Seq("documents", "orders", "customer", "embeddings").foreach(writeEmpty)
     // events needs the raw long-nanos ts column the reader rebuilds from
     val evSchema = org.apache.spark.sql.types.StructType(
       graft.sources.Tables.events(spark, TestSpark.sf).schema.map {
@@ -55,6 +55,25 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.streaming.Events.purchasesWithRecentClicks(spark, emptyDir).count() == 0)
     assert(graft.streaming.Events.clickToPurchaseFunnel(spark, emptyDir).count() == 0)
     assert(graft.streaming.Events.asofSignup(spark, emptyDir).count() == 0)
+  }
+
+  test("round-3 operators behave on an empty corpus") {
+    assert(graft.operators.Dedup.dupNgramFraction(spark, emptyDir).count() == 0)
+    assert(graft.operators.Dedup.incrementalDedup(spark, emptyDir).count() == 0)
+    assert(graft.operators.Dedup.embeddingNearDupPairs(spark, emptyDir).count() == 0)
+    assert(graft.operators.TextAnalysis.mixtureSample(spark, emptyDir).count() == 0)
+    assert(graft.operators.TextAnalysis.lengthCurriculumBuckets(spark, emptyDir).count() == 0)
+    assert(graft.operators.Similarity.annBruteForceTopK(spark, emptyDir).count() == 0)
+    assert(graft.operators.Similarity.annLshTopK(spark, emptyDir).count() == 0)
+    assert(graft.operators.Similarity.annIvfTopK(spark, emptyDir).count() == 0)
+    assert(graft.operators.Similarity.quantizeInt8(spark, emptyDir).count() == 0)
+    assert(graft.streaming.Events.eventTransitionMatrix(spark, emptyDir).count() == 0)
+    assert(graft.streaming.Events.windowTopTypes(spark, emptyDir).count() == 0)
+    assert(graft.multimodal.Multimodal.typedFormatMoments(spark, emptyDir).count() == 0)
+    // the expectations REPORT is the exception: an empty batch trivially
+    // satisfies every check — 4 rows, all passed (never a crash/NPE)
+    val checks = graft.operators.Extended.dataExpectations(spark, emptyDir).collect()
+    assert(checks.length == 4 && checks.forall(_.getBoolean(2)))
   }
 
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {
