@@ -221,21 +221,51 @@ object Dedup {
                       threshold: Double = 0.8, maxIters: Int = 100): DataFrame = {
     val pairs = minhashLshPairs(spark, dir, threshold)
       .select(col("id_a"), col("id_b")).cache()
+    val result = connectedComponents(pairs, maxIters)
+      .withColumnRenamed("node", "doc_id")
+      .withColumnRenamed("root", "cluster_root")
+      .orderBy(col("doc_id"))
+    materializeAndRelease(result, pairs)
+  }
+
+  /** After this many one-hop rounds without convergence, each further round
+    * ALSO pointer-jumps (root := root-of-root), doubling the propagated
+    * distance per round — total rounds O([[PointerJumpAfter]] + log
+    * diameter) instead of O(diameter). Near-dup clusters are near-cliques
+    * that close in 2-3 one-hop rounds and never reach the threshold; the
+    * jump join only prices in on pathological high-diameter components
+    * (a duplicated serial document chain), exactly where it wins.
+    */
+  val PointerJumpAfter = 4
+
+  /** Connected components over an undirected pair list `(id_a, id_b)` —
+    * min-label propagation, the scalable DataFrame-native form of
+    * union-find: each round is one join + one groupBy, no driver state.
+    * Returns `(node, root)` for every node appearing in `pairs`, where
+    * `root` is the least node id of its component.
+    *
+    * Each round's labels are localCheckpoint'ed (eager): the new labels
+    * reference the old ones TWICE (union + join), so a cache alone keeps
+    * a logical plan that doubles per round — at graph diameter d the
+    * analyzer/AQE would walk a 2^d-node tree (a 14-hop chain OOMed on
+    * plan stringification alone). Checkpointing truncates the plan to the
+    * materialized blocks, keeping every round's analysis O(1). (Pointer
+    * jumping from round 0 was measured 6× slower on real near-dup
+    * graphs — the extra self-join buys nothing at diameter 2-3 — so it
+    * arms only past [[PointerJumpAfter]] rounds.)
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 100,
+                          jumpAfter: Int = PointerJumpAfter): DataFrame = {
     // undirected edge list, both directions
-    val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .withColumnRenamed("id_a", "src").withColumnRenamed("id_b", "dst")
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
     // seed with the first propagation round for free: root₀ =
-    // min(self, neighbors) — one aggregate instead of a join round.
-    // Each round's labels are localCheckpoint'ed (eager): the new labels
-    // reference the old ones TWICE (union + join), so a cache alone keeps
-    // a logical plan that doubles per round — at graph diameter d the
-    // analyzer/AQE would walk a 2^d-node tree (a 14-hop chain OOMed on
-    // plan stringification alone). Checkpointing truncates the plan to the
-    // materialized blocks, keeping every round's analysis O(1).
+    // min(self, neighbors) — one aggregate instead of a join round
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("min_nbr"))
-      .select(col("src").as("doc_id"),
+      .select(col("src").as("node"),
         least(col("src"), col("min_nbr")).as("root"))
       .localCheckpoint()
     var iter = 0
@@ -246,19 +276,28 @@ object Dedup {
     while (!converged) {
       if (iter >= maxIters)
         throw new IllegalStateException(
-          s"nearDupClusters: label propagation not converged after $maxIters rounds " +
+          s"connectedComponents: label propagation not converged after $maxIters rounds " +
             "(graph diameter exceeds the safety cap)")
       val viaNeighbor = edges
-        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("root", "nroot"), "dst")
-        .select(col("src").as("doc_id"), col("nroot").as("root"))
-      // one-hop min-label propagation per round. (Pointer jumping — joining
-      // the propagated labels against themselves for log-diameter rounds —
-      // was measured 6× slower here: the twice-referenced intermediate
-      // doubles the recomputed lineage every iteration.)
-      val updated = labels.union(viaNeighbor)
-        .groupBy(col("doc_id")).agg(min(col("root")).as("root"))
+        .join(labels.select(col("node").as("dst"), col("root").as("nroot")), "dst")
+        .select(col("src").as("node"), col("nroot").as("root"))
+      // past the threshold, add the pointer-jump term: root-of-root
+      // (roots are always node ids, so the inner self-join is total).
+      // min(one-hop, jump) keeps the same monotone-decreasing labels, and
+      // the jump halves the remaining diameter every round
+      val contributions =
+        if (iter < jumpAfter) labels.union(viaNeighbor)
+        else {
+          val jumped = labels.as("x")
+            .join(labels.select(col("node").as("r_node"), col("root").as("rroot")),
+              col("x.root") === col("r_node"))
+            .select(col("x.node").as("node"), col("rroot").as("root"))
+          labels.union(viaNeighbor).union(jumped)
+        }
+      val updated = contributions
+        .groupBy(col("node")).agg(min(col("root")).as("root"))
         .localCheckpoint() // eager: materializes now, lineage cut
-      // convergence check without a self-join: per-doc min labels only ever
+      // convergence check without a self-join: per-node min labels only ever
       // decrease, so Σroot is strictly monotone until the fixed point
       val curSum = updated.agg(coalesce(sum(col("root")), lit(0L)))
         .collect()(0).getLong(0)
@@ -267,9 +306,7 @@ object Dedup {
       prevSum = curSum
       iter += 1
     }
-    val result = labels.select(col("doc_id"), col("root").as("cluster_root"))
-      .orderBy(col("doc_id"))
-    materializeAndRelease(result, labels, edges, pairs)
+    materializeAndRelease(labels.select(col("node"), col("root")), edges)
   }
 
   /** d7: the deduplicated corpus — drop every non-root member of a
@@ -354,7 +391,12 @@ object Dedup {
     * duplication signal: unlike pairwise dedup (d2/d3) it needs no pair
     * enumeration at all — one shuffle to count n-gram document frequency,
     * one join back — so it stays linear even on a corpus where near-dup
-    * pairs would be quadratic. Shingles ride the same 64-bit hash as d2/d8.
+    * pairs would be quadratic. Shingles ride the same 64-bit hash as d2/d8;
+    * note the df count is over xxhash64 values, not strings — a cross-
+    * document collision inflates df for both colliding n-grams with
+    * probability ~|distinct corpus n-grams|²/2⁶⁴ (like d3's miss bound:
+    * negligible below ~10¹² distinct n-grams, and the failure mode is a
+    * pessimistic dup_frac, never a missed duplicate).
     */
   def dupNgramFraction(spark: SparkSession, dir: String, n: Int = 8,
                        minDf: Int = 2): DataFrame = {
@@ -426,11 +468,20 @@ object Dedup {
     * shingling plus the band equi-join against the index, independent of
     * how many batches came before. `foreachBatch` is the right vehicle
     * because the candidate→verify stage is a multi-join batch plan, not
-    * an incremental aggregation; the sink append is the same
-    * at-least-once contract as the JDBC landing. Batch-internal
-    * duplicates are d3's job (run it inside the batch first if arrivals
-    * can collide with each other); this operator's contract is
-    * batch-vs-corpus only, like d11.
+    * an incremental aggregation. Batch-internal duplicates are d3's job
+    * (run it inside the batch first if arrivals can collide with each
+    * other); this operator's contract is batch-vs-corpus only, like d11.
+    *
+    * The sink is IDEMPOTENT across checkpoint recovery: each micro-batch
+    * overwrites its own `ingest_batch=<id>` directory, so a batch that was
+    * written but not yet committed before a crash is rewritten
+    * byte-identically on replay instead of appended twice (the
+    * deterministic-path spelling of foreachBatch exactly-once; readers
+    * scan `sinkPath` and see `ingest_batch` as a partition column).
+    * The corpus index caches are unpersisted when the query terminates
+    * (a [[org.apache.spark.sql.streaming.StreamingQueryListener]] keyed to
+    * this query's id), mirroring the materializeAndRelease discipline of
+    * the batch operators — a stopped query leaks nothing into the session.
     */
   def streamingIncrementalDedup(spark: SparkSession, dir: String,
                                 sinkPath: String, checkpointPath: String,
@@ -447,7 +498,7 @@ object Dedup {
 
     stream.writeStream
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val batchSh = shinglesOf(batch.select(col("doc_id"), col("text"))).cache()
         val batchBands = minhashBands(batchSh)
         val candidates = batchBands.as("a")
@@ -464,11 +515,27 @@ object Dedup {
             >= threshold)
           .select(col("batch_id").as("doc_id")).distinct()
         batch.join(dupIds, Seq("doc_id"), "left_anti")
-          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sinkPath)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$sinkPath/ingest_batch=$batchId")
         batchSh.unpersist()
         ()
       }
-      .start()
+      .start() match {
+      case query =>
+        val queryId = query.id
+        spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+            if (e.id == queryId) {
+              corpusDocs.unpersist()
+              corpusBands.unpersist()
+              spark.streams.removeListener(this)
+            }
+        })
+        query
+    }
   }
 
   /** d9: SimHash near-dup PAIRS — the retrieval half of the SimHash path

@@ -85,7 +85,11 @@ object Similarity {
     * drift cannot escape the assertion.
     */
   def deriveSubBits(n: Long, nLabels: Long): Int =
-    math.max(0, math.round(
+    // n <= 0 (empty corpus) would feed log(0) = -Inf into round, whose
+    // Long.MinValue only truncates to 0 by integer-overflow coincidence —
+    // return the degenerate quantizer explicitly instead
+    if (n <= 0) 0
+    else math.max(0, math.round(
       math.log(math.sqrt(n.toDouble) / 2.0 / nLabels.max(1L)) / math.log(2.0)).toInt)
 
   /** s3: IVF-style ANN — coarse quantization with seeded centroids, every

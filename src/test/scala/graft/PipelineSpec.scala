@@ -316,9 +316,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.count() == 4)
     assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
     assert(df.filter(col("doc_id").isNotNull).count() == 3)
-    // FAILFAST is the strict-batch alternative
-    val strict = Pipeline.readJsonl(spark, p, schema, mode = "DROPMALFORMED")
-    assert(strict.count() == 3)
+    // DROPMALFORMED silently discards the corrupt line
+    val dropped = Pipeline.readJsonl(spark, p, schema, mode = "DROPMALFORMED")
+    assert(dropped.count() == 3)
+    // FAILFAST is the strict-batch alternative: first corrupt line aborts
+    val strict = Pipeline.readJsonl(spark, p, schema, mode = "FAILFAST")
+    intercept[org.apache.spark.SparkException] {
+      strict.collect()
+    }
     df.unpersist()
   }
 

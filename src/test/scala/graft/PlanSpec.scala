@@ -97,10 +97,13 @@ class PlanSpec extends AnyFunSuite {
     //  - s3/t8/t11/q36: crossJoin(broadcast(<1-row or dim>)) scalar/centroid fan-in
     //  - q23: correlated scalar subquery decorrelates to a single-row join
     // (d5 earned its way OUT of this set: banded-LSH candidates, r3)
+    // (q44 joined the set in r4: its global revenue share moved OFF the
+    // single-partition window onto the q36 scalar-total broadcast shape)
     val quadraticByDesign = Set(
       "s1_ann_topk", "s3_ann_ivf_topk", "s4_quantize_int8",
       "t8_tfidf", "t11_length_buckets", "t14_mixture_sample",
-      "q36_histogram", "q23_correlated_subq", "q49_expectations")
+      "q36_histogram", "q44_supplier_revenue", "q23_correlated_subq",
+      "q49_expectations")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticByDesign)
       .flatMap { name =>
@@ -127,6 +130,22 @@ class PlanSpec extends AnyFunSuite {
     // partition key — a single-partition sort of the whole corpus
     assert(allWindows(plan).isEmpty, s"unexpected window:\n$plan")
     assert(!plan.toString.contains("ntile("), s"ntile leaked back in:\n$plan")
+  }
+
+  test("no registered query plans an empty-partition (single-partition) window") {
+    // Window.partitionBy() funnels the whole input through ONE partition —
+    // the t11/q44 scale-killer shape. After rewriting q44 to the scalar-
+    // aggregate + crossJoin(broadcast) spelling this gate holds with ZERO
+    // exemptions, so any future query that reaches for a global window
+    // fails here instead of shipping a single-partition bottleneck.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val empties =
+        try allWindows(initialPlan(SparkEntry.queries(name)(spark, sf)))
+          .filter(_.partitionSpec.isEmpty)
+        catch { case _: Throwable => Nil } // plan failures are the gate below's job
+      if (empties.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"single-partition windows in: $offenders")
   }
 
   test("s3 IVF: centroid assignment is map-side (no window/exchange touches the corpus scan)") {

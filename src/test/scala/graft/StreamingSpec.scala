@@ -68,6 +68,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(dups.nonEmpty, "planted near-dups should cross the parity split")
   }
 
+  test("streaming ingest dedup sink is idempotent across checkpoint replay") {
+    val work = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val (sink, ckpt) = (s"$work/sink", s"$work/ckpt")
+    def runOnce(): Unit = {
+      val q = graft.operators.Dedup.streamingIncrementalDedup(spark, sf, sink, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val first = spark.read.parquet(sink)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(first.nonEmpty)
+    // simulate a crash AFTER the sink write but BEFORE the offset commit:
+    // drop the newest commit marker, so the restart REPLAYS that micro-batch
+    // (this is exactly the recovery path where the old append sink wrote
+    // every replayed row a second time)
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty, "checkpoint should hold at least one committed batch")
+    // also remove the Hadoop checksum shadow — a stale .N.crc makes the
+    // replayed commit's rename fail as a phantom "concurrent query"
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    assert(commits.last.delete())
+    runOnce() // replay lands in the same ingest_batch dir: overwrite, not append
+    val second = spark.read.parquet(sink)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(second.sameElements(first),
+      s"replay changed the sink: ${second.length} rows vs ${first.length}")
+    assert(second.distinct.length == second.length,
+      "no duplicate doc_ids after replay")
+  }
+
   test("streaming dedup-within-watermark covers every distinct key exactly once") {
     val q = Events.streamingDedup(spark, sf)
       .writeStream.outputMode("append")
