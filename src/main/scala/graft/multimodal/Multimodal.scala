@@ -34,6 +34,19 @@ object Multimodal {
   case class DecodedMedia(doc_id: Long, byte_len: Long, width: Int, height: Int,
                           n_frames: Int, format: String)
 
+  /** The codec seam: everything a decoder must provide, and NOTHING about
+    * the plan. `open()` runs once per partition (the amortized-init hook a
+    * JNI/javacv decoder needs — codec tables, native contexts) and returns
+    * the per-payload decode function. Swapping implementations changes no
+    * schema, no partitioning, no operator shape — the contract suite runs
+    * the same assertions against [[StubCodec]] and a second fake codec to
+    * pin exactly that.
+    */
+  trait MediaCodec extends Serializable {
+    /** (width, height, n_frames, format) for one payload. */
+    def open(): Array[Byte] => (Int, Int, Int, String)
+  }
+
   /** STUB decoder ??? — replace with a real codec (e.g. javacv / JNI) in a
     * production image. Deterministic fake: dimensions derived from a hash
     * of the payload so tests are stable. The hash is the engine-portable
@@ -53,16 +66,24 @@ object Multimodal {
     (w, ht, frames, fmt)
   }
 
+  /** Default codec: the deterministic stub above (no per-partition state
+    * to initialize, so `open()` just returns the pure function).
+    */
+  object StubCodec extends MediaCodec {
+    def open(): Array[Byte] => (Int, Int, Int, String) = decodeStub
+  }
+
   /** Partition-wise decode of binary payloads into typed metadata. */
-  def decodeAll(spark: SparkSession, dir: String): Dataset[DecodedMedia] = {
+  def decodeAll(spark: SparkSession, dir: String,
+                codec: MediaCodec = StubCodec): Dataset[DecodedMedia] = {
     import spark.implicits._
     val media = Tables.documentsParallel(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRecord]
     media.mapPartitions { records =>
-      // per-partition decoder init would go here (amortized, not per-record)
+      val decode = codec.open() // per-partition decoder init (amortized)
       records.map { r =>
-        val (w, h, frames, fmt) = decodeStub(r.payload)
+        val (w, h, frames, fmt) = decode(r.payload)
         DecodedMedia(r.doc_id, r.payload.length.toLong, w, h, frames, fmt)
       }
     }
@@ -76,9 +97,10 @@ object Multimodal {
     * payload length. Same partition-wise batch shape as [[decodeAll]].
     */
   def resizeAll(spark: SparkSession, dir: String,
-                maxDim: Int = 256): Dataset[ResizedMedia] = {
+                maxDim: Int = 256,
+                codec: MediaCodec = StubCodec): Dataset[ResizedMedia] = {
     import spark.implicits._
-    decodeAll(spark, dir).mapPartitions { records =>
+    decodeAll(spark, dir, codec).mapPartitions { records =>
       records.map { d =>
         val scale = math.max(1, math.max(d.width, d.height) / maxDim)
         ResizedMedia(d.doc_id, d.width / scale, d.height / scale,
@@ -93,9 +115,10 @@ object Multimodal {
     * flatMap-shaped operator a video pipeline needs.
     */
   def sampleFrames(spark: SparkSession, dir: String,
-                   stride: Int = 4): Dataset[FrameSample] = {
+                   stride: Int = 4,
+                   codec: MediaCodec = StubCodec): Dataset[FrameSample] = {
     import spark.implicits._
-    decodeAll(spark, dir).flatMap { d =>
+    decodeAll(spark, dir, codec).flatMap { d =>
       (0 until d.n_frames by stride).map { i =>
         FrameSample(d.doc_id, i, d.doc_id * 31L + i)
       }

@@ -458,6 +458,63 @@ object Dedup {
     materializeAndRelease(verified, docs)
   }
 
+  /** Persist the corpus near-dup index as BUCKETED tables — the production
+    * ingest layout at 100 TB: `<prefix>_shingles` bucketed by `doc_id`
+    * (the verify-stage join key) and `<prefix>_bands` bucketed by
+    * `(band, bkey)` (the candidate-probe join key). Written ONCE when the
+    * corpus is (re)built; every subsequent batch or micro-batch probe
+    * ([[incrementalDedupFromIndex]], [[streamingIncrementalDedup]] with
+    * `indexPrefix`) reads pre-shuffled files, so the corpus side of both
+    * joins needs NO exchange — per-batch cost is the batch's own shuffle
+    * only, however many trillions of corpus rows sit behind the index.
+    */
+  def persistCorpusBandIndex(spark: SparkSession, dir: String,
+                             prefix: String = "corpus_index",
+                             buckets: Int = 32): Unit = {
+    val docs = docShingles(spark, dir).filter(col("doc_id") % 2 === 0)
+    docs.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable(s"${prefix}_shingles")
+    // bands derive from the JUST-WRITTEN shingle table — one shingle pass
+    // total, and the band computation reads bucketed files
+    minhashBands(spark.table(s"${prefix}_shingles"))
+      .write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
+      .mode("overwrite").saveAsTable(s"${prefix}_bands")
+  }
+
+  /** d11 against the persisted index: identical contract and output to
+    * [[incrementalDedup]], but the corpus side of the candidate probe and
+    * the verify join comes from the bucketed tables — zero corpus-side
+    * shuffle (pinned in StorageLayoutSpec).
+    */
+  def incrementalDedupFromIndex(spark: SparkSession, dir: String,
+                                prefix: String = "corpus_index",
+                                threshold: Double = 0.8,
+                                release: Boolean = true): DataFrame = {
+    val corpusSh = spark.table(s"${prefix}_shingles")
+    val corpusBands = spark.table(s"${prefix}_bands")
+    val batchDocs = docShingles(spark, dir)
+      .filter(col("doc_id") % 2 =!= 0).cache()
+    val batchBands = minhashBands(batchDocs)
+    val candidates = batchBands.as("a")
+      .join(corpusBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+    val verified = candidates
+      .join(batchDocs.select(col("doc_id").as("batch_id"), col("sh").as("sh_a")), "batch_id")
+      .join(corpusSh.select(col("doc_id").as("corpus_id"), col("sh").as("sh_b")), "corpus_id")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+    // release=false keeps the live plan inspectable (StorageLayoutSpec) at
+    // the cost of leaving the batch cache registered
+    if (release) materializeAndRelease(verified, batchDocs) else verified
+  }
+
   /** Streaming ingest dedup — the streaming face of [[incrementalDedup]]:
     * documents ARRIVE as a stream, each micro-batch probes the static
     * corpus band index, and only verified-novel documents reach the sink.
@@ -482,14 +539,28 @@ object Dedup {
     * (a [[org.apache.spark.sql.streaming.StreamingQueryListener]] keyed to
     * this query's id), mirroring the materializeAndRelease discipline of
     * the batch operators — a stopped query leaks nothing into the session.
+    *
+    * `indexPrefix` switches the corpus side to the bucketed tables of
+    * [[persistCorpusBandIndex]]: no session caches at all (nothing to
+    * release on termination), and every micro-batch's probe reads the
+    * pre-shuffled index files — the corpus side of both joins is
+    * exchange-free, which is the shape a 100 TB continuously-fed corpus
+    * runs (the index is rebuilt only when the corpus itself changes).
     */
   def streamingIncrementalDedup(spark: SparkSession, dir: String,
                                 sinkPath: String, checkpointPath: String,
-                                threshold: Double = 0.8)
+                                threshold: Double = 0.8,
+                                indexPrefix: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val corpusDocs = docShingles(spark, dir)
-      .filter(col("doc_id") % 2 === 0).cache()
-    val corpusBands = minhashBands(corpusDocs).cache()
+    val fromIndex = indexPrefix.isDefined
+    val corpusDocs = indexPrefix match {
+      case Some(p) => spark.table(s"${p}_shingles")
+      case None => docShingles(spark, dir).filter(col("doc_id") % 2 === 0).cache()
+    }
+    val corpusBands = indexPrefix match {
+      case Some(p) => spark.table(s"${p}_bands")
+      case None => minhashBands(corpusDocs).cache()
+    }
 
     val schema = Tables.documents(spark, dir).schema
     val stream = spark.readStream.schema(schema)
@@ -522,18 +593,20 @@ object Dedup {
       }
       .start() match {
       case query =>
-        val queryId = query.id
-        spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
-          import org.apache.spark.sql.streaming.StreamingQueryListener._
-          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-          override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-            if (e.id == queryId) {
-              corpusDocs.unpersist()
-              corpusBands.unpersist()
-              spark.streams.removeListener(this)
-            }
-        })
+        if (!fromIndex) { // only the computed-per-run corpus holds caches
+          val queryId = query.id
+          spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+            import org.apache.spark.sql.streaming.StreamingQueryListener._
+            override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+            override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+            override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+              if (e.id == queryId) {
+                corpusDocs.unpersist()
+                corpusBands.unpersist()
+                spark.streams.removeListener(this)
+              }
+          })
+        }
         query
     }
   }

@@ -74,7 +74,8 @@ object PostgresDialect extends SqlDialect {
   val tableExistsSqlState = "42P07"
 
   def ddlType(dt: DataType): String = dt match {
-    case ByteType | ShortType | IntegerType => "INTEGER"
+    case ByteType | ShortType => "SMALLINT"
+    case IntegerType => "INTEGER"
     case LongType => "BIGINT"
     case FloatType => "REAL"
     case DoubleType => "DOUBLE PRECISION"
@@ -83,6 +84,7 @@ object PostgresDialect extends SqlDialect {
     case _: TimestampType => "TIMESTAMP"
     case d: DecimalType => s"NUMERIC(${d.precision},${d.scale})"
     case StringType => "TEXT"
+    case BinaryType => "BYTEA"
     case other =>
       throw new IllegalArgumentException(s"no $name DDL type for $other")
   }
@@ -105,7 +107,8 @@ object DerbyDialect extends SqlDialect {
   val tableExistsSqlState = "X0Y32"
 
   def ddlType(dt: DataType): String = dt match {
-    case ByteType | ShortType | IntegerType => "INTEGER"
+    case ByteType | ShortType => "SMALLINT"
+    case IntegerType => "INTEGER"
     case LongType => "BIGINT"
     case FloatType => "REAL"
     case DoubleType => "DOUBLE"
@@ -114,6 +117,7 @@ object DerbyDialect extends SqlDialect {
     case _: TimestampType => "TIMESTAMP"
     case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
     case StringType => "VARCHAR(32672)" // Derby's max VARCHAR; no TEXT type
+    case BinaryType => "BLOB"
     case other =>
       throw new IllegalArgumentException(s"no $name DDL type for $other")
   }

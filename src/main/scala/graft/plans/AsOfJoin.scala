@@ -50,6 +50,21 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  /** SQL metrics — the same observability surface the built-in joins
+    * expose in the Spark UI / `metrics` map: matched vs unmatched left
+    * rows (the as-of hit rate an alignment pipeline monitors) and the
+    * left rows skipped for a null key/on-value.
+    */
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "matched left rows"),
+    "numUnmatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "unmatched left rows"),
+    "numNullKeyRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "left rows with null key or on-value"))
+
   /** Hash-co-partition both sides on the by key… */
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(leftBy)), ClusteredDistribution(Seq(rightBy)))
@@ -74,6 +89,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val outAttrs = output
     val hasTol = tolerance.isDefined
     val tolV = tolerance.getOrElse(0L)
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
+    val numUnmatchedRows = longMetric("numUnmatchedRows")
+    val numNullKeyRows = longMetric("numNullKeyRows")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joiner = UnsafeProjection.create(outAttrs, outAttrs)
@@ -92,6 +111,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           // a null key or null on-value can match nothing: emit unmatched
           // (the sort puts null on-values first, so the cursor state is
           // untouched and later non-null left rows still see every right row)
+          numNullKeyRows += 1
+          numUnmatchedRows += 1
+          numOutputRows += 1
           joiner(joined(l, nullRight))
         } else {
           val lt = lOnV.asInstanceOf[Number].longValue()
@@ -121,6 +143,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val matched = candidate != null &&
             keyOrdering.compare(candidateKey, lk) == 0 &&
             (!hasTol || lt - candidateOn <= tolV)
+          if (matched) numMatchedRows += 1 else numUnmatchedRows += 1
+          numOutputRows += 1
           joiner(joined(l, if (matched) candidate else nullRight))
         }
       }

@@ -13,6 +13,22 @@ class AsOfJoinSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  /** The exec node, reaching through AQE wrappers to the plan that
+    * actually ran (whose metric accumulators are populated). Query stages
+    * are LEAF nodes, so plain collect stops at them — recurse into their
+    * wrapped plans explicitly.
+    */
+  private def findAsOfExec(p: org.apache.spark.sql.execution.SparkPlan)
+      : Option[graft.plans.AsOfJoinExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val all: Seq[graft.plans.AsOfJoinExec] = p.collect {
+      case e: graft.plans.AsOfJoinExec => Seq(e)
+      case a: AdaptiveSparkPlanExec => findAsOfExec(a.executedPlan).toSeq
+      case q: QueryStageExec => findAsOfExec(q.plan).toSeq
+    }.flatten
+    all.headOption
+  }
+
   test("asof: latest at-or-before match, exact ties, and no-match nulls") {
     val left = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00")),  // between r1 and r2 → r1
@@ -133,6 +149,44 @@ class AsOfJoinSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
 
     assert(viaCustom == viaWindow)
+  }
+
+  test("asof metrics: matched + unmatched partitions the left side, null keys counted") {
+    val left = Seq(
+      (1L, 1L, Some(ts("2024-01-01 10:00:00"))), // matched
+      (2L, 1L, None),                            // null on-value → unmatched + null-key
+      (3L, 9L, Some(ts("2024-01-01 10:00:00")))  // no right for key → unmatched
+    ).toDF("id", "k", "t")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), "r1")).toDF("rk", "rt", "tag")
+    val df = AsOfJoin.asof(spark, left, right,
+      col("k"), col("rk"), col("t"), col("rt"))
+    df.collect()
+    val exec = findAsOfExec(df.queryExecution.executedPlan)
+    assert(exec.isDefined, "AsOfJoinExec missing from the executed plan")
+    val m = exec.get.metrics
+    assert(m("numOutputRows").value == 3)
+    assert(m("numMatchedRows").value == 1)
+    assert(m("numUnmatchedRows").value == 2)
+    assert(m("numNullKeyRows").value == 1)
+    // the metric surface is declared on the node (visible in the UI and in
+    // any plan rendering that prints node metrics)
+    assert(Set("numOutputRows", "numMatchedRows", "numUnmatchedRows",
+      "numNullKeyRows").subsetOf(m.keySet))
+  }
+
+  test("asof plan stability: exec node, its distribution, and ordering are unchanged by metrics") {
+    val dir = TestSpark.sf
+    val df = graft.streaming.Events.asofSignup(spark, dir)
+    val exec = findAsOfExec(df.queryExecution.executedPlan)
+    assert(exec.isDefined)
+    // exactly one hash exchange per side, sorted (by, on) — the co-
+    // partitioned merge shape the operator exists for
+    assert(exec.get.requiredChildDistribution.size == 2)
+    assert(exec.get.requiredChildOrdering.forall(_.size == 2))
+    val formatted = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(formatted)) { df.explain("formatted") }
+    assert(formatted.toString.contains("AsOfJoin"),
+      "custom exec absent from explain(formatted)")
   }
 
   test("asof plan: one exchange per side, no broadcast, merge exec present") {

@@ -112,6 +112,77 @@ class JdbcSpec extends AnyFunSuite {
     assert(w == 3L)
   }
 
+  test("dialect DDL type matrix: every staging-relevant Spark type renders on both targets") {
+    import org.apache.spark.sql.types._
+    import graft.pipeline.{DerbyDialect, PostgresDialect}
+    // (spark type, postgres spelling, derby spelling) — the documented
+    // Postgres forms (erd_table_creations.sql uses INTEGER/DECIMAL/DATE/
+    // TIMESTAMP/VARCHAR-ish columns) plus the types the landing schemas
+    // carry; a live Postgres is a config change, not code, because the
+    // full matrix is pinned here
+    val matrix: Seq[(DataType, String, String)] = Seq(
+      (ShortType, "SMALLINT", "SMALLINT"),
+      (IntegerType, "INTEGER", "INTEGER"),
+      (LongType, "BIGINT", "BIGINT"),
+      (FloatType, "REAL", "REAL"),
+      (DoubleType, "DOUBLE PRECISION", "DOUBLE"),
+      (BooleanType, "BOOLEAN", "BOOLEAN"),
+      (DateType, "DATE", "DATE"),
+      (TimestampType, "TIMESTAMP", "TIMESTAMP"),
+      (DecimalType(12, 2), "NUMERIC(12,2)", "DECIMAL(12,2)"),
+      (StringType, "TEXT", "VARCHAR(32672)"),
+      (BinaryType, "BYTEA", "BLOB"))
+    matrix.foreach { case (dt, pg, derby) =>
+      assert(PostgresDialect.ddlType(dt) == pg, s"postgres $dt")
+      assert(DerbyDialect.ddlType(dt) == derby, s"derby $dt")
+    }
+    // an unmapped type must fail loudly at render time, not at the server
+    intercept[IllegalArgumentException] {
+      PostgresDialect.ddlType(ArrayType(LongType))
+    }
+
+    // the full-matrix CREATE + MERGE upsert EXECUTES on the live engine,
+    // including the temporal/decimal/binary columns the simpler staging
+    // test doesn't touch
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", DateType), StructField("ts", TimestampType),
+      StructField("amt", DecimalType(12, 2)), StructField("ok", BooleanType),
+      StructField("blob", BinaryType)))
+    val url = freshUrl()
+    JdbcStore.ensureTable(url, "typed_staging", schema, DerbyDialect, props)
+    val day = java.sql.Date.valueOf("2024-03-01")
+    val at = java.sql.Timestamp.valueOf("2024-03-01 10:30:00")
+    val amt = new java.math.BigDecimal("12345.67")
+    JdbcStore.upsertRows(url, "typed_staging", schema, "id",
+      Seq(Seq(1L, day, at, amt, true, Array[Byte](1, 2, 3))),
+      DerbyDialect, props)
+    // upsert the same key: every non-pk column updates in place
+    val amt2 = new java.math.BigDecimal("99.50")
+    JdbcStore.upsertRows(url, "typed_staging", schema, "id",
+      Seq(Seq(1L, day, at, amt2, false, Array[Byte](9, 9))),
+      DerbyDialect, props)
+    val r = spark.read.jdbc(url, "typed_staging", props).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 1L && r(0).getDate(1) == day && r(0).getTimestamp(2) == at)
+    assert(r(0).getDecimal(3).compareTo(amt2) == 0)
+    assert(!r(0).getBoolean(4))
+    assert(r(0).getAs[Array[Byte]](5).toSeq == Seq[Byte](9, 9))
+
+    // Postgres upsert rendering for the same schema: the exact documented
+    // ON CONFLICT form, with every non-pk column in the update list
+    val pgUp = PostgresDialect.upsertSql("typed_staging", schema, "id")
+    assert(pgUp ==
+      """INSERT INTO typed_staging ("id", "d", "ts", "amt", "ok", "blob") """ +
+      """VALUES (?, ?, ?, ?, ?, ?) ON CONFLICT ("id") DO UPDATE SET """ +
+      """"d" = EXCLUDED."d", "ts" = EXCLUDED."ts", "amt" = EXCLUDED."amt", """ +
+      """"ok" = EXCLUDED."ok", "blob" = EXCLUDED."blob"""")
+    assert(PostgresDialect.upsertParamOrder(schema, "id") == (0 until 6))
+    // Derby MERGE mentions pk once in ON, non-pk in UPDATE, all in INSERT
+    assert(DerbyDialect.upsertParamOrder(schema, "id") ==
+      Seq(0) ++ (1 until 6) ++ (0 until 6))
+  }
+
   test("S7: predicate and column pruning push into the JDBC source") {
     import spark.implicits._
     val url = freshUrl()

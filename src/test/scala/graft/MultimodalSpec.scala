@@ -4,6 +4,20 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.Multimodal
 
+/** A second, structurally different fake codec (fixed-width "thumbnails",
+  * frame count from payload length) — top-level so the Spark closure
+  * serializer ships it without dragging the test class along.
+  */
+class FixedFakeCodec extends Multimodal.MediaCodec {
+  def open(): Array[Byte] => (Int, Int, Int, String) = {
+    // per-partition "decoder handle" init — the amortized-init shape a
+    // real codec uses (contexts/tables allocated here, once per partition)
+    val baseDim = 320
+    p => (baseDim, baseDim / 2, 1 + (p.length % 8),
+      if (p.length % 2 == 0) "img" else "vid")
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf
@@ -33,6 +47,33 @@ class MultimodalSpec extends AnyFunSuite {
     frames.foreach { case (id, fs) =>
       val expected = (0 until decoded(id).n_frames by 4).toSet
       assert(fs.map(_.frame_idx).toSet == expected)
+    }
+  }
+
+  test("codec seam: stub and a second fake codec pass the same plumbing contract") {
+    // the contract is about the SPARK side — schema, row-per-payload,
+    // stride fan-out, resize cap — not about any particular codec's
+    // output, so both implementations must satisfy it unchanged
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    for (codec <- Seq[Multimodal.MediaCodec](Multimodal.StubCodec, new FixedFakeCodec)) {
+      val decoded = Multimodal.decodeAll(spark, sf, codec).collect()
+      assert(decoded.length == nDocs, "one typed row per payload")
+      decoded.foreach { d =>
+        assert(d.width > 0 && d.height > 0 && d.n_frames >= 1 && d.byte_len > 0)
+        assert(d.format == "img" || d.format == "vid")
+      }
+      val dmap = decoded.map(d => d.doc_id -> d).toMap
+      val resized = Multimodal.resizeAll(spark, sf, maxDim = 256, codec = codec).collect()
+      assert(resized.length == nDocs)
+      resized.foreach { r =>
+        val d = dmap(r.doc_id)
+        assert(r.width <= d.width && r.height <= d.height && r.payload_len <= d.byte_len)
+      }
+      val frames = Multimodal.sampleFrames(spark, sf, stride = 4, codec = codec)
+        .collect().groupBy(_.doc_id)
+      frames.foreach { case (id, fs) =>
+        assert(fs.map(_.frame_idx).toSet == (0 until dmap(id).n_frames by 4).toSet)
+      }
     }
   }
 

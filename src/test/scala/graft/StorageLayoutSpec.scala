@@ -61,6 +61,55 @@ class StorageLayoutSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("persisted corpus band index: probe is exchange-free on the corpus side, output equals d11") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // fresh bucketed tables in the throwaway warehouse
+    Seq("corpus_index_shingles", "corpus_index_bands").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    }
+    graft.operators.Dedup.persistCorpusBandIndex(spark, sf, buckets = 8)
+
+    def scansOf(p: SparkPlan, substr: String): Seq[FileSourceScanExec] =
+      p.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(substr)) => Seq(s)
+        case a: AdaptiveSparkPlanExec => scansOf(a.inputPlan, substr)
+      }.flatten
+
+    // force the shuffle-join path (a broadcast would trivially pass)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = graft.operators.Dedup
+        .incrementalDedupFromIndex(spark, sf, release = false)
+      val plan = probe.queryExecution.executedPlan
+      assert(scansOf(plan, "corpus_index_bands").nonEmpty, s"bands table not scanned:\n$plan")
+      assert(scansOf(plan, "corpus_index_shingles").nonEmpty, "shingle table not scanned")
+      // for every sort-merge join, a child subtree that reads an index
+      // table must contain NO shuffle — the bucketed layout IS its
+      // distribution; only the batch side may exchange
+      def joins(p: SparkPlan): Seq[SortMergeJoinExec] = p.collect {
+        case j: SortMergeJoinExec => Seq(j)
+        case a: AdaptiveSparkPlanExec => joins(a.inputPlan)
+      }.flatten
+      val corpusSides = joins(plan).flatMap(j => Seq(j.left, j.right))
+        .filter(side => scansOf(side, "corpus_index").nonEmpty)
+      assert(corpusSides.nonEmpty, s"no join hangs off the index tables:\n$plan")
+      corpusSides.foreach { side =>
+        assert(countShuffles(side) == 0,
+          s"corpus side of a probe join shuffles:\n$side")
+      }
+      // identical output to the computed-per-run d11
+      val fromIndex = probe.collect().map(_.toSeq).toSet
+      val recomputed = graft.operators.Dedup.incrementalDedup(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(fromIndex == recomputed, "index probe diverged from d11")
+      assert(fromIndex.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("dt-partitioned layout prunes partitions under a date filter") {
     val dir = Files.createTempDirectory("graft_part").toString
     graft.sources.Tables.orders(spark, sf)

@@ -68,6 +68,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(dups.nonEmpty, "planted near-dups should cross the parity split")
   }
 
+  test("streaming ingest dedup over the persisted bucketed index matches the computed-corpus run") {
+    import org.apache.spark.sql.functions._
+    Seq("stream_corpus_index_shingles", "stream_corpus_index_bands").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+    }
+    graft.operators.Dedup.persistCorpusBandIndex(spark, sf, "stream_corpus_index", buckets = 4)
+    val work = java.nio.file.Files.createTempDirectory("graft_ingest_idx").toString
+    val q = graft.operators.Dedup.streamingIncrementalDedup(
+      spark, sf, s"$work/sink", s"$work/ckpt",
+      indexPrefix = Some("stream_corpus_index"))
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(s"$work/sink")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val arrivals = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 =!= 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dups = graft.operators.Dedup.incrementalDedup(spark, sf)
+      .select("batch_id").collect().map(_.getLong(0)).toSet
+    assert(landed == (arrivals -- dups),
+      s"landed=${landed.size} arrivals=${arrivals.size} dups=${dups.size}")
+  }
+
   test("streaming ingest dedup sink is idempotent across checkpoint replay") {
     val work = java.nio.file.Files.createTempDirectory("graft_replay").toString
     val (sink, ckpt) = (s"$work/sink", s"$work/ckpt")
