@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-suite soak-data generator: an sf1-equivalent directory built by
+  * replicating EVERY sf0.1 table `factor`× with consistent key offsets,
+  * so all 88 registered queries run unmodified at 10× the bench scale.
+  *
+  * Replication rules (rep = 0 is the identity copy):
+  *  - dims `region`/`nation` are fixed vocabularies — copied as-is, like
+  *    a real 10× corpus (more facts, same 25 nations).
+  *  - every key column gets `+ rep * KeyOffset`, the SAME offset on both
+  *    sides of every join, so each replica is a self-consistent star and
+  *    replicas never cross-join. `KeyOffset` is divisible by every
+  *    modulus the queries select with (% 50 ANN queries, % 20 d8 eval
+  *    split, % 2 d11 parity), so per-replica selections mirror rep 0.
+  *  - `documents` replicas get a unique tail token (the r3 Soak recipe):
+  *    replicas are NEAR-duplicates of their original — the hardest dedup
+  *    case, near-dup pair count grows factor²-per-group while exact
+  *    fingerprints see nothing.
+  *  - `embeddings` replicas get deterministic per-dimension pseudo-noise
+  *    (near — not identical — vectors, so banded/bucketed candidate
+  *    machinery does real work).
+  *
+  * Usage: runMain graft.SoakGen [srcSfDir] [factor] [outDir] [--time-auto]
+  * `--time-auto` additionally times the AUTO-scaling d5/s3 variants on
+  * the generated corpus — the registered queries pin gate-scale LSH/IVF
+  * parameters for oracle parity (bandBits=3, per-label cells), which the
+  * derivations deliberately outgrow here (deriveBandBits(20k)=8), so at
+  * soak scale the API defaults are the honest measurement.
+  */
+object SoakGen {
+  val KeyOffset = 10000000L // divisible by 50, 20, and 2 (see scaladoc)
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val out = args.lift(2).getOrElse("/root/repo/soakdata/sf1")
+    val timeAuto = args.contains("--time-auto")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // the source events.parquet carries INT64 TIMESTAMP(NANOS), which
+    // Spark 4 only reads as a long under this flag; the replica is written
+    // as a plain BIGINT and Tables.events rebuilds the µs timestamp from
+    // it identically either way
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val onlyTime = args.contains("--only-time") // reuse an existing outDir
+
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    def off(k: String) = (col(k) + col("rep") * lit(KeyOffset)).as(k)
+
+    /** Replicate with the named key columns offset, everything else kept. */
+    def replicate(table: String, keys: Seq[String],
+                  extra: DataFrame => DataFrame = identity): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val cols = base.columns.map(c => if (keys.contains(c)) off(c) else col(c))
+      val big = extra(base.crossJoin(reps).select(cols.toIndexedSeq: _*))
+      big.write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[soakgen] $table: ${factor}x written")
+    }
+
+    if (!onlyTime) {
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[soakgen] $t: dim copied as-is")
+    }
+    replicate("customer", Seq("c_custkey"))
+    replicate("supplier", Seq("s_suppkey"))
+    replicate("part", Seq("p_partkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    replicate("events", Seq("event_id", "user_id"))
+
+    // documents: rep>0 texts get a unique tail token -> near-duplicates
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep") * lit(KeyOffset)).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" uniq"), col("rep"),
+            lit("x"), col("doc_id"))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"[soakgen] documents: ${factor}x written (near-dup replicas)")
+
+    // embeddings: deterministic pseudo-noise per replica dimension
+    val eb = spark.read.parquet(s"$src/embeddings.parquet")
+    eb.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep") * lit(KeyOffset)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") +
+            (pmod(col("rep") * 2654435761L + i * 40503, lit(1000)) - 500)
+              .cast("double") / 50000.0).cast("float")).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[soakgen] embeddings: ${factor}x written (noised replicas)")
+    }
+
+    if (timeAuto || onlyTime) {
+      def time(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[soakgen] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f s  $rows%10d rows")
+      }
+      time("d5_auto_banded") {
+        graft.operators.Dedup.embeddingNearDupPairs(spark, out).count()
+      }
+      time("s3_auto_cells") {
+        graft.operators.Similarity.annIvfTopK(spark, out).count()
+      }
+    }
+    spark.stop()
+  }
+}
