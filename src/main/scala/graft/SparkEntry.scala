@@ -124,6 +124,9 @@ object SparkEntry {
     "q36_histogram"           -> ((s: SparkSession, d: String) => Extended.priceHistogram(s, d)),
     "m3_frame_samples"        -> Multimodal.frameSampleStats _,
     "m4_typed_moments"        -> Multimodal.typedFormatMoments _,
+    // batch 5 extensions (round 4)
+    "t15_doc_chunks"          -> ((s: SparkSession, d: String) => TextAnalysis.chunkDocuments(s, d)),
+    "t16_seq_packing"         -> ((s: SparkSession, d: String) => TextAnalysis.sequencePackingPlan(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -886,6 +889,46 @@ object SparkEntry {
         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         round(max(rate) + 0.000000001, 6) AS sample_rate
       FROM k GROUP BY lang ORDER BY lang""",
+
+    // t15: chunk fan-out replays exactly — same tokenizer, same window
+    // arithmetic, same portable hash over the space-joined chunk.
+    "t15_doc_chunks" -> ("""
+      WITH tk AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents),
+      ch AS (
+        SELECT doc_id, toks,
+          unnest(range(0,
+            greatest(CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT), 0) + 1)) AS chunk_idx
+        FROM tk),
+      sl AS (
+        SELECT doc_id, chunk_idx,
+          list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32) AS chunk
+        FROM ch)
+      SELECT doc_id, chunk_idx,
+        CAST(len(chunk) AS BIGINT) AS n_tokens,
+        """ + graft.functions.TextFunctions.hash52Sql("array_to_string(chunk, ' ')") +
+      """ AS chunk_hash
+      FROM sl ORDER BY doc_id, chunk_idx"""),
+
+    // t16: the exclusive window cumsum is deterministic under the unique
+    // (source, doc_id) order, so bin assignment replays exactly.
+    "t16_seq_packing" -> """
+      WITH tk AS (
+        SELECT source, doc_id,
+          len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens
+        FROM documents),
+      b AS (
+        SELECT source, doc_id, n_tokens,
+          CAST(floor(COALESCE(SUM(n_tokens) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS bin
+        FROM tk)
+      SELECT source, bin, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        round(sum(n_tokens) / 512.0 + 0.000000001, 4) AS fill_ratio
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // s4: the 6dp-rounded per-dimension grid pins the quantizer across
     // engines; reconstruction arithmetic mirrors term-for-term.

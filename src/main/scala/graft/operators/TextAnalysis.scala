@@ -394,6 +394,64 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** t15: fixed-size overlapping token-window chunks per document — the
+    * windowing step that turns raw documents into training/RAG sequences
+    * (`chunkSize` tokens, advancing by `stride`, so consecutive chunks
+    * overlap by `chunkSize - stride`). Pure map-side fan-out: one
+    * `explode(sequence(...))` per document and a `slice` per chunk, no
+    * shuffle except the presentation sort — the per-row expression is the
+    * same at 100 TB. A document shorter than one chunk yields exactly one
+    * (short) chunk; each chunk carries the portable 52-bit content hash so
+    * the fan-out is verifiable end-to-end (chunk_idx·stride windows, last
+    * chunk truncated, hash over the space-joined tokens).
+    */
+  def chunkDocuments(spark: SparkSession, dir: String,
+                     chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    val nChunksM1 = greatest(
+      ceil((size(col("toks")) - lit(chunkSize)).cast("double") / stride)
+        .cast("long"), lit(0L))
+    Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), nChunksM1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        hash52(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** t16: sequence-packing plan — assign documents to fixed token-budget
+    * bins (the pretraining batch-packing step). True first-fit packing is
+    * inherently sequential, so this is the standard distributed
+    * approximation: documents fill bins contiguously in deterministic
+    * (source, doc_id) order, bin = ⌊tokens-before / budget⌋ via ONE
+    * exclusive window cumsum — each source partition is independent, so at
+    * 100 TB the window parallelizes across sources (and a source too hot
+    * for one partition would salt on a date sub-key, like q18). Reported
+    * per bin: docs, tokens, fill ratio — the fill report a packing job
+    * emits to size its batches.
+    */
+  def sequencePackingPlan(spark: SparkSession, dir: String,
+                          budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    staged(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("bin_tokens"),
+        round(sum(col("n_tokens")).cast("double") / budget + 1e-9, 4)
+          .as("fill_ratio"))
+      .orderBy(col("source"), col("bin"))
+  }
+
   /** t3: corpus-level quality aggregation per (lang, source) — the shape of
     * a "which crawl sources are worth keeping" report.
     */

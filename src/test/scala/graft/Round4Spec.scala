@@ -25,6 +25,61 @@ class Round4Spec extends AnyFunSuite {
     assert(cc.forall(_._2 == 0L), "single component rooted at node 0")
   }
 
+  test("t15 chunking: windows tile every document with the declared overlap") {
+    import graft.operators.TextAnalysis
+    import graft.sources.Tables
+    val (size, stride) = (32, 24)
+    val chunks = TextAnalysis.chunkDocuments(spark, sf, size, stride).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).groupBy(_._1)
+    val nToks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet == nToks.keySet, "every document chunked")
+    chunks.foreach { case (id, cs) =>
+      val n = nToks(id)
+      val sorted = cs.sortBy(_._2)
+      // chunk indexes are dense 0..m with the documented count
+      val expected = math.max(math.ceil((n - size).toDouble / stride).toLong, 0L) + 1
+      assert(sorted.map(_._2).toSeq == (0L until expected), s"doc $id index gap")
+      // every chunk is full except possibly the last; windows tile to the
+      // last token (start of last chunk + its length == n)
+      sorted.dropRight(1).foreach { case (_, _, len) => assert(len == size) }
+      val (_, lastIdx, lastLen) = sorted.last
+      assert(lastIdx * stride + lastLen == n, s"doc $id not tiled to the end")
+    }
+    assert(chunks.values.exists(_.length > 1), "fixture must exercise real fan-out")
+  }
+
+  test("t16 packing: bins partition each source's docs in order, full bins reach the budget") {
+    import graft.operators.TextAnalysis
+    val budget = 512
+    val bins = TextAnalysis.sequencePackingPlan(spark, sf, budget).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bySource = bins.groupBy(_._1)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxDoc = graft.sources.Tables.documents(spark, sf)
+      .select(graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    // fixture precondition for the density/fill bounds below: one document
+    // never spans a whole bin
+    assert(maxDoc < budget, s"fixture docs ($maxDoc tokens) exceed the bin budget")
+    assert(bySource.keySet == docs.keySet)
+    bySource.foreach { case (src, bs) =>
+      val sorted = bs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length), s"$src bin gap")
+      assert(sorted.map(_._3).sum == docs(src), s"$src docs not partitioned")
+      // contiguous fill: an interior bin closes when the cumulative count
+      // crosses its boundary, so it is full up to one straddling document
+      sorted.dropRight(1).foreach { case (_, b, _, toks) =>
+        assert(toks >= budget - maxDoc, s"$src bin $b underfull: $toks")
+      }
+    }
+    assert(bySource.values.exists(_.length > 1), "fixture must produce multiple bins")
+  }
+
   test("connected components: pointer-jump result equals pure propagation on a multi-component graph") {
     // components: {0..5} (star), {10,11}, {20} appears only via self-pair?
     // no self-pairs — {20,21}; plus a 12-node path 30..41 that crosses the
