@@ -44,7 +44,13 @@ object Bench {
     // timed separately (see SoakGen)
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val results = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).map { n =>
+    // include-list for targeted runs (profiling one query, noise verdicts);
+    // a partial run's JSON self-describes via the emitted skip list below
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip).filter(n => only.forall(_.contains(n)))
+    val results = selected.map { n =>
       // one untimed warmup per query: the first execution pays planning/
       // codegen/broadcast for THAT query, which would otherwise dominate
       // the spread and masquerade as box noise
@@ -52,7 +58,12 @@ object Bench {
       val times = Seq.fill(iters)(runOnce(n)).filter(_ >= 0).sorted
       if (times.isEmpty) n -> (-1.0, -1.0)
       else {
-        val median = times(times.size / 2)
+        // true median: failed runs are filtered above, so even counts happen
+        // even with odd ITERS — averaging the middle pair avoids the
+        // upper-middle high bias
+        val m = times.size / 2
+        val median =
+          if (times.size % 2 == 1) times(m) else (times(m - 1) + times(m)) / 2
         val spread = if (median > 0) (times.last - times.head) / median else 0.0
         n -> (median, spread)
       }
@@ -63,8 +74,13 @@ object Bench {
       "\"" + k + "\":" + BigDecimal(s).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
+    // record what was NOT run (skip list or ONLY include-list), even when
+    // empty, so a partial run's "total" is never mistaken for a full suite
+    val notRun = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(selected.toSet)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""spread":$spreads,"iters":$iters,"sf":"$sfDir"}"""
+      s""""spread":$spreads,"iters":$iters,"skipped":$notRun,"sf":"$sfDir"}"""
     println(json)
     // stdout goes through sbt's log decorator ("[info] " prefixes), so also
     // write the line to a file harnesses can parse without stripping

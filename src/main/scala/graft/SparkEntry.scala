@@ -127,6 +127,9 @@ object SparkEntry {
     // batch 5 extensions (round 4)
     "t15_doc_chunks"          -> ((s: SparkSession, d: String) => TextAnalysis.chunkDocuments(s, d)),
     "t16_seq_packing"         -> ((s: SparkSession, d: String) => TextAnalysis.sequencePackingPlan(s, d)),
+    // batch 6 extensions (round 5)
+    "d12_incremental_dedup_indexed" -> ((s: SparkSession, d: String) =>
+                                   Dedup.incrementalDedupIndexed(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -850,6 +853,9 @@ object SparkEntry {
       FROM c ORDER BY event_type, next_type""",
 
     "d11_incremental_dedup" -> IncrementalDedupSql,
+    // d12 is d11's production-shape twin: same contract, corpus side read
+    // from the persisted bucketed index — the oracle is identical
+    "d12_incremental_dedup_indexed" -> IncrementalDedupSql,
 
     // d10: document frequency of distinct word 8-grams, replayed over the
     // string shingles (the Spark side hashes them; counts are identical).

@@ -139,6 +139,17 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("d12 indexed incremental dedup == computed d11, and rebuild is once per session") {
+    val computed = Dedup.incrementalDedup(spark, sf).collect().toSeq
+    val indexed = Dedup.incrementalDedupIndexed(spark, sf).collect().toSeq
+    assert(indexed == computed,
+      s"indexed=${indexed.size} computed=${computed.size}")
+    // second invocation must reuse the session's index (probe-only) and
+    // still produce identical output
+    val again = Dedup.incrementalDedupIndexed(spark, sf).collect().toSeq
+    assert(again == computed)
+  }
+
   test("deduped corpus = all docs minus non-root cluster members") {
     val total = graft.sources.Tables.documents(spark, sf).count()
     val clusters = Dedup.nearDupClusters(spark, sf).collect()
