@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads with typed
-  * metadata, processed partition-wise. The container has no image/audio
-  * codecs, so the decode step is a clearly-marked deterministic STUB — the
-  * Spark-side contract (schema, partitioning, batch shape, typed Dataset
-  * flow) is real and tested, and swapping `decodeStub` for a JNI/codec call
-  * changes nothing upstream or downstream.
+  * metadata, processed partition-wise. The container has no NATIVE
+  * image/audio codecs, so the oracle-checked default decode is a
+  * clearly-marked deterministic STUB — but the seam is proven with a real
+  * decoder too: [[Multimodal.ImageIOCodec]] decodes PNG/BMP/GIF/JPEG with
+  * the JDK's own `javax.imageio` (contract-tested on generated fixtures).
+  * The Spark-side contract (schema, partitioning, batch shape, typed
+  * Dataset flow) is identical for every codec.
   *
   * The `documents` table stands in for a media table: `payload` is the
   * UTF-8 encoding of `text` (a real pipeline reads image bytes from
@@ -73,13 +75,42 @@ object Multimodal {
     def open(): Array[Byte] => (Int, Int, Int, String) = decodeStub
   }
 
-  /** Partition-wise decode of binary payloads into typed metadata. */
-  def decodeAll(spark: SparkSession, dir: String,
-                codec: MediaCodec = StubCodec): Dataset[DecodedMedia] = {
-    import spark.implicits._
-    val media = Tables.documentsParallel(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRecord]
+  /** REAL decoder for formats the JDK ships codecs for (PNG, BMP, GIF,
+    * JPEG via `javax.imageio` — no native deps). `open()` resolves the
+    * reader registry once per partition and disables ImageIO's disk
+    * cache (payloads are already in memory), the amortized-init shape the
+    * seam exists for; per payload it reads only the header descriptor
+    * (width/height/format) plus the frame count, never the pixel planes.
+    * Frame count uses `getNumImages(allowSearch = true)` so animated GIFs
+    * report their real frame total; single-frame formats return 1.
+    */
+  class ImageIOCodec extends MediaCodec {
+    def open(): Array[Byte] => (Int, Int, Int, String) = {
+      javax.imageio.ImageIO.setUseCache(false) // in-memory payloads only
+      payload => {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, "no ImageIO reader recognizes this payload")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            (reader.getWidth(0), reader.getHeight(0),
+              reader.getNumImages(true), reader.getFormatName.toLowerCase)
+          } finally reader.dispose()
+        } finally iis.close()
+      }
+    }
+  }
+
+  /** Partition-wise decode of an arbitrary media Dataset — the operator
+    * every `(spark, dir)` entry point delegates to, and the one a caller
+    * with real image bytes uses directly.
+    */
+  def decodeRecords(media: Dataset[MediaRecord],
+                    codec: MediaCodec = StubCodec): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
     media.mapPartitions { records =>
       val decode = codec.open() // per-partition decoder init (amortized)
       records.map { r =>
@@ -89,6 +120,16 @@ object Multimodal {
     }
   }
 
+  /** Partition-wise decode of binary payloads into typed metadata. */
+  def decodeAll(spark: SparkSession, dir: String,
+                codec: MediaCodec = StubCodec): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    val media = Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+    decodeRecords(media, codec)
+  }
+
   case class ResizedMedia(doc_id: Long, width: Int, height: Int, payload_len: Long)
   case class FrameSample(doc_id: Long, frame_idx: Int, frame_hash: Long)
 
@@ -96,11 +137,10 @@ object Multimodal {
     * deterministic fake halves dimensions and "re-encodes" to a smaller
     * payload length. Same partition-wise batch shape as [[decodeAll]].
     */
-  def resizeAll(spark: SparkSession, dir: String,
-                maxDim: Int = 256,
-                codec: MediaCodec = StubCodec): Dataset[ResizedMedia] = {
-    import spark.implicits._
-    decodeAll(spark, dir, codec).mapPartitions { records =>
+  def resizeDecoded(decoded: Dataset[DecodedMedia],
+                    maxDim: Int = 256): Dataset[ResizedMedia] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions { records =>
       records.map { d =>
         val scale = math.max(1, math.max(d.width, d.height) / maxDim)
         ResizedMedia(d.doc_id, d.width / scale, d.height / scale,
@@ -109,21 +149,30 @@ object Multimodal {
     }
   }
 
+  def resizeAll(spark: SparkSession, dir: String,
+                maxDim: Int = 256,
+                codec: MediaCodec = StubCodec): Dataset[ResizedMedia] =
+    resizeDecoded(decodeAll(spark, dir, codec), maxDim)
+
   /** STUB frame sampler ??? — emits every `stride`-th frame index with a
     * deterministic per-frame hash (a real implementation seeks and decodes
     * frames). One input row fans out to n_frames/stride rows — the
     * flatMap-shaped operator a video pipeline needs.
     */
-  def sampleFrames(spark: SparkSession, dir: String,
-                   stride: Int = 4,
-                   codec: MediaCodec = StubCodec): Dataset[FrameSample] = {
-    import spark.implicits._
-    decodeAll(spark, dir, codec).flatMap { d =>
+  def sampleFramesDecoded(decoded: Dataset[DecodedMedia],
+                          stride: Int = 4): Dataset[FrameSample] = {
+    import decoded.sparkSession.implicits._
+    decoded.flatMap { d =>
       (0 until d.n_frames by stride).map { i =>
         FrameSample(d.doc_id, i, d.doc_id * 31L + i)
       }
     }
   }
+
+  def sampleFrames(spark: SparkSession, dir: String,
+                   stride: Int = 4,
+                   codec: MediaCodec = StubCodec): Dataset[FrameSample] =
+    sampleFramesDecoded(decodeAll(spark, dir, codec), stride)
 
   /** m3: per-document frame-sample aggregation — the flatMap fan-out of
     * [[sampleFrames]] re-aggregated (count + hash checksum per doc). The

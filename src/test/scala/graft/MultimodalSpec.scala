@@ -77,6 +77,63 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageIOCodec really decodes JDK-format fixtures through the same plumbing") {
+    import spark.implicits._
+    def encodeImage(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y) & 0xffffff)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer")
+      baos.toByteArray
+    }
+    def animatedGif(frames: Int, w: Int, h: Int): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until frames).foreach { _ =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      baos.toByteArray
+    }
+    // (doc_id, payload, expected width/height/frames/format)
+    val fixtures = Seq(
+      (1L, encodeImage(640, 480, "png"), 640, 480, 1, "png"),
+      (2L, encodeImage(33, 47, "bmp"), 33, 47, 1, "bmp"),
+      (3L, encodeImage(300, 200, "jpg"), 300, 200, 1, "jpeg"),
+      (4L, animatedGif(9, 64, 32), 64, 32, 9, "gif"))
+    val media = fixtures.map { case (id, p, _, _, _, _) => Multimodal.MediaRecord(id, p) }
+      .toDS().repartition(2) // >1 partition: open() really runs per partition
+    val decoded = Multimodal.decodeRecords(media, new Multimodal.ImageIOCodec)
+    val byId = decoded.collect().map(d => d.doc_id -> d).toMap
+    assert(byId.size == fixtures.size, "one typed row per payload")
+    fixtures.foreach { case (id, p, w, h, frames, fmt) =>
+      val d = byId(id)
+      assert((d.width, d.height, d.n_frames, d.format) == ((w, h, frames, fmt)),
+        s"doc $id: got $d")
+      assert(d.byte_len == p.length)
+    }
+    // downstream plumbing is codec-agnostic: resize cap + stride fan-out
+    // hold on REAL decoded dimensions exactly as on the stub's
+    val resized = Multimodal.resizeDecoded(decoded, maxDim = 256).collect()
+    resized.foreach { r =>
+      val d = byId(r.doc_id)
+      assert(r.width <= d.width && r.height <= d.height)
+      assert(math.max(r.width, r.height) < 2 * 256)
+    }
+    val framesOut = Multimodal.sampleFramesDecoded(decoded, stride = 4)
+      .collect().groupBy(_.doc_id)
+    framesOut.foreach { case (id, fs) =>
+      assert(fs.map(_.frame_idx).toSet == (0 until byId(id).n_frames by 4).toSet)
+    }
+    assert(framesOut(4L).size == 3) // 9 frames, stride 4 -> indices 0,4,8
+  }
+
   test("GraftExtensions registers functions and strategy without error") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(e) // builder-time injection contract
