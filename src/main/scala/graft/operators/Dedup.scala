@@ -593,10 +593,19 @@ object Dedup {
     * exchange-free, which is the shape a 100 TB continuously-fed corpus
     * runs (the index is rebuilt only when the corpus itself changes).
     */
+  /** @param sourcePath arrival directory override (default: the testdata
+    *        documents file). A real deployment points this at its landing
+    *        zone; tests use it to land arrivals incrementally.
+    *  @param maxFilesPerTrigger cap on source files per micro-batch — the
+    *        knob that turns one bulk catch-up batch into many small ones
+    *        (and, with it, one `ingest_batch` directory per trigger).
+    */
   def streamingIncrementalDedup(spark: SparkSession, dir: String,
                                 sinkPath: String, checkpointPath: String,
                                 threshold: Double = 0.8,
-                                indexPrefix: Option[String] = None)
+                                indexPrefix: Option[String] = None,
+                                sourcePath: Option[String] = None,
+                                maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val fromIndex = indexPrefix.isDefined
     val corpusDocs = indexPrefix match {
@@ -609,8 +618,10 @@ object Dedup {
     }
 
     val schema = Tables.documents(spark, dir).schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(s"$dir/documents*.parquet")
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(sourcePath.getOrElse(s"$dir/documents*.parquet"))
       .filter(col("doc_id") % 2 =!= 0) // odd doc_ids arrive; even ARE the corpus
 
     stream.writeStream
@@ -655,6 +666,138 @@ object Dedup {
         }
         query
     }
+  }
+
+  private val CompactedDirName = "_compacted"
+
+  /** Micro-batch ids whose offset commit is durable in `checkpointPath` —
+    * exactly the batches Structured Streaming will never replay. A batch
+    * whose sink directory exists but whose commit marker does not was
+    * interrupted between sink write and commit and WILL be re-run on
+    * restart, so it must stay a live per-batch directory (overwrite-on-
+    * replay is what makes the sink idempotent) and is never compacted.
+    */
+  private def committedBatchIds(checkpointPath: String): Set[Long] = {
+    val commits = new java.io.File(checkpointPath, "commits")
+    Option(commits.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.nonEmpty && f.getName.forall(_.isDigit))
+      .map(_.getName.toLong).toSet
+  }
+
+  /** `[lo, hi]` batch ranges already folded into compacted segments. */
+  private def compactedRanges(sinkPath: String): Seq[(Long, Long)] = {
+    val dir = new java.io.File(sinkPath, CompactedDirName)
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batches_"))
+      .flatMap { f =>
+        f.getName.stripPrefix("batches_").split('_') match {
+          case Array(lo, hi) =>
+            scala.util.Try((lo.toLong, hi.toLong)).toOption
+          case _ => None
+        }
+      }
+  }
+
+  private def liveBatchDirs(sinkPath: String): Map[Long, java.io.File] =
+    Option(new java.io.File(sinkPath).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+      .flatMap(f => scala.util.Try(
+        f.getName.stripPrefix("ingest_batch=").toLong).toOption.map(_ -> f))
+      .toMap
+
+  private def covered(id: Long, ranges: Seq[(Long, Long)]): Boolean =
+    ranges.exists { case (lo, hi) => id >= lo && id <= hi }
+
+  /** Small-file compaction for [[streamingIncrementalDedup]]'s sink — the
+    * answer to the streaming-sink metadata bomb: at production ingest
+    * cadence the per-`ingest_batch=<id>` directories (one per micro-batch,
+    * each holding a task-count of small parquet files) accumulate into
+    * thousands of directories whose listing and footer-read cost eventually
+    * dominates every scan. This pass folds every SAFELY-compactable batch
+    * directory — one whose micro-batch is durably committed in the
+    * checkpoint, i.e. will never be replayed — into a single
+    * `_compacted/batches_<lo>_<hi>` segment of ceil(bytes/targetBytes)
+    * large files, with `ingest_batch` preserved as a data column so reads
+    * through [[readIngestSink]] are row-identical.
+    *
+    * Crash-safe by construction, in this order: (1) the segment is written
+    * to a dot-prefixed temp directory and renamed into place only after its
+    * row count is verified, so a crash mid-write leaves the sink untouched;
+    * (2) live directories are deleted only after the rename, and
+    * [[readIngestSink]] ignores any live directory whose id is covered by a
+    * segment range, so a crash between rename and delete cannot
+    * double-count; (3) the next pass removes such covered leftovers first.
+    * Segments are disjoint id ranges and are never rewritten — each pass
+    * costs O(newly committed batches), not O(corpus), so it can run on the
+    * ingest cadence at 100 TB (a rare "major" merge of old segments is a
+    * separate administrative rewrite, deliberately not wired to the hot
+    * path).
+    *
+    * @return (lo, hi, fileCount) of the segment written, or None when no
+    *         committed live batches exist.
+    */
+  def compactIngestSink(spark: SparkSession, sinkPath: String,
+                        checkpointPath: String,
+                        targetBytes: Long = 128L * 1024 * 1024)
+      : Option[(Long, Long, Int)] = {
+    val ranges = compactedRanges(sinkPath)
+    liveBatchDirs(sinkPath).foreach { case (id, f) => // crash leftovers
+      if (covered(id, ranges)) scala.reflect.io.Directory(f).deleteRecursively()
+    }
+    val committed = committedBatchIds(checkpointPath)
+    val safe = liveBatchDirs(sinkPath).filter { case (id, _) => committed(id) }
+    if (safe.isEmpty) return None
+    val (lo, hi) = (safe.keys.min, safe.keys.max)
+    val bytes = safe.values
+      .flatMap(f => Option(f.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.option("basePath", sinkPath)
+      .parquet(safe.values.map(_.getPath).toSeq: _*)
+      .withColumn("ingest_batch", col("ingest_batch").cast("long"))
+    val segDir = new java.io.File(
+      new java.io.File(sinkPath, CompactedDirName), s"batches_${lo}_$hi")
+    segDir.getParentFile.mkdirs()
+    val tmp = new java.io.File(segDir.getParentFile, s".tmp_${segDir.getName}")
+    df.repartition(nFiles).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.getPath)
+    val written = spark.read.parquet(tmp.getPath).count()
+    val expected = df.count()
+    require(written == expected,
+      s"compacted segment has $written rows, expected $expected; sink untouched")
+    require(tmp.renameTo(segDir), s"could not move $tmp into place at $segDir")
+    safe.values.foreach(f => scala.reflect.io.Directory(f).deleteRecursively())
+    Some((lo, hi, nFiles))
+  }
+
+  /** THE read contract for [[streamingIncrementalDedup]]'s sink once
+    * [[compactIngestSink]] runs: the union of compacted segments (few large
+    * files, `ingest_batch` carried as a data column) and the still-live
+    * per-batch directories (partition-discovered `ingest_batch`). A live
+    * directory whose id is covered by a segment is a crash leftover —
+    * written, compacted, then replayed or not yet deleted — and is ignored,
+    * which is what makes the compact/delete pair safe to interrupt at any
+    * point. Plain `spark.read.parquet(sinkPath)` keeps working for the
+    * live area only (the `_`-prefixed segment area is hidden from Spark's
+    * file listing), so full-corpus readers come through here.
+    */
+  def readIngestSink(spark: SparkSession, sinkPath: String): DataFrame = {
+    val ranges = compactedRanges(sinkPath)
+    val live = liveBatchDirs(sinkPath)
+      .filter { case (id, _) => !covered(id, ranges) }.values.toSeq
+    val parts =
+      (if (live.nonEmpty)
+         Seq(spark.read.option("basePath", sinkPath)
+           .parquet(live.map(_.getPath): _*)
+           .withColumn("ingest_batch", col("ingest_batch").cast("long")))
+       else Nil) ++
+      ranges.map { case (lo, hi) =>
+        spark.read.parquet(new java.io.File(
+          new java.io.File(sinkPath, CompactedDirName),
+          s"batches_${lo}_$hi").getPath)
+      }
+    parts.reduceOption(_.unionByName(_)).getOrElse(
+      throw new IllegalArgumentException(s"empty ingest sink at $sinkPath"))
   }
 
   /** d9: SimHash near-dup PAIRS — the retrieval half of the SimHash path

@@ -189,6 +189,53 @@ class AsOfJoinSpec extends AnyFunSuite {
       "custom exec absent from explain(formatted)")
   }
 
+  test("asof under AQE with a hot by-key: one key carries 50% of rows, output and metrics exact") {
+    // The operator's distribution is hash(by) — a hot key lands on ONE
+    // partition and is processed by that partition's sort + linear merge.
+    // This pins that the shape completes and stays exact under AQE with
+    // 50% of the left on a single key (the r4 verdict's skew case); the
+    // escape hatch for a key too hot for one partition's sort budget is
+    // the q18 salting recipe (split the hot key into k sub-keys on BOTH
+    // sides, replicating right rows per sub-key, then asof per sub-key —
+    // documented here, deliberately not wired into the operator).
+    val n = 100000
+    val left = spark.range(n).select(
+      col("id"),
+      when(col("id") % 2 === 0, 0L).otherwise(col("id") % 50 + 1).as("k"),
+      (col("id") * 37 % 6000).as("t"))
+    val right = spark.range(5100).select(
+      (col("id") % 51).as("rk"),
+      col("id").as("rt"), // globally distinct → the matched rt is unambiguous
+      concat(lit("r"), col("id")).as("tag"))
+
+    val df = AsOfJoin.asof(spark, left, right,
+        col("k"), col("rk"), col("t"), col("rt"))
+      .select(col("id"), col("rt")) // metrics read from THIS executed plan
+    val got = df
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+
+    // local oracle: per key, the sorted right times; per row, the last <= t
+    val rightsByKey = (0L until 5100L).groupBy(_ % 51).view.mapValues(_.sorted.toArray).toMap
+    val expected = (0L until n.toLong).map { id =>
+      val k = if (id % 2 == 0) 0L else id % 50 + 1
+      val t = id * 37 % 6000
+      id -> rightsByKey(k).takeWhile(_ <= t).lastOption
+    }.toMap
+    assert(got.size == n)
+    assert(got == expected,
+      s"mismatches: ${got.collect { case (id, v) if expected(id) != v => (id, v, expected(id)) }.take(3)}")
+
+    val exec = findAsOfExec(df.queryExecution.executedPlan)
+    assert(exec.isDefined, "AsOfJoinExec missing under AQE")
+    val m = exec.get.metrics
+    val matched = expected.values.count(_.isDefined)
+    assert(m("numOutputRows").value == n)
+    assert(m("numMatchedRows").value == matched)
+    assert(m("numUnmatchedRows").value == n - matched)
+    assert(m("numNullKeyRows").value == 0)
+    assert(matched > n / 2, "skewed hot key should mostly match — data bug otherwise")
+  }
+
   test("asof plan: one exchange per side, no broadcast, merge exec present") {
     val dir = TestSpark.sf
     val df = graft.streaming.Events.asofSignup(spark, dir)

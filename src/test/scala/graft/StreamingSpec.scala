@@ -124,6 +124,60 @@ class StreamingSpec extends AnyFunSuite {
       "no duplicate doc_ids after replay")
   }
 
+  test("ingest sink compaction: row-identical reads, bounded file count, crash-leftover safe") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val (src, sink, ckpt) = (s"$work/src", s"$work/sink", s"$work/ckpt")
+    // land the arrivals as 5 separate files so maxFilesPerTrigger=1 yields
+    // 5 micro-batches → 5 ingest_batch directories (the small-file bomb in miniature)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    (0 until 5).foreach { i =>
+      docs.filter(col("doc_id") % 10 === 2 * i + 1)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val q = graft.operators.Dedup.streamingIncrementalDedup(spark, sf, sink, ckpt,
+      sourcePath = Some(src), maxFilesPerTrigger = Some(1))
+    try q.processAllAvailable() finally q.stop()
+
+    def parquetFiles(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(parquetFiles).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    def liveDirs() = new java.io.File(sink).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+    assert(liveDirs().length == 5, s"expected 5 micro-batch dirs, got ${liveDirs().length}")
+
+    def readAll() = graft.operators.Dedup.readIngestSink(spark, sink)
+      .select("doc_id", "ingest_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val before = readAll()
+    assert(before.nonEmpty)
+    val filesBefore = parquetFiles(new java.io.File(sink))
+
+    val seg = graft.operators.Dedup.compactIngestSink(spark, sink, ckpt)
+    assert(seg.isDefined, "5 committed batches should be compactable")
+    val (lo, hi, nFiles) = seg.get
+    assert(lo == 0 && hi == 4)
+    assert(readAll().sameElements(before), "compaction changed the read")
+    val filesAfter = parquetFiles(new java.io.File(sink))
+    assert(filesAfter == nFiles && filesAfter < filesBefore,
+      s"filesBefore=$filesBefore filesAfter=$filesAfter segmentFiles=$nFiles")
+    assert(liveDirs().isEmpty, "compacted live dirs must be deleted")
+    // nothing newly committed → second pass is a no-op
+    assert(graft.operators.Dedup.compactIngestSink(spark, sink, ckpt).isEmpty)
+
+    // crash leftover: a live dir covered by the segment (as if the process
+    // died between segment rename and dir delete, or a compacted batch were
+    // somehow replayed) is invisible to the reader and swept by the next pass
+    val leftover = s"$sink/ingest_batch=$lo"
+    docs.filter(col("doc_id") % 10 === 1).drop("doc_id")
+      .withColumn("doc_id", lit(-1L)) // poison rows: visible iff the guard fails
+      .coalesce(1).write.parquet(leftover)
+    assert(readAll().sameElements(before), "covered leftover dir leaked into the read")
+    assert(graft.operators.Dedup.compactIngestSink(spark, sink, ckpt).isEmpty)
+    assert(liveDirs().isEmpty, "sweep should remove the covered leftover")
+    assert(readAll().sameElements(before))
+  }
+
   test("streaming dedup-within-watermark covers every distinct key exactly once") {
     val q = Events.streamingDedup(spark, sf)
       .writeStream.outputMode("append")
