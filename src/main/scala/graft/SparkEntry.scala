@@ -127,6 +127,7 @@ object SparkEntry {
     // batch 5 extensions (round 4)
     "t15_doc_chunks"          -> ((s: SparkSession, d: String) => TextAnalysis.chunkDocuments(s, d)),
     "t16_seq_packing"         -> ((s: SparkSession, d: String) => TextAnalysis.sequencePackingPlan(s, d)),
+    "t17_source_cap"          -> ((s: SparkSession, d: String) => TextAnalysis.sourceCap(s, d)),
     // batch 6 extensions (round 5)
     "d12_incremental_dedup_indexed" -> ((s: SparkSession, d: String) =>
                                    Dedup.incrementalDedupIndexed(s, d)),
@@ -358,6 +359,19 @@ object SparkEntry {
       SELECT doc_id, n_tokens, quality_score, top_trigram_ratio,
         reject_reason = 'kept' AS kept, reject_reason
       FROM j ORDER BY doc_id""",
+
+    // t17: rank on the ROUNDED t1 quality score (cross-engine stable, t1
+    // hash-matches) with a doc_id tie-break; cap matches the Scala default.
+    "t17_source_cap" -> s"""
+      WITH t1 AS ($TextStatsOracleSql),
+      s AS (
+        SELECT d.doc_id, d.source, t1.quality_score,
+          row_number() OVER (PARTITION BY d.source
+            ORDER BY t1.quality_score DESC, d.doc_id ASC) AS src_rank
+        FROM documents d JOIN t1 ON d.doc_id = t1.doc_id)
+      SELECT doc_id, source, quality_score, CAST(src_rank AS BIGINT) AS src_rank,
+        src_rank <= 10 AS kept
+      FROM s ORDER BY doc_id""",
 
     "t2_lang_id" -> LangIdOracleSql,
 

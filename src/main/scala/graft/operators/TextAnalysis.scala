@@ -452,6 +452,34 @@ object TextAnalysis {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** t17: per-source frequency capping — keep at most `cap` documents per
+    * source, best quality first (the RefinedWeb/CCNet-style domain cap: a
+    * handful of over-represented hosts otherwise dominate the corpus mix).
+    * Rank is (quality_score DESC, doc_id ASC) on the ROUNDED t1 score —
+    * the 4-decimal value already proven bit-identical across engines by
+    * t1's hash match — with the doc_id tie-break making the cut
+    * deterministic, so retries and backfills keep the same documents.
+    *
+    * One window shuffle partitioned by `source`. At 100 TB a mega-source
+    * (one domain owning a large corpus share) is the q18-style skew case;
+    * the escape hatch is a broadcast per-source `percentile_approx`
+    * quality threshold that prefilters to the threshold-adjacent band
+    * before the exact rank (the t11 boundary pattern) — kept out of the
+    * registered form, which must be exact for the oracle.
+    */
+  def sourceCap(spark: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val q = textStats(spark, dir).select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    src.join(q, "doc_id")
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("src_rank"), (col("src_rank") <= cap).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t3: corpus-level quality aggregation per (lang, source) — the shape of
     * a "which crawl sources are worth keeping" report.
     */
