@@ -748,6 +748,14 @@ object Dedup {
     val safe = liveBatchDirs(sinkPath).filter { case (id, _) => committed(id) }
     if (safe.isEmpty) return None
     val (lo, hi) = (safe.keys.min, safe.keys.max)
+    // Structured Streaming commits batches strictly in order, so the
+    // committed live ids are always a contiguous range; a gap means the
+    // commit log was tampered with, and folding [lo,hi] over it would make
+    // the reader guard hide (and the next sweep delete) the in-gap batch.
+    // Refuse rather than risk it.
+    require(hi - lo + 1 == safe.size,
+      s"committed live batches $lo..$hi have gaps (${safe.keys.toSeq.sorted}); " +
+        "refusing to compact over a non-contiguous commit log")
     val bytes = safe.values
       .flatMap(f => Option(f.listFiles()).getOrElse(Array.empty))
       .filter(_.getName.endsWith(".parquet")).map(_.length).sum
@@ -770,6 +778,69 @@ object Dedup {
     Some((lo, hi, nFiles))
   }
 
+  /** Administrative major merge: fold ALL existing segments into one
+    * spanning segment of ceil(bytes/targetBytes) files. Unlike
+    * [[compactIngestSink]] this is O(compacted corpus), so it runs rarely
+    * (when the segment count itself becomes a listing burden), never on
+    * the ingest cadence. Safe for the same reasons as the minor pass: the
+    * merged segment lands by verified rename before the old segments are
+    * deleted, and while both exist the old ranges and the spanning range
+    * agree on which live dirs are crash leftovers — segment ranges are
+    * contiguous and adjacent (enforced here), so the spanning range covers
+    * no id the old ones did not.
+    */
+  def mergeIngestSegments(spark: SparkSession, sinkPath: String,
+                          targetBytes: Long = 128L * 1024 * 1024)
+      : Option[(Long, Long, Int)] = {
+    // a crash after a previous merge's rename leaves the old, contained
+    // segments on disk; they are redundant (the spanning segment verified
+    // their rows before the rename) — sweep them first, as the reader skips
+    // them for the same containment reason
+    val all = compactedRanges(sinkPath).sorted
+    val segBase0 = new java.io.File(sinkPath, CompactedDirName)
+    val contained = all.filter(r =>
+      all.exists(o => o != r && o._1 <= r._1 && r._2 <= o._2))
+    contained.foreach { case (l, h) =>
+      scala.reflect.io.Directory(
+        new java.io.File(segBase0, s"batches_${l}_$h")).deleteRecursively()
+    }
+    val ranges = all.diff(contained)
+    if (ranges.size < 2) return None
+    ranges.sliding(2).foreach { case Seq((_, h1), (l2, _)) =>
+      require(l2 == h1 + 1,
+        s"segments are not adjacent at $h1 -> $l2; a spanning merge would " +
+          "cover ids no segment holds — refusing")
+    }
+    val (lo, hi) = (ranges.head._1, ranges.last._2)
+    val segBase = new java.io.File(sinkPath, CompactedDirName)
+    val oldDirs = ranges.map { case (l, h) => new java.io.File(segBase, s"batches_${l}_$h") }
+    val bytes = oldDirs
+      .flatMap(f => Option(f.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(oldDirs.map(_.getPath): _*)
+    val tmp = new java.io.File(segBase, s".tmp_batches_${lo}_$hi")
+    df.repartition(nFiles).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.getPath)
+    val written = spark.read.parquet(tmp.getPath).count()
+    val expected = df.count()
+    require(written == expected,
+      s"merged segment has $written rows, expected $expected; segments untouched")
+    val merged = new java.io.File(segBase, s"batches_${lo}_$hi")
+    // one old segment may already carry the spanning name (lo_x): move it
+    // aside first so the rename cannot collide
+    oldDirs.filter(_.getName == merged.getName).foreach { f =>
+      require(f.renameTo(new java.io.File(segBase, s".old_${f.getName}")),
+        s"could not move aside $f")
+    }
+    require(tmp.renameTo(merged), s"could not move $tmp into place at $merged")
+    Option(segBase.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName != merged.getName &&
+        (f.getName.startsWith("batches_") || f.getName.startsWith(".old_")))
+      .foreach(f => scala.reflect.io.Directory(f).deleteRecursively())
+    Some((lo, hi, nFiles))
+  }
+
   /** THE read contract for [[streamingIncrementalDedup]]'s sink once
     * [[compactIngestSink]] runs: the union of compacted segments (few large
     * files, `ingest_batch` carried as a data column) and the still-live
@@ -782,7 +853,12 @@ object Dedup {
     * file listing), so full-corpus readers come through here.
     */
   def readIngestSink(spark: SparkSession, sinkPath: String): DataFrame = {
-    val ranges = compactedRanges(sinkPath)
+    // a segment contained in a larger one is a major-merge leftover whose
+    // rows the spanning segment already holds — skip it (mirrors the
+    // covered-live-dir guard, one level up)
+    val allRanges = compactedRanges(sinkPath)
+    val ranges = allRanges.filterNot(r =>
+      allRanges.exists(o => o != r && o._1 <= r._1 && r._2 <= o._2))
     val live = liveBatchDirs(sinkPath)
       .filter { case (id, _) => !covered(id, ranges) }.values.toSeq
     val parts =

@@ -49,6 +49,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.operators.TextAnalysis.tokenFrequencies(spark, emptyDir).count() == 0)
     assert(graft.operators.TextAnalysis.chunkDocuments(spark, emptyDir).count() == 0)
     assert(graft.operators.TextAnalysis.sequencePackingPlan(spark, emptyDir).count() == 0)
+    assert(graft.operators.TextAnalysis.sourceCap(spark, emptyDir).count() == 0)
   }
 
   test("event operators return empty on an empty stream history") {

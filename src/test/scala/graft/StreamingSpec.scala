@@ -178,6 +178,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(readAll().sameElements(before))
   }
 
+  test("ingest segment major merge: two compaction epochs fold into one spanning segment") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    val (src, sink, ckpt) = (s"$work/src", s"$work/sink", s"$work/ckpt")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def land(mods: Seq[Int]): Unit = mods.foreach { m =>
+      docs.filter(col("doc_id") % 10 === m).coalesce(1).write.mode("append").parquet(src)
+    }
+    def runStream(): Unit = {
+      val q = graft.operators.Dedup.streamingIncrementalDedup(spark, sf, sink, ckpt,
+        sourcePath = Some(src), maxFilesPerTrigger = Some(1))
+      try q.processAllAvailable() finally q.stop()
+    }
+    def readAll() = graft.operators.Dedup.readIngestSink(spark, sink)
+      .select("doc_id", "ingest_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    land(Seq(1, 3, 5)); runStream()                     // batches 0-2
+    assert(graft.operators.Dedup.compactIngestSink(spark, sink, ckpt).isDefined)
+    land(Seq(7, 9)); runStream()                        // batches 3-4
+    assert(graft.operators.Dedup.compactIngestSink(spark, sink, ckpt).isDefined)
+    val segBase = new java.io.File(sink, "_compacted")
+    def segs() = segBase.listFiles().filter(_.getName.startsWith("batches_"))
+    assert(segs().length == 2, s"expected 2 segments, got ${segs().map(_.getName).toSeq}")
+    val before = readAll()
+    assert(before.map(_._2).distinct.sorted.sameElements(Array(0L, 1L, 2L, 3L, 4L)))
+
+    val merged = graft.operators.Dedup.mergeIngestSegments(spark, sink)
+    assert(merged.exists(m => m._1 == 0L && m._2 == 4L), s"merged=$merged")
+    assert(segs().map(_.getName).toSeq == Seq("batches_0_4"))
+    assert(readAll().sameElements(before), "major merge changed the read")
+    // single spanning segment left → nothing further to merge
+    assert(graft.operators.Dedup.mergeIngestSegments(spark, sink).isEmpty)
+  }
+
   test("streaming dedup-within-watermark covers every distinct key exactly once") {
     val q = Events.streamingDedup(spark, sf)
       .writeStream.outputMode("append")
