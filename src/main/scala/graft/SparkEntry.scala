@@ -128,6 +128,7 @@ object SparkEntry {
     "t15_doc_chunks"          -> ((s: SparkSession, d: String) => TextAnalysis.chunkDocuments(s, d)),
     "t16_seq_packing"         -> ((s: SparkSession, d: String) => TextAnalysis.sequencePackingPlan(s, d)),
     "t17_source_cap"          -> ((s: SparkSession, d: String) => TextAnalysis.sourceCap(s, d)),
+    "d13_incremental_embedding" -> ((s: SparkSession, d: String) => Dedup.incrementalEmbeddingDedup(s, d)),
     // batch 6 extensions (round 5)
     "d12_incremental_dedup_indexed" -> ((s: SparkSession, d: String) =>
                                    Dedup.incrementalDedupIndexed(s, d)),
@@ -451,6 +452,35 @@ object SparkEntry {
       s AS (SELECT ia, ib, sum(ea[i] * eb[i]) AS dot FROM u GROUP BY 1, 2)
       SELECT ia AS id_a, ib AS id_b, round(dot, 4) AS cos_sim
       FROM s WHERE dot >= 0.45 ORDER BY id_a, id_b""",
+
+    // d13: d5's banding replayed cross-parity only — batch (odd) probes
+    // corpus (even); same hyperplane literals, bit-identical buckets.
+    "d13_incremental_embedding" -> s"""
+      WITH n0 AS (
+        SELECT vec_id, embedding,
+          (${graft.functions.VectorFunctions.hyperplaneBucketDuckSql(
+            "embedding", 64,
+            graft.operators.Dedup.EmbBands * graft.operators.Dedup.EmbBandBits)}) AS sig,
+          sqrt(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      nv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ne, sig
+             FROM n0),
+      bands AS (
+        SELECT vec_id, band, (sig >> (band * ${graft.operators.Dedup.EmbBandBits}))
+          & ${(1 << graft.operators.Dedup.EmbBandBits) - 1} AS bkey
+        FROM nv, (SELECT unnest(range(0, ${graft.operators.Dedup.EmbBands})) AS band) bb),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS batch_id, b.vec_id AS corpus_id
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 0),
+      p AS (
+        SELECT c.batch_id, c.corpus_id, a.ne AS ea, b.ne AS eb
+        FROM cand c JOIN nv a ON a.vec_id = c.batch_id JOIN nv b ON b.vec_id = c.corpus_id),
+      u AS (SELECT batch_id, corpus_id, unnest(range(1, len(ea) + 1)) AS i, ea, eb FROM p),
+      s AS (SELECT batch_id, corpus_id, sum(ea[i] * eb[i]) AS dot FROM u GROUP BY 1, 2)
+      SELECT batch_id, corpus_id, round(dot, 4) AS cos_sim
+      FROM s WHERE dot >= 0.45 ORDER BY batch_id, corpus_id""",
 
     "s1_ann_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),

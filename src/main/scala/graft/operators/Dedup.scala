@@ -1005,6 +1005,54 @@ object Dedup {
     if (release) materializeAndRelease(verified, base) else verified
   }
 
+  /** d13: INCREMENTAL embedding near-dup — [[incrementalDedup]]'s shape
+    * applied to the embedding LSH of [[embeddingNearDupPairs]]: a new
+    * batch of vectors (odd vec_ids stand in) probes the corpus side (even
+    * vec_ids) cross-side ONLY — corpus×corpus pairs are never formed, so
+    * per-batch cost is O(batch + collisions) regardless of corpus size.
+    * Same banded hyperplane signatures and exact-cosine verify as d5; the
+    * default banding is the oracle-pinned fixed config (pass
+    * `bandBits = deriveBandBits(corpusSize)` for the scale-derived form,
+    * exactly as d5's scaladoc prescribes), and a persisted corpus index
+    * follows [[persistCorpusBandIndex]]'s bucketed layout verbatim when
+    * the embedding corpus is long-lived.
+    */
+  def incrementalEmbeddingDedup(spark: SparkSession, dir: String,
+                                threshold: Double = 0.45,
+                                bands: Int = EmbBands,
+                                bandBits: Int = EmbBandBits): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    import graft.functions.VectorFunctions.hyperplaneBucketSql
+    val nBits = bands * bandBits
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        expr(hyperplaneBucketSql("embedding", 64, nBits)).as("sig"),
+        sqrt(expr("array_dot(embedding, embedding)")).as("nrm"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"),
+        col("sig"))
+      .cache()
+    val banded = base
+      .select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("vec_id"), col("band"),
+        expr(s"shiftright(sig, band * $bandBits) & ${(1L << bandBits) - 1}")
+          .as("bkey"))
+    val candidates = banded.filter(col("vec_id") % 2 =!= 0).as("a")
+      .join(banded.filter(col("vec_id") % 2 === 0).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.vec_id").as("batch_id"), col("b.vec_id").as("corpus_id"))
+      .distinct()
+    val verified = candidates
+      .join(base.select(col("vec_id").as("batch_id"), col("ne").as("va")), "batch_id")
+      .join(base.select(col("vec_id").as("corpus_id"), col("ne").as("vb")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"), expr("array_dot(va, vb)").as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+    materializeAndRelease(verified, base)
+  }
+
   /** The naive all-pairs cosine self-join — the correctness baseline for
     * [[embeddingNearDupPairs]]; O(n²) pairs, test-scale only.
     */

@@ -32,4 +32,23 @@ class Round5Spec extends AnyFunSuite {
       assert(docs.count(_._5) == math.min(10L, n), s"$src: kept count")
     }
   }
+
+  test("d13 incremental embedding dedup equals the cross-parity slice of d5's pairs") {
+    import graft.operators.Dedup
+    val d13 = Dedup.incrementalEmbeddingDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // d5 with the same oracle-pinned banding; its (id_a < id_b) pairs with
+    // opposite parity, re-keyed as (odd batch, even corpus)
+    val d5cross = Dedup.embeddingNearDupPairs(spark, sf,
+        bands = Dedup.EmbBands, bandBits = Dedup.EmbBandBits).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a % 2 != b % 2 }
+      .map { case (a, b, c) => (if (a % 2 != 0) (a, b) else (b, a)) -> c }
+      .toMap
+    assert(d13 == d5cross,
+      s"d13=${d13.size} d5cross=${d5cross.size} " +
+        s"onlyD13=${(d13.keySet -- d5cross.keySet).take(3)} " +
+        s"onlyD5=${(d5cross.keySet -- d13.keySet).take(3)}")
+    assert(d13.nonEmpty, "planted embedding near-dups should cross the parity split")
+  }
 }

@@ -212,6 +212,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.operators.Dedup.mergeIngestSegments(spark, sink).isEmpty)
   }
 
+  test("ingest compaction refuses a gapped commit log and leaves the sink untouched") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft_gap").toString
+    val (sink, ckpt) = (s"$work/sink", s"$work/ckpt")
+    Seq(0, 1, 2).foreach { b =>
+      spark.range(3).select(col("id").as("doc_id"))
+        .coalesce(1).write.parquet(s"$sink/ingest_batch=$b")
+    }
+    val commits = new java.io.File(s"$ckpt/commits"); commits.mkdirs()
+    Seq("0", "2").foreach(n => new java.io.File(commits, n).createNewFile()) // 1 missing
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.compactIngestSink(spark, sink, ckpt)
+    }
+    assert(e.getMessage.contains("gap"))
+    val dirs = new java.io.File(sink).listFiles()
+      .filter(_.getName.startsWith("ingest_batch=")).map(_.getName).sorted
+    assert(dirs.sameElements(Array("ingest_batch=0", "ingest_batch=1", "ingest_batch=2")),
+      "refusal must not delete or fold anything")
+    assert(!new java.io.File(sink, "_compacted").exists())
+  }
+
   test("streaming dedup-within-watermark covers every distinct key exactly once") {
     val q = Events.streamingDedup(spark, sf)
       .writeStream.outputMode("append")
