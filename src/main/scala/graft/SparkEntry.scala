@@ -132,6 +132,10 @@ object SparkEntry {
     // batch 6 extensions (round 5)
     "d12_incremental_dedup_indexed" -> ((s: SparkSession, d: String) =>
                                    Dedup.incrementalDedupIndexed(s, d)),
+    "t18_token_entropy"       -> TextAnalysis.tokenEntropy _,
+    "t19_passage_dedup"       -> ((s: SparkSession, d: String) => TextAnalysis.passageDedup(s, d)),
+    "s5_two_stage_ann"        -> ((s: SparkSession, d: String) => Similarity.annTwoStageTopK(s, d)),
+    "d14_semantic_dedup"      -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -1314,28 +1318,7 @@ object SparkEntry {
 
     // s3: full IVF replay — 6dp-rounded per-label centroids pin the
     // assignment argmax across engines; candidate scoring mirrors s1.
-    "s3_ann_ivf_topk" -> s"""
-      WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-      ue AS (SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS i, embedding FROM e),
-      cpos AS (
-        SELECT label AS cent_id, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
-        FROM ue GROUP BY 1, 2),
-      cent AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM cpos GROUP BY 1),
-      acu AS (
-        SELECT vec_id, cent_id, unnest(range(1, len(embedding) + 1)) AS i, embedding, cv
-        FROM e CROSS JOIN cent),
-      acs AS (
-        SELECT vec_id, cent_id,
-          sum(CAST(embedding[i] AS DOUBLE) * cv[i]) AS dot,
-          sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS na,
-          sum(cv[i] * cv[i]) AS nb
-        FROM acu GROUP BY 1, 2),
-      ac AS (SELECT vec_id, cent_id, dot / (sqrt(na) * sqrt(nb)) AS cc FROM acs),
-      assigned AS (
-        SELECT vec_id, cent_id FROM (
-          SELECT vec_id, cent_id,
-            row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS r
-          FROM ac) WHERE r = 1),
+    "s3_ann_ivf_topk" -> (IvfAssignCtesSql + s""",
       prb AS (
         SELECT query_id, cent_id FROM (
           SELECT vec_id AS query_id, cent_id,
@@ -1362,8 +1345,155 @@ object SparkEntry {
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
         FROM c)
       SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""),
+
+    // t18: identical distributive decomposition H = log2(n) − (Σ c·log2 c)/n,
+    // so only the two group-bys (term counts, per-doc rollup) replay.
+    "t18_token_entropy" -> """
+      WITH tk AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+      tf AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+      c AS (SELECT doc_id, tok, count(*) AS c FROM tf GROUP BY 1, 2),
+      a AS (SELECT doc_id, sum(c) AS n, count(*) AS nd, sum(c * log2(c)) AS sl
+            FROM c GROUP BY 1)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(nd AS BIGINT) AS n_distinct,
+        round(log2(n) - sl / n + 0.000000001, 4) AS entropy,
+        round(CASE WHEN nd > 1 THEN (log2(n) - sl / n) / log2(nd) ELSE 1.0 END
+          + 0.000000001, 4) AS evenness
+      FROM a ORDER BY doc_id""",
+
+    // t19: t15's chunk CTE at stride = chunkSize, then the keep-first
+    // owner join — min(doc_id) per chunk hash is order-free, so the
+    // replay is exact.
+    "t19_passage_dedup" -> ("""
+      WITH tk AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents),
+      ch AS (
+        SELECT doc_id, toks,
+          unnest(range(0,
+            greatest(CAST(ceil((len(toks) - 32) / 32.0) AS BIGINT), 0) + 1)) AS chunk_idx
+        FROM tk),
+      sl AS (
+        SELECT doc_id, chunk_idx,
+          list_slice(toks, chunk_idx * 32 + 1, chunk_idx * 32 + 32) AS chunk
+        FROM ch),
+      h AS (
+        SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
+          """ + graft.functions.TextFunctions.hash52Sql("array_to_string(chunk, ' ')") +
+      """ AS chunk_hash
+        FROM sl),
+      o AS (SELECT chunk_hash, min(doc_id) AS owner_doc FROM h GROUP BY 1),
+      j AS (SELECT h.*, o.owner_doc FROM h JOIN o USING (chunk_hash))
+      SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_chunks,
+        CAST(sum(CASE WHEN owner_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        CAST(sum(CASE WHEN owner_doc < doc_id THEN 0 ELSE n_tokens END) AS BIGINT) AS kept_tokens,
+        round(sum(CASE WHEN owner_doc < doc_id THEN 1 ELSE 0 END) / count(*)
+          + 0.000000001, 4) AS dup_frac
+      FROM j GROUP BY 1 ORDER BY doc_id"""),
+
+    // s5: full replay of both stages — the s4 reconstruction grid feeds the
+    // 6dp-rounded coarse ranking, the float vectors feed the exact rerank.
+    "s5_two_stage_ann" -> s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      u AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding FROM e),
+      x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM u),
+      d AS (SELECT i, round(min(x), 6) AS lo, round(max(x), 6) AS hi FROM x GROUP BY 1),
+      q AS (
+        SELECT vec_id, x.i,
+          CASE WHEN hi = lo THEN lo
+               ELSE lo + round((x.x - lo) / (hi - lo) * 255.0, 0) / 255.0 * (hi - lo)
+          END AS recon
+        FROM x JOIN d ON x.i = d.i),
+      qq AS (SELECT * FROM q WHERE vec_id % 50 = 0),
+      cs AS (
+        SELECT qq.vec_id AS query_id, q.vec_id AS neighbor_id,
+          sum(qq.recon * q.recon) AS dot,
+          sum(qq.recon * qq.recon) AS na,
+          sum(q.recon * q.recon) AS nb
+        FROM qq JOIN q ON qq.i = q.i AND qq.vec_id <> q.vec_id
+        GROUP BY 1, 2),
+      co AS (SELECT query_id, neighbor_id,
+               round(dot / (sqrt(na) * sqrt(nb)), 6) AS coarse FROM cs),
+      short AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY coarse DESC, neighbor_id) AS crnk
+          FROM co)
+        WHERE crnk <= ${graft.operators.Similarity.RerankShortlist}),
+      pairs AS (
+        SELECT short.query_id, short.neighbor_id, eq.embedding AS qe, en.embedding AS ne
+        FROM short
+        JOIN e eq ON eq.vec_id = short.query_id
+        JOIN e en ON en.vec_id = short.neighbor_id),
+      pu AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne
+             FROM pairs),
+      ps AS (
+        SELECT query_id, neighbor_id,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
+          sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
+        FROM pu GROUP BY 1, 2),
+      pc AS (SELECT query_id, neighbor_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM ps),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM pc)
+      SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
       FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    // d14: the s3 assignment CTEs feed the within-cell keep-first prune —
+    // row_number over (PARTITION BY v ORDER BY u) replays min(struct(u, cs)).
+    "d14_semantic_dedup" -> (IvfAssignCtesSql + """,
+      pr AS (
+        SELECT a.vec_id AS u, b.vec_id AS v, a.cent_id AS cell
+        FROM assigned a JOIN assigned b
+          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+      pe AS (
+        SELECT pr.u, pr.v, pr.cell, ea.embedding AS ea, eb.embedding AS eb
+        FROM pr JOIN e ea ON ea.vec_id = pr.u JOIN e eb ON eb.vec_id = pr.v),
+      pu AS (SELECT u, v, cell, unnest(range(1, len(ea) + 1)) AS i, ea, eb FROM pe),
+      ps AS (
+        SELECT u, v, cell,
+          sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+          sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+          sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
+        FROM pu GROUP BY 1, 2, 3),
+      pc AS (SELECT u, v, cell, dot / (sqrt(na) * sqrt(nb)) AS cs FROM ps),
+      fl AS (SELECT * FROM pc WHERE cs >= 0.45),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY v ORDER BY u) AS rn FROM fl)
+      SELECT v AS vec_id, cell, u AS pruned_by, round(cs, 4) AS cos_sim
+      FROM rk WHERE rn = 1 ORDER BY vec_id"""),
   )
+
+  /** The s3 coarse-quantizer replay — per-label centroids (6dp means) and
+    * nearest-centroid assignment; shared by the s3 and d14 oracles.
+    */
+  private val IvfAssignCtesSql: String = """
+      WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      ue AS (SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS i, embedding FROM e),
+      cpos AS (
+        SELECT label AS cent_id, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+        FROM ue GROUP BY 1, 2),
+      cent AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM cpos GROUP BY 1),
+      acu AS (
+        SELECT vec_id, cent_id, unnest(range(1, len(embedding) + 1)) AS i, embedding, cv
+        FROM e CROSS JOIN cent),
+      acs AS (
+        SELECT vec_id, cent_id,
+          sum(CAST(embedding[i] AS DOUBLE) * cv[i]) AS dot,
+          sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS na,
+          sum(cv[i] * cv[i]) AS nb
+        FROM acu GROUP BY 1, 2),
+      ac AS (SELECT vec_id, cent_id, dot / (sqrt(na) * sqrt(nb)) AS cc FROM acs),
+      assigned AS (
+        SELECT vec_id, cent_id FROM (
+          SELECT vec_id, cent_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS r
+          FROM ac) WHERE r = 1)"""
 
   /** DuckDB fragment: hex string column `h` → list of UTF-8 byte values
     * (HUGEINT, for overflow-free polynomial accumulation).

@@ -1053,6 +1053,49 @@ object Dedup {
     materializeAndRelease(verified, base)
   }
 
+  /** d14: semantic dedup (SemDeDup shape: cluster the embedding corpus,
+    * prune near-identical vectors within each cluster) — coarse cells come
+    * from s3's seeded quantizer ([[Similarity.coarseQuantizer]]), and a
+    * vector is pruned iff an earlier (smaller vec_id) same-cell vector
+    * sits within cosine `threshold`; the keep-first rule makes the pruned
+    * set a pure function of the corpus. Cross-cell near-dups are
+    * intentionally out of scope — that is d5's LSH job; SemDeDup's bet is
+    * that semantic duplicates share a cluster, which caps the pairing cost
+    * at Σ|cell|² instead of n².
+    *
+    * Scale: the cell self-join shuffles on `cell` only; with the auto
+    * quantizer (`subBits = Similarity.deriveSubBits(...)`) cells number
+    * ≈√n/2 so expected cell width is ≈2√n and the pair count stays
+    * ~n^1.5 — the registered form pins subBits = 0 (pure label cells),
+    * the configuration the static DuckDB twin replays at any scale
+    * factor, exactly the s3 registration compromise. A pathologically hot
+    * cell (one cluster owning the corpus) is the q18 skew case: salt the
+    * cell id and union the salted pair blocks.
+    */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    threshold: Double = 0.45, subBits: Int = 0): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    val (assigned, _) = Similarity.coarseQuantizer(raw, subBits)
+    val a = assigned.select(col("cent_id").as("cell"),
+      col("vec_id").as("u"), col("embedding").as("ea"))
+    val b = assigned.select(col("cent_id").as("cell"),
+      col("vec_id").as("vec_id"), col("embedding").as("eb"))
+    a.join(b, Seq("cell")).filter(col("u") < col("vec_id"))
+      .select(col("vec_id"), col("cell"), col("u"),
+        graft.expressions.VectorExpressions
+          .arrayCosine(col("ea"), col("eb")).as("cs"))
+      .filter(col("cs") >= threshold)
+      // keep-first winner: min (u, cos) struct = the earliest qualifying
+      // keeper (u is unique per pair, so the cs field never decides)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(struct(col("u"), round(col("cs"), 4).as("cs"))).as("m"))
+      .select(col("vec_id"), col("cell"),
+        col("m").getField("u").as("pruned_by"),
+        col("m").getField("cs").as("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+
   /** The naive all-pairs cosine self-join — the correctness baseline for
     * [[embeddingNearDupPairs]]; O(n²) pairs, test-scale only.
     */

@@ -132,31 +132,8 @@ object Similarity {
       deriveSubBits(statsRow.getLong(0), statsRow.getLong(1))
     }
 
-    val cell =
-      if (subBits == 0) col("label").cast("int")
-      else (col("label").cast("int") * (1 << subBits) +
-        expr(hyperplaneBucketSql("embedding", 64, subBits)).cast("int"))
-
-    val centroids = raw
-      .select(cell.as("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(round(avg(col("x")), 6).as("m"))
-      .groupBy(col("cell"))
-      .agg(transform(
-        sort_array(collect_list(struct(col("pos"), col("m")))),
-        e => e.getField("m")).as("cv"))
-      .select(col("cell").as("cent_id"), col("cv"))
-
+    val (assigned, centArr) = coarseQuantizer(raw, subBits)
     val e = raw.select(col("vec_id"), col("embedding"))
-
-    // the whole centroid set as ONE row holding an array of (cent_id, cv)
-    // structs: broadcast-joining this single row lets every argmax below
-    // run map-side — the corpus is never shuffled (or windowed) just to
-    // learn its cell. (The previous shape — crossJoin to corpus×ncells
-    // rows + row_number over Window.partitionBy(vec_id) — moved the
-    // expanded rows through an exchange+sort for the identical answer.)
-    val centArr = centroids
-      .agg(sort_array(collect_list(struct(col("cent_id"), col("cv")))).as("cents"))
 
     // per-centroid scores, sorted best-first: struct comparison is
     // field-by-field, so ordering by (-cc, cent_id) ascending ranks by
@@ -173,18 +150,6 @@ object Similarity {
             c.getField("cent_id").as("cent_id")))),
         s => s.getField("cent_id"))
 
-    // nearest-centroid assignment: zero-shuffle expression argmax.
-    // array_max of (cc, -cent_id) structs — NOT a sort: the corpus pays
-    // this per row, and sorting the ncells-wide score array per vector
-    // was measured 3× slower than the single max pass at soak scale
-    val best = array_max(transform(col("cents"), c =>
-      struct(graft.expressions.VectorExpressions
-        .arrayCosine(col("embedding"), c.getField("cv")).as("cc"),
-        (-c.getField("cent_id")).as("nid"))))
-    val assigned = e.crossJoin(broadcast(centArr))
-      .select(col("vec_id"), col("embedding"),
-        (-best.getField("nid")).cast("int").as("cent_id"))
-
     // queries probe their nprobe nearest cells (same map-side ranking)
     val probes = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -197,6 +162,124 @@ object Similarity {
     assigned.join(broadcast(probes), "cent_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("array_cosine(qe, embedding)").as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** The s3 coarse quantizer, shared with d14's semantic dedup: seeded
+    * per-cell centroids (label × 2^subBits hyperplane sign-buckets,
+    * 6dp-rounded per-dimension means — the rounding pins assignments
+    * across engines) and the map-side argmax assignment of every vector to
+    * its nearest centroid. Returns the assigned corpus
+    * (vec_id, embedding, cent_id) and the 1-row centroid array whose
+    * broadcast keeps both assignment and query probing shuffle-free.
+    */
+  private[graft] def coarseQuantizer(raw: DataFrame, subBits: Int)
+      : (DataFrame, DataFrame) = {
+    val cell =
+      if (subBits == 0) col("label").cast("int")
+      else (col("label").cast("int") * (1 << subBits) +
+        expr(hyperplaneBucketSql("embedding", 64, subBits)).cast("int"))
+
+    val centroids = raw
+      .select(cell.as("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("cv"))
+      .select(col("cell").as("cent_id"), col("cv"))
+
+    // the whole centroid set as ONE row holding an array of (cent_id, cv)
+    // structs: broadcast-joining this single row lets every argmax below
+    // run map-side — the corpus is never shuffled (or windowed) just to
+    // learn its cell. (The previous shape — crossJoin to corpus×ncells
+    // rows + row_number over Window.partitionBy(vec_id) — moved the
+    // expanded rows through an exchange+sort for the identical answer.)
+    val centArr = centroids
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("cv")))).as("cents"))
+
+    // nearest-centroid assignment: zero-shuffle expression argmax.
+    // array_max of (cc, -cent_id) structs — NOT a sort: the corpus pays
+    // this per row, and sorting the ncells-wide score array per vector
+    // was measured 3× slower than the single max pass at soak scale
+    val best = array_max(transform(col("cents"), c =>
+      struct(graft.expressions.VectorExpressions
+        .arrayCosine(col("embedding"), c.getField("cv")).as("cc"),
+        (-c.getField("cent_id")).as("nid"))))
+    val assigned = raw.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("embedding"),
+        (-best.getField("nid")).cast("int").as("cent_id"))
+    (assigned, centArr)
+  }
+
+  val RerankShortlist = 20
+
+  /** s5: two-stage quantized ANN — a coarse top-`shortlist` scan over the
+    * int8-reconstructed corpus (the s4 grid), then an exact float rerank of
+    * the shortlist only. The flat-scan-plus-rerank pattern every quantized
+    * vector store runs: the coarse pass streams the 4×-compressed codes
+    * (simulated here by reconstructing through the s4 grid, so the DuckDB
+    * twin replays it bit-for-bit), and the full-precision vectors are
+    * touched for nQ·shortlist rows total.
+    *
+    * Shape discipline: the coarse scan emits (query_id, neighbor_id,
+    * score) ONLY — the window that cuts the shortlist shuffles 20-byte
+    * rows, never embeddings; the rerank then joins the float vectors back
+    * by id. Coarse scores are 6dp-rounded before ranking (the s3 centroid
+    * trick): cross-engine float-sum noise is ~1e-15, so the rounded value
+    * is stable and ties break deterministically on neighbor_id. The scan
+    * itself is corpus×queries like s1 — s2/s3 are the sub-linear candidate
+    * generators; s5 is the *rerank* stage they feed at production scale.
+    */
+  def annTwoStageTopK(spark: SparkSession, dir: String, k: Int = TopK,
+                      shortlist: Int = RerankShortlist): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    val dims = raw
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(round(min(col("x").cast("double")), 6).as("lo"),
+        round(max(col("x").cast("double")), 6).as("hi"))
+    val grid = dims.agg(sort_array(collect_list(
+      struct(col("pos"), col("lo"), col("hi")))).as("dm"))
+    // s4's reconstruction: quantize to the 255-step grid, decode back —
+    // the double array the fused ArrayCosine consumes directly
+    val recon = zip_with(col("embedding"), col("dm"), (x, m) => {
+      val lo = m.getField("lo"); val hi = m.getField("hi")
+      val q = round((x.cast("double") - lo) / (hi - lo) * lit(255.0), 0)
+      when(hi === lo, lo).otherwise(lo + q / lit(255.0) * (hi - lo))
+    })
+    val codes = raw.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(grid))
+      .select(col("vec_id"), recon.as("rv"))
+    val queriesCoarse = codes.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("rv").as("qrv"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id").asc)
+    val shortlisted = codes.crossJoin(broadcast(queriesCoarse))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(graft.expressions.VectorExpressions
+          .arrayCosine(col("qrv"), col("rv")), 6).as("coarse"))
+      .withColumn("crnk", row_number().over(wCoarse))
+      .filter(col("crnk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val queriesExact = raw.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    shortlisted
+      .join(raw.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id")
+      .join(broadcast(queriesExact), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
         expr("array_cosine(qe, embedding)").as("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

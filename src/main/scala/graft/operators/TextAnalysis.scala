@@ -406,7 +406,15 @@ object TextAnalysis {
     * chunk truncated, hash over the space-joined tokens).
     */
   def chunkDocuments(spark: SparkSession, dir: String,
-                     chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+                     chunkSize: Int = 32, stride: Int = 24): DataFrame =
+    chunkRows(spark, dir, chunkSize, stride)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** The t15 chunk fan-out without the presentation sort — shared with t19,
+    * which aggregates the chunks instead of emitting them.
+    */
+  private def chunkRows(spark: SparkSession, dir: String,
+                        chunkSize: Int, stride: Int): DataFrame = {
     val nChunksM1 = greatest(
       ceil((size(col("toks")) - lit(chunkSize)).cast("double") / stride)
         .cast("long"), lit(0L))
@@ -420,7 +428,69 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_idx"),
         size(col("chunk")).cast("long").as("n_tokens"),
         hash52(concat_ws(" ", col("chunk"))).as("chunk_hash"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** t18: token-distribution entropy per document — Shannon entropy of the
+    * within-doc token frequencies plus the log-normalized evenness, the
+    * standard "natural text vs keyword-stuffed/boilerplate" quality signal
+    * (low evenness = a few tokens dominate; t9's repetition ratio catches
+    * *adjacent* repeats, entropy catches global imbalance).
+    *
+    * H = log2(n) − (Σ c·log2 c)/n: both Σc and Σc·log2(c) are distributive
+    * aggregates, so the two shuffles — (doc_id, tok) term counts, then
+    * doc_id — get full map-side partial aggregation; nothing is quadratic
+    * and no row ever carries an array. Evenness = H / log2(distinct), 1.0
+    * for single-token docs (the distribution is trivially uniform).
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val h = log2(col("n_tokens")) - col("sum_clog") / col("n_tokens")
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log2(col("c"))).as("sum_clog"))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        round(h + 1e-9, 4).as("entropy"),
+        round(when(col("n_distinct") > 1, h / log2(col("n_distinct")))
+          .otherwise(lit(1.0)) + 1e-9, 4).as("evenness"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t19: keep-first passage dedup — non-overlapping `chunkSize`-token
+    * passages (t15's fan-out at stride = chunkSize), each distinct passage
+    * hash owned by the smallest doc_id that contains it; later documents
+    * count those passages as removable. This is the dedup *transform*
+    * semantics (first occurrence survives, repeats are cut), where d10's
+    * df-count is the symmetric *signal* (every occurrence penalized).
+    *
+    * Cost: the map-side chunk fan-out plus ONE shuffle on chunk_hash for
+    * the owner aggregate + join-back (both map-side combinable), then the
+    * per-doc rollup — linear in total chunks however the duplicates are
+    * distributed, the same shape d10 soak-proved on the quadratic-pair
+    * corpus. Within-doc repeats keep their doc as owner, so only
+    * cross-document duplication is cut and the contract stays a pure
+    * function of the corpus (insertion-order-free, retry-stable).
+    */
+  def passageDedup(spark: SparkSession, dir: String,
+                   chunkSize: Int = 32): DataFrame = {
+    val ch = chunkRows(spark, dir, chunkSize, chunkSize)
+    val owners = ch.groupBy(col("chunk_hash"))
+      .agg(min(col("doc_id")).as("owner_doc"))
+    ch.join(owners, "chunk_hash")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("owner_doc") < col("doc_id"), 1L).otherwise(0L))
+          .cast("long").as("n_dup_chunks"),
+        sum(when(col("owner_doc") < col("doc_id"), 0L)
+          .otherwise(col("n_tokens"))).cast("long").as("kept_tokens"))
+      .withColumn("dup_frac",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks") + 1e-9, 4))
+      .orderBy(col("doc_id"))
   }
 
   /** t16: sequence-packing plan — assign documents to fixed token-budget

@@ -51,4 +51,120 @@ class Round5Spec extends AnyFunSuite {
         s"onlyD5=${(d5cross.keySet -- d13.keySet).take(3)}")
     assert(d13.nonEmpty, "planted embedding near-dups should cross the parity split")
   }
+
+  test("t18 token entropy matches a per-doc Scala reference") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions.col
+    val got = TextAnalysis.tokenEntropy(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+      val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = toks.length.toDouble
+      val log2 = (x: Double) => math.log(x) / math.log(2.0)
+      // same distributive decomposition as the operator: term order cannot
+      // matter beyond ~1e-12, far inside the 4dp rounding
+      val h = log2(n) - counts.values.toSeq.sorted.map(c => c * log2(c.toDouble)).sum / n
+      val ev = if (counts.size > 1) h / log2(counts.size.toDouble) else 1.0
+      val (gn, gd, ge, gev) = got(id)
+      assert(gn == toks.length.toLong && gd == counts.size.toLong, s"doc $id counts")
+      assert(math.abs(ge - h) < 5e-4, s"doc $id entropy $ge vs $h")
+      assert(math.abs(gev - ev) < 5e-4, s"doc $id evenness $gev vs $ev")
+      assert(ge >= -1e-9 && gev >= -1e-9 && gev <= 1.0 + 1e-9, s"doc $id bounds")
+    }
+  }
+
+  test("t19 passage dedup equals the keep-first rollup of t15's chunks at stride=size") {
+    val chunks = TextAnalysis.chunkDocuments(spark, sf, chunkSize = 32, stride = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val owner = chunks.groupBy(_._4).view.mapValues(_.map(_._1).min).toMap
+    val expected = chunks.groupBy(_._1).map { case (doc, cs) =>
+      val dup = cs.filter(c => owner(c._4) < doc)
+      doc -> (cs.length.toLong, dup.length.toLong,
+        cs.filter(c => owner(c._4) >= doc).map(_._3).sum)
+    }
+    val got = TextAnalysis.passageDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (doc, (nc, nd, kept)) =>
+      val (gnc, gnd, gkept, gfrac) = got(doc)
+      assert((gnc, gnd, gkept) == ((nc, nd, kept)), s"doc $doc")
+      assert(math.abs(gfrac - nd.toDouble / nc) < 5e-4, s"doc $doc dup_frac")
+    }
+    assert(got.values.exists(_._2 > 0),
+      "planted duplicate documents should surface cross-doc passages")
+  }
+
+  test("s5 two-stage rerank: exact scores, high recall vs the s1 baseline") {
+    import graft.operators.Similarity
+    val s5 = Similarity.annTwoStageTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val s1 = Similarity.annBruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val queries = s1.map(_._1).distinct
+    assert(s5.map(_._1).distinct.sorted.toSeq == queries.sorted.toSeq)
+    // per query: ranks are 1..k and cos_sim is non-increasing
+    s5.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"query $q ranks")
+      val byRank = rows.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"query $q order")
+    }
+    // rerank scores are EXACT: any (query, neighbor) that s1 also ranked
+    // must carry the identical 4dp cosine
+    val exact = s1.map(r => (r._1, r._2) -> r._4).toMap
+    s5.foreach { case (q, n, _, c) =>
+      exact.get((q, n)).foreach(e => assert(math.abs(e - c) < 1e-9, s"($q,$n) cos"))
+    }
+    // int8 reconstruction is tight at 255 steps: the coarse shortlist of 20
+    // should recover nearly every true top-5 neighbor
+    val hits = s1.count(r => s5.exists(g => g._1 == r._1 && g._2 == r._2))
+    assert(hits.toDouble / s1.length >= 0.8, s"recall ${hits}/${s1.length}")
+  }
+
+  test("d14 semantic dedup matches the naive within-cell keep-first reference") {
+    import graft.operators.{Dedup, Similarity}
+    import org.apache.spark.sql.functions.col
+    val raw = graft.sources.Tables.embeddings(spark, sf)
+    val (assigned, _) = Similarity.coarseQuantizer(raw, subBits = 0)
+    val rows = assigned.select(col("vec_id"), col("embedding"), col("cent_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = rows.groupBy(_._3).toSeq.flatMap { case (cell, vs) =>
+      val sorted = vs.sortBy(_._1)
+      sorted.flatMap { case (v, ev, _) =>
+        val keepers = sorted.filter(_._1 < v)
+          .map { case (u, eu, _) => (u, cos(eu, ev)) }
+          .filter(_._2 >= 0.45)
+        keepers.minByOption(_._1).map { case (u, c) =>
+          v -> ((cell, u, BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }
+    }.toMap
+    val got = Dedup.semanticDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == expected.keySet,
+      s"only-got=${(got.keySet -- expected.keySet).take(3)} " +
+        s"only-exp=${(expected.keySet -- got.keySet).take(3)}")
+    expected.foreach { case (v, (cell, u, c)) =>
+      val (gc, gu, gcos) = got(v)
+      assert(gc == cell && gu == u, s"vec $v keeper/cell")
+      assert(math.abs(gcos - c) < 1e-3, s"vec $v cos $gcos vs $c")
+    }
+    assert(got.nonEmpty, "planted near-dup embeddings should be pruned")
+  }
 }
