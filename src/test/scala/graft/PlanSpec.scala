@@ -99,11 +99,16 @@ class PlanSpec extends AnyFunSuite {
     // (d5 earned its way OUT of this set: banded-LSH candidates, r3)
     // (q44 joined the set in r4: its global revenue share moved OFF the
     // single-partition window onto the q36 scalar-total broadcast shape)
+    //  - d14 (r5): the s3 coarseQuantizer's 1-row centArr broadcast — same
+    //    shape s3 is exempted for; the pair join itself is an equi join
+    //  - s5 (r5): the coarse stage is a declared corpus×queries scan (its
+    //    scaladoc: s2/s3 are the sub-linear candidate generators, s5 is
+    //    the rerank they feed), plus the s4 1-row grid broadcast
     val quadraticByDesign = Set(
       "s1_ann_topk", "s3_ann_ivf_topk", "s4_quantize_int8",
       "t8_tfidf", "t11_length_buckets", "t14_mixture_sample",
       "q36_histogram", "q44_supplier_revenue", "q23_correlated_subq",
-      "q49_expectations")
+      "q49_expectations", "d14_semantic_dedup", "s5_two_stage_ann")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticByDesign)
       .flatMap { name =>
