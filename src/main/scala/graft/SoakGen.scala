@@ -121,6 +121,17 @@ object SoakGen {
       time("s3_auto_cells") {
         graft.operators.Similarity.annIvfTopK(spark, out).count()
       }
+      time("d13_auto_banded") {
+        graft.operators.Dedup.incrementalEmbeddingDedup(spark, out,
+          bandBits = 0).count()
+      }
+      time("d14_auto_cells") {
+        val e = spark.read.parquet(s"$out/embeddings.parquet")
+        val n = e.count()
+        val nl = e.select("label").distinct().count()
+        graft.operators.Dedup.semanticDedup(spark, out,
+          subBits = graft.operators.Similarity.deriveSubBits(n, nl)).count()
+      }
     }
     spark.stop()
   }

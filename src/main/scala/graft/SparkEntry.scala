@@ -136,6 +136,9 @@ object SparkEntry {
     "t19_passage_dedup"       -> ((s: SparkSession, d: String) => TextAnalysis.passageDedup(s, d)),
     "s5_two_stage_ann"        -> ((s: SparkSession, d: String) => Similarity.annTwoStageTopK(s, d)),
     "d14_semantic_dedup"      -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
+    "d15_source_overlap"      -> ((s: SparkSession, d: String) => Dedup.sourceOverlapMatrix(s, d)),
+    "d16_split_leakage"       -> ((s: SparkSession, d: String) => Dedup.trainTestSplitLeakage(s, d)),
+    "t20_lm_perplexity"       -> ((s: SparkSession, d: String) => TextAnalysis.ngramLmPerplexity(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -1467,6 +1470,78 @@ object SparkEntry {
       rk AS (SELECT *, row_number() OVER (PARTITION BY v ORDER BY u) AS rn FROM fl)
       SELECT v AS vec_id, cell, u AS pruned_by, round(cs, 4) AS cos_sim
       FROM rk WHERE rn = 1 ORDER BY vec_id"""),
+
+    // d15: string shingles replay the xxhash64 ones — distinct-per-source
+    // counts are hash-blind (collision odds ~|shingles|²/2⁶⁴, the d2/d8
+    // bound), so the overlap matrix is identical.
+    "d15_source_overlap" -> """
+      WITH tk AS (
+        SELECT source,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents),
+      g AS (SELECT source, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i, toks
+            FROM tk),
+      shi AS (SELECT DISTINCT source, array_to_string(list_slice(toks, i, i + 7), ' ') AS s
+              FROM g),
+      tot AS (SELECT source, count(*) AS tot FROM shi GROUP BY 1),
+      pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_ngrams
+        FROM shi a JOIN shi b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT source_a, source_b, CAST(n_shared_ngrams AS BIGINT) AS n_shared_ngrams,
+        round(n_shared_ngrams / (ta.tot + tb.tot - n_shared_ngrams) + 0.000000001, 4)
+          AS jaccard
+      FROM pairs
+      JOIN tot ta ON ta.source = pairs.source_a
+      JOIN tot tb ON tb.source = pairs.source_b
+      ORDER BY source_a, source_b""",
+
+    // d16: the split hash is the portable 52-bit md5 prefix, replayed
+    // verbatim; leakage counts distinct shared 8-grams (string-based, like
+    // d8's oracle).
+    "d16_split_leakage" -> ("""
+      WITH tk AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+          CASE WHEN """ +
+      graft.functions.TextFunctions.hash52Sql("'split:' || CAST(doc_id AS VARCHAR)") +
+      """ % 10 = 0 THEN 'test' ELSE 'train' END AS split
+        FROM documents),
+      g AS (SELECT doc_id, split, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i,
+              toks FROM tk),
+      shi AS (SELECT DISTINCT doc_id, split,
+                array_to_string(list_slice(toks, i, i + 7), ' ') AS s FROM g),
+      te AS (SELECT DISTINCT s FROM shi WHERE split = 'test'),
+      tr AS (SELECT doc_id, count(*) AS n_shared
+             FROM shi JOIN te USING (s) WHERE split = 'train' GROUP BY 1)
+      SELECT tk.doc_id, tk.split,
+        CAST(coalesce(tr.n_shared, 0) AS BIGINT) AS n_shared,
+        (tk.split = 'test' OR coalesce(tr.n_shared, 0) = 0) AS kept
+      FROM tk LEFT JOIN tr ON tk.doc_id = tr.doc_id
+      ORDER BY tk.doc_id"""),
+
+    // t20: the bigram LM replays exactly — integer counts, one smoothing
+    // formula, log2/power over identical double quotients (the t8/t18
+    // cross-engine libm regime, pinned by the 1e-9 nudge + rounding).
+    "t20_lm_perplexity" -> """
+      WITH tk AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents),
+      bi AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tk)),
+      cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+      cw AS (SELECT w1, sum(cb) AS cw FROM cb GROUP BY 1),
+      v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+            FROM (SELECT unnest(toks) AS tok FROM tk)),
+      sc AS (
+        SELECT doc_id, -log2((cb.cb + 0.5) / (cw.cw + 0.5 * v.v)) AS nll
+        FROM bi JOIN cb USING (w1, w2) JOIN cw USING (w1) CROSS JOIN v)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        round(avg(nll) + 0.000000001, 4) AS avg_nll_bits,
+        round(power(2, avg(nll)) + 0.000000001, 2) AS ppl
+      FROM sc GROUP BY 1 ORDER BY doc_id""",
   )
 
   /** The s3 coarse-quantizer replay — per-label centroids (6dp means) and

@@ -1012,8 +1012,8 @@ object Dedup {
     * per-batch cost is O(batch + collisions) regardless of corpus size.
     * Same banded hyperplane signatures and exact-cosine verify as d5; the
     * default banding is the oracle-pinned fixed config (pass
-    * `bandBits = deriveBandBits(corpusSize)` for the scale-derived form,
-    * exactly as d5's scaladoc prescribes), and a persisted corpus index
+    * `bandBits = 0` for the corpus-derived form, d5's auto seam — the
+    * honest configuration at soak scale and beyond), and a persisted corpus index
     * follows [[persistCorpusBandIndex]]'s bucketed layout verbatim when
     * the embedding corpus is long-lived.
     */
@@ -1023,7 +1023,16 @@ object Dedup {
                                 bandBits: Int = EmbBandBits): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     import graft.functions.VectorFunctions.hyperplaneBucketSql
-    val nBits = bands * bandBits
+    // bandBits <= 0 → derive from the corpus (d5's auto seam, same band
+    // cap so the signature stays inside one long); the pinned default is
+    // the oracle-parity gate-scale config
+    val (effBands, bits) =
+      if (bandBits > 0) (bands, bandBits)
+      else {
+        val b = deriveBandBits(Tables.embeddings(spark, dir).count().max(1L))
+        (math.min(bands, 63 / b), b)
+      }
+    val nBits = effBands * bits
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         expr(hyperplaneBucketSql("embedding", 64, nBits)).as("sig"),
@@ -1034,9 +1043,9 @@ object Dedup {
       .cache()
     val banded = base
       .select(col("vec_id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+        explode(sequence(lit(0), lit(effBands - 1))).as("band"))
       .select(col("vec_id"), col("band"),
-        expr(s"shiftright(sig, band * $bandBits) & ${(1L << bandBits) - 1}")
+        expr(s"shiftright(sig, band * $bits) & ${(1L << bits) - 1}")
           .as("bkey"))
     val candidates = banded.filter(col("vec_id") % 2 =!= 0).as("a")
       .join(banded.filter(col("vec_id") % 2 === 0).as("b"),
@@ -1094,6 +1103,95 @@ object Dedup {
         col("m").getField("u").as("pruned_by"),
         col("m").getField("cs").as("cos_sim"))
       .orderBy(col("vec_id"))
+  }
+
+  /** d15: cross-source n-gram overlap matrix — for every pair of corpus
+    * sources, how much content they share (distinct word 8-grams in both,
+    * plus the Jaccard of their shingle sets). The "which crawls duplicate
+    * each other" report that decides dedup ORDER at ingest: a source pair
+    * with high overlap should flow through one dedup partition-key domain
+    * rather than being cleaned independently.
+    *
+    * Shape: one shuffle to distinct the (source, shingle) pairs, then an
+    * equi self-join on the shingle hash. A shingle present in k sources
+    * expands to k·(k-1)/2 rows — bounded by the SOURCE count (a few
+    * thousand in real crawls, 20 here), never by corpus size, so the join
+    * output is ≤ |distinct shingles|·|sources|²/2 and linear in the corpus
+    * for a fixed source vocabulary. Per-source totals ride a broadcast
+    * (|sources| rows). Shingles are the same 64-bit hashes as d2/d8/d10.
+    */
+  def sourceOverlapMatrix(spark: SparkSession, dir: String,
+                          n: Int = 8): DataFrame = {
+    // cache barrier: same InferFiltersFromGenerate trap as d8/d10
+    val sh = Tables.documentsParallel(spark, dir)
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"), shinglesOfTokens(col("toks"), n).as("sh_str"))
+      .select(col("source"), transform(col("sh_str"), s => xxhash64(s)).as("sh"))
+      .cache()
+    val srcShingles = sh
+      .select(col("source"), explode(col("sh")).as("s"))
+      .distinct()
+    val totals = srcShingles.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("tot"))
+    val result = srcShingles.select(col("source").as("source_a"), col("s"))
+      .join(srcShingles.select(col("source").as("source_b"), col("s")), "s")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared_ngrams"))
+      .join(broadcast(totals.select(col("source").as("source_a"), col("tot").as("ta"))),
+        "source_a")
+      .join(broadcast(totals.select(col("source").as("source_b"), col("tot").as("tb"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared_ngrams"),
+        round(col("n_shared_ngrams").cast("double") /
+          (col("ta") + col("tb") - col("n_shared_ngrams")) + 1e-9, 4)
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+    materializeAndRelease(result, sh)
+  }
+
+  /** d16: contamination-safe train/test split — the held-out-split
+    * construction step of an eval-aware training pipeline. Documents are
+    * assigned train/test by a content-independent deterministic hash of
+    * doc_id (1-in-`testMod` to test), then every train document sharing
+    * ANY distinct word 8-gram with the test split is flagged (kept =
+    * false) — d8's decontamination semantics, but against a split drawn
+    * from the same corpus rather than an external benchmark, so the join
+    * is a SHUFFLE equi-join on the shingle hash: the test side is a fixed
+    * fraction of the corpus (10% here) and does NOT fit in a broadcast at
+    * 100 TB, unlike d8's small benchmark set. Both sides are distinct
+    * 8-byte hashes, map-side combined before the exchange.
+    *
+    * The split hash is [[graft.functions.TextFunctions.hash52]] of
+    * "split:<doc_id>" — replayed verbatim by the DuckDB twin, stable
+    * across retries/backfills, and independent of text edits (a document
+    * revision never migrates across the split boundary).
+    */
+  def trainTestSplitLeakage(spark: SparkSession, dir: String,
+                            testMod: Int = 10, n: Int = 8): DataFrame = {
+    val sh = Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesOfTokens(col("toks"), n).as("sh_str"))
+      .select(col("doc_id"), transform(col("sh_str"), s => xxhash64(s)).as("sh"))
+      .withColumn("split",
+        when(hash52(concat(lit("split:"), col("doc_id").cast("string")))
+          % testMod === 0, "test").otherwise("train"))
+      .cache()
+    val testShingles = sh.filter(col("split") === "test")
+      .select(explode(col("sh")).as("s")).distinct()
+    val shared = sh.filter(col("split") === "train")
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(testShingles, Seq("s"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+    val result = sh.select(col("doc_id"), col("split"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("kept",
+        col("split") === "test" || col("n_shared") === 0L)
+      .orderBy(col("doc_id"))
+    materializeAndRelease(result, sh)
   }
 
   /** The naive all-pairs cosine self-join — the correctness baseline for

@@ -550,6 +550,66 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t20: bigram language-model perplexity — the CCNet-style statistical
+    * quality signal: train a token-bigram LM with add-k smoothing on the
+    * corpus itself, then score every document by its average per-bigram
+    * negative log2 probability (and the 2^nll perplexity). Low-perplexity
+    * documents look like the corpus; high-perplexity ones are gibberish,
+    * boilerplate, or wrong-language — the CCNet head/middle/tail cut uses
+    * exactly this number (Wenzek et al. 2019 §4.3, with KenLM where this
+    * uses a self-trained bigram model).
+    *
+    * P(w2|w1) = (C(w1,w2) + k) / (C(w1,·) + k·V), C(w1,·) summed over
+    * observed bigram counts so the model normalizes exactly; V is the
+    * corpus vocabulary (broadcast 1-row scalar).
+    *
+    * Shape: bigrams come from a map-side zip of the token array with its
+    * tail (no shuffle); the model is two hash aggregations (C(w1,w2),
+    * then C(w1,·) rolled up FROM the bigram counts — never a second pass
+    * over the corpus); scoring joins each document's bigram occurrences
+    * to the two count tables on (w1,w2) / (w1) — both shuffle equi-joins
+    * with map-side combine, both keyed on model-sized (vocab²-observed /
+    * vocab) tables, not corpus-sized ones. "the"-headed contexts make the
+    * C(w1) join key skewed at 100 TB: that join is AQE-skew-splittable,
+    * or the count tables (model-sized, ~vocab rows) broadcast outright on
+    * a real cluster — kept as shuffle joins here so the registered plan
+    * is the no-assumptions one.
+    */
+  def ngramLmPerplexity(spark: SparkSession, dir: String,
+                        k: Double = 0.5): DataFrame = {
+    // cache barrier against InferFiltersFromGenerate (the d8/d10 trap):
+    // tokenization runs once, shared by the model and scoring branches
+    val toks = Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .cache()
+    val bi = toks.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cb = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("cb"))
+    val cw = cb.groupBy(col("w1")).agg(sum(col("cb")).cast("long").as("cw"))
+    val vocab = toks.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("v"))
+    val nll = -log2((col("cb") + k) / (col("cw") + lit(k) * col("v")))
+    val result = bi
+      .join(cb, Seq("w1", "w2"))
+      .join(cw, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        avg(nll).as("raw_nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("raw_nll") + 1e-9, 4).as("avg_nll_bits"),
+        round(pow(lit(2.0), col("raw_nll")) + 1e-9, 2).as("ppl"))
+      .orderBy(col("doc_id"))
+    val out = result.localCheckpoint()
+    toks.unpersist()
+    out
+  }
+
   /** t3: corpus-level quality aggregation per (lang, source) — the shape of
     * a "which crawl sources are worth keeping" report.
     */

@@ -167,4 +167,114 @@ class Round5Spec extends AnyFunSuite {
     }
     assert(got.nonEmpty, "planted near-dup embeddings should be pruned")
   }
+
+  // ---- shared Scala reference helpers for the text-shingle operators ----
+
+  private def refTokens(text: String): Array[String] =
+    text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+
+  private def refShingles(toks: Array[String], n: Int = 8): Set[String] =
+    if (toks.length < n) Set.empty
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+
+  private def refHash52(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 13), 16)
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def collectDocs(): Seq[(Long, String, String)] = {
+    import org.apache.spark.sql.functions.col
+    graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+  }
+
+  test("d15 source overlap matrix matches the brute-force shingle-set reference") {
+    import graft.operators.Dedup
+    val docs = collectDocs()
+    val bySource = docs.groupBy(_._2).view
+      .mapValues(_.map(d => refShingles(refTokens(d._3))).reduce(_ union _))
+      .toMap
+    val expected = (for {
+      (sa, sha) <- bySource; (sb, shb) <- bySource if sa < sb
+      shared = (sha intersect shb).size if shared > 0
+    } yield (sa, sb) -> ((shared.toLong,
+      round4(shared.toDouble / (sha.size + shb.size - shared))))).toMap
+    val got = Dedup.sourceOverlapMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == expected.keySet,
+      s"only-got=${(got.keySet -- expected.keySet).take(3)} " +
+        s"only-exp=${(expected.keySet -- got.keySet).take(3)}")
+    expected.foreach { case (k, (n, j)) =>
+      assert(got(k)._1 == n, s"$k shared count ${got(k)._1} vs $n")
+      assert(math.abs(got(k)._2 - j) < 1e-3, s"$k jaccard")
+    }
+    assert(got.nonEmpty, "corpus sources share 8-grams at test scale")
+  }
+
+  test("d16 split leakage: deterministic split, exact shared-shingle counts, kept semantics") {
+    import graft.operators.Dedup
+    val docs = collectDocs()
+    val split = docs.map { case (id, _, _) =>
+      id -> (if (refHash52(s"split:$id") % 10 == 0) "test" else "train")
+    }.toMap
+    val testShingles = docs.filter(d => split(d._1) == "test")
+      .map(d => refShingles(refTokens(d._3)))
+      .foldLeft(Set.empty[String])(_ union _)
+    val expected = docs.map { case (id, _, text) =>
+      val n =
+        if (split(id) == "test") 0L
+        else (refShingles(refTokens(text)) intersect testShingles).size.toLong
+      id -> ((split(id), n, split(id) == "test" || n == 0))
+    }.toMap
+    val got = Dedup.trainTestSplitLeakage(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got == expected,
+      s"diff=${(got.toSet diff expected.toSet).take(3)} " +
+        s"missing=${(expected.toSet diff got.toSet).take(3)}")
+    val nTest = got.values.count(_._1 == "test")
+    assert(nTest > 0 && nTest < docs.size, "both splits populated")
+    assert(got.values.exists(v => v._1 == "train" && !v._3),
+      "near-dup replicas should leak across the split at test scale")
+  }
+
+  test("t20 bigram-LM perplexity matches a Scala reference model") {
+    val docs = collectDocs()
+    val docBigrams = docs.map { case (id, _, text) =>
+      val t = refTokens(text)
+      id -> (if (t.length < 2) Seq.empty[(String, String)]
+             else t.sliding(2).map(a => (a(0), a(1))).toSeq)
+    }
+    val cb = docBigrams.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cw = cb.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = docs.flatMap(d => refTokens(d._3)).distinct.size.toDouble
+    val expected = docBigrams.filter(_._2.nonEmpty).map { case (id, bgs) =>
+      val nlls = bgs.map { bg =>
+        -math.log((cb(bg) + 0.5) / (cw(bg._1) + 0.5 * v)) / math.log(2.0)
+      }
+      val avg = nlls.sum / nlls.size
+      id -> ((bgs.size.toLong, round4(avg),
+        BigDecimal(math.pow(2.0, avg) + 1e-9)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = graft.operators.TextAnalysis.ngramLmPerplexity(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == expected.keySet, "per-doc coverage")
+    expected.foreach { case (id, (n, nll, ppl)) =>
+      assert(got(id)._1 == n, s"doc $id bigram count")
+      assert(math.abs(got(id)._2 - nll) < 1e-3, s"doc $id nll ${got(id)._2} vs $nll")
+      assert(math.abs(got(id)._3 - ppl) < 0.05, s"doc $id ppl ${got(id)._3} vs $ppl")
+    }
+    // the quality signal separates documents: perplexities are not constant
+    val ppls = got.values.map(_._3).toSeq
+    assert(ppls.max > ppls.min, "perplexity distribution is non-degenerate")
+  }
 }
