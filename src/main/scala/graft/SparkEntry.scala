@@ -139,6 +139,7 @@ object SparkEntry {
     "d15_source_overlap"      -> ((s: SparkSession, d: String) => Dedup.sourceOverlapMatrix(s, d)),
     "d16_split_leakage"       -> ((s: SparkSession, d: String) => Dedup.trainTestSplitLeakage(s, d)),
     "t20_lm_perplexity"       -> ((s: SparkSession, d: String) => TextAnalysis.ngramLmPerplexity(s, d)),
+    "s6_pq_ann"               -> ((s: SparkSession, d: String) => Similarity.annPqTopK(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -1542,6 +1543,80 @@ object SparkEntry {
         round(avg(nll) + 0.000000001, 4) AS avg_nll_bits,
         round(power(2, avg(nll)) + 0.000000001, 2) AS ppl
       FROM sc GROUP BY 1 ORDER BY doc_id""",
+
+    // s6: full PQ replay — sign-bit-seeded per-subspace codebooks with
+    // 6dp-rounded means, argmin-L2 assignment on 6dp-rounded distances
+    // (row_number ORDER BY d2, bkt replays the max-of-negated-struct),
+    // codebook reconstruction, then the s5 coarse/rerank tail.
+    "s6_pq_ann" -> s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      sv AS (
+        SELECT vec_id, sub, list_slice(embedding, sub * 8 + 1, sub * 8 + 8) AS sv
+        FROM (SELECT vec_id, unnest(range(0, 8)) AS sub, embedding FROM e)),
+      bk AS (
+        SELECT vec_id, sub, sv,
+            CASE WHEN CAST(sv[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END
+          + CASE WHEN CAST(sv[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END
+          + CASE WHEN CAST(sv[3] AS DOUBLE) > 0 THEN 4 ELSE 0 END
+          + CASE WHEN CAST(sv[4] AS DOUBLE) > 0 THEN 8 ELSE 0 END AS bkt
+        FROM sv),
+      cm AS (
+        SELECT sub, bkt, pos, round(avg(CAST(sv[pos] AS DOUBLE)), 6) AS mc
+        FROM (SELECT sub, bkt, unnest(range(1, 9)) AS pos, sv FROM bk)
+        GROUP BY 1, 2, 3),
+      cvb AS (SELECT sub, bkt, list(mc ORDER BY pos) AS cv FROM cm GROUP BY 1, 2),
+      dd AS (
+        SELECT vec_id, sub, bkt,
+          round(sum((CAST(sv[pos] AS DOUBLE) - cv[pos])
+                  * (CAST(sv[pos] AS DOUBLE) - cv[pos])), 6) AS d2
+        FROM (SELECT b.vec_id, b.sub, c.bkt, unnest(range(1, 9)) AS pos, b.sv, c.cv
+              FROM bk b JOIN cvb c ON b.sub = c.sub)
+        GROUP BY 1, 2, 3),
+      asg AS (
+        SELECT vec_id, sub, bkt FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, bkt) AS rn
+          FROM dd) WHERE rn = 1),
+      rv AS (
+        SELECT a.vec_id, flatten(list(c.cv ORDER BY a.sub)) AS rv
+        FROM asg a JOIN cvb c ON a.sub = c.sub AND a.bkt = c.bkt GROUP BY 1),
+      qq AS (SELECT vec_id, rv FROM rv WHERE vec_id % 50 = 0),
+      cu2 AS (
+        SELECT qq.vec_id AS query_id, r.vec_id AS neighbor_id,
+          unnest(range(1, 65)) AS i, qq.rv AS qrv, r.rv AS nrv
+        FROM qq JOIN rv r ON r.vec_id <> qq.vec_id),
+      cs AS (
+        SELECT query_id, neighbor_id,
+          sum(qrv[i] * nrv[i]) AS dot,
+          sum(qrv[i] * qrv[i]) AS na,
+          sum(nrv[i] * nrv[i]) AS nb
+        FROM cu2 GROUP BY 1, 2),
+      co AS (SELECT query_id, neighbor_id,
+               round(dot / (sqrt(na) * sqrt(nb)), 6) AS coarse FROM cs),
+      short AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY coarse DESC, neighbor_id) AS crnk
+          FROM co)
+        WHERE crnk <= ${graft.operators.Similarity.RerankShortlist}),
+      pairs AS (
+        SELECT short.query_id, short.neighbor_id, eq.embedding AS qe, en.embedding AS ne
+        FROM short
+        JOIN e eq ON eq.vec_id = short.query_id
+        JOIN e en ON en.vec_id = short.neighbor_id),
+      pu AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne
+             FROM pairs),
+      ps AS (
+        SELECT query_id, neighbor_id,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
+          sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
+        FROM pu GROUP BY 1, 2),
+      pc AS (SELECT query_id, neighbor_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM ps),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM pc)
+      SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
   )
 
   /** The s3 coarse-quantizer replay — per-label centroids (6dp means) and

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -23,6 +23,9 @@ import graft.sources.Tables
 object Similarity {
 
   val TopK = 5
+
+  /** Embedding dimensionality of the corpus (TESTDATA.md: 64-d vectors). */
+  val Dim = 64
 
   /** s1: exact brute-force cosine top-k per query vector — broadcast the
     * tiny query side, score the corpus scan with the fused native cosine
@@ -259,6 +262,18 @@ object Similarity {
     val codes = raw.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(grid))
       .select(col("vec_id"), recon.as("rv"))
+    coarseRerank(codes, raw, k, shortlist)
+  }
+
+  /** The shared two-stage tail (s5/s6): a coarse top-`shortlist` cosine
+    * scan over compressed reconstructions `codes` (vec_id, rv), then an
+    * exact float rerank of the shortlist against `raw`. The coarse window
+    * shuffles (query_id, neighbor_id, score) rows only — embeddings never
+    * ride the exchange — and coarse scores are 6dp-rounded before ranking
+    * so cross-engine float-sum noise (~1e-15) cannot flip the cut.
+    */
+  private[graft] def coarseRerank(codes: DataFrame, raw: DataFrame,
+                                  k: Int, shortlist: Int): DataFrame = {
     val queriesCoarse = codes.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("rv").as("qrv"))
     val wCoarse = Window.partitionBy(col("query_id"))
@@ -286,6 +301,73 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** s6: product-quantization ANN — the PQ codec every billion-vector
+    * store ships (Jégou et al. 2011): the 64-d embedding splits into
+    * `m` = 8 subvectors of 8 dims; each subspace learns a 16-entry
+    * codebook (centroids seeded from the 4 leading sign bits of the
+    * subvector — the deterministic one-Lloyd-step analogue of s3's
+    * label-seeded quantizer, 6dp-rounded means so assignments pin across
+    * engines) and every subvector stores only its nearest-centroid code:
+    * 8 bytes per vector instead of 256. Scoring reconstructs through the
+    * codebook and feeds the s5 coarse-scan + exact-rerank tail.
+    *
+    * Shape discipline: codebook construction is two hash aggregations on
+    * (sub, bucket[, pos]) keys — model-sized, never corpus-sized — and
+    * the whole encode (assign all 8 subspaces + concatenate centroids) is
+    * ONE map-side expression over a 1-row broadcast codebook: the corpus
+    * is never shuffled, exploded, or re-grouped to learn its codes. The
+    * per-row cost is m·16 8-d L2 distances (fused, codegen'd), constant
+    * at any corpus size. Like s5, the registered coarse scan is the
+    * declared corpus×queries baseline; s2/s3 are the candidate generators
+    * that bound it sub-linearly in production.
+    */
+  def annPqTopK(spark: SparkSession, dir: String, k: Int = TopK,
+                m: Int = 8, signBits: Int = 4,
+                shortlist: Int = RerankShortlist): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    val ds = Dim / m
+    // subspace slices + seeding bucket (sign bits of the leading dims)
+    val sv = raw.select(col("vec_id"),
+      explode(transform(sequence(lit(0), lit(m - 1)), i =>
+        struct(i.as("sub"), slice(col("embedding"), i * ds + 1, lit(ds)).as("sv"))))
+        .as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+    val bucket = (0 until signBits)
+      .map(j => when(element_at(col("sv"), j + 1) > 0, 1 << j).otherwise(0))
+      .reduce((a, b) => a + b)
+    // per-(subspace, bucket) centroids: 6dp-rounded per-dim means
+    val cents = sv.withColumn("bkt", bucket)
+      .select(col("sub"), col("bkt"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("bkt"), col("pos"))
+      .agg(round(avg(col("x").cast("double")), 6).as("mc"))
+      .groupBy(col("sub"), col("bkt"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("mc")))),
+        e => e.getField("mc")).as("cv"))
+    val cbArr = cents
+      .agg(sort_array(collect_list(struct(col("sub"), col("bkt"), col("cv"))))
+        .as("cb"))
+    // encode + reconstruct in one map-side expression: per subspace, the
+    // argmin-L2 centroid (6dp-rounded distance, bucket-id tie-break via
+    // the max-of-negated-struct trick), concatenated in subspace order
+    def dist2(a: Column, cv: Column): Column =
+      aggregate(zip_with(a, cv, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, y) => acc + y)
+    val recon = flatten(transform(sequence(lit(0), lit(m - 1)), i => {
+      val sub = slice(col("embedding"), i * ds + 1, lit(ds))
+      val best = array_max(transform(
+        filter(col("cb"), c => c.getField("sub") === i),
+        c => struct((-round(dist2(sub, c.getField("cv")), 6)).as("nd"),
+          (-c.getField("bkt")).as("nb"),
+          c.getField("cv").as("cv"))))
+      best.getField("cv")
+    }))
+    val codes = raw.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), recon.as("rv"))
+    coarseRerank(codes, raw, k, shortlist)
   }
 
   /** s4: int8 scalar quantization of the embedding column — per-dimension

@@ -127,6 +127,77 @@ class Round5Spec extends AnyFunSuite {
     assert(hits.toDouble / s1.length >= 0.8, s"recall ${hits}/${s1.length}")
   }
 
+  test("s6 PQ: codes match a Scala PQ reference; rerank exact; recall vs s1") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // reference PQ: sign-bucket seeding, 6dp means, argmin-L2 assignment
+    val m = 8; val ds = 8
+    def subv(v: Array[Float], i: Int): Array[Double] =
+      v.slice(i * ds, i * ds + ds).map(_.toDouble)
+    def bkt(s: Array[Double]): Int =
+      (0 until 4).map(j => if (s(j) > 0) 1 << j else 0).sum
+    val codebook: Map[(Int, Int), Array[Double]] =
+      (for (i <- 0 until m) yield {
+        vecs.values.map(subv(_, i)).groupBy(bkt).map { case (b, svs) =>
+          (i, b) -> (0 until ds).map(p =>
+            BigDecimal(svs.map(_(p)).sum / svs.size)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+        }
+      }).flatten.toMap
+    def reconOf(v: Array[Float]): Array[Double] =
+      (0 until m).flatMap { i =>
+        val s = subv(v, i)
+        val (_, best) = codebook.toSeq.filter(_._1._1 == i)
+          .map { case ((_, b), cv) =>
+            val d2 = s.zip(cv).map { case (x, c) => (x - c) * (x - c) }.sum
+            ((BigDecimal(d2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble, b), cv)
+          }.minBy(_._1)
+        best
+      }.toArray
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val s6 = Similarity.annPqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val s1 = Similarity.annBruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(s6.map(_._1).distinct.sorted.toSeq == s1.map(_._1).distinct.sorted.toSeq)
+    // reference top-5 via PQ coarse shortlist-20 + exact rerank must agree
+    val recons = vecs.view.mapValues(reconOf).toMap
+    s6.groupBy(_._1).foreach { case (q, got) =>
+      val qr = recons(q)
+      val short = recons.toSeq.filter(_._1 != q)
+        .map { case (id, rv) =>
+          (BigDecimal(cosD(qr, rv)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble, id)
+        }
+        .sortBy { case (c, id) => (-c, id) }.take(20).map(_._2)
+      val expTop = short
+        .map(id => (cosD(vecs(q).map(_.toDouble), vecs(id).map(_.toDouble)), id))
+        .sortBy { case (c, id) => (-c, id) }.take(5).map(_._2)
+      assert(got.sortBy(_._3).map(_._2).toSeq == expTop,
+        s"query $q shortlist/rerank disagreement")
+    }
+    // rerank scores are exact: shared (query, neighbor) pairs carry s1's cosine
+    val exact = s1.map(r => (r._1, r._2) -> r._4).toMap
+    s6.foreach { case (q, n, _, c) =>
+      exact.get((q, n)).foreach(e => assert(math.abs(e - c) < 1e-9, s"($q,$n) cos"))
+    }
+    // recall is a property of the ALGORITHM at this scale, not the
+    // implementation (the reference-agreement assertions above pin that):
+    // at sf0.001 the 16-entry codebooks train on ~3 vectors per bucket, so
+    // 8-byte codes are genuinely lossy — 0.3 is the honest tiny-scale bar
+    // (measured 0.36; sf0.01 measures higher as buckets fill out)
+    val hits = s1.count(r => s6.exists(g => g._1 == r._1 && g._2 == r._2))
+    assert(hits.toDouble / s1.length >= 0.3, s"recall ${hits}/${s1.length}")
+  }
+
   test("d14 semantic dedup matches the naive within-cell keep-first reference") {
     import graft.operators.{Dedup, Similarity}
     import org.apache.spark.sql.functions.col
