@@ -669,6 +669,109 @@ object Dedup {
   }
 
   private val CompactedDirName = "_compacted"
+  private val TombstonesDirName = "_tombstones"
+
+  /** The distinct retracted doc_ids of `sinkPath`, or None when no
+    * retraction was ever recorded. Underscore-prefixed like the segment
+    * area, so plain `spark.read.parquet(sinkPath)` never sees it.
+    */
+  private def tombstoneIds(spark: SparkSession, sinkPath: String): Option[DataFrame] = {
+    val dir = new java.io.File(sinkPath, TombstonesDirName)
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("retract_"))
+    if (parts.isEmpty) None
+    else Some(spark.read.parquet(parts.map(_.getPath).toSeq: _*)
+      .select(col("doc_id")).distinct())
+  }
+
+  /** Retract (GDPR-style delete) documents from the ingest sink: append an
+    * immutable tombstone batch of doc_ids under `_tombstones/`. Deletes are
+    * effective IMMEDIATELY at read time — [[readIngestSink]] anti-joins the
+    * tombstone set — and become PHYSICAL when any rewrite pass touches the
+    * rows: [[compactIngestSink]] folds live batches minus tombstones,
+    * [[mergeIngestSegments]] purges during the major merge, and
+    * [[purgeIngestSink]] rewrites affected segments on demand. This is the
+    * equality-delete design every table format at 100 TB converges on
+    * (delete files + read-time merge + purge-on-compaction): retraction
+    * cost is O(ids), never O(corpus), and a replayed micro-batch that
+    * rewrites its live directory CANNOT resurrect a deleted row because
+    * the read-time filter is applied after every union.
+    *
+    * Tombstone batches are append-only and tiny (one row per retracted id);
+    * they must outlive live batch directories (an uncommitted batch can
+    * replay its original rows at any restart), so no automatic GC — a
+    * corpus rebuild is the natural reset point.
+    */
+  def retractFromIngestSink(spark: SparkSession, sinkPath: String,
+                            ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "retraction requires at least one doc_id")
+    val dir = new java.io.File(sinkPath, TombstonesDirName)
+    dir.mkdirs()
+    val n = Option(dir.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith("retract_"))
+    val tmp = new java.io.File(dir, s".tmp_retract_$n")
+    spark.createDataset(ids)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("doc_id").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.getPath)
+    require(tmp.renameTo(new java.io.File(dir, s"retract_$n")),
+      s"could not record retraction batch $n at $dir")
+  }
+
+  /** Physically rewrite every compacted segment holding retracted rows
+    * (tombstones stay in force for the live area — live directories are
+    * transient and get purged when compaction folds them). Same verified
+    * tmp-write discipline as the merge pass, plus a move-aside of the
+    * same-named old segment; like [[mergeIngestSegments]] this is an
+    * administrative rewrite — run it off the hot path. A crash between the
+    * move-aside and the rename-in is healed by the recovery sweep at the
+    * start of the next purge (the `.old_` copy is restored); readers in
+    * that window fall back to tombstone-filtered correctness on the next
+    * pass.
+    *
+    * @return the (lo, hi) ranges of segments rewritten.
+    */
+  def purgeIngestSink(spark: SparkSession, sinkPath: String): Seq[(Long, Long)] = {
+    val segBase = new java.io.File(sinkPath, CompactedDirName)
+    // recovery sweep: restore a moved-aside segment whose canonical name
+    // vanished mid-purge; drop stale tmp/old dirs whose canonical exists
+    Option(segBase.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".old_batches_"))
+      .foreach { f =>
+        val canonical = new java.io.File(segBase, f.getName.stripPrefix(".old_"))
+        if (!canonical.exists()) require(f.renameTo(canonical), s"could not restore $f")
+        else scala.reflect.io.Directory(f).deleteRecursively()
+      }
+    Option(segBase.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".tmp_purge_"))
+      .foreach(f => scala.reflect.io.Directory(f).deleteRecursively())
+    tombstoneIds(spark, sinkPath) match {
+      case None => Nil
+      case Some(ts) =>
+        val allRanges = compactedRanges(sinkPath)
+        val ranges = allRanges.filterNot(r =>
+          allRanges.exists(o => o != r && o._1 <= r._1 && r._2 <= o._2))
+        ranges.flatMap { case (lo, hi) =>
+          val segDir = new java.io.File(segBase, s"batches_${lo}_$hi")
+          val df = spark.read.parquet(segDir.getPath)
+          if (df.join(ts, Seq("doc_id"), "left_semi").isEmpty) None
+          else {
+            val keep = df.join(ts, Seq("doc_id"), "left_anti")
+            val tmp = new java.io.File(segBase, s".tmp_purge_batches_${lo}_$hi")
+            keep.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(tmp.getPath)
+            val written = spark.read.parquet(tmp.getPath).count()
+            val expected = keep.count()
+            require(written == expected,
+              s"purged segment has $written rows, expected $expected; segment untouched")
+            val aside = new java.io.File(segBase, s".old_batches_${lo}_$hi")
+            require(segDir.renameTo(aside), s"could not move aside $segDir")
+            require(tmp.renameTo(segDir), s"could not move $tmp into place")
+            scala.reflect.io.Directory(aside).deleteRecursively()
+            Some((lo, hi))
+          }
+        }
+    }
+  }
 
   /** Micro-batch ids whose offset commit is durable in `checkpointPath` —
     * exactly the batches Structured Streaming will never replay. A batch
@@ -760,9 +863,13 @@ object Dedup {
       .flatMap(f => Option(f.listFiles()).getOrElse(Array.empty))
       .filter(_.getName.endsWith(".parquet")).map(_.length).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val df = spark.read.option("basePath", sinkPath)
+    // physical purge point for the live area: folded segments never carry
+    // retracted rows (read-time filtering covers the window before this)
+    val folded = spark.read.option("basePath", sinkPath)
       .parquet(safe.values.map(_.getPath).toSeq: _*)
       .withColumn("ingest_batch", col("ingest_batch").cast("long"))
+    val df = tombstoneIds(spark, sinkPath)
+      .fold(folded)(ts => folded.join(ts, Seq("doc_id"), "left_anti"))
     val segDir = new java.io.File(
       new java.io.File(sinkPath, CompactedDirName), s"batches_${lo}_$hi")
     segDir.getParentFile.mkdirs()
@@ -818,7 +925,10 @@ object Dedup {
       .flatMap(f => Option(f.listFiles()).getOrElse(Array.empty))
       .filter(_.getName.endsWith(".parquet")).map(_.length).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(oldDirs.map(_.getPath): _*)
+    // the major merge is also a physical purge point for retracted rows
+    val merged0 = spark.read.parquet(oldDirs.map(_.getPath): _*)
+    val df = tombstoneIds(spark, sinkPath)
+      .fold(merged0)(ts => merged0.join(ts, Seq("doc_id"), "left_anti"))
     val tmp = new java.io.File(segBase, s".tmp_batches_${lo}_$hi")
     df.repartition(nFiles).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.getPath)
@@ -872,8 +982,13 @@ object Dedup {
           new java.io.File(sinkPath, CompactedDirName),
           s"batches_${lo}_$hi").getPath)
       }
-    parts.reduceOption(_.unionByName(_)).getOrElse(
+    val all = parts.reduceOption(_.unionByName(_)).getOrElse(
       throw new IllegalArgumentException(s"empty ingest sink at $sinkPath"))
+    // retractions are effective at read time, before any physical purge —
+    // this is also what makes a replayed (overwritten) live batch unable
+    // to resurrect a deleted row
+    tombstoneIds(spark, sinkPath).fold(all)(ts =>
+      all.join(ts, Seq("doc_id"), "left_anti"))
   }
 
   /** d9: SimHash near-dup PAIRS — the retrieval half of the SimHash path

@@ -212,6 +212,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.operators.Dedup.mergeIngestSegments(spark, sink).isEmpty)
   }
 
+  test("ingest sink retraction: read-time delete, replay-proof, physically purged") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val work = java.nio.file.Files.createTempDirectory("graft_retract").toString
+    val (src, sink, ckpt) = (s"$work/src", s"$work/sink", s"$work/ckpt")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    (0 until 5).foreach { i =>
+      docs.filter(col("doc_id") % 10 === 2 * i + 1)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val q = Dedup.streamingIncrementalDedup(spark, sf, sink, ckpt,
+      sourcePath = Some(src), maxFilesPerTrigger = Some(1))
+    try q.processAllAvailable() finally q.stop()
+    def readAll() = Dedup.readIngestSink(spark, sink)
+      .select("doc_id", "ingest_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val before = readAll()
+    // victims from two different micro-batches
+    val victims = Seq(before.head, before.find(_._2 != before.head._2).get)
+    val victimIds = victims.map(_._1)
+    val expected = before.filterNot(r => victimIds.contains(r._1))
+
+    Dedup.retractFromIngestSink(spark, sink, victimIds)
+    assert(readAll().sameElements(expected), "retraction must apply at read time")
+    // no segments yet → nothing to purge, and the read stays filtered
+    assert(Dedup.purgeIngestSink(spark, sink).isEmpty)
+    assert(readAll().sameElements(expected))
+
+    // replay resurrection guard: a restarted uncommitted batch overwrites
+    // its live dir with the ORIGINAL rows — the deleted ids must stay gone
+    val replayBatch = victims.last._2
+    val replayDir = s"$sink/ingest_batch=$replayBatch"
+    val original = spark.read.option("basePath", sink).parquet(replayDir)
+      .drop("ingest_batch")
+    original.write.mode("overwrite").parquet(s"$work/replay_stash")
+    spark.read.parquet(s"$work/replay_stash")
+      .write.mode("overwrite").parquet(replayDir)
+    assert(readAll().sameElements(expected), "replayed live batch resurrected a deleted row")
+
+    // compaction folds the live area minus tombstones: the segment files
+    // themselves (read raw, no tombstone filter) must not hold the victims
+    val seg = Dedup.compactIngestSink(spark, sink, ckpt)
+    assert(seg.isDefined)
+    val segDir = s"$sink/_compacted/batches_${seg.get._1}_${seg.get._2}"
+    val rawSeg = spark.read.parquet(segDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(victimIds.forall(!rawSeg.contains(_)), "compacted segment still holds retracted rows")
+    assert(readAll().sameElements(expected))
+
+    // retract another id after compaction → purge rewrites the segment
+    val victim3 = expected.head._1
+    Dedup.retractFromIngestSink(spark, sink, Seq(victim3))
+    val expected2 = expected.filterNot(_._1 == victim3)
+    assert(readAll().sameElements(expected2), "second retraction must apply at read time")
+    val purged = Dedup.purgeIngestSink(spark, sink)
+    assert(purged == Seq((seg.get._1, seg.get._2)), s"purged=$purged")
+    val rawSeg2 = spark.read.parquet(segDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!rawSeg2.contains(victim3), "purged segment still holds the retracted row")
+    assert(readAll().sameElements(expected2))
+    // nothing left to purge
+    assert(Dedup.purgeIngestSink(spark, sink).isEmpty)
+  }
+
   test("ingest compaction refuses a gapped commit log and leaves the sink untouched") {
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("graft_gap").toString
