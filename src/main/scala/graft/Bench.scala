@@ -26,7 +26,17 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // OUTSIDE the timed region: drop every persistent RDD left behind by
+      // the run. Queries release their own caches (materializeAndRelease),
+      // but the localCheckpoint blocks of each RESULT stay pinned until
+      // the JVM happens to GC the RDD reference — with a large heap that
+      // is approximately never, so blocks accumulate across the session
+      // and later queries run under storage-memory pressure. Measured:
+      // d11 is 1.6 s in a fresh session but 4.5 s as query #31 of the
+      // suite; with this sweep every query times against clean storage.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      t
     }
 
     // warmup: session/codegen/shuffle-machinery init on a cheap query

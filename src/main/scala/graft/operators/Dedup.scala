@@ -501,6 +501,45 @@ object Dedup {
       .mode("overwrite").saveAsTable(s"${prefix}_bands")
   }
 
+  /** Retract documents from the persisted bucketed corpus index — the
+    * index-side half of the GDPR story ([[retractFromIngestSink]] handles
+    * the landed corpus). The index is DERIVED state, so retraction is a
+    * physical rewrite of both bucketed tables minus the ids (no tombstone
+    * indirection to carry into every probe): the filtered rows are
+    * materialized into checkpoint blocks FIRST, then the tables are
+    * dropped and rewritten with the same bucketing, so a probe plan
+    * compiled after the rewrite is byte-identical in shape (bucketed,
+    * exchange-free corpus side) and a crash before the rewrite leaves the
+    * old tables intact. Cost is O(index), amortized by batching
+    * retractions; `buckets` must match the original layout.
+    */
+  def retractFromCorpusIndex(spark: SparkSession, ids: Seq[Long],
+                             prefix: String = "corpus_index",
+                             buckets: Int = 32): Unit = {
+    require(ids.nonEmpty, "retraction requires at least one doc_id")
+    val idsDf = spark.createDataset(ids)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("doc_id")
+    val kept = Seq(s"${prefix}_shingles", s"${prefix}_bands").map { t =>
+      t -> spark.table(t)
+        .join(broadcast(idsDf), Seq("doc_id"), "left_anti")
+        .localCheckpoint() // materialize BEFORE the drop below
+    }
+    kept.foreach { case (t, df) =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+      val writer =
+        if (t.endsWith("_shingles"))
+          df.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+        else
+          df.write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
+      writer.mode("overwrite").saveAsTable(t)
+      df.unpersist()
+    }
+  }
+
   /** d11 against the persisted index: identical contract and output to
     * [[incrementalDedup]], but the corpus side of the candidate probe and
     * the verify join comes from the bucketed tables — zero corpus-side

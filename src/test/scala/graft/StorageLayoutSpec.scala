@@ -110,6 +110,64 @@ class StorageLayoutSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("corpus index retraction: tables rewritten minus ids, probe output = filtered d11, still bucketed") {
+    import org.apache.spark.sql.functions.col
+    // fresh index under its own prefix so test order cannot matter
+    Seq("retract_index_shingles", "retract_index_bands").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    }
+    graft.operators.Dedup.persistCorpusBandIndex(spark, sf,
+      prefix = "retract_index", buckets = 8)
+    val baseline = graft.operators.Dedup
+      .incrementalDedupFromIndex(spark, sf, prefix = "retract_index").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(baseline.nonEmpty)
+    // retract two corpus docs that actually participate in matches
+    val victims = baseline.map(_._2).toSeq.sorted.take(2)
+    graft.operators.Dedup.retractFromCorpusIndex(spark, victims,
+      prefix = "retract_index", buckets = 8)
+    // index tables no longer hold the ids
+    victims.foreach { v =>
+      assert(spark.table("retract_index_shingles")
+        .filter(col("doc_id") === v).isEmpty, s"shingles still hold $v")
+      assert(spark.table("retract_index_bands")
+        .filter(col("doc_id") === v).isEmpty, s"bands still hold $v")
+    }
+    // probe output = baseline minus pairs whose corpus side was retracted
+    val after = graft.operators.Dedup
+      .incrementalDedupFromIndex(spark, sf, prefix = "retract_index").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == baseline.filterNot(p => victims.contains(p._2)),
+      "probe after retraction diverged from the filtered baseline")
+    // the rewritten tables are still bucketed: the probe's corpus sides
+    // stay exchange-free under a forced shuffle join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.operators.Dedup
+        .incrementalDedupFromIndex(spark, sf, prefix = "retract_index",
+          release = false)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("retract_index")) => Seq(s)
+        case a: AdaptiveSparkPlanExec => scansOf(a.inputPlan)
+      }.flatten
+      def joins(p: SparkPlan): Seq[SortMergeJoinExec] = p.collect {
+        case j: SortMergeJoinExec => Seq(j)
+        case a: AdaptiveSparkPlanExec => joins(a.inputPlan)
+      }.flatten
+      val corpusSides = joins(plan).flatMap(j => Seq(j.left, j.right))
+        .filter(side => scansOf(side).nonEmpty)
+      assert(corpusSides.nonEmpty, s"no join hangs off the rewritten index:\n$plan")
+      corpusSides.foreach(side => assert(countShuffles(side) == 0,
+        s"rewritten corpus side shuffles:\n$side"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("dt-partitioned layout prunes partitions under a date filter") {
     val dir = Files.createTempDirectory("graft_part").toString
     graft.sources.Tables.orders(spark, sf)
