@@ -83,7 +83,8 @@ object Dedup {
     * all-pairs algorithm ([[ngramJaccardPairsNaive]], asserted in tests).
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
-                        threshold: Double = 0.8): DataFrame = {
+                        threshold: Double = 0.8,
+                        release: Boolean = true): DataFrame = {
     val docs = docShingles(spark, dir).cache()
     val ds = docs.select(col("doc_id"), explode(col("sh")).as("s"))
 
@@ -123,7 +124,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
-    materializeAndRelease(verified, docs, prefix)
+    if (release) materializeAndRelease(verified, docs, prefix) else verified
   }
 
   /** The naive all-pairs shingle self-join — the correctness baseline for
@@ -183,7 +184,8 @@ object Dedup {
   }
 
   def minhashLshPairs(spark: SparkSession, dir: String,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8,
+                      release: Boolean = true): DataFrame = {
     val docs = docShingles(spark, dir).cache()
     val bands = minhashBands(docs)
 
@@ -205,7 +207,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
-    materializeAndRelease(verified, docs)
+    if (release) materializeAndRelease(verified, docs) else verified
   }
 
   /** d6: near-dup clusters + surviving corpus — the user-facing dedup.
@@ -401,7 +403,7 @@ object Dedup {
     * pessimistic dup_frac, never a missed duplicate).
     */
   def dupNgramFraction(spark: SparkSession, dir: String, n: Int = 8,
-                       minDf: Int = 2): DataFrame = {
+                       minDf: Int = 2, release: Boolean = true): DataFrame = {
     // cache barrier: same InferFiltersFromGenerate trap as d8 — without it
     // the inferred size(sh)>0 filter re-runs the shingle pipeline on the
     // single-file scan
@@ -424,7 +426,7 @@ object Dedup {
           greatest(col("n_ngrams"), lit(1)).cast("double") + 1e-9, 4)
           .as("dup_frac"))
       .orderBy(col("doc_id"))
-    materializeAndRelease(result, sh)
+    if (release) materializeAndRelease(result, sh) else result
   }
 
   /** d11: INCREMENTAL dedup — near-dup matches of a new batch against an
@@ -437,7 +439,8 @@ object Dedup {
     * batch (odd); candidates are verified with exact Jaccard like d3.
     */
   def incrementalDedup(spark: SparkSession, dir: String,
-                       threshold: Double = 0.8): DataFrame = {
+                       threshold: Double = 0.8,
+                       release: Boolean = true): DataFrame = {
     val docs = docShingles(spark, dir).cache()
     val bands = minhashBands(docs)
     val corpusBands = bands.filter(col("doc_id") % 2 === 0)
@@ -457,7 +460,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("batch_id"), col("corpus_id"))
-    materializeAndRelease(verified, docs)
+    if (release) materializeAndRelease(verified, docs) else verified
   }
 
   /** Persist the corpus near-dup index as BUCKETED tables — the production
@@ -593,11 +596,12 @@ object Dedup {
     * session index separately.
     */
   def incrementalDedupIndexed(spark: SparkSession, dir: String,
-                              threshold: Double = 0.8): DataFrame = {
+                              threshold: Double = 0.8,
+                              release: Boolean = true): DataFrame = {
     val prefix = s"graft_d12_idx_${dir.hashCode & Int.MaxValue}"
     if (builtIndexes.add(s"${spark.sparkContext.applicationId}:$prefix"))
       persistCorpusBandIndex(spark, dir, prefix)
-    incrementalDedupFromIndex(spark, dir, prefix, threshold)
+    incrementalDedupFromIndex(spark, dir, prefix, threshold, release)
   }
 
   /** Streaming ingest dedup — the streaming face of [[incrementalDedup]]:
@@ -1040,7 +1044,8 @@ object Dedup {
     * verified with the true hamming distance.
     */
   def simhashNearDupPairs(spark: SparkSession, dir: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3,
+                          release: Boolean = true): DataFrame = {
     val bandBits = SimHashBits / 4 // 13-bit bands
     val sigs = simhashSignatures(spark, dir).cache()
     val bands = sigs.select(col("doc_id"), col("simhash"),
@@ -1061,7 +1066,7 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
-    materializeAndRelease(result, sigs)
+    if (release) materializeAndRelease(result, sigs) else result
   }
 
   /** Hamming distance between two 64-bit signatures (for tests/probing). */
@@ -1174,7 +1179,8 @@ object Dedup {
   def incrementalEmbeddingDedup(spark: SparkSession, dir: String,
                                 threshold: Double = 0.45,
                                 bands: Int = EmbBands,
-                                bandBits: Int = EmbBandBits): DataFrame = {
+                                bandBits: Int = EmbBandBits,
+                                release: Boolean = true): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     import graft.functions.VectorFunctions.hyperplaneBucketSql
     // bandBits <= 0 → derive from the corpus (d5's auto seam, same band
@@ -1213,7 +1219,7 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("batch_id"), col("corpus_id"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("batch_id"), col("corpus_id"))
-    materializeAndRelease(verified, base)
+    if (release) materializeAndRelease(verified, base) else verified
   }
 
   /** d14: semantic dedup (SemDeDup shape: cluster the embedding corpus,
@@ -1275,7 +1281,7 @@ object Dedup {
     * (|sources| rows). Shingles are the same 64-bit hashes as d2/d8/d10.
     */
   def sourceOverlapMatrix(spark: SparkSession, dir: String,
-                          n: Int = 8): DataFrame = {
+                          n: Int = 8, release: Boolean = true): DataFrame = {
     // cache barrier: same InferFiltersFromGenerate trap as d8/d10
     val sh = Tables.documentsParallel(spark, dir)
       .select(col("source"), tokens(col("text")).as("toks"))
@@ -1301,7 +1307,7 @@ object Dedup {
           (col("ta") + col("tb") - col("n_shared_ngrams")) + 1e-9, 4)
           .as("jaccard"))
       .orderBy(col("source_a"), col("source_b"))
-    materializeAndRelease(result, sh)
+    if (release) materializeAndRelease(result, sh) else result
   }
 
   /** d16: contamination-safe train/test split — the held-out-split
@@ -1322,7 +1328,8 @@ object Dedup {
     * revision never migrates across the split boundary).
     */
   def trainTestSplitLeakage(spark: SparkSession, dir: String,
-                            testMod: Int = 10, n: Int = 8): DataFrame = {
+                            testMod: Int = 10, n: Int = 8,
+                            release: Boolean = true): DataFrame = {
     val sh = Tables.documentsParallel(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesOfTokens(col("toks"), n).as("sh_str"))
@@ -1345,7 +1352,7 @@ object Dedup {
       .withColumn("kept",
         col("split") === "test" || col("n_shared") === 0L)
       .orderBy(col("doc_id"))
-    materializeAndRelease(result, sh)
+    if (release) materializeAndRelease(result, sh) else result
   }
 
   /** The naive all-pairs cosine self-join — the correctness baseline for

@@ -576,7 +576,7 @@ object TextAnalysis {
     * is the no-assumptions one.
     */
   def ngramLmPerplexity(spark: SparkSession, dir: String,
-                        k: Double = 0.5): DataFrame = {
+                        k: Double = 0.5, release: Boolean = true): DataFrame = {
     // cache barrier against InferFiltersFromGenerate (the d8/d10 trap):
     // tokenization runs once, shared by the model and scoring branches
     val toks = Tables.documentsParallel(spark, dir)
@@ -605,9 +605,8 @@ object TextAnalysis {
         round(col("raw_nll") + 1e-9, 4).as("avg_nll_bits"),
         round(pow(lit(2.0), col("raw_nll")) + 1e-9, 2).as("ppl"))
       .orderBy(col("doc_id"))
-    val out = result.localCheckpoint()
-    toks.unpersist()
-    out
+    if (release) { val out = result.localCheckpoint(); toks.unpersist(); out }
+    else result
   }
 
   /** t3: corpus-level quality aggregation per (lang, source) — the shape of

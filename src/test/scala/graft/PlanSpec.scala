@@ -116,7 +116,7 @@ class PlanSpec extends AnyFunSuite {
       .filterNot(quadraticByDesign)
       .flatMap { name =>
         val p =
-          try planString(SparkEntry.queries(name)(spark, sf))
+          try planString(livePlanOf(name))
           catch { case e: Throwable => s"PLAN FAILED: ${e.getMessage}" }
         if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
           || p.startsWith("PLAN FAILED")) Some(name -> p.linesIterator.take(3).mkString(" | "))
@@ -140,6 +140,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.toString.contains("ntile("), s"ntile leaked back in:\n$plan")
   }
 
+  // Queries whose registered form ends in localCheckpoint (the cache-release
+  // discipline) plan as an opaque ExistingRDD scan, which would make the
+  // suite-wide gates below vacuously pass for them. Each such query exposes
+  // a `release = false` seam returning the LIVE plan; the gates inspect
+  // that instead. (d6/d7 stay opaque by nature: iterative label propagation
+  // executes during construction and its per-round plan is O(1) by design —
+  // audited in DedupSpec, not here.)
+  private def livePlanOf(name: String): org.apache.spark.sql.DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    name match {
+      case "d2_ngram_jaccard"    => Dedup.ngramJaccardPairs(spark, sf, release = false)
+      case "d3_minhash_lsh"      => Dedup.minhashLshPairs(spark, sf, release = false)
+      case "d5_embedding_neardup" => Dedup.embeddingNearDupPairs(spark, sf, release = false)
+      case "d8_decontaminate"    => Dedup.decontaminate(spark, sf, release = false)
+      case "d9_simhash_pairs"    => Dedup.simhashNearDupPairs(spark, sf, release = false)
+      case "d10_dup_ngram_frac"  => Dedup.dupNgramFraction(spark, sf, release = false)
+      case "d11_incremental_dedup" => Dedup.incrementalDedup(spark, sf, release = false)
+      case "d12_incremental_dedup_indexed" =>
+        Dedup.incrementalDedupIndexed(spark, sf, release = false)
+      case "d13_incremental_embedding" =>
+        Dedup.incrementalEmbeddingDedup(spark, sf, release = false)
+      case "d15_source_overlap"  => Dedup.sourceOverlapMatrix(spark, sf, release = false)
+      case "d16_split_leakage"   => Dedup.trainTestSplitLeakage(spark, sf, release = false)
+      case "t20_lm_perplexity"   => TextAnalysis.ngramLmPerplexity(spark, sf, release = false)
+      case _ => SparkEntry.queries(name)(spark, sf)
+    }
+  }
+
   test("no registered query plans an empty-partition (single-partition) window") {
     // Window.partitionBy() funnels the whole input through ONE partition —
     // the t11/q44 scale-killer shape. After rewriting q44 to the scalar-
@@ -148,7 +176,7 @@ class PlanSpec extends AnyFunSuite {
     // fails here instead of shipping a single-partition bottleneck.
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val empties =
-        try allWindows(initialPlan(SparkEntry.queries(name)(spark, sf)))
+        try allWindows(initialPlan(livePlanOf(name)))
           .filter(_.partitionSpec.isEmpty)
         catch { case _: Throwable => Nil } // plan failures are the gate below's job
       if (empties.nonEmpty) Some(name) else None
