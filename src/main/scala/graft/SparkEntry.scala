@@ -140,6 +140,7 @@ object SparkEntry {
     "d16_split_leakage"       -> ((s: SparkSession, d: String) => Dedup.trainTestSplitLeakage(s, d)),
     "t20_lm_perplexity"       -> ((s: SparkSession, d: String) => TextAnalysis.ngramLmPerplexity(s, d)),
     "s6_pq_ann"               -> ((s: SparkSession, d: String) => Similarity.annPqTopK(s, d)),
+    "m5_perceptual_hash"      -> Multimodal.perceptualHashes _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -1543,6 +1544,30 @@ object SparkEntry {
         round(avg(nll) + 0.000000001, 4) AS avg_nll_bits,
         round(power(2, avg(nll)) + 0.000000001, 2) AS ppl
       FROM sc GROUP BY 1 ORDER BY doc_id""",
+
+    // m5: the 52-bit block-mean aHash replays exactly — the bit test is an
+    // integer cross-multiplication (sum_j*L > total*len_j), so no float
+    // division can round differently between engines.
+    "m5_perceptual_hash" -> """
+      WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+      b AS (
+        SELECT doc_id,
+          list_transform(range(1, length(h) // 2 + 1),
+            i -> ('0x' || substr(h, CAST(2 * i - 1 AS INT), 2))::BIGINT) AS bytes
+        FROM hx),
+      t AS (SELECT doc_id, bytes, len(bytes) AS L,
+              CAST(list_sum(bytes) AS BIGINT) AS total FROM b),
+      bits AS (
+        SELECT doc_id, L,
+          CAST(list_sum(list_transform(range(0, 52), j ->
+            CASE WHEN CAST(coalesce(list_sum(list_slice(bytes, j * L // 52 + 1,
+                                                        (j + 1) * L // 52)), 0)
+                       AS BIGINT) * L
+                      > total * ((j + 1) * L // 52 - j * L // 52)
+                 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS phash
+        FROM t)
+      SELECT doc_id, CAST(L AS BIGINT) AS byte_len, phash
+      FROM bits ORDER BY doc_id""",
 
     // s6: full PQ replay — sign-bit-seeded per-subspace codebooks with
     // 6dp-rounded means, argmin-L2 assignment on 6dp-rounded distances

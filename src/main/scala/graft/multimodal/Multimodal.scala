@@ -260,4 +260,52 @@ object Multimodal {
         round(avg(col("height")), 2).as("avg_height"),
         max(col("n_frames")).as("max_frames"))
       .orderBy(col("format"))
+
+  /** m5: perceptual media fingerprints — the 52-bit block-mean aHash
+    * ([[graft.expressions.BlockMeanHash]]) of every payload, the
+    * first-line image-dedup signal (re-encodes and metadata-stripped
+    * copies of the same media collide exactly; small edits land a few
+    * hamming bits away). Map-side only: one codegen'd expression per row,
+    * no shuffle except the presentation sort — per-row cost is identical
+    * at 100 TB.
+    */
+  def perceptualHashes(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.BlockMeanHash.register(spark)
+    Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("byte_len"),
+        expr("block_mean_hash(payload)").as("phash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Near-duplicate media pairs over [[perceptualHashes]]' fingerprints —
+    * d9's banded retrieval verbatim (4 bands × 13 bits; pigeonhole makes
+    * recall EXACT for hamming ≤ 3), with the true hamming verify on
+    * candidates. Works on ANY (doc_id, phash) frame so real image
+    * fingerprints ride the same operator; the registered m5 query ships
+    * the fingerprint table itself because the driver fixture has no
+    * planted media near-dups (the pair path is spec-verified on planted
+    * payload edits instead — MultimodalSpec).
+    */
+  def mediaNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bandBits = graft.expressions.BlockMeanHash.Bits / 4 // 13-bit bands
+    val bands = hashes.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("phash"), col("band"),
+        expr(s"shiftright(phash, band * $bandBits) & ${(1L << bandBits) - 1}")
+          .as("bkey"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

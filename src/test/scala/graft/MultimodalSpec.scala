@@ -154,6 +154,61 @@ class MultimodalSpec extends AnyFunSuite {
       s"typed=$typed\nuntyped=$untyped")
   }
 
+  test("m5: phash matches an independent reference; banded pairs = brute force at hamming <= 3") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // independent reference (BigInt fold, slice sums) — no shared code with
+    // the expression's while-loop
+    def refHash(bytes: Array[Byte]): Long = {
+      val L = bytes.length
+      if (L == 0) 0L
+      else {
+        val vals = bytes.map(b => (b & 0xff).toLong)
+        val total = vals.sum
+        (0 until 52).foldLeft(0L) { (h, j) =>
+          val lo = j * L / 52; val hi = (j + 1) * L / 52
+          val s = vals.slice(lo, hi).sum
+          if (s * L > total * (hi - lo)) h | (1L << j) else h
+        }
+      }
+    }
+    val got = Multimodal.perceptualHashes(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      assert(got(id) == ((bytes.length.toLong, refHash(bytes))), s"doc $id phash")
+    }
+    // planted media set: exact re-encode (same bytes), a one-byte edit
+    // (adjacent ascii, so block/total sums shift by 1 — the locality
+    // claim), and unrelated content
+    val base = docs.map(_._2).maxBy(_.length)
+    val edited = {
+      val cs = base.toCharArray
+      cs(cs.length / 2) = (cs(cs.length / 2) + 1).toChar
+      new String(cs)
+    }
+    val planted = Seq((1L, base), (2L, base), (3L, edited), (4L, base.reverse))
+    graft.expressions.BlockMeanHash.register(spark)
+    import spark.implicits._
+    val hashes = planted.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        expr("block_mean_hash(encode(text, 'UTF-8'))").as("phash"))
+    val pairs = Multimodal.mediaNearDupPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ref = planted.map { case (id, t) => id -> refHash(t.getBytes("UTF-8")) }
+    val brute = (for {
+      (a, ha) <- ref; (b, hb) <- ref if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(pairs == brute, s"banded=$pairs brute=$brute")
+    assert(pairs.contains((1L, 2L, 0L)), "identical payloads must collide at hamming 0")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L),
+      "a one-byte edit must stay within the hamming-3 near-dup radius")
+  }
+
   test("partition-wise decode is deterministic and composes with aggregation") {
     val d1 = Multimodal.decodeAll(spark, sf).collect().map(d => d.doc_id -> d).toMap
     val d2 = Multimodal.decodeAll(spark, sf).collect().map(d => d.doc_id -> d).toMap
