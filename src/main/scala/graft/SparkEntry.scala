@@ -141,6 +141,7 @@ object SparkEntry {
     "t20_lm_perplexity"       -> ((s: SparkSession, d: String) => TextAnalysis.ngramLmPerplexity(s, d)),
     "s6_pq_ann"               -> ((s: SparkSession, d: String) => Similarity.annPqTopK(s, d)),
     "m5_perceptual_hash"      -> Multimodal.perceptualHashes _,
+    "t21_zipf_fit"            -> TextAnalysis.zipfFit _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -1568,6 +1569,28 @@ object SparkEntry {
         FROM t)
       SELECT doc_id, CAST(L AS BIGINT) AS byte_len, phash
       FROM bits ORDER BY doc_id""",
+
+    // t21: the DuckDB twin ranks with a plain global window (oracle-side
+    // single partitions are fine); ranks are identical to the broadcast-
+    // offset spelling, and regr_* replays the plain-sums OLS.
+    "t21_zipf_fit" -> """
+      WITH tk AS (
+        SELECT unnest(string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents),
+      tf AS (SELECT token, count(*) AS freq FROM tk GROUP BY 1),
+      rk AS (
+        SELECT freq,
+          row_number() OVER (ORDER BY freq DESC, token ASC) AS rnk
+        FROM tf),
+      xy AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y,
+               freq FROM rk)
+      SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+        CAST(sum(freq) AS BIGINT) AS n_tokens,
+        round(regr_slope(y, x) + 0.000000001, 4) AS zipf_slope,
+        round(regr_intercept(y, x) + 0.000000001, 4) AS intercept,
+        round(regr_r2(y, x) + 0.000000001, 4) AS r2
+      FROM xy""",
 
     // s6: full PQ replay — sign-bit-seeded per-subspace codebooks with
     // 6dp-rounded means, argmin-L2 assignment on 6dp-rounded distances

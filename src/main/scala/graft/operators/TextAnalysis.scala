@@ -609,6 +609,62 @@ object TextAnalysis {
     else result
   }
 
+  /** t21: Zipf rank-frequency fit — the corpus-health diagnostic: natural
+    * language follows freq ∝ rank^(-s) with s ≈ 1; a corpus whose fitted
+    * slope drifts far from -1 is boilerplate-heavy (flat head) or
+    * template-spam (cliff tail), and CCNet-style pipelines track exactly
+    * this curve per snapshot. Reported: the OLS fit of ln(freq) on
+    * ln(rank) over the whole vocabulary (slope, intercept, r²), vocabulary
+    * size, and token total — one row.
+    *
+    * Shape: one token-count aggregation (map-side combined), ONE window
+    * rank over the model-sized vocabulary (vocab rows, not corpus rows —
+    * the q18 note does not apply at vocab cardinality; ties break on the
+    * token string so the rank is deterministic), then a scalar OLS
+    * aggregate (`regr_*` semantics spelled with plain sums, q48's family).
+    * Corpus cost is the one explode+count; everything after is vocab-sized.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documentsParallel(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("freq"))
+    // global (freq desc, token) rank WITHOUT a single-partition window —
+    // the t11 pattern: per-frequency-group offsets ride a broadcast
+    // (|distinct freq values| rows, O(√tokens)-ish — driver-safe), the
+    // within-group rank is a window PARTITIONED by freq (parallel across
+    // groups). Caveat at extreme scale: the freq=1 hapax group holds a
+    // large vocab share — if its single window partition ever dominates,
+    // sub-partition it by a token prefix and offset per (freq, prefix),
+    // the same recipe one level down.
+    val perFreq = tf.groupBy(col("freq"))
+      .agg(count(lit(1)).cast("long").as("nf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (f, _) => -f }
+    val offsets = perFreq.scanLeft((0L, 0L)) { case ((_, acc), (f, nf)) => (f, acc + nf) }
+      .init.zip(perFreq).map { case ((_, before), (f, _)) => (f, before) }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("freq", "offset")
+    val w = Window.partitionBy(col("freq")).orderBy(col("token").asc)
+    val ranked = tf.join(broadcast(offDf), "freq")
+      .withColumn("rnk", (col("offset") + row_number().over(w)).cast("long"))
+      .select(log(col("rnk").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"),
+        col("freq"))
+    ranked.agg(
+        count(lit(1)).cast("long").as("n_vocab"),
+        sum(col("freq")).cast("long").as("n_tokens"),
+        avg(col("x")).as("mx"), avg(col("y")).as("my"),
+        covar_pop(col("x"), col("y")).as("sxy"),
+        var_pop(col("x")).as("sxx"), var_pop(col("y")).as("syy"))
+      .select(col("n_vocab"), col("n_tokens"),
+        round(col("sxy") / col("sxx") + 1e-9, 4).as("zipf_slope"),
+        round(col("my") - col("sxy") / col("sxx") * col("mx") + 1e-9, 4)
+          .as("intercept"),
+        round(col("sxy") * col("sxy") / (col("sxx") * col("syy")) + 1e-9, 4)
+          .as("r2"))
+  }
+
   /** t3: corpus-level quality aggregation per (lang, source) — the shape of
     * a "which crawl sources are worth keeping" report.
     */

@@ -316,6 +316,31 @@ class Round5Spec extends AnyFunSuite {
       "near-dup replicas should leak across the split at test scale")
   }
 
+  test("t21 Zipf fit matches a Scala reference OLS over the rank-frequency curve") {
+    val docs = collectDocs()
+    val freqs = docs.flatMap(d => refTokens(d._3))
+      .groupBy(identity).map { case (t, o) => (t, o.size.toLong) }
+    val ranked = freqs.toSeq.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+      .map { case ((_, f), i) => (math.log(i + 1.0), math.log(f.toDouble), f) }
+    val n = ranked.size
+    val (mx, my) = (ranked.map(_._1).sum / n, ranked.map(_._2).sum / n)
+    val sxy = ranked.map(r => (r._1 - mx) * (r._2 - my)).sum / n
+    val sxx = ranked.map(r => (r._1 - mx) * (r._1 - mx)).sum / n
+    val syy = ranked.map(r => (r._2 - my) * (r._2 - my)).sum / n
+    val row = graft.operators.TextAnalysis.zipfFit(spark, sf).collect().head
+    assert(row.getLong(0) == n.toLong, "vocab size")
+    assert(row.getLong(1) == ranked.map(_._3).sum, "token total")
+    assert(math.abs(row.getDouble(2) - sxy / sxx) < 1e-3, s"slope ${row.getDouble(2)}")
+    assert(math.abs(row.getDouble(3) - (my - sxy / sxx * mx)) < 1e-3, "intercept")
+    assert(math.abs(row.getDouble(4) - sxy * sxy / (sxx * syy)) < 1e-3, "r2")
+    // the fixture corpus is synthetic with a near-uniform vocabulary, so
+    // the slope is shallow (~-0.18) — exactly the non-natural-language
+    // signal the diagnostic exists to flag; assert only the fit's math:
+    // frequencies decrease in rank and the fit is a real correlation
+    assert(row.getDouble(2) < 0.0, "rank-frequency slope must be negative")
+    assert(row.getDouble(4) > 0.0 && row.getDouble(4) <= 1.0, "r2 in (0,1]")
+  }
+
   test("t20 bigram-LM perplexity matches a Scala reference model") {
     val docs = collectDocs()
     val docBigrams = docs.map { case (id, _, text) =>
