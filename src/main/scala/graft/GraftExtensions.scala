@@ -34,6 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollingHash(exprs.head)))
     e.injectFunction((
+      new FunctionIdentifier("block_mean_hash"),
+      new ExpressionInfo(classOf[graft.expressions.BlockMeanHash].getName,
+        "block_mean_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expressions.BlockMeanHash(exprs.head)))
+    e.injectFunction((
       new FunctionIdentifier("bottom_k_sample"),
       new ExpressionInfo(classOf[graft.expressions.BottomKSample].getName,
         "bottom_k_sample"),
