@@ -142,6 +142,8 @@ object SparkEntry {
     "s6_pq_ann"               -> ((s: SparkSession, d: String) => Similarity.annPqTopK(s, d)),
     "m5_perceptual_hash"      -> Multimodal.perceptualHashes _,
     "t21_zipf_fit"            -> TextAnalysis.zipfFit _,
+    "t22_vocab_growth"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabGrowth(s, d)),
+    "s7_lsh_rerank"           -> ((s: SparkSession, d: String) => Similarity.annLshRerankTopK(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -1591,6 +1593,104 @@ object SparkEntry {
         round(regr_intercept(y, x) + 0.000000001, 4) AS intercept,
         round(regr_r2(y, x) + 0.000000001, 4) AS r2
       FROM xy""",
+
+    // t22: t11's rank-ceil replay of the percentile_approx decile
+    // boundaries over the distinct doc ids, then the first-decile-per-token
+    // cumulative counts.
+    "t22_vocab_growth" -> {
+      val bDefs = (1 to 9).map(i =>
+        s"max(CASE WHEN rnk = CAST(ceil(0.$i * cnt) AS BIGINT) THEN doc_id END) AS b$i")
+        .mkString(", ")
+      val bucketExpr = (1 to 9)
+        .map(i => s"CASE WHEN doc_id > b$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""
+      WITH tk AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+        FROM documents),
+      r AS (
+        SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rnk,
+          count(*) OVER () AS cnt
+        FROM (SELECT DISTINCT doc_id FROM documents)),
+      b AS (SELECT $bDefs FROM r),
+      fb AS (
+        SELECT token, min(bucket) AS first_bucket FROM (
+          SELECT ($bucketExpr) AS bucket, unnest(toks) AS token
+          FROM tk CROSS JOIN b)
+        GROUP BY 1),
+      d AS (SELECT unnest(range(0, 10)) AS decile)
+      SELECT CAST(d.decile AS BIGINT) AS decile,
+        CAST(coalesce(sum(CASE WHEN fb.first_bucket = d.decile THEN 1 END), 0)
+          AS BIGINT) AS new_tokens,
+        CAST(coalesce(sum(CASE WHEN fb.first_bucket <= d.decile THEN 1 END), 0)
+          AS BIGINT) AS vocab_size
+      FROM d CROSS JOIN fb GROUP BY 1 ORDER BY 1"""
+    },
+
+    // s7: s2's candidate CTEs (identical hyperplane literals) + s5's int8
+    // recon feeding the 6dp coarse rank over candidates only + the exact
+    // rerank replay.
+    "s7_lsh_rerank" -> {
+      val bucketExpr = graft.functions.VectorFunctions
+        .hyperplaneBucketDuckSql("embedding", 64, graft.operators.Similarity.LshBits)
+      val probeList = ((0 until graft.operators.Similarity.LshBits)
+        .map(b => 1L << b) :+ 0L).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      eb AS (SELECT vec_id, $bucketExpr AS bucket FROM embeddings),
+      probes AS (SELECT unnest($probeList) AS p),
+      qp AS (
+        SELECT vec_id AS query_id, xor(bucket, p) AS bucket
+        FROM eb CROSS JOIN probes WHERE vec_id % 50 = 0),
+      cand AS (
+        SELECT qp.query_id, eb.vec_id AS neighbor_id
+        FROM qp JOIN eb ON qp.bucket = eb.bucket
+        WHERE eb.vec_id <> qp.query_id),
+      u AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding FROM e),
+      x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM u),
+      dm AS (SELECT i, round(min(x), 6) AS lo, round(max(x), 6) AS hi FROM x GROUP BY 1),
+      rc AS (
+        SELECT vec_id, x.i,
+          CASE WHEN hi = lo THEN lo
+               ELSE lo + round((x.x - lo) / (hi - lo) * 255.0, 0) / 255.0 * (hi - lo)
+          END AS recon
+        FROM x JOIN dm ON x.i = dm.i),
+      cs AS (
+        SELECT cand.query_id, cand.neighbor_id,
+          sum(a.recon * b.recon) AS dot,
+          sum(a.recon * a.recon) AS na,
+          sum(b.recon * b.recon) AS nb
+        FROM cand
+        JOIN rc a ON a.vec_id = cand.query_id
+        JOIN rc b ON b.vec_id = cand.neighbor_id AND a.i = b.i
+        GROUP BY 1, 2),
+      co AS (SELECT query_id, neighbor_id,
+               round(dot / (sqrt(na) * sqrt(nb)), 6) AS coarse FROM cs),
+      short AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY coarse DESC, neighbor_id) AS crnk
+          FROM co)
+        WHERE crnk <= ${graft.operators.Similarity.RerankShortlist}),
+      pairs AS (
+        SELECT short.query_id, short.neighbor_id, eq.embedding AS qe, en.embedding AS ne
+        FROM short
+        JOIN e eq ON eq.vec_id = short.query_id
+        JOIN e en ON en.vec_id = short.neighbor_id),
+      pu AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne
+             FROM pairs),
+      ps AS (
+        SELECT query_id, neighbor_id,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
+          sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
+        FROM pu GROUP BY 1, 2),
+      pc AS (SELECT query_id, neighbor_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM ps),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM pc)
+      SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+    },
 
     // s6: full PQ replay — sign-bit-seeded per-subspace codebooks with
     // 6dp-rounded means, argmin-L2 assignment on 6dp-rounded distances

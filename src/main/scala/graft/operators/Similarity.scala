@@ -245,6 +245,17 @@ object Similarity {
                       shortlist: Int = RerankShortlist): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val raw = Tables.embeddings(spark, dir)
+    coarseRerank(int8ReconCodes(raw), raw, k, shortlist)
+  }
+
+  /** s4's int8 reconstruction as a (vec_id, rv) frame — the compressed
+    * representation the two-stage scans score against (shared by s5's
+    * full coarse scan and s7's candidate-driven ranking): quantize each
+    * dimension to the 255-step min/max grid, decode back to the double
+    * array the fused ArrayCosine consumes. One map-side expression over
+    * a 1-row broadcast grid.
+    */
+  private[graft] def int8ReconCodes(raw: DataFrame): DataFrame = {
     val dims = raw
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("pos"))
@@ -252,17 +263,57 @@ object Similarity {
         round(max(col("x").cast("double")), 6).as("hi"))
     val grid = dims.agg(sort_array(collect_list(
       struct(col("pos"), col("lo"), col("hi")))).as("dm"))
-    // s4's reconstruction: quantize to the 255-step grid, decode back —
-    // the double array the fused ArrayCosine consumes directly
     val recon = zip_with(col("embedding"), col("dm"), (x, m) => {
       val lo = m.getField("lo"); val hi = m.getField("hi")
       val q = round((x.cast("double") - lo) / (hi - lo) * lit(255.0), 0)
       when(hi === lo, lo).otherwise(lo + q / lit(255.0) * (hi - lo))
     })
-    val codes = raw.select(col("vec_id"), col("embedding"))
+    raw.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(grid))
       .select(col("vec_id"), recon.as("rv"))
-    coarseRerank(codes, raw, k, shortlist)
+  }
+
+  /** s7: the PRODUCTION two-stage composition — s2's LSH candidate
+    * generation feeding the int8 coarse ranking and the exact rerank.
+    * This is the shape s5/s6's scaladocs promise ("s2/s3 are the
+    * candidate generators that bound the scan"): every stage is
+    * sub-linear — candidates come from the query's own sign-bucket plus
+    * its hamming-1 probes (scan fraction ≈ (LshBits+1)/2^LshBits of the
+    * corpus), the coarse cosine runs over candidates only (compressed
+    * codes joined by id, 6dp-rounded before ranking), and full-precision
+    * vectors are touched for nQ·shortlist rows. Recall tracks s2's
+    * bucket recall (asserted vs s1 in the spec); candidates the LSH
+    * misses are the documented (1-p)^probes regime, the same contract s2
+    * ships.
+    */
+  def annLshRerankTopK(spark: SparkSession, dir: String, k: Int = TopK,
+                       shortlist: Int = RerankShortlist): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    val eb = raw.select(col("vec_id"),
+      expr(hyperplaneBucketSql("embedding", Dim, LshBits)).as("bucket"))
+    val probes = (0 until LshBits).map(b => lit(1L << b)) :+ lit(0L)
+    val q = eb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"),
+        explode(array(probes.map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))
+    val cand = eb.join(q, "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val codes = int8ReconCodes(raw)
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id").asc)
+    val shortlisted = cand
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("rv").as("nrv")),
+        "neighbor_id")
+      .join(codes.select(col("vec_id").as("query_id"), col("rv").as("qrv")),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.expressions.VectorExpressions
+          .arrayCosine(col("qrv"), col("nrv")), 6).as("coarse"))
+      .withColumn("crnk", row_number().over(wCoarse))
+      .filter(col("crnk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(shortlisted, raw, k)
   }
 
   /** The shared two-stage tail (s5/s6): a coarse top-`shortlist` cosine
@@ -286,6 +337,14 @@ object Similarity {
       .withColumn("crnk", row_number().over(wCoarse))
       .filter(col("crnk") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
+    exactRerank(shortlisted, raw, k)
+  }
+
+  /** Exact float rerank of a (query_id, neighbor_id) shortlist against
+    * the full-precision vectors — the final stage shared by s5/s6/s7.
+    */
+  private def exactRerank(shortlisted: DataFrame, raw: DataFrame,
+                          k: Int): DataFrame = {
     val queriesExact = raw.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val w = Window.partitionBy(col("query_id"))

@@ -665,6 +665,54 @@ object TextAnalysis {
           .as("r2"))
   }
 
+  /** t22: vocabulary-growth curve (Heaps' law) — distinct-vocabulary size
+    * after each decile of the corpus in doc_id order. Natural corpora
+    * follow V(n) ∝ n^β with β ≈ 0.4–0.6; a flattening curve means the
+    * crawl has saturated (more data, no new language) and a super-linear
+    * one means vocabulary explosion (OCR noise, random strings) — the
+    * "is more of this source worth ingesting" signal next to t21's Zipf
+    * slope.
+    *
+    * Exact without any per-prefix distinct-count pass: each token's FIRST
+    * decile (min over the docs containing it) is one hash aggregation;
+    * the running vocabulary is the cumsum of first-decile counts — ten
+    * rows, windowed over a 10-row frame. Corpus cost is the one
+    * explode+min aggregation, map-side combinable.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String,
+                  buckets: Int = 10): DataFrame = {
+    val docs = Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // corpus position = doc_id percentile against broadcast
+    // percentile_approx boundaries (t11's pattern: no global sort; the
+    // sketch is exact below its 10k accuracy, which pins the oracle at
+    // gate scale). decile = number of boundaries strictly below doc_id.
+    val qs = (1 until buckets).map(i => lit(i.toDouble / buckets))
+    val bounds = docs.agg(percentile_approx(col("doc_id"),
+      array(qs: _*), lit(10000)).as("bs"))
+    val decile = (1 until buckets)
+      .map(i => (col("doc_id") > element_at(col("bs"), i)).cast("int"))
+      .reduce((a, b) => a + b)
+    val firstBucket = docs.crossJoin(broadcast(bounds))
+      .select(decile.as("bucket"), explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(min(col("bucket")).as("first_bucket"))
+    // ten cumulative counters in ONE single-row aggregation, unstacked to
+    // rows — no window, no non-equi join, nothing bigger than the
+    // (token → first decile) shuffle above
+    val counters = (0 until buckets).flatMap(d => Seq(
+      sum(when(col("first_bucket") === d, 1L).otherwise(0L))
+        .cast("long").as(s"nt$d"),
+      sum(when(col("first_bucket") <= d, 1L).otherwise(0L))
+        .cast("long").as(s"vs$d")))
+    val stackExpr = s"stack($buckets, " +
+      (0 until buckets).map(d => s"CAST($d AS BIGINT), nt$d, vs$d").mkString(", ") +
+      ") AS (decile, new_tokens, vocab_size)"
+    firstBucket.agg(counters.head, counters.tail: _*)
+      .select(expr(stackExpr))
+      .orderBy(col("decile"))
+  }
+
   /** t3: corpus-level quality aggregation per (lang, source) — the shape of
     * a "which crawl sources are worth keeping" report.
     */

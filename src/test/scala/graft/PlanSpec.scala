@@ -106,12 +106,16 @@ class PlanSpec extends AnyFunSuite {
     //    the rerank they feed), plus the s4 1-row grid broadcast
     //  - t20 (r5): the 1-row vocabulary-size scalar broadcast (t8's shape)
     //  - s6 (r5): the 1-row PQ codebook broadcast + s5's declared coarse scan
+    //  - t22 (r5): t11's 1-row percentile-boundary broadcast
+    //  - s7 (r5): ONLY the 1-row int8-grid broadcast — its candidate stage
+    //    is the sub-linear LSH join (that being the point of s7)
     val quadraticByDesign = Set(
       "s1_ann_topk", "s3_ann_ivf_topk", "s4_quantize_int8",
       "t8_tfidf", "t11_length_buckets", "t14_mixture_sample",
       "q36_histogram", "q44_supplier_revenue", "q23_correlated_subq",
       "q49_expectations", "d14_semantic_dedup", "s5_two_stage_ann",
-      "t20_lm_perplexity", "s6_pq_ann")
+      "t20_lm_perplexity", "s6_pq_ann", "t22_vocab_growth",
+      "s7_lsh_rerank")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticByDesign)
       .flatMap { name =>

@@ -198,6 +198,32 @@ class Round5Spec extends AnyFunSuite {
     assert(hits.toDouble / s1.length >= 0.3, s"recall ${hits}/${s1.length}")
   }
 
+  test("s7 LSH+rerank: exact scores, recall tracks s2, ranks contiguous") {
+    import graft.operators.Similarity
+    val s7 = Similarity.annLshRerankTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val s2 = Similarity.annLshTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val s1 = Similarity.annBruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(s7.map(_._1).distinct.sorted.toSeq == s1.map(_._1).distinct.sorted.toSeq)
+    s7.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"query $q ranks")
+    }
+    // rerank scores are exact: any pair s1 also ranked carries its cosine
+    val exact = s1.map(r => (r._1, r._2) -> r._4).toMap
+    s7.foreach { case (q, n, _, c) =>
+      exact.get((q, n)).foreach(e => assert(math.abs(e - c) < 1e-9, s"($q,$n) cos"))
+    }
+    // the composition cannot beat its candidate generator, and the int8
+    // coarse stage over a 20-wide shortlist should lose almost nothing of
+    // what s2's exact ranking keeps
+    val s2set = s2.map(r => (r._1, r._2)).toSet
+    val hits = s2set.count { case (q, n) => s7.exists(g => g._1 == q && g._2 == n) }
+    assert(hits.toDouble / s2set.size >= 0.9,
+      s"s7 recalls ${hits}/${s2set.size} of s2's top-5")
+  }
+
   test("d14 semantic dedup matches the naive within-cell keep-first reference") {
     import graft.operators.{Dedup, Similarity}
     import org.apache.spark.sql.functions.col
@@ -339,6 +365,29 @@ class Round5Spec extends AnyFunSuite {
     // frequencies decrease in rank and the fit is a real correlation
     assert(row.getDouble(2) < 0.0, "rank-frequency slope must be negative")
     assert(row.getDouble(4) > 0.0 && row.getDouble(4) <= 1.0, "r2 in (0,1]")
+  }
+
+  test("t22 vocab growth matches a Scala first-decile reference and is monotone") {
+    val docs = collectDocs()
+    val ids = docs.map(_._1).distinct.sorted
+    // t11's boundary convention: boundary i = element at rank ceil(i/10 * n)
+    val bounds = (1 to 9).map(i =>
+      ids(math.ceil(i / 10.0 * ids.length).toInt - 1))
+    def decile(id: Long): Int = bounds.count(id > _)
+    val firstBucket = docs
+      .flatMap { case (id, _, text) => refTokens(text).distinct.map(_ -> decile(id)) }
+      .groupBy(_._1).map { case (t, o) => (t, o.map(_._2).min) }
+    val expected = (0 until 10).map { d =>
+      (d.toLong,
+        firstBucket.count(_._2 == d).toLong,
+        firstBucket.count(_._2 <= d).toLong)
+    }
+    val got = graft.operators.TextAnalysis.vocabGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"got=$got\nexp=$expected")
+    // curve properties: cumulative is monotone and ends at the vocabulary
+    assert(got.map(_._3) == got.map(_._3).sorted, "vocab_size must be monotone")
+    assert(got.last._3 == firstBucket.size.toLong, "final decile = full vocabulary")
   }
 
   test("t20 bigram-LM perplexity matches a Scala reference model") {
