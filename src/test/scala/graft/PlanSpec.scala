@@ -130,6 +130,32 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected quadratic joins in: ${offenders.map(_._1)}\n${offenders.take(2)}")
   }
 
+  test("exempted queries carry EXACTLY their documented broadcast-cross joins, no more") {
+    // the quadraticByDesign exemption removes a query from the cartesian
+    // gate entirely — so pin each exempted plan's BNLJ/cartesian NODE
+    // COUNT instead: a regression that adds an unexpected quadratic join
+    // to an exempted query moves its count and fails here
+    // counts > 1 are the SAME 1-row broadcast planned once per reference
+    // (a codes/assigned frame consumed by two join sides re-plans its
+    // grid/centroid crossJoin); q23's correlated subquery decorrelates to
+    // a plain hash join — zero.
+    val expectedBnlj = Map(
+      "s1_ann_topk" -> 1, "s3_ann_ivf_topk" -> 2, "s4_quantize_int8" -> 1,
+      "t8_tfidf" -> 1, "t11_length_buckets" -> 1, "t14_mixture_sample" -> 1,
+      "q36_histogram" -> 1, "q44_supplier_revenue" -> 1,
+      "q23_correlated_subq" -> 0, "q49_expectations" -> 1,
+      "d14_semantic_dedup" -> 2, "s5_two_stage_ann" -> 3,
+      "t20_lm_perplexity" -> 1, "s6_pq_ann" -> 3, "t22_vocab_growth" -> 1,
+      "s7_lsh_rerank" -> 2)
+    val actual = expectedBnlj.keys.map { n =>
+      val p = planString(livePlanOf(n))
+      n -> ("BroadcastNestedLoopJoin".r.findAllIn(p).size +
+        "CartesianProduct".r.findAllIn(p).size)
+    }.toMap
+    assert(actual == expectedBnlj,
+      s"drifted: ${actual.toSeq.sorted.filterNot(kv => expectedBnlj.get(kv._1).contains(kv._2))}")
+  }
+
   private def allWindows(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.window.WindowExec] =
     p.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
