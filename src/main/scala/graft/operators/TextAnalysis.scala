@@ -701,9 +701,9 @@ object TextAnalysis {
     // rows — no window, no non-equi join, nothing bigger than the
     // (token → first decile) shuffle above
     val counters = (0 until buckets).flatMap(d => Seq(
-      sum(when(col("first_bucket") === d, 1L).otherwise(0L))
+      coalesce(sum(when(col("first_bucket") === d, 1L).otherwise(0L)), lit(0L))
         .cast("long").as(s"nt$d"),
-      sum(when(col("first_bucket") <= d, 1L).otherwise(0L))
+      coalesce(sum(when(col("first_bucket") <= d, 1L).otherwise(0L)), lit(0L))
         .cast("long").as(s"vs$d")))
     val stackExpr = s"stack($buckets, " +
       (0 until buckets).map(d => s"CAST($d AS BIGINT), nt$d, vs$d").mkString(", ") +

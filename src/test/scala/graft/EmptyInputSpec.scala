@@ -79,6 +79,27 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(checks.length == 4 && checks.forall(_.getBoolean(2)))
   }
 
+  test("round-5 operators behave on an empty corpus") {
+    assert(graft.operators.Dedup.sourceOverlapMatrix(spark, emptyDir).count() == 0)
+    assert(graft.operators.Dedup.trainTestSplitLeakage(spark, emptyDir).count() == 0)
+    assert(graft.operators.Dedup.incrementalEmbeddingDedup(spark, emptyDir).count() == 0)
+    assert(graft.operators.Dedup.semanticDedup(spark, emptyDir).count() == 0)
+    assert(graft.operators.TextAnalysis.ngramLmPerplexity(spark, emptyDir).count() == 0)
+    assert(graft.operators.TextAnalysis.tokenEntropy(spark, emptyDir).count() == 0)
+    assert(graft.operators.TextAnalysis.passageDedup(spark, emptyDir).count() == 0)
+    assert(graft.operators.Similarity.annTwoStageTopK(spark, emptyDir).count() == 0)
+    assert(graft.operators.Similarity.annPqTopK(spark, emptyDir).count() == 0)
+    assert(graft.operators.Similarity.annLshRerankTopK(spark, emptyDir).count() == 0)
+    assert(graft.multimodal.Multimodal.perceptualHashes(spark, emptyDir).count() == 0)
+    // the two corpus-level REPORTS are the global-aggregate exception
+    // (one row, zero counts, null-safe statistics — never a crash):
+    val zipf = graft.operators.TextAnalysis.zipfFit(spark, emptyDir).collect()
+    assert(zipf.length == 1 && zipf(0).getLong(0) == 0L, "zipf: 1 row, empty vocab")
+    val growth = graft.operators.TextAnalysis.vocabGrowth(spark, emptyDir).collect()
+    assert(growth.length == 10 && growth.forall(_.getLong(2) == 0L),
+      "vocab growth: all-decile curve at zero")
+  }
+
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {
     // a global aggregate over zero rows still emits one row — pinned so the
     // contract is explicit, not accidental
