@@ -23,20 +23,27 @@ object Bench {
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      val t = (System.nanoTime() - t0) / 1e9
-      // OUTSIDE the timed region: drop every persistent RDD left behind by
-      // the run. Queries release their own caches (materializeAndRelease),
-      // but the localCheckpoint blocks of each RESULT stay pinned until
-      // the JVM happens to GC the RDD reference — with a large heap that
-      // is approximately never, so blocks accumulate across the session
-      // and later queries run under storage-memory pressure. Measured:
-      // d11 is 1.6 s in a fresh session but 4.5 s as query #31 of the
-      // suite; with this sweep every query times against clean storage.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      t
+      // the sweep runs in finally — a FAILING query leaves its own interim
+      // caches orphaned (materializeAndRelease only fires on success), and
+      // skipping the sweep there would pin them into the NEXT query's
+      // timed run, exactly the pressure regime the sweep exists to remove
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+      finally {
+        // OUTSIDE the timed region: drop every persistent RDD left behind
+        // by the run. Queries release their own caches
+        // (materializeAndRelease), but the localCheckpoint blocks of each
+        // RESULT stay pinned until the JVM happens to GC the RDD reference
+        // — with a large heap that is approximately never, so blocks
+        // accumulate across the session and later queries run under
+        // storage-memory pressure. Measured: d11 is 1.6 s in a fresh
+        // session but 4.5 s as query #31 of the suite; with this sweep
+        // every query times against clean storage.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      }
     }
 
     // warmup: session/codegen/shuffle-machinery init on a cheap query

@@ -90,7 +90,7 @@ object SparkEntry {
     "q22_trailing_spend"      -> Extended.trailingSpend _,
     // batch 3 extensions (round 2)
     "t8_tfidf"                -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
-    "t9_repetition"           -> TextAnalysis.repetitionStats _,
+    "t9_repetition"           -> ((s: SparkSession, d: String) => TextAnalysis.repetitionStats(s, d)),
     "d8_decontaminate"        -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
     "q29_range_join"          -> Events.purchasesWithRecentClicks _,
     "q30_unpivot"             -> Extended.unpivotQtyByFlag _,
@@ -118,7 +118,7 @@ object SparkEntry {
     "t14_mixture_sample"      -> TextAnalysis.mixtureSample _,
     "s4_quantize_int8"        -> Similarity.quantizeInt8 _,
     "t12_pii_scrub"           -> TextAnalysis.piiScrub _,
-    "t13_quality_filter"      -> TextAnalysis.qualityFilterVerdicts _,
+    "t13_quality_filter"      -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilterVerdicts(s, d)),
     "t11_length_buckets"      -> TextAnalysis.lengthCurriculumBuckets _,
     "q39_regex_suite"         -> Extended.regexSuite _,
     "q36_histogram"           -> ((s: SparkSession, d: String) => Extended.priceHistogram(s, d)),
@@ -141,7 +141,7 @@ object SparkEntry {
     "t20_lm_perplexity"       -> ((s: SparkSession, d: String) => TextAnalysis.ngramLmPerplexity(s, d)),
     "s6_pq_ann"               -> ((s: SparkSession, d: String) => Similarity.annPqTopK(s, d)),
     "m5_perceptual_hash"      -> Multimodal.perceptualHashes _,
-    "t21_zipf_fit"            -> TextAnalysis.zipfFit _,
+    "t21_zipf_fit"            -> ((s: SparkSession, d: String) => TextAnalysis.zipfFit(s, d)),
     "t22_vocab_growth"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabGrowth(s, d)),
     "s7_lsh_rerank"           -> ((s: SparkSession, d: String) => Similarity.annLshRerankTopK(s, d)),
   )

@@ -522,24 +522,42 @@ object Dedup {
     require(ids.nonEmpty, "retraction requires at least one doc_id")
     val idsDf = spark.createDataset(ids)(org.apache.spark.sql.Encoders.scalaLong)
       .toDF("doc_id")
-    val kept = Seq(s"${prefix}_shingles", s"${prefix}_bands").map { t =>
-      t -> spark.table(t)
-        .join(broadcast(idsDf), Seq("doc_id"), "left_anti")
-        .localCheckpoint() // materialize BEFORE the drop below
-    }
-    kept.foreach { case (t, df) =>
-      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    def deleteLoc(t: String): Unit = {
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(loc, true)
+    }
+    Seq(s"${prefix}_shingles", s"${prefix}_bands").foreach { t =>
+      val tmp = s"${t}__retract"
+      // recovery: a crash between the DROP and the RENAME below leaves the
+      // canonical name missing and the staged table holding the only copy
+      // — promote it before anything else (the retraction it carries was
+      // verified before the crash)
+      if (!spark.catalog.tableExists(t) && spark.catalog.tableExists(tmp))
+        spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$t`")
+      // stale staging from an earlier crash BEFORE its verify — discard
+      spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+      deleteLoc(tmp)
+      // stage the filtered table DURABLY under the tmp name while the
+      // original stays live (the write reads from it), verify the row
+      // count, then swap — the verified-write-then-rename discipline of
+      // the sink paths, applied to catalog tables
+      val kept = spark.table(t).join(broadcast(idsDf), Seq("doc_id"), "left_anti")
       val writer =
         if (t.endsWith("_shingles"))
-          df.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+          kept.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
         else
-          df.write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
-      writer.mode("overwrite").saveAsTable(t)
-      df.unpersist()
+          kept.write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
+      writer.mode("overwrite").saveAsTable(tmp)
+      val expected = spark.table(t)
+        .join(broadcast(idsDf), Seq("doc_id"), "left_anti").count()
+      val written = spark.table(tmp).count()
+      require(written == expected,
+        s"staged $tmp has $written rows, expected $expected; $t untouched")
+      spark.sql(s"DROP TABLE `$t`")
+      deleteLoc(t) // managed drop removes the dir; sweep orphans defensively
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$t`")
     }
   }
 
@@ -791,8 +809,18 @@ object Dedup {
       case None => Nil
       case Some(ts) =>
         val allRanges = compactedRanges(sinkPath)
-        val ranges = allRanges.filterNot(r =>
+        val contained = allRanges.filter(r =>
           allRanges.exists(o => o != r && o._1 <= r._1 && r._2 <= o._2))
+        // a contained segment is a merge-crash leftover whose rows the
+        // spanning segment already holds — but its FILES still hold any
+        // retracted rows, so a purge that merely skipped it would report
+        // success while the data physically survives on disk. Delete it
+        // (mergeIngestSegments' own sweep, pulled forward).
+        contained.foreach { case (l, h) =>
+          scala.reflect.io.Directory(
+            new java.io.File(segBase, s"batches_${l}_$h")).deleteRecursively()
+        }
+        val ranges = allRanges.diff(contained)
         ranges.flatMap { case (lo, hi) =>
           val segDir = new java.io.File(segBase, s"batches_${lo}_$hi")
           val df = spark.read.parquet(segDir.getPath)
@@ -1265,9 +1293,11 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
-  /** d15: cross-source n-gram overlap matrix — for every pair of corpus
-    * sources, how much content they share (distinct word 8-grams in both,
-    * plus the Jaccard of their shingle sets). The "which crawls duplicate
+  /** d15: cross-source n-gram overlap matrix — for every OVERLAPPING pair
+    * of corpus sources, how much content they share (distinct word 8-grams
+    * in both, plus the Jaccard of their shingle sets); pairs sharing zero
+    * 8-grams are absent by construction (inner join on the shingle hash) —
+    * a consumer scanning for LOW-overlap pairs treats absence as zero. The "which crawls duplicate
     * each other" report that decides dedup ORDER at ingest: a source pair
     * with high overlap should flow through one dedup partition-key domain
     * rather than being cleaned independently.

@@ -51,6 +51,16 @@ object Similarity {
 
   val LshBits = 8
 
+  /** THE single spelling of the s2/s7 LSH hashing inputs — the bucket
+    * expression and the hamming-1 probe set. s7's "recall tracks s2"
+    * contract holds only while both candidate generators hash
+    * identically, so neither site spells these locally.
+    */
+  private def lshBucketCol: Column =
+    expr(hyperplaneBucketSql("embedding", Dim, LshBits))
+  private def lshProbes: Seq[Column] =
+    (0 until LshBits).map(b => lit(1L << b)) :+ lit(0L)
+
   /** s2: LSH-bucketed ANN — corpus and queries hashed to 2^LshBits sign
     * buckets; candidate set = same-bucket vectors only, then exact cosine
     * top-k within candidates. Multi-probe: the query also probes all
@@ -59,11 +69,9 @@ object Similarity {
     */
   def annLshTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
-    val dim = 64
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        expr(hyperplaneBucketSql("embedding", dim, LshBits)).as("bucket"))
-    val probes = (0 until LshBits).map(b => lit(1L << b)) :+ lit(0L)
+      .select(col("vec_id"), col("embedding"), lshBucketCol.as("bucket"))
+    val probes = lshProbes
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(array(probes.map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))
@@ -290,9 +298,8 @@ object Similarity {
                        shortlist: Int = RerankShortlist): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val raw = Tables.embeddings(spark, dir)
-    val eb = raw.select(col("vec_id"),
-      expr(hyperplaneBucketSql("embedding", Dim, LshBits)).as("bucket"))
-    val probes = (0 until LshBits).map(b => lit(1L << b)) :+ lit(0L)
+    val eb = raw.select(col("vec_id"), lshBucketCol.as("bucket"))
+    val probes = lshProbes
     val q = eb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"),
         explode(array(probes.map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))

@@ -196,7 +196,8 @@ object TextAnalysis {
     * of duplicated physical lines. One explode + two per-doc aggregations,
     * no corpus-wide shuffle — embarrassingly parallel at 100 TB.
     */
-  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+  def repetitionStats(spark: SparkSession, dir: String,
+                      release: Boolean = true): DataFrame = {
     // non-distinct trigram list (shinglesOfTokens dedups — here counts
     // matter). Cached: shared by the trigram and line branches, and a
     // barrier against InferFiltersFromGenerate re-running the gram
@@ -228,9 +229,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
         coalesce(col("top_trigram_ratio"), lit(0.0)).as("top_trigram_ratio"))
       .orderBy(col("doc_id"))
-    val out = result.localCheckpoint()
-    base.unpersist()
-    out
+    if (release) { val out = result.localCheckpoint(); base.unpersist(); out }
+    else result
   }
 
   /** t10: language-ID confusion matrix — declared vs predicted label
@@ -343,10 +343,11 @@ object TextAnalysis {
     * Composes the t1 quality metrics and t9 repetition in one pass; the
     * downstream "filtered corpus" is a semi-join on kept doc_ids.
     */
-  def qualityFilterVerdicts(spark: SparkSession, dir: String): DataFrame = {
+  def qualityFilterVerdicts(spark: SparkSession, dir: String,
+                            release: Boolean = true): DataFrame = {
     val q = textStats(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-    val rep = repetitionStats(spark, dir)
+    val rep = repetitionStats(spark, dir, release)
       .select(col("doc_id"), col("top_trigram_ratio"))
     q.join(rep, "doc_id")
       .withColumn("reject_reason",
@@ -624,12 +625,17 @@ object TextAnalysis {
     * aggregate (`regr_*` semantics spelled with plain sums, q48's family).
     * Corpus cost is the one explode+count; everything after is vocab-sized.
     */
-  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+  def zipfFit(spark: SparkSession, dir: String,
+              release: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // cached: the corpus-priced tokenize+count runs ONCE, shared by the
+    // per-frequency collect below and the final OLS aggregate (without
+    // the cache the most expensive stage executes twice)
     val tf = Tables.documentsParallel(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).cast("long").as("freq"))
+      .cache()
     // global (freq desc, token) rank WITHOUT a single-partition window —
     // the t11 pattern: per-frequency-group offsets ride a broadcast
     // (|distinct freq values| rows, O(√tokens)-ish — driver-safe), the
@@ -651,7 +657,7 @@ object TextAnalysis {
       .select(log(col("rnk").cast("double")).as("x"),
         log(col("freq").cast("double")).as("y"),
         col("freq"))
-    ranked.agg(
+    val result = ranked.agg(
         count(lit(1)).cast("long").as("n_vocab"),
         sum(col("freq")).cast("long").as("n_tokens"),
         avg(col("x")).as("mx"), avg(col("y")).as("my"),
@@ -663,6 +669,8 @@ object TextAnalysis {
           .as("intercept"),
         round(col("sxy") * col("sxy") / (col("sxx") * col("syy")) + 1e-9, 4)
           .as("r2"))
+    if (release) { val out = result.localCheckpoint(); tf.unpersist(); out }
+    else result
   }
 
   /** t22: vocabulary-growth curve (Heaps' law) — distinct-vocabulary size

@@ -194,6 +194,9 @@ class PlanSpec extends AnyFunSuite {
       case "d15_source_overlap"  => Dedup.sourceOverlapMatrix(spark, sf, release = false)
       case "d16_split_leakage"   => Dedup.trainTestSplitLeakage(spark, sf, release = false)
       case "t20_lm_perplexity"   => TextAnalysis.ngramLmPerplexity(spark, sf, release = false)
+      case "t9_repetition"       => TextAnalysis.repetitionStats(spark, sf, release = false)
+      case "t13_quality_filter"  => TextAnalysis.qualityFilterVerdicts(spark, sf, release = false)
+      case "t21_zipf_fit"        => TextAnalysis.zipfFit(spark, sf, release = false)
       case _ => SparkEntry.queries(name)(spark, sf)
     }
   }
