@@ -276,6 +276,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(Dedup.purgeIngestSink(spark, sink).isEmpty)
   }
 
+  test("purge deletes merge-crash contained segments so retracted rows cannot survive on disk") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val work = java.nio.file.Files.createTempDirectory("graft_purge_leftover").toString
+    val sink = s"$work/sink"
+    def seg(name: String, ids: Seq[Long]): Unit =
+      spark.createDataFrame(ids.map(id => (id, s"doc $id", 0L)))
+        .toDF("doc_id", "text", "ingest_batch")
+        .coalesce(1).write.parquet(s"$sink/_compacted/$name")
+    // the merge-crash shape: the spanning segment landed, the contained
+    // old segment was never deleted — BOTH physically hold doc 1
+    seg("batches_0_1", Seq(1L, 2L, 3L))
+    seg("batches_0_0", Seq(1L, 2L))
+    Dedup.retractFromIngestSink(spark, sink, Seq(1L))
+    val purged = Dedup.purgeIngestSink(spark, sink)
+    assert(purged == Seq((0L, 1L)), s"purged=$purged")
+    assert(!new java.io.File(s"$sink/_compacted/batches_0_0").exists(),
+      "contained leftover segment must be deleted, not skipped")
+    val rawSpanning = spark.read.parquet(s"$sink/_compacted/batches_0_1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rawSpanning == Set(2L, 3L), "retracted row survived the spanning rewrite")
+    val read = Dedup.readIngestSink(spark, sink)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(read.sameElements(Array(2L, 3L)))
+  }
+
   test("ingest compaction refuses a gapped commit log and leaves the sink untouched") {
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("graft_gap").toString
