@@ -41,8 +41,12 @@ object Bench {
         // accumulate across the session and later queries run under
         // storage-memory pressure. Measured: d11 is 1.6 s in a fresh
         // session but 4.5 s as query #31 of the suite; with this sweep
-        // every query times against clean storage.
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        // every query times against clean storage. Try-wrapped: an
+        // exception HERE (e.g. a session already torn down by the failure
+        // the catch above absorbed) would replace the -1.0 failure marker
+        // and abort the whole bench instead of recording one failed query.
+        scala.util.Try(
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true)))
       }
     }
 

@@ -533,9 +533,14 @@ object Dedup {
       // recovery: a crash between the DROP and the RENAME below leaves the
       // canonical name missing and the staged table holding the only copy
       // — promote it before anything else (the retraction it carries was
-      // verified before the crash)
-      if (!spark.catalog.tableExists(t) && spark.catalog.tableExists(tmp))
+      // verified before the crash). Sweep the canonical data directory
+      // first: a crash after DROP TABLE but mid-directory-delete leaves
+      // orphan files at warehouse/t that the managed rename would collide
+      // with (or silently merge stale rows into).
+      if (!spark.catalog.tableExists(t) && spark.catalog.tableExists(tmp)) {
+        deleteLoc(t)
         spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$t`")
+      }
       // stale staging from an earlier crash BEFORE its verify — discard
       spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
       deleteLoc(tmp)
@@ -783,11 +788,13 @@ object Dedup {
     * transient and get purged when compaction folds them). Same verified
     * tmp-write discipline as the merge pass, plus a move-aside of the
     * same-named old segment; like [[mergeIngestSegments]] this is an
-    * administrative rewrite — run it off the hot path. A crash between the
-    * move-aside and the rename-in is healed by the recovery sweep at the
-    * start of the next purge (the `.old_` copy is restored); readers in
-    * that window fall back to tombstone-filtered correctness on the next
-    * pass.
+    * administrative rewrite that assumes NO concurrent readers — between
+    * the move-aside and the rename-in the canonical segment name does not
+    * exist, so a concurrent [[readIngestSink]] would silently drop that
+    * segment's rows (not merely see stale purge state). Run it in the
+    * same maintenance window as the merge pass. A crash in that window is
+    * healed by the recovery sweep at the start of the next purge (the
+    * `.old_` copy is restored).
     *
     * @return the (lo, hi) ranges of segments rewritten.
     */
@@ -1297,10 +1304,11 @@ object Dedup {
     * of corpus sources, how much content they share (distinct word 8-grams
     * in both, plus the Jaccard of their shingle sets); pairs sharing zero
     * 8-grams are absent by construction (inner join on the shingle hash) —
-    * a consumer scanning for LOW-overlap pairs treats absence as zero. The "which crawls duplicate
-    * each other" report that decides dedup ORDER at ingest: a source pair
-    * with high overlap should flow through one dedup partition-key domain
-    * rather than being cleaned independently.
+    * a consumer scanning for LOW-overlap pairs treats absence as zero.
+    * This is the "which crawls duplicate each other" report that decides
+    * dedup ORDER at ingest: a source pair with high overlap should flow
+    * through one dedup partition-key domain rather than being cleaned
+    * independently.
     *
     * Shape: one shuffle to distinct the (source, shingle) pairs, then an
     * equi self-join on the shingle hash. A shingle present in k sources
