@@ -128,14 +128,20 @@ object SparkEntry {
     "t15_doc_chunks"          -> ((s: SparkSession, d: String) => TextAnalysis.chunkDocuments(s, d)),
     "t16_seq_packing"         -> ((s: SparkSession, d: String) => TextAnalysis.sequencePackingPlan(s, d)),
     "t17_source_cap"          -> ((s: SparkSession, d: String) => TextAnalysis.sourceCap(s, d)),
-    "d13_incremental_embedding" -> ((s: SparkSession, d: String) => Dedup.incrementalEmbeddingDedup(s, d)),
+    // d13/d14 register their AUTO-scaling forms (r6): the sizing
+    // derivations are deterministic functions of corpus counts, so the
+    // DuckDB twins replay them as scalar subqueries — the graded surface
+    // is the scale path; the pinned r5 forms survive as DedupSpec
+    // gate-scale baselines
+    "d13_auto_banded"         -> ((s: SparkSession, d: String) =>
+                                   Dedup.incrementalEmbeddingDedup(s, d, bandBits = 0)),
     // batch 6 extensions (round 5)
     "d12_incremental_dedup_indexed" -> ((s: SparkSession, d: String) =>
                                    Dedup.incrementalDedupIndexed(s, d)),
     "t18_token_entropy"       -> TextAnalysis.tokenEntropy _,
     "t19_passage_dedup"       -> ((s: SparkSession, d: String) => TextAnalysis.passageDedup(s, d)),
     "s5_two_stage_ann"        -> ((s: SparkSession, d: String) => Similarity.annTwoStageTopK(s, d)),
-    "d14_semantic_dedup"      -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
+    "d14_auto_cells"          -> ((s: SparkSession, d: String) => Dedup.semanticDedupAuto(s, d)),
     "d15_source_overlap"      -> ((s: SparkSession, d: String) => Dedup.sourceOverlapMatrix(s, d)),
     "d16_split_leakage"       -> ((s: SparkSession, d: String) => Dedup.trainTestSplitLeakage(s, d)),
     "t20_lm_perplexity"       -> ((s: SparkSession, d: String) => TextAnalysis.ngramLmPerplexity(s, d)),
@@ -465,23 +471,37 @@ object SparkEntry {
       SELECT ia AS id_a, ib AS id_b, round(dot, 4) AS cos_sim
       FROM s WHERE dot >= 0.45 ORDER BY id_a, id_b""",
 
-    // d13: d5's banding replayed cross-parity only — batch (odd) probes
-    // corpus (even); same hyperplane literals, bit-identical buckets.
-    "d13_incremental_embedding" -> s"""
-      WITH n0 AS (
+    // d13 auto (r6): the registered form derives its banding from the
+    // corpus count — the oracle replays the sizing as a scalar subquery
+    // over the SAME count (ln/ln spelled exactly like deriveBandBits, with
+    // the max(3,·) floor masking any sub-3 rounding divergence), computes
+    // a 63-bit signature (the widest any derivation can use; band
+    // extraction reads only bits < nbands*bits, so unused high bits are
+    // inert), and verifies candidates cross-parity like the r5 pinned d13.
+    "d13_auto_banded" -> s"""
+      WITH prm0 AS (
+        SELECT greatest(${graft.operators.Dedup.EmbBandBits},
+          CAST(round(ln(CAST(greatest(count(*), 1) AS DOUBLE)
+                        / ${graft.operators.Dedup.EmbTargetBucket})
+                     / ln(2), 0) AS INT)) AS bits
+        FROM embeddings),
+      prm AS (SELECT bits,
+                least(${graft.operators.Dedup.EmbBands}, 63 // bits) AS nbands
+              FROM prm0),
+      n0 AS (
         SELECT vec_id, embedding,
-          (${graft.functions.VectorFunctions.hyperplaneBucketDuckSql(
-            "embedding", 64,
-            graft.operators.Dedup.EmbBands * graft.operators.Dedup.EmbBandBits)}) AS sig,
+          (${graft.functions.VectorFunctions.hyperplaneBucketDuckSqlFlat(
+            "embedding", 64, 63)}) AS sig,
           sqrt(list_sum(list_transform(embedding,
             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
         FROM embeddings),
       nv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ne, sig
              FROM n0),
       bands AS (
-        SELECT vec_id, band, (sig >> (band * ${graft.operators.Dedup.EmbBandBits}))
-          & ${(1 << graft.operators.Dedup.EmbBandBits) - 1} AS bkey
-        FROM nv, (SELECT unnest(range(0, ${graft.operators.Dedup.EmbBands})) AS band) bb),
+        SELECT vec_id, band, (sig >> (band * bits)) & ((1::BIGINT << bits) - 1) AS bkey
+        FROM nv CROSS JOIN prm
+        CROSS JOIN (SELECT unnest(range(0, ${graft.operators.Dedup.EmbBands})) AS band) bb
+        WHERE band < nbands),
       cand AS (
         SELECT DISTINCT a.vec_id AS batch_id, b.vec_id AS corpus_id
         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
@@ -493,6 +513,70 @@ object SparkEntry {
       s AS (SELECT batch_id, corpus_id, sum(ea[i] * eb[i]) AS dot FROM u GROUP BY 1, 2)
       SELECT batch_id, corpus_id, round(dot, 4) AS cos_sim
       FROM s WHERE dot >= 0.45 ORDER BY batch_id, corpus_id""",
+
+    // d14 auto (r6): subBits derives from (count, distinct labels) as a
+    // scalar subquery (the deriveSubBits spelling verbatim; the max(0,·)
+    // floor masks sub-zero rounding divergence). Seed cells are
+    // label·2^sb + (16-bit hyperplane bucket & (2^sb - 1)) — the same
+    // plane-prefix property as d5's banding makes the masked 16-bit
+    // bucket identical to Spark's sb-bit bucket for any sb <= 16 (sb = 16
+    // needs a ~10^12-vector corpus). Centroids, argmax assignment, and
+    // the keep-first within-cell prune replay the pinned d14 tail.
+    "d14_auto_cells" -> s"""
+      WITH prm AS (
+        SELECT CASE WHEN count(*) <= 0 THEN 0
+               ELSE greatest(0, CAST(round(
+                 ln(sqrt(CAST(count(*) AS DOUBLE)) / CAST(2 AS DOUBLE)
+                    / CAST(greatest(count(DISTINCT label), 1) AS DOUBLE))
+                 / ln(2), 0) AS INT)) END AS sb
+        FROM embeddings),
+      cm0 AS (
+        SELECT vec_id, embedding,
+          CAST(label AS INT) * (1 << sb)
+            + ((${graft.functions.VectorFunctions.hyperplaneBucketDuckSql(
+                 "embedding", 64, 16)}) & ((1 << sb) - 1)) AS cell
+        FROM embeddings CROSS JOIN prm),
+      ue AS (SELECT vec_id, cell, unnest(range(1, len(embedding) + 1)) AS i, embedding
+             FROM cm0),
+      cpos AS (
+        SELECT cell AS cent_id, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+        FROM ue GROUP BY 1, 2),
+      cent AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM cpos GROUP BY 1),
+      e AS (SELECT vec_id, embedding FROM embeddings),
+      acu AS (
+        SELECT vec_id, cent_id, unnest(range(1, len(embedding) + 1)) AS i, embedding, cv
+        FROM e CROSS JOIN cent),
+      acs AS (
+        SELECT vec_id, cent_id,
+          sum(CAST(embedding[i] AS DOUBLE) * cv[i]) AS dot,
+          sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS na,
+          sum(cv[i] * cv[i]) AS nb
+        FROM acu GROUP BY 1, 2),
+      ac AS (SELECT vec_id, cent_id, dot / (sqrt(na) * sqrt(nb)) AS cc FROM acs),
+      assigned AS (
+        SELECT vec_id, cent_id FROM (
+          SELECT vec_id, cent_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS r
+          FROM ac) WHERE r = 1),
+      pr AS (
+        SELECT a.vec_id AS u, b.vec_id AS v, a.cent_id AS cell
+        FROM assigned a JOIN assigned b
+          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+      pe AS (
+        SELECT pr.u, pr.v, pr.cell, ea.embedding AS ea, eb.embedding AS eb
+        FROM pr JOIN e ea ON ea.vec_id = pr.u JOIN e eb ON eb.vec_id = pr.v),
+      pu AS (SELECT u, v, cell, unnest(range(1, len(ea) + 1)) AS i, ea, eb FROM pe),
+      ps AS (
+        SELECT u, v, cell,
+          sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+          sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+          sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
+        FROM pu GROUP BY 1, 2, 3),
+      pc AS (SELECT u, v, cell, dot / (sqrt(na) * sqrt(nb)) AS cs FROM ps),
+      fl AS (SELECT * FROM pc WHERE cs >= 0.45),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY v ORDER BY u) AS rn FROM fl)
+      SELECT v AS vec_id, cell, u AS pruned_by, round(cs, 4) AS cos_sim
+      FROM rk WHERE rn = 1 ORDER BY vec_id""",
 
     "s1_ann_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
@@ -1404,26 +1488,38 @@ object SparkEntry {
           + 0.000000001, 4) AS dup_frac
       FROM j GROUP BY 1 ORDER BY doc_id"""),
 
-    // s5: full replay of both stages — the s4 reconstruction grid feeds the
-    // 6dp-rounded coarse ranking, the float vectors feed the exact rerank.
-    "s5_two_stage_ann" -> s"""
-      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    // s5 (r6): candidate-driven — s3's IVF probe CTEs produce the
+    // candidate set (IvfAssignCtesSql + prb/cand replay the registered
+    // s3's cells and probes verbatim), the s4 reconstruction grid feeds
+    // the 6dp-rounded coarse ranking over candidates only, and the float
+    // vectors feed the exact rerank.
+    "s5_two_stage_ann" -> (IvfAssignCtesSql + s""",
+      prb AS (
+        SELECT query_id, cent_id FROM (
+          SELECT vec_id AS query_id, cent_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS r
+          FROM ac WHERE vec_id % 50 = 0) WHERE r <= ${graft.operators.Similarity.IvfNProbe}),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM prb p JOIN assigned a ON p.cent_id = a.cent_id
+        WHERE a.vec_id <> p.query_id),
       u AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding FROM e),
       x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM u),
       d AS (SELECT i, round(min(x), 6) AS lo, round(max(x), 6) AS hi FROM x GROUP BY 1),
-      q AS (
+      rc AS (
         SELECT vec_id, x.i,
           CASE WHEN hi = lo THEN lo
                ELSE lo + round((x.x - lo) / (hi - lo) * 255.0, 0) / 255.0 * (hi - lo)
           END AS recon
         FROM x JOIN d ON x.i = d.i),
-      qq AS (SELECT * FROM q WHERE vec_id % 50 = 0),
       cs AS (
-        SELECT qq.vec_id AS query_id, q.vec_id AS neighbor_id,
-          sum(qq.recon * q.recon) AS dot,
-          sum(qq.recon * qq.recon) AS na,
-          sum(q.recon * q.recon) AS nb
-        FROM qq JOIN q ON qq.i = q.i AND qq.vec_id <> q.vec_id
+        SELECT cand.query_id, cand.neighbor_id,
+          sum(a.recon * b.recon) AS dot,
+          sum(a.recon * a.recon) AS na,
+          sum(b.recon * b.recon) AS nb
+        FROM cand
+        JOIN rc a ON a.vec_id = cand.query_id
+        JOIN rc b ON b.vec_id = cand.neighbor_id AND a.i = b.i
         GROUP BY 1, 2),
       co AS (SELECT query_id, neighbor_id,
                round(dot / (sqrt(na) * sqrt(nb)), 6) AS coarse FROM cs),
@@ -1451,30 +1547,7 @@ object SparkEntry {
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
         FROM pc)
       SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
-      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
-
-    // d14: the s3 assignment CTEs feed the within-cell keep-first prune —
-    // row_number over (PARTITION BY v ORDER BY u) replays min(struct(u, cs)).
-    "d14_semantic_dedup" -> (IvfAssignCtesSql + """,
-      pr AS (
-        SELECT a.vec_id AS u, b.vec_id AS v, a.cent_id AS cell
-        FROM assigned a JOIN assigned b
-          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
-      pe AS (
-        SELECT pr.u, pr.v, pr.cell, ea.embedding AS ea, eb.embedding AS eb
-        FROM pr JOIN e ea ON ea.vec_id = pr.u JOIN e eb ON eb.vec_id = pr.v),
-      pu AS (SELECT u, v, cell, unnest(range(1, len(ea) + 1)) AS i, ea, eb FROM pe),
-      ps AS (
-        SELECT u, v, cell,
-          sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
-          sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
-          sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
-        FROM pu GROUP BY 1, 2, 3),
-      pc AS (SELECT u, v, cell, dot / (sqrt(na) * sqrt(nb)) AS cs FROM ps),
-      fl AS (SELECT * FROM pc WHERE cs >= 0.45),
-      rk AS (SELECT *, row_number() OVER (PARTITION BY v ORDER BY u) AS rn FROM fl)
-      SELECT v AS vec_id, cell, u AS pruned_by, round(cs, 4) AS cos_sim
-      FROM rk WHERE rn = 1 ORDER BY vec_id"""),
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""),
 
     // d15: string shingles replay the xxhash64 ones — distinct-per-source
     // counts are hash-blind (collision odds ~|shingles|²/2⁶⁴, the d2/d8
@@ -1692,12 +1765,28 @@ object SparkEntry {
       FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
     },
 
-    // s6: full PQ replay — sign-bit-seeded per-subspace codebooks with
-    // 6dp-rounded means, argmin-L2 assignment on 6dp-rounded distances
-    // (row_number ORDER BY d2, bkt replays the max-of-negated-struct),
-    // codebook reconstruction, then the s5 coarse/rerank tail.
-    "s6_pq_ann" -> s"""
+    // s6 (r6): candidate-driven PQ — s2's LSH candidate CTEs (identical
+    // hyperplane literals to s7) bound the coarse stage; the PQ replay is
+    // unchanged: sign-bit-seeded per-subspace codebooks with 6dp-rounded
+    // means, argmin-L2 assignment on 6dp-rounded distances (row_number
+    // ORDER BY d2, bkt replays the max-of-negated-struct), codebook
+    // reconstruction, then the coarse/rerank tail over candidates only.
+    "s6_pq_ann" -> {
+      val bucketExpr = graft.functions.VectorFunctions
+        .hyperplaneBucketDuckSql("embedding", 64, graft.operators.Similarity.LshBits)
+      val probeList = ((0 until graft.operators.Similarity.LshBits)
+        .map(b => 1L << b) :+ 0L).mkString("[", ", ", "]")
+      s"""
       WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      eb AS (SELECT vec_id, $bucketExpr AS bucket FROM embeddings),
+      probes AS (SELECT unnest($probeList) AS p),
+      qp AS (
+        SELECT vec_id AS query_id, xor(bucket, p) AS bucket
+        FROM eb CROSS JOIN probes WHERE vec_id % 50 = 0),
+      cand AS (
+        SELECT qp.query_id, eb.vec_id AS neighbor_id
+        FROM qp JOIN eb ON qp.bucket = eb.bucket
+        WHERE eb.vec_id <> qp.query_id),
       sv AS (
         SELECT vec_id, sub, list_slice(embedding, sub * 8 + 1, sub * 8 + 8) AS sv
         FROM (SELECT vec_id, unnest(range(0, 8)) AS sub, embedding FROM e)),
@@ -1727,11 +1816,12 @@ object SparkEntry {
       rv AS (
         SELECT a.vec_id, flatten(list(c.cv ORDER BY a.sub)) AS rv
         FROM asg a JOIN cvb c ON a.sub = c.sub AND a.bkt = c.bkt GROUP BY 1),
-      qq AS (SELECT vec_id, rv FROM rv WHERE vec_id % 50 = 0),
       cu2 AS (
-        SELECT qq.vec_id AS query_id, r.vec_id AS neighbor_id,
-          unnest(range(1, 65)) AS i, qq.rv AS qrv, r.rv AS nrv
-        FROM qq JOIN rv r ON r.vec_id <> qq.vec_id),
+        SELECT cand.query_id, cand.neighbor_id,
+          unnest(range(1, 65)) AS i, a.rv AS qrv, b.rv AS nrv
+        FROM cand
+        JOIN rv a ON a.vec_id = cand.query_id
+        JOIN rv b ON b.vec_id = cand.neighbor_id),
       cs AS (
         SELECT query_id, neighbor_id,
           sum(qrv[i] * nrv[i]) AS dot,
@@ -1764,11 +1854,12 @@ object SparkEntry {
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
         FROM pc)
       SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
-      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+    },
   )
 
   /** The s3 coarse-quantizer replay — per-label centroids (6dp means) and
-    * nearest-centroid assignment; shared by the s3 and d14 oracles.
+    * nearest-centroid assignment; shared by the s3 and s5 oracles.
     */
   private val IvfAssignCtesSql: String = """
       WITH e AS (SELECT vec_id, label, embedding FROM embeddings),

@@ -79,4 +79,22 @@ object VectorFunctions {
       s"(CASE WHEN ($terms) >= 0.0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
   }
+
+  /** [[hyperplaneBucketDuckSql]] with the outer bit-sum flattened through
+    * a list literal — DuckDB's binder recurses once per `+` chain link,
+    * so 63 planes of 64-term projections overflow its 128-frame budget
+    * when chained; a list binds flat. The bit weights are disjoint
+    * integers (sum order-free) and each inner projection keeps the same
+    * left-to-right double accumulation as the chained form, so bucket
+    * values are bit-identical to [[hyperplaneBucketDuckSql]].
+    */
+  def hyperplaneBucketDuckSqlFlat(vecCol: String, dim: Int, nBits: Int): String = {
+    val planes = hyperplanes(dim, nBits)
+    planes.zipWithIndex.map { case (p, i) =>
+      val terms = p.zipWithIndex.map { case (x, j) =>
+        f"CAST($vecCol[${j + 1}] AS DOUBLE) * (${x}%.9f)"
+      }.mkString(" + ")
+      s"(CASE WHEN ($terms) >= 0.0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("CAST(list_sum([", ", ", "]) AS BIGINT)")
+  }
 }

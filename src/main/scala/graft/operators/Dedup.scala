@@ -1204,12 +1204,15 @@ object Dedup {
     * batch of vectors (odd vec_ids stand in) probes the corpus side (even
     * vec_ids) cross-side ONLY — corpus×corpus pairs are never formed, so
     * per-batch cost is O(batch + collisions) regardless of corpus size.
-    * Same banded hyperplane signatures and exact-cosine verify as d5; the
-    * default banding is the oracle-pinned fixed config (pass
-    * `bandBits = 0` for the corpus-derived form, d5's auto seam — the
-    * honest configuration at soak scale and beyond), and a persisted corpus index
-    * follows [[persistCorpusBandIndex]]'s bucketed layout verbatim when
-    * the embedding corpus is long-lived.
+    * Same banded hyperplane signatures and exact-cosine verify as d5. The
+    * REGISTERED form (`d13_auto_banded`) passes `bandBits = 0`: bits
+    * derive from the corpus count ([[deriveBandBits]], d5's auto seam) —
+    * the honest configuration at soak scale and beyond, replayed by the
+    * DuckDB twin as a scalar-subquery sizing over the same count. The
+    * pinned default survives for gate-scale baselines (r5's registration,
+    * equality with the auto form asserted in DedupSpec); a persisted
+    * corpus index follows [[persistCorpusBandIndex]]'s bucketed layout
+    * verbatim when the embedding corpus is long-lived.
     */
   def incrementalEmbeddingDedup(spark: SparkSession, dir: String,
                                 threshold: Double = 0.45,
@@ -1298,6 +1301,24 @@ object Dedup {
         col("m").getField("u").as("pruned_by"),
         col("m").getField("cs").as("cos_sim"))
       .orderBy(col("vec_id"))
+  }
+
+  /** d14's REGISTERED form: [[semanticDedup]] with `subBits` derived from
+    * corpus statistics ([[Similarity.deriveSubBits]], ncells ≈ √n/2) —
+    * the scale path is the graded surface, not a pinned parity parameter.
+    * The derivation is a deterministic function of (count, distinct
+    * labels), so the DuckDB twin replays the same sizing as a scalar
+    * subquery and hash-matches at any scale factor; at the gate scale
+    * (500 vectors, 10 labels) it yields subBits = 0, the exact
+    * configuration the r5 pinned registration ran (equality asserted in
+    * DedupSpec).
+    */
+  def semanticDedupAuto(spark: SparkSession, dir: String,
+                        threshold: Double = 0.45): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+    val statsRow = raw.agg(count(lit(1)), countDistinct(col("label"))).collect()(0)
+    semanticDedup(spark, dir, threshold,
+      Similarity.deriveSubBits(statsRow.getLong(0), statsRow.getLong(1)))
   }
 
   /** d15: cross-source n-gram overlap matrix — for every OVERLAPPING pair

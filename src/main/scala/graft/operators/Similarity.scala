@@ -146,21 +146,6 @@ object Similarity {
     val (assigned, centArr) = coarseQuantizer(raw, subBits)
     val e = raw.select(col("vec_id"), col("embedding"))
 
-    // per-centroid scores, sorted best-first: struct comparison is
-    // field-by-field, so ordering by (-cc, cent_id) ascending ranks by
-    // cosine DESC with ties to the smallest cent_id — the same rule the
-    // oracle's row_number(ORDER BY cc DESC, cent_id ASC) pins. The score
-    // is the fused native ArrayCosine applied to the lambda variable
-    // (identical accumulation order to the zip_with form, but one
-    // allocation-free loop — the assignment scores corpus×ncells pairs).
-    def rankedCells(vec: org.apache.spark.sql.Column) =
-      transform(
-        sort_array(transform(col("cents"), c =>
-          struct((-graft.expressions.VectorExpressions
-            .arrayCosine(vec, c.getField("cv"))).as("ncc"),
-            c.getField("cent_id").as("cent_id")))),
-        s => s.getField("cent_id"))
-
     // queries probe their nprobe nearest cells (same map-side ranking)
     val probes = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -180,6 +165,23 @@ object Similarity {
         round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** Per-centroid scores over the broadcast `cents` array, sorted
+    * best-first: struct comparison is field-by-field, so ordering by
+    * (-cc, cent_id) ascending ranks by cosine DESC with ties to the
+    * smallest cent_id — the same rule the oracle's
+    * row_number(ORDER BY cc DESC, cent_id ASC) pins. The score is the
+    * fused native ArrayCosine applied to the lambda variable (identical
+    * accumulation order to the zip_with form, but one allocation-free
+    * loop). Shared by the s3 probe stage and [[ivfCandidates]].
+    */
+  private def rankedCells(vec: Column): Column =
+    transform(
+      sort_array(transform(col("cents"), c =>
+        struct((-graft.expressions.VectorExpressions
+          .arrayCosine(vec, c.getField("cv"))).as("ncc"),
+          c.getField("cent_id").as("cent_id")))),
+      s => s.getField("cent_id"))
 
   /** The s3 coarse quantizer, shared with d14's semantic dedup: seeded
     * per-cell centroids (label × 2^subBits hyperplane sign-buckets,
@@ -232,25 +234,79 @@ object Similarity {
 
   val RerankShortlist = 20
 
-  /** s5: two-stage quantized ANN — a coarse top-`shortlist` scan over the
-    * int8-reconstructed corpus (the s4 grid), then an exact float rerank of
-    * the shortlist only. The flat-scan-plus-rerank pattern every quantized
-    * vector store runs: the coarse pass streams the 4×-compressed codes
-    * (simulated here by reconstructing through the s4 grid, so the DuckDB
-    * twin replays it bit-for-bit), and the full-precision vectors are
-    * touched for nQ·shortlist rows total.
+  /** The s2 LSH candidate set as a bare (query_id, neighbor_id) frame —
+    * the sub-linear candidate generator feeding s6/s7's coarse+rerank
+    * tails. Same bucket expression and hamming-1 probe set as the
+    * registered s2 ([[lshBucketCol]]/[[lshProbes]] are THE single
+    * spelling), so recall tracks s2's bucket recall exactly.
+    */
+  private[graft] def lshCandidates(raw: DataFrame): DataFrame = {
+    val eb = raw.select(col("vec_id"), lshBucketCol.as("bucket"))
+    val q = eb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"),
+        explode(array(lshProbes.map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))
+    eb.join(q, "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** The s3 IVF candidate set as a bare (query_id, neighbor_id) frame —
+    * every vector in the query's `IvfNProbe` nearest cells, from the same
+    * [[coarseQuantizer]]/[[rankedCells]] machinery as the registered s3
+    * (scan fraction ≈ nprobe/ncells; `autoCells` grows ncells ≈ √n/2 with
+    * the corpus). Feeds s5's coarse+rerank tail.
+    */
+  private[graft] def ivfCandidates(raw: DataFrame,
+                                   autoCells: Boolean = false): DataFrame = {
+    val subBits = if (!autoCells) 0 else {
+      val statsRow = raw.agg(count(lit(1)), countDistinct(col("label"))).collect()(0)
+      deriveSubBits(statsRow.getLong(0), statsRow.getLong(1))
+    }
+    val (assigned, centArr) = coarseQuantizer(raw, subBits)
+    val probes = raw.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"),
+        explode(slice(rankedCells(col("qe")), 1, IvfNProbe)).as("cent_id"))
+    assigned.join(broadcast(probes), "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** s5: two-stage quantized ANN — s3's IVF candidate generation feeding
+    * a coarse top-`shortlist` ranking over the int8-reconstructed codes
+    * (the s4 grid), then an exact float rerank of the shortlist only.
+    * This is the production composition the r5 full-scan form's scaladoc
+    * promised ("s2/s3 are the sub-linear candidate generators; s5 is the
+    * rerank stage they feed"): every stage is candidate-bounded — the
+    * coarse cosine touches nQ·(n/ncells)·nprobe candidate rows, never the
+    * corpus², and full-precision vectors are read for nQ·shortlist rows.
+    * The corpus-wide coarse scan survives as
+    * [[annTwoStageFullScanTopK]], the recall baseline the spec compares
+    * against.
     *
-    * Shape discipline: the coarse scan emits (query_id, neighbor_id,
-    * score) ONLY — the window that cuts the shortlist shuffles 20-byte
-    * rows, never embeddings; the rerank then joins the float vectors back
-    * by id. Coarse scores are 6dp-rounded before ranking (the s3 centroid
-    * trick): cross-engine float-sum noise is ~1e-15, so the rounded value
-    * is stable and ties break deterministically on neighbor_id. The scan
-    * itself is corpus×queries like s1 — s2/s3 are the sub-linear candidate
-    * generators; s5 is the *rerank* stage they feed at production scale.
+    * Shape discipline: the coarse stage emits (query_id, neighbor_id,
+    * score) ONLY — the shortlist window shuffles 20-byte rows, never
+    * embeddings — and coarse scores are 6dp-rounded before ranking (the
+    * s3 centroid trick) so cross-engine float-sum noise cannot flip the
+    * cut.
     */
   def annTwoStageTopK(spark: SparkSession, dir: String, k: Int = TopK,
                       shortlist: Int = RerankShortlist): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    candidateCoarseRerank(ivfCandidates(raw), int8ReconCodes(raw), raw, k, shortlist)
+  }
+
+  /** The r5 registered form of s5: a corpus×queries coarse scan with no
+    * candidate generation — kept ONLY as the recall baseline
+    * [[annTwoStageTopK]] is measured against in the spec (it sees every
+    * neighbor, so any pair the candidate-driven form misses is an LSH/IVF
+    * recall miss, not a rerank bug). Declared quadratic; never registered.
+    */
+  private[graft] def annTwoStageFullScanTopK(spark: SparkSession, dir: String,
+                                             k: Int = TopK,
+                                             shortlist: Int = RerankShortlist): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val raw = Tables.embeddings(spark, dir)
     coarseRerank(int8ReconCodes(raw), raw, k, shortlist)
@@ -298,15 +354,21 @@ object Similarity {
                        shortlist: Int = RerankShortlist): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val raw = Tables.embeddings(spark, dir)
-    val eb = raw.select(col("vec_id"), lshBucketCol.as("bucket"))
-    val probes = lshProbes
-    val q = eb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"),
-        explode(array(probes.map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))
-    val cand = eb.join(q, "bucket")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    val codes = int8ReconCodes(raw)
+    candidateCoarseRerank(lshCandidates(raw), int8ReconCodes(raw), raw, k, shortlist)
+  }
+
+  /** The candidate-driven two-stage tail shared by s5/s6/s7: join the
+    * compressed reconstructions `codes` (vec_id, rv) onto a bare
+    * (query_id, neighbor_id) candidate frame, coarse-rank to a
+    * top-`shortlist` cut, then exact-float-rerank the shortlist against
+    * `raw`. The coarse window shuffles (query_id, neighbor_id, score)
+    * rows only — embeddings never ride the exchange — and coarse scores
+    * are 6dp-rounded before ranking so cross-engine float-sum noise
+    * (~1e-15) cannot flip the cut.
+    */
+  private[graft] def candidateCoarseRerank(cand: DataFrame, codes: DataFrame,
+                                           raw: DataFrame,
+                                           k: Int, shortlist: Int): DataFrame = {
     val wCoarse = Window.partitionBy(col("query_id"))
       .orderBy(col("coarse").desc, col("neighbor_id").asc)
     val shortlisted = cand
@@ -323,12 +385,14 @@ object Similarity {
     exactRerank(shortlisted, raw, k)
   }
 
-  /** The shared two-stage tail (s5/s6): a coarse top-`shortlist` cosine
-    * scan over compressed reconstructions `codes` (vec_id, rv), then an
-    * exact float rerank of the shortlist against `raw`. The coarse window
-    * shuffles (query_id, neighbor_id, score) rows only — embeddings never
-    * ride the exchange — and coarse scores are 6dp-rounded before ranking
-    * so cross-engine float-sum noise (~1e-15) cannot flip the cut.
+  /** The FULL-SCAN two-stage tail (the s5/s6 recall baselines): a coarse
+    * top-`shortlist` cosine scan of corpus×queries over compressed
+    * reconstructions `codes` (vec_id, rv), then an exact float rerank of
+    * the shortlist against `raw`. Declared quadratic — the registered
+    * forms route through [[candidateCoarseRerank]] instead. The coarse
+    * window shuffles (query_id, neighbor_id, score) rows only, and coarse
+    * scores are 6dp-rounded before ranking so cross-engine float-sum
+    * noise (~1e-15) cannot flip the cut.
     */
   private[graft] def coarseRerank(codes: DataFrame, raw: DataFrame,
                                   k: Int, shortlist: Int): DataFrame = {
@@ -385,15 +449,42 @@ object Similarity {
     * ONE map-side expression over a 1-row broadcast codebook: the corpus
     * is never shuffled, exploded, or re-grouped to learn its codes. The
     * per-row cost is m·16 8-d L2 distances (fused, codegen'd), constant
-    * at any corpus size. Like s5, the registered coarse scan is the
-    * declared corpus×queries baseline; s2/s3 are the candidate generators
-    * that bound it sub-linearly in production.
+    * at any corpus size. The registered form scores s2's LSH candidates
+    * only (the s7 composition with PQ codes in place of the int8 grid);
+    * the corpus×queries coarse scan survives as [[annPqFullScanTopK]],
+    * the recall baseline the spec compares against.
     */
   def annPqTopK(spark: SparkSession, dir: String, k: Int = TopK,
                 m: Int = 8, signBits: Int = 4,
                 shortlist: Int = RerankShortlist): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val raw = Tables.embeddings(spark, dir)
+    candidateCoarseRerank(lshCandidates(raw), pqReconCodes(raw, m, signBits),
+      raw, k, shortlist)
+  }
+
+  /** The r5 registered form of s6: the PQ-reconstructed corpus scanned
+    * corpus×queries with no candidate generation — kept ONLY as the
+    * recall baseline [[annPqTopK]] is measured against in the spec.
+    * Declared quadratic; never registered.
+    */
+  private[graft] def annPqFullScanTopK(spark: SparkSession, dir: String,
+                                       k: Int = TopK, m: Int = 8,
+                                       signBits: Int = 4,
+                                       shortlist: Int = RerankShortlist): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    coarseRerank(pqReconCodes(raw, m, signBits), raw, k, shortlist)
+  }
+
+  /** The s6 PQ codec as a (vec_id, rv) frame: per-subspace sign-bit-seeded
+    * 16-entry codebooks (6dp-rounded means), argmin-L2 assignment, and
+    * codebook reconstruction — one map-side expression over the 1-row
+    * broadcast codebook. Shared by the registered candidate-driven s6 and
+    * the full-scan recall baseline.
+    */
+  private[graft] def pqReconCodes(raw: DataFrame, m: Int,
+                                  signBits: Int): DataFrame = {
     val ds = Dim / m
     // subspace slices + seeding bucket (sign bits of the leading dims)
     val sv = raw.select(col("vec_id"),
@@ -430,10 +521,9 @@ object Similarity {
           c.getField("cv").as("cv"))))
       best.getField("cv")
     }))
-    val codes = raw.select(col("vec_id"), col("embedding"))
+    raw.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cbArr))
       .select(col("vec_id"), recon.as("rv"))
-    coarseRerank(codes, raw, k, shortlist)
   }
 
   /** s4: int8 scalar quantization of the embedding column — per-dimension

@@ -101,19 +101,19 @@ class PlanSpec extends AnyFunSuite {
     // single-partition window onto the q36 scalar-total broadcast shape)
     //  - d14 (r5): the s3 coarseQuantizer's 1-row centArr broadcast — same
     //    shape s3 is exempted for; the pair join itself is an equi join
-    //  - s5 (r5): the coarse stage is a declared corpus×queries scan (its
-    //    scaladoc: s2/s3 are the sub-linear candidate generators, s5 is
-    //    the rerank they feed), plus the s4 1-row grid broadcast
     //  - t20 (r5): the 1-row vocabulary-size scalar broadcast (t8's shape)
-    //  - s6 (r5): the 1-row PQ codebook broadcast + s5's declared coarse scan
     //  - t22 (r5): t11's 1-row percentile-boundary broadcast
     //  - s7 (r5): ONLY the 1-row int8-grid broadcast — its candidate stage
     //    is the sub-linear LSH join (that being the point of s7)
+    //  - s5/s6 (r6): now candidate-driven (the r5 corpus×queries coarse
+    //    scans moved to the FullScan recall baselines) — their remaining
+    //    BNLJ nodes are all 1-row broadcasts: the s3 quantizer pair (s5)
+    //    and the int8-grid/PQ-codebook (both)
     val quadraticByDesign = Set(
       "s1_ann_topk", "s3_ann_ivf_topk", "s4_quantize_int8",
       "t8_tfidf", "t11_length_buckets", "t14_mixture_sample",
       "q36_histogram", "q44_supplier_revenue", "q23_correlated_subq",
-      "q49_expectations", "d14_semantic_dedup", "s5_two_stage_ann",
+      "q49_expectations", "d14_auto_cells", "s5_two_stage_ann",
       "t20_lm_perplexity", "s6_pq_ann", "t22_vocab_growth",
       "s7_lsh_rerank")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
@@ -144,8 +144,8 @@ class PlanSpec extends AnyFunSuite {
       "t8_tfidf" -> 1, "t11_length_buckets" -> 1, "t14_mixture_sample" -> 1,
       "q36_histogram" -> 1, "q44_supplier_revenue" -> 1,
       "q23_correlated_subq" -> 0, "q49_expectations" -> 1,
-      "d14_semantic_dedup" -> 2, "s5_two_stage_ann" -> 3,
-      "t20_lm_perplexity" -> 1, "s6_pq_ann" -> 3, "t22_vocab_growth" -> 1,
+      "d14_auto_cells" -> 2, "s5_two_stage_ann" -> 4,
+      "t20_lm_perplexity" -> 1, "s6_pq_ann" -> 2, "t22_vocab_growth" -> 1,
       "s7_lsh_rerank" -> 2)
     val actual = expectedBnlj.keys.map { n =>
       val p = planString(livePlanOf(n))
@@ -189,8 +189,8 @@ class PlanSpec extends AnyFunSuite {
       case "d11_incremental_dedup" => Dedup.incrementalDedup(spark, sf, release = false)
       case "d12_incremental_dedup_indexed" =>
         Dedup.incrementalDedupIndexed(spark, sf, release = false)
-      case "d13_incremental_embedding" =>
-        Dedup.incrementalEmbeddingDedup(spark, sf, release = false)
+      case "d13_auto_banded" =>
+        Dedup.incrementalEmbeddingDedup(spark, sf, bandBits = 0, release = false)
       case "d15_source_overlap"  => Dedup.sourceOverlapMatrix(spark, sf, release = false)
       case "d16_split_leakage"   => Dedup.trainTestSplitLeakage(spark, sf, release = false)
       case "t20_lm_perplexity"   => TextAnalysis.ngramLmPerplexity(spark, sf, release = false)

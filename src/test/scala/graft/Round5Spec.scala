@@ -101,9 +101,9 @@ class Round5Spec extends AnyFunSuite {
       "planted duplicate documents should surface cross-doc passages")
   }
 
-  test("s5 two-stage rerank: exact scores, high recall vs the s1 baseline") {
+  test("s5 full-scan baseline: exact scores, high recall vs the s1 baseline") {
     import graft.operators.Similarity
-    val s5 = Similarity.annTwoStageTopK(spark, sf).collect()
+    val s5 = Similarity.annTwoStageFullScanTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     val s1 = Similarity.annBruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
@@ -163,7 +163,7 @@ class Round5Spec extends AnyFunSuite {
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val s6 = Similarity.annPqTopK(spark, sf).collect()
+    val s6 = Similarity.annPqFullScanTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     val s1 = Similarity.annBruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

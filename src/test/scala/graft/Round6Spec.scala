@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 registrations: the auto-scaling d13/d14 forms became the graded
+  * surface and s5/s6 became candidate-driven. These tests pin (a) the
+  * gate-scale equivalence of auto and r5-pinned forms (the derivations
+  * collapse to the pinned parameters at 500 vectors / 10 labels, so the
+  * registered results must be identical there), (b) the sizing derivations
+  * at the scales the soaks run (the values the DuckDB scalar-subquery
+  * twins must reproduce), and (c) the candidate-driven s5/s6 contracts:
+  * results live inside their generator's candidate set, rerank scores are
+  * exact, and recall tracks the generator.
+  */
+class Round6Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("d13 auto banding equals the r5 pinned registration at gate scale") {
+    import graft.operators.Dedup
+    val auto = Dedup.incrementalEmbeddingDedup(spark, sf, bandBits = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pinned = Dedup.incrementalEmbeddingDedup(spark, sf,
+        bandBits = Dedup.EmbBandBits).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto == pinned,
+      s"auto=${auto.size} pinned=${pinned.size} " +
+        s"onlyAuto=${(auto -- pinned).take(3)} onlyPinned=${(pinned -- auto).take(3)}")
+    assert(auto.nonEmpty, "planted near-dups should cross the parity split")
+  }
+
+  test("d14 auto cells equal the r5 pinned registration at gate scale") {
+    import graft.operators.Dedup
+    val auto = Dedup.semanticDedupAuto(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val pinned = Dedup.semanticDedup(spark, sf, subBits = 0).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(auto == pinned,
+      s"auto=${auto.size} pinned=${pinned.size} " +
+        s"onlyAuto=${(auto -- pinned).take(3)} onlyPinned=${(pinned -- auto).take(3)}")
+    assert(auto.nonEmpty, "planted near-dup embeddings should be pruned")
+  }
+
+  test("sizing derivations: the values the DuckDB scalar subqueries must replay") {
+    import graft.operators.{Dedup, Similarity}
+    // deriveBandBits(n) = max(3, round(log2(n / 60))); the oracle spells
+    // round(ln(max(n,1)/60)/ln(2)) with greatest(3, ·) — same values
+    assert(Dedup.deriveBandBits(500) == 3)   // gate scale -> r5 pinned config
+    assert(Dedup.deriveBandBits(2000) == 5)  // sf0.1 (bench scale)
+    assert(Dedup.deriveBandBits(20000) == 8) // 10x soak
+    assert(Dedup.deriveBandBits(60000) == 10) // 30x soak (bands cap at 63/10=6)
+    assert(Seq(3, 5, 8, 10).forall(b => math.min(8, 63 / b) >= 6),
+      "effective band count stays >= 6 across the soak scales")
+    // deriveSubBits(n, labels) = max(0, round(log2(sqrt(n)/2/labels)))
+    assert(Similarity.deriveSubBits(500, 10) == 0)  // gate scale -> pinned cells
+    assert(Similarity.deriveSubBits(2000, 10) == 1)
+    assert(Similarity.deriveSubBits(20000, 10) == 3)
+    assert(Similarity.deriveSubBits(200000, 10) == 4)
+    assert(Similarity.deriveSubBits(0, 0) == 0, "empty corpus degenerates")
+  }
+
+  test("s5 candidate-driven: results live in the IVF candidate set, rerank exact") {
+    import graft.operators.Similarity
+    val raw = graft.sources.Tables.embeddings(spark, sf)
+    val cand = Similarity.ivfCandidates(raw).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s5 = Similarity.annTwoStageTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val s1 = Similarity.annBruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(s5.nonEmpty)
+    // every returned neighbor came from the generator — the coarse stage
+    // never saw a non-candidate row
+    val escaped = s5.filterNot(g => cand((g._1, g._2)))
+    assert(escaped.isEmpty, s"non-candidate results: ${escaped.take(3)}")
+    // ranks contiguous, scores non-increasing, rerank scores exact
+    s5.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"query $q ranks")
+      val byRank = rows.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"query $q order")
+    }
+    val exact = s1.map(r => (r._1, r._2) -> r._4).toMap
+    s5.foreach { case (q, n, _, c) =>
+      exact.get((q, n)).foreach(e => assert(math.abs(e - c) < 1e-9, s"($q,$n) cos"))
+    }
+    // the composition cannot beat its candidate generator: recall vs s1
+    // is bounded by IVF cell recall (3 of 10 label cells probed at this
+    // scale — measured 0.46, the same profile the registered s3 carries).
+    // The real contract is that s5 keeps what s3's exact in-cell ranking
+    // keeps: same candidates, and the int8 coarse stage over a 20-wide
+    // shortlist loses almost nothing before the exact rerank.
+    val s3 = Similarity.annIvfTopK(spark, sf, autoCells = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = s3.count { case (q, n) => s5.exists(g => g._1 == q && g._2 == n) }
+    assert(hits.toDouble / s3.size >= 0.9, s"s5 recalls ${hits}/${s3.size} of s3's top-5")
+  }
+
+  test("s6 candidate-driven: results live in the LSH candidate set, rerank exact") {
+    import graft.operators.Similarity
+    val raw = graft.sources.Tables.embeddings(spark, sf)
+    val cand = Similarity.lshCandidates(raw).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s6 = Similarity.annPqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val s1 = Similarity.annBruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(s6.nonEmpty)
+    val escaped = s6.filterNot(g => cand((g._1, g._2)))
+    assert(escaped.isEmpty, s"non-candidate results: ${escaped.take(3)}")
+    s6.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"query $q ranks")
+    }
+    val exact = s1.map(r => (r._1, r._2) -> r._4).toMap
+    s6.foreach { case (q, n, _, c) =>
+      exact.get((q, n)).foreach(e => assert(math.abs(e - c) < 1e-9, s"($q,$n) cos"))
+    }
+    // same candidate generator as s7; the PQ coarse stage is lossier than
+    // the int8 grid but the exact rerank recovers the final ordering, so
+    // s6 keeps most of what s2's exact in-bucket ranking keeps
+    val s2 = Similarity.annLshTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = s2.count { case (q, n) => s6.exists(g => g._1 == q && g._2 == n) }
+    assert(hits.toDouble / s2.size >= 0.7, s"s6 recalls ${hits}/${s2.size} of s2's top-5")
+  }
+
+  test("full-scan baselines remain quadratic-by-design and UNREGISTERED") {
+    // the r5 forms retired from the registry; a re-registration would
+    // reintroduce the corpus x queries coarse scan to the graded surface
+    val names = SparkEntry.queries.keySet
+    assert(!names.contains("d13_incremental_embedding") &&
+      !names.contains("d14_semantic_dedup"),
+      "r5 pinned forms must stay retired from the registry")
+    assert(names.contains("d13_auto_banded") && names.contains("d14_auto_cells"),
+      "auto-scaling forms must stay registered")
+  }
+}
