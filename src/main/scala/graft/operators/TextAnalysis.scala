@@ -618,16 +618,17 @@ object TextAnalysis {
     * ln(rank) over the whole vocabulary (slope, intercept, r²), vocabulary
     * size, and token total — one row.
     *
-    * Shape: one token-count aggregation (map-side combined), ONE window
-    * rank over the model-sized vocabulary (vocab rows, not corpus rows —
-    * the q18 note does not apply at vocab cardinality; ties break on the
-    * token string so the rank is deterministic), then a scalar OLS
-    * aggregate (`regr_*` semantics spelled with plain sums, q48's family).
-    * Corpus cost is the one explode+count; everything after is vocab-sized.
+    * Shape: one token-count aggregation (map-side combined), the
+    * [[zipfRanked]] distributed rank over the model-sized vocabulary
+    * (vocab rows, not corpus rows; hapax-safe — oversized frequency
+    * groups sub-partition by token prefix, so no window partition exceeds
+    * [[ZipfMaxRankGroup]]; ties break on the token string so the rank is
+    * deterministic), then a scalar OLS aggregate (`regr_*` semantics
+    * spelled with plain sums, q48's family). Corpus cost is the one
+    * explode+count; everything after is vocab-sized.
     */
   def zipfFit(spark: SparkSession, dir: String,
               release: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // cached: the corpus-priced tokenize+count runs ONCE, shared by the
     // per-frequency collect below and the final OLS aggregate (without
     // the cache the most expensive stage executes twice)
@@ -636,24 +637,7 @@ object TextAnalysis {
       .groupBy(col("token"))
       .agg(count(lit(1)).cast("long").as("freq"))
       .cache()
-    // global (freq desc, token) rank WITHOUT a single-partition window —
-    // the t11 pattern: per-frequency-group offsets ride a broadcast
-    // (|distinct freq values| rows, O(√tokens)-ish — driver-safe), the
-    // within-group rank is a window PARTITIONED by freq (parallel across
-    // groups). Caveat at extreme scale: the freq=1 hapax group holds a
-    // large vocab share — if its single window partition ever dominates,
-    // sub-partition it by a token prefix and offset per (freq, prefix),
-    // the same recipe one level down.
-    val perFreq = tf.groupBy(col("freq"))
-      .agg(count(lit(1)).cast("long").as("nf"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy { case (f, _) => -f }
-    val offsets = perFreq.scanLeft((0L, 0L)) { case ((_, acc), (f, nf)) => (f, acc + nf) }
-      .init.zip(perFreq).map { case ((_, before), (f, _)) => (f, before) }
-    val offDf = spark.createDataFrame(offsets.toSeq).toDF("freq", "offset")
-    val w = Window.partitionBy(col("freq")).orderBy(col("token").asc)
-    val ranked = tf.join(broadcast(offDf), "freq")
-      .withColumn("rnk", (col("offset") + row_number().over(w)).cast("long"))
+    val ranked = zipfRanked(spark, tf)
       .select(log(col("rnk").cast("double")).as("x"),
         log(col("freq").cast("double")).as("y"),
         col("freq"))
@@ -671,6 +655,66 @@ object TextAnalysis {
           .as("r2"))
     if (release) { val out = result.localCheckpoint(); tf.unpersist(); out }
     else result
+  }
+
+  /** Rank-group bound for [[zipfRanked]]: a window partition never holds
+    * more than this many vocabulary rows before sub-partitioning engages.
+    * 1M (token, freq) rows ≈ 40 MB sorted in one task — comfortable
+    * executor-memory headroom at any corpus size.
+    */
+  val ZipfMaxRankGroup = 1000000L
+
+  /** Global (freq desc, token asc) vocabulary rank WITHOUT a
+    * single-partition window — the t11 pattern: per-group offsets ride a
+    * broadcast, the within-group rank is a window PARTITIONED across
+    * groups. The r5 form partitioned by `freq` alone, which leaves the
+    * known hapax cliff: at 100 TB the freq=1 group holds most of the
+    * vocabulary, so that one window partition sorts ~the whole vocab in
+    * one task. This implements the documented recipe one level down: any
+    * frequency group wider than `maxGroup` is sub-partitioned by a
+    * `prefixLen`-char token prefix (UTF8 prefix order is consistent with
+    * full-string order, so offset-per-(freq, prefix) + within-prefix
+    * row_number reproduces the global rank EXACTLY — oracles unchanged).
+    * A 2-char prefix fans a hapax group into up to ~|charset|² sub-groups
+    * (~4k for ASCII tokens); a corpus whose single (freq, prefix) group
+    * still exceeds the bound applies the same recipe at prefixLen+1 —
+    * not auto-recursed here because the driver-side count collect is the
+    * real bound, and it stays O(|freqs| + |split freqs|·|charset|²).
+    *
+    * Driver-side state: (freq[, prefix], count) rows — O(√tokens) freq
+    * groups plus a charset²-bounded fan-out for the few split groups;
+    * collected once, broadcast back.
+    */
+  private[graft] def zipfRanked(spark: SparkSession, tf: DataFrame,
+                                maxGroup: Long = ZipfMaxRankGroup,
+                                prefixLen: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perFreq = tf.groupBy(col("freq"))
+      .agg(count(lit(1)).cast("long").as("nf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val splitFreqs = perFreq.filter(_._2 > maxGroup).map(_._1).toSet
+    // one extra MODEL-sized aggregation, over the oversized groups only
+    val subCounts: Array[(Long, String, Long)] =
+      if (splitFreqs.isEmpty) Array.empty
+      else tf.filter(col("freq").isInCollection(splitFreqs))
+        .groupBy(col("freq"), substring(col("token"), 1, prefixLen).as("sub"))
+        .agg(count(lit(1)).cast("long").as("nf"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val groups = (perFreq.filterNot(g => splitFreqs(g._1))
+        .map { case (f, nf) => (f, "", nf) } ++ subCounts)
+      .sortBy { case (f, sub, _) => (-f, sub) }
+    val offsets = groups.scanLeft(0L) { case (acc, (_, _, nf)) => acc + nf }
+      .init.zip(groups).map { case (before, (f, sub, _)) => (f, sub, before) }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("freq", "sub", "offset")
+    val w = Window.partitionBy(col("freq"), col("sub")).orderBy(col("token").asc)
+    val subCol =
+      if (splitFreqs.isEmpty) lit("")
+      else when(col("freq").isInCollection(splitFreqs),
+        substring(col("token"), 1, prefixLen)).otherwise(lit(""))
+    tf.withColumn("sub", subCol)
+      .join(broadcast(offDf), Seq("freq", "sub"))
+      .withColumn("rnk", (col("offset") + row_number().over(w)).cast("long"))
+      .select(col("token"), col("freq"), col("rnk"))
   }
 
   /** t22: vocabulary-growth curve (Heaps' law) — distinct-vocabulary size
