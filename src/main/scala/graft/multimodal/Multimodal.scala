@@ -279,6 +279,50 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** [[perceptualHashes]] over REAL decoded pixels: each payload is
+    * decoded with the JDK's `javax.imageio` (the [[ImageIOCodec]] seam's
+    * library, here reading the full pixel planes, not just headers),
+    * converted to an 8-bit luminance plane row-major (integer BT.601
+    * weights — exact for gray pixels, deterministic for color), and the
+    * luminance bytes flow through the SAME codegen'd `block_mean_hash`
+    * expression the registered m5 ships. Lossless re-encodes of the same
+    * pixels (PNG↔BMP) collide exactly; small pixel edits land a few
+    * hamming bits away — the property [[mediaNearDupPairs]] retrieves on.
+    * Partition-wise decode (per-partition ImageIO init), map-side hash:
+    * the m5 cost model is unchanged at any corpus size.
+    */
+  def pixelPerceptualHashes(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    graft.expressions.BlockMeanHash.register(spark)
+    media.mapPartitions { records =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory payloads only
+      records.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, "no ImageIO reader recognizes this payload")
+        val w = img.getWidth; val h = img.getHeight
+        val lum = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            lum(y * w + x) = (((rgb >> 16 & 0xFF) * 299 +
+              (rgb >> 8 & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (r.doc_id, lum)
+      }
+    }.toDF("doc_id", "pixels")
+      .select(col("doc_id"),
+        length(col("pixels")).cast("long").as("byte_len"),
+        expr("block_mean_hash(pixels)").as("phash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-duplicate media pairs over [[perceptualHashes]]' fingerprints —
     * d9's banded retrieval verbatim (4 bands × 13 bits; pigeonhole makes
     * recall EXACT for hamming ≤ 3), with the true hamming verify on

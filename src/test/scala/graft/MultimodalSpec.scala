@@ -209,6 +209,58 @@ class MultimodalSpec extends AnyFunSuite {
       "a one-byte edit must stay within the hamming-3 near-dup radius")
   }
 
+  test("m5 over real decoded pixels: ImageIO-decoded fixtures through BlockMeanHash, banded pairs") {
+    import spark.implicits._
+    // High-contrast two-band pattern: block means sit FAR from the global
+    // mean, so only deliberately edited blocks can flip hash bits. Gray
+    // values ride TYPE_INT_RGB (r=g=b, so the BT.601 luminance recovers
+    // the exact value and PNG/BMP lossless round-trips are bit-identical).
+    val W = 64; val H = 64
+    def grayImage(valueAt: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until H; x <- 0 until W) {
+        val v = valueAt(x, y) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer")
+      baos.toByteArray
+    }
+    val base = grayImage((_, y) => if (y < H / 2) 40 else 200)
+    // near-dup: the top two rows brightened — flips the first ~2 of the
+    // 52 byte-blocks, leaves every other block far from the mean
+    val edited = grayImage((_, y) => if (y < 2) 200 else if (y < H / 2) 40 else 200)
+    // inverted bands: every block lands on the other side of the mean
+    val inverted = grayImage((_, y) => if (y < H / 2) 200 else 40)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, enc(base, "png")),
+      Multimodal.MediaRecord(2L, enc(base, "bmp")), // lossless re-encode
+      Multimodal.MediaRecord(3L, enc(edited, "png")),
+      Multimodal.MediaRecord(4L, enc(inverted, "png"))
+    ).toDS().repartition(2)
+    val hashes = Multimodal.pixelPerceptualHashes(media)
+    val rows = hashes.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    assert(rows.values.forall(_._1 == (W * H).toLong), "luminance plane is W*H bytes")
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val Seq(h1, h2, h3, h4) = Seq(1L, 2L, 3L, 4L).map(rows(_)._2)
+    assert(h1 == h2, "PNG and BMP of the same pixels must hash identically")
+    val editDist = hamming(h1, h3)
+    assert(editDist >= 1 && editDist <= 3,
+      s"two-row edit should move 1-3 blocks, got $editDist")
+    assert(hamming(h1, h4) > 3, "inverted bands must not be a near-dup")
+    // the banded retrieval finds exactly the true pairs at hamming <= 3
+    val pairs = Multimodal.mediaNearDupPairs(hashes.select($"doc_id", $"phash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"banded pairs drifted: ${pairs.keySet}")
+    assert(pairs((1L, 2L)) == 0L && pairs((1L, 3L)) == editDist.toLong)
+  }
+
   test("partition-wise decode is deterministic and composes with aggregation") {
     val d1 = Multimodal.decodeAll(spark, sf).collect().map(d => d.doc_id -> d).toMap
     val d2 = Multimodal.decodeAll(spark, sf).collect().map(d => d.doc_id -> d).toMap
