@@ -276,6 +276,101 @@ class StreamingSpec extends AnyFunSuite {
     assert(Dedup.purgeIngestSink(spark, sink).isEmpty)
   }
 
+  test("streaming sink longevity: 200+ micro-batches, compaction cadence, mid-run retraction, kill/recover") {
+    // The composed long-run a continuously-fed corpus actually exercises:
+    // five landing waves of 40 single-file micro-batches each, a
+    // compaction after every wave with a major merge holding the segment
+    // count bounded, one crash/replay between waves, one GDPR retraction
+    // mid-run, and a final merge+purge. Invariants at every wave: bounded
+    // segments, retraction durability; at the end: >= 200 committed
+    // micro-batches, exactly-once content, physical absence of retracted
+    // rows from the spanning segment's raw files.
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val work = java.nio.file.Files.createTempDirectory("graft_longevity").toString
+    val (src, sink, ckpt) = (s"$work/src", s"$work/sink", s"$work/ckpt")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val odd = docs.filter(col("doc_id") % 2 =!= 0)
+    // range partitioning with AQE off for the landing write: hash
+    // repartition leaves empty partitions (no file), and AQE coalesces
+    // the tiny shuffle partitions into a handful of files — either way
+    // the micro-batch count collapses below the 200 target
+    val waves = 5; val filesPerWave = 45
+    def land(w: Int): Unit = {
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try odd.filter(col("doc_id") % 10 === 2 * w + 1)
+        .repartitionByRange(filesPerWave, col("doc_id"))
+        .write.mode("append").parquet(src)
+      finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+    def runStream(): Unit = {
+      val q = Dedup.streamingIncrementalDedup(spark, sf, sink, ckpt,
+        sourcePath = Some(src), maxFilesPerTrigger = Some(1))
+      try q.processAllAvailable() finally q.stop()
+    }
+    def readAll() = Dedup.readIngestSink(spark, sink)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    def segs() = Option(new java.io.File(sink, "_compacted").listFiles())
+      .getOrElse(Array.empty[java.io.File]).filter(_.getName.startsWith("batches_"))
+
+    var victims = Seq.empty[Long]
+    (0 until waves).foreach { w =>
+      land(w); runStream()
+      if (w == 1) {
+        // crash AFTER sink write, BEFORE offset commit: drop the newest
+        // commit marker (+ its checksum shadow) and restart — the batch
+        // replays into its own ingest_batch dir byte-identically
+        val pre = readAll()
+        val commits = new java.io.File(s"$ckpt/commits").listFiles()
+          .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+        val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+        if (crc.exists()) crc.delete()
+        assert(commits.last.delete())
+        runStream()
+        assert(readAll().sameElements(pre), "replay changed the sink")
+      }
+      if (w == 2) {
+        victims = readAll().take(3).toSeq
+        Dedup.retractFromIngestSink(spark, sink, victims)
+      }
+      assert(Dedup.compactIngestSink(spark, sink, ckpt).isDefined,
+        s"wave $w produced no compactable batches")
+      if (segs().length > 2)
+        assert(Dedup.mergeIngestSegments(spark, sink).nonEmpty, s"wave $w merge")
+      assert(segs().length <= 2,
+        s"segment count unbounded at wave $w: ${segs().map(_.getName).toSeq}")
+      val visible = readAll().toSet
+      assert(victims.forall(!visible.contains(_)), s"retraction regressed at wave $w")
+    }
+    // the commit LOG retains only the trailing minBatchesToRetain (~100)
+    // entries, so count batches by the highest committed id, not by
+    // retained files (compaction always runs within the retention window
+    // here — each wave compacts its own just-committed batches)
+    val nCommits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+      .map(_.getName.toLong).max + 1
+    assert(nCommits >= 200, s"only $nCommits committed micro-batches")
+
+    Dedup.mergeIngestSegments(spark, sink)
+    assert(segs().length == 1, s"major merge left ${segs().map(_.getName).toSeq}")
+    Dedup.purgeIngestSink(spark, sink)
+    val rawSpanning = spark.read.parquet(segs().head.getPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(victims.forall(!rawSpanning.contains(_)),
+      "retracted rows survive on disk after the final purge")
+
+    val arrivals = odd.select("doc_id").collect().map(_.getLong(0)).toSet
+    val dups = Dedup.incrementalDedup(spark, sf)
+      .select("batch_id").collect().map(_.getLong(0)).toSet
+    val fin = readAll()
+    assert(fin.distinct.length == fin.length,
+      "duplicate doc_ids after 200+ micro-batches with replay")
+    assert(fin.toSet == (arrivals -- dups -- victims),
+      s"final content drifted: ${fin.length} rows vs expected " +
+        s"${(arrivals -- dups -- victims).size}")
+  }
+
   test("purge deletes merge-crash contained segments so retracted rows cannot survive on disk") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
