@@ -132,6 +132,23 @@ object SoakGen {
         graft.operators.Dedup.semanticDedup(spark, out,
           subBits = graft.operators.Similarity.deriveSubBits(n, nl)).count()
       }
+      time("d12_indexed_probe") {
+        graft.operators.Dedup.incrementalDedupIndexed(spark, out).count()
+      }
+      // pair-growth diagnostics for the soak ledger: the replica design
+      // makes true near-dup GROUPS widen with the factor, so verified d12
+      // pairs (printed as rows above) and d14's within-cell pair
+      // evaluations (below) grow ~factor² while the corpus grows ~factor —
+      // soak wall-clock for those two is judged per-pair, not per-row
+      val eStats = graft.sources.Tables.embeddings(spark, out)
+        .agg(count(lit(1)), countDistinct(col("label"))).collect()(0)
+      val sb = graft.operators.Similarity.deriveSubBits(
+        eStats.getLong(0), eStats.getLong(1))
+      val (assigned, _) = graft.operators.Similarity.coarseQuantizer(
+        graft.sources.Tables.embeddings(spark, out), sb)
+      val cellPairs = assigned.groupBy("cent_id").count()
+        .agg(sum(col("count") * (col("count") - 1) / 2)).collect()(0).get(0)
+      println(s"[soakgen] d14 within-cell pair evaluations: $cellPairs")
     }
     spark.stop()
   }

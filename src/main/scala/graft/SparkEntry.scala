@@ -1379,20 +1379,17 @@ object SparkEntry {
 
     // s2: identical hyperplane literals → identical buckets → identical
     // candidate sets; scoring mirrors the proven s1 oracle.
-    "s2_ann_lsh_topk" -> {
-      val bucketExpr = graft.functions.VectorFunctions
-        .hyperplaneBucketDuckSql("embedding", 64, graft.operators.Similarity.LshBits)
-      val probeList = ((0 until graft.operators.Similarity.LshBits)
-        .map(b => 1L << b) :+ 0L).mkString("[", ", ", "]")
-      s"""WITH e AS (
-        SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
-      probes AS (SELECT unnest($probeList) AS p),
-      q AS (
-        SELECT vec_id AS query_id, embedding AS qe, xor(bucket, p) AS bucket
-        FROM e CROSS JOIN probes WHERE vec_id % 50 = 0),
+    // s2 (r6): bucket bits derive from the corpus count — LshCandCtesSql
+    // replays deriveLshBits as a scalar subquery (gate scale: the floor
+    // 8, identical to the r5 pinned registration); exact in-candidate
+    // cosine ranking as before.
+    "s2_ann_lsh_topk" -> ("WITH e AS (SELECT vec_id, embedding FROM embeddings)," +
+      LshCandCtesSql + s""",
       j AS (
-        SELECT q.query_id, e.vec_id AS neighbor_id, q.qe, e.embedding AS ne
-        FROM q JOIN e ON q.bucket = e.bucket WHERE e.vec_id <> q.query_id),
+        SELECT cand.query_id, cand.neighbor_id, eq.embedding AS qe, en.embedding AS ne
+        FROM cand
+        JOIN e eq ON eq.vec_id = cand.query_id
+        JOIN e en ON en.vec_id = cand.neighbor_id),
       u AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne FROM j),
       s AS (
         SELECT query_id, neighbor_id,
@@ -1405,8 +1402,7 @@ object SparkEntry {
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
         FROM c)
       SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
-      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
-    },
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""),
 
     // s3: full IVF replay — 6dp-rounded per-label centroids pin the
     // assignment argmax across engines; candidate scoring mirrors s1.
@@ -1700,24 +1696,13 @@ object SparkEntry {
       FROM d CROSS JOIN fb GROUP BY 1 ORDER BY 1"""
     },
 
-    // s7: s2's candidate CTEs (identical hyperplane literals) + s5's int8
+    // s7: s2's candidate CTEs (the shared dynamic-bucket LshCandCtesSql,
+    // identical hyperplane literals and deriveLshBits sizing) + s5's int8
     // recon feeding the 6dp coarse rank over candidates only + the exact
     // rerank replay.
     "s7_lsh_rerank" -> {
-      val bucketExpr = graft.functions.VectorFunctions
-        .hyperplaneBucketDuckSql("embedding", 64, graft.operators.Similarity.LshBits)
-      val probeList = ((0 until graft.operators.Similarity.LshBits)
-        .map(b => 1L << b) :+ 0L).mkString("[", ", ", "]")
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-      eb AS (SELECT vec_id, $bucketExpr AS bucket FROM embeddings),
-      probes AS (SELECT unnest($probeList) AS p),
-      qp AS (
-        SELECT vec_id AS query_id, xor(bucket, p) AS bucket
-        FROM eb CROSS JOIN probes WHERE vec_id % 50 = 0),
-      cand AS (
-        SELECT qp.query_id, eb.vec_id AS neighbor_id
-        FROM qp JOIN eb ON qp.bucket = eb.bucket
-        WHERE eb.vec_id <> qp.query_id),
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),""" +
+      LshCandCtesSql + s""",
       u AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding FROM e),
       x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM u),
       dm AS (SELECT i, round(min(x), 6) AS lo, round(max(x), 6) AS hi FROM x GROUP BY 1),
@@ -1772,21 +1757,8 @@ object SparkEntry {
     // ORDER BY d2, bkt replays the max-of-negated-struct), codebook
     // reconstruction, then the coarse/rerank tail over candidates only.
     "s6_pq_ann" -> {
-      val bucketExpr = graft.functions.VectorFunctions
-        .hyperplaneBucketDuckSql("embedding", 64, graft.operators.Similarity.LshBits)
-      val probeList = ((0 until graft.operators.Similarity.LshBits)
-        .map(b => 1L << b) :+ 0L).mkString("[", ", ", "]")
-      s"""
-      WITH e AS (SELECT vec_id, embedding FROM embeddings),
-      eb AS (SELECT vec_id, $bucketExpr AS bucket FROM embeddings),
-      probes AS (SELECT unnest($probeList) AS p),
-      qp AS (
-        SELECT vec_id AS query_id, xor(bucket, p) AS bucket
-        FROM eb CROSS JOIN probes WHERE vec_id % 50 = 0),
-      cand AS (
-        SELECT qp.query_id, eb.vec_id AS neighbor_id
-        FROM qp JOIN eb ON qp.bucket = eb.bucket
-        WHERE eb.vec_id <> qp.query_id),
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),""" +
+      LshCandCtesSql + s""",
       sv AS (
         SELECT vec_id, sub, list_slice(embedding, sub * 8 + 1, sub * 8 + 8) AS sv
         FROM (SELECT vec_id, unnest(range(0, 8)) AS sub, embedding FROM e)),
@@ -1857,6 +1829,40 @@ object SparkEntry {
       FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
     },
   )
+
+  /** The s2/s6/s7 dynamic-bucket LSH candidate CTEs: `lb` replays
+    * deriveLshBits as a scalar subquery over the corpus count, the bucket
+    * masks a static LshMaxBits-plane signature (plane PREFIXES are
+    * identical for any bits <= LshMaxBits — the d13/d14 masking trick),
+    * and the hamming-1 probe set enumerates dynamically from `lb`.
+    * Fragment assumes it follows a WITH; exposes `eb` (vec_id, bucket)
+    * and `cand` (query_id, neighbor_id).
+    */
+  private def LshCandCtesSql: String = s"""
+      prm AS (
+        SELECT least(${graft.operators.Similarity.LshMaxBits},
+          greatest(${graft.operators.Similarity.LshBits},
+            CAST(round(ln(CAST(greatest(count(*), 1) AS DOUBLE)
+                          / ${graft.operators.Similarity.LshTargetBucket})
+                       / ln(2), 0) AS INT))) AS lb
+        FROM embeddings),
+      eb AS (
+        SELECT vec_id,
+          (${graft.functions.VectorFunctions.hyperplaneBucketDuckSqlFlat(
+             "embedding", 64, graft.operators.Similarity.LshMaxBits)})
+            & ((1::BIGINT << lb) - 1) AS bucket
+        FROM embeddings CROSS JOIN prm),
+      probes AS (
+        SELECT unnest(list_append(
+          list_transform(range(0, lb), p -> 1::BIGINT << p), 0::BIGINT)) AS p
+        FROM prm),
+      qp AS (
+        SELECT vec_id AS query_id, xor(bucket, p) AS bucket
+        FROM eb CROSS JOIN probes WHERE vec_id % 50 = 0),
+      cand AS (
+        SELECT qp.query_id, eb.vec_id AS neighbor_id
+        FROM qp JOIN eb ON qp.bucket = eb.bucket
+        WHERE eb.vec_id <> qp.query_id)"""
 
   /** The s3 coarse-quantizer replay — per-label centroids (6dp means) and
     * nearest-centroid assignment; shared by the s3 and s5 oracles.

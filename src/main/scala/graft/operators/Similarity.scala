@@ -50,28 +50,60 @@ object Similarity {
   }
 
   val LshBits = 8
+  val LshTargetBucket = 60
+  val LshMaxBits = 30
 
-  /** THE single spelling of the s2/s7 LSH hashing inputs — the bucket
-    * expression and the hamming-1 probe set. s7's "recall tracks s2"
-    * contract holds only while both candidate generators hash
-    * identically, so neither site spells these locally.
+  /** The s2/s6/s7 auto-derivation: bucket bits for a corpus of `n`
+    * vectors, sized so the expected bucket width stays ≈
+    * [[LshTargetBucket]] (candidate cost per query is
+    * (bits+1)·n/2^bits — pinning the bucket count at 2^8 made candidate
+    * sets grow linearly with the corpus, the r5 soak ledger's s7 note).
+    * THE single spelling, shared by production and the gate-scale
+    * coupling tests, and replayed by the DuckDB twins as a scalar
+    * subquery over the same count. Floors at the r5 pinned [[LshBits]]
+    * (so gate-scale results are identical to the r5 registrations) and
+    * caps at [[LshMaxBits]] — the oracle's static plane set; 2^30
+    * buckets ≈ 6·10^10 vectors at the target width, far past any
+    * single-table corpus here.
     */
-  private def lshBucketCol: Column =
-    expr(hyperplaneBucketSql("embedding", Dim, LshBits))
-  private def lshProbes: Seq[Column] =
-    (0 until LshBits).map(b => lit(1L << b)) :+ lit(0L)
+  def deriveLshBits(n: Long): Int =
+    math.min(LshMaxBits, math.max(LshBits, math.round(
+      math.log(n.toDouble.max(1.0) / LshTargetBucket) / math.log(2.0)).toInt))
 
-  /** s2: LSH-bucketed ANN — corpus and queries hashed to 2^LshBits sign
+  /** THE single spelling of the s2/s6/s7 LSH hashing inputs — the bucket
+    * expression and the hamming-1 probe set, parameterized by the bucket
+    * bit count. s7's "recall tracks s2" contract holds only while both
+    * candidate generators hash identically, so no site spells these
+    * locally.
+    */
+  private def lshBucketCol(bits: Int): Column =
+    expr(hyperplaneBucketSql("embedding", Dim, bits))
+  private def lshProbes(bits: Int): Seq[Column] =
+    (0 until bits).map(b => lit(1L << b)) :+ lit(0L)
+
+  /** `lshBits <= 0` → derive from the corpus count (the registered
+    * configuration); explicit values pin a layout for tests/baselines.
+    */
+  private def resolveLshBits(raw: DataFrame, lshBits: Int): Int =
+    if (lshBits > 0) lshBits else deriveLshBits(raw.count())
+
+  /** s2: LSH-bucketed ANN — corpus and queries hashed to 2^bits sign
     * buckets; candidate set = same-bucket vectors only, then exact cosine
     * top-k within candidates. Multi-probe: the query also probes all
     * buckets at hamming distance 1 (flip each bit once) to recover
-    * near-boundary neighbors.
+    * near-boundary neighbors. The registered form derives `bits` from
+    * the corpus count ([[deriveLshBits]], equal to the r5 pinned 8 at
+    * gate scale) so bucket width — and with it candidate cost per
+    * query — stays bounded as the corpus grows.
     */
-  def annLshTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+  def annLshTopK(spark: SparkSession, dir: String, k: Int = TopK,
+                 lshBits: Int = 0): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), lshBucketCol.as("bucket"))
-    val probes = lshProbes
+    val raw = Tables.embeddings(spark, dir)
+    val bits = resolveLshBits(raw, lshBits)
+    val e = raw
+      .select(col("vec_id"), col("embedding"), lshBucketCol(bits).as("bucket"))
+    val probes = lshProbes(bits)
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(array(probes.map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))
@@ -236,15 +268,18 @@ object Similarity {
 
   /** The s2 LSH candidate set as a bare (query_id, neighbor_id) frame —
     * the sub-linear candidate generator feeding s6/s7's coarse+rerank
-    * tails. Same bucket expression and hamming-1 probe set as the
-    * registered s2 ([[lshBucketCol]]/[[lshProbes]] are THE single
-    * spelling), so recall tracks s2's bucket recall exactly.
+    * tails. Same bucket expression, probe set, and [[deriveLshBits]]
+    * auto-sizing as the registered s2 ([[lshBucketCol]]/[[lshProbes]]
+    * are THE single spelling), so recall tracks s2's bucket recall
+    * exactly.
     */
-  private[graft] def lshCandidates(raw: DataFrame): DataFrame = {
-    val eb = raw.select(col("vec_id"), lshBucketCol.as("bucket"))
+  private[graft] def lshCandidates(raw: DataFrame,
+                                   lshBits: Int = 0): DataFrame = {
+    val bits = resolveLshBits(raw, lshBits)
+    val eb = raw.select(col("vec_id"), lshBucketCol(bits).as("bucket"))
     val q = eb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"),
-        explode(array(lshProbes.map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))
+        explode(array(lshProbes(bits).map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))
     eb.join(q, "bucket")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))

@@ -57,6 +57,25 @@ class Round6Spec extends AnyFunSuite {
     assert(Similarity.deriveSubBits(20000, 10) == 3)
     assert(Similarity.deriveSubBits(200000, 10) == 4)
     assert(Similarity.deriveSubBits(0, 0) == 0, "empty corpus degenerates")
+    // deriveLshBits(n) = clamp(8..30, round(log2(n / 60))) — the s2/s6/s7
+    // bucket sizing the LshCandCtesSql scalar subquery replays
+    assert(Similarity.deriveLshBits(500) == 8)    // gate scale -> r5 pinned 2^8
+    assert(Similarity.deriveLshBits(2000) == 8)   // bench scale: floor holds
+    assert(Similarity.deriveLshBits(20000) == 8)  // 10x soak: floor holds
+    assert(Similarity.deriveLshBits(60000) == 10) // 30x soak: buckets grow
+    assert(Similarity.deriveLshBits(200000) == 12)
+    assert(Similarity.deriveLshBits(0) == 8, "empty corpus floors")
+  }
+
+  test("s2 auto bucket sizing equals the r5 pinned registration at gate scale") {
+    import graft.operators.Similarity
+    val auto = Similarity.annLshTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val pinned = Similarity.annLshTopK(spark, sf, lshBits = Similarity.LshBits)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(auto == pinned, s"auto=${auto.size} pinned=${pinned.size}")
+    assert(auto.nonEmpty)
   }
 
   test("s5 candidate-driven: results live in the IVF candidate set, rerank exact") {
