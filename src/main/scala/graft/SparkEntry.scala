@@ -50,17 +50,18 @@ object SparkEntry {
     "d4_simhash"              -> Dedup.simhashSignatures _,
     "d9_simhash_pairs"        -> ((s: SparkSession, d: String) => Dedup.simhashNearDupPairs(s, d)),
     "t10_lang_confusion"      -> TextAnalysis.langConfusionMatrix _,
+    // every sizing parameter in the registry derives from corpus
+    // statistics (r6): d5/d13 banding from the corpus count, s3/s5/d14
+    // cells from count x labels, s2/s6/s7 buckets from the count — the
+    // DuckDB twins replay each derivation as a scalar subquery, and the
+    // derivations collapse to the r5 pinned configs at gate scale
+    // (asserted in DedupSpec/Round6Spec)
     "d5_embedding_neardup"    -> ((s: SparkSession, d: String) =>
-                                   Dedup.embeddingNearDupPairs(s, d,
-                                     bandBits = Dedup.EmbBandBits)),
+                                   Dedup.embeddingNearDupPairs(s, d)),
     // similarity search
     "s1_ann_topk"             -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
     "s2_ann_lsh_topk"         -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
-    // d5/s3 registrations pin the static banding/cell configuration the
-    // oracle twins replay — the auto-scaling derivations stay the API
-    // default, equal to these at gate scale (asserted in DedupSpec)
-    "s3_ann_ivf_topk"         -> ((s: SparkSession, d: String) =>
-                                   Similarity.annIvfTopK(s, d, autoCells = false)),
+    "s3_ann_ivf_topk"         -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
     // streaming-shaped (batch twins of the Structured Streaming plans)
     "st1_windowed_counts"     -> Events.windowedCounts _,
     "st2_sessionize"          -> Events.sessionize _,
@@ -444,21 +445,34 @@ object SparkEntry {
     // literals give bit-identical 24-bit signatures, the same band split
     // gives the same candidate set, and the pre-normalized dot (sequential
     // list_sum ≡ the fused array_dot loop) verifies it identically.
+    // d5 (r6): banding derives from the corpus count like d13 — the same
+    // scalar-subquery sizing, 63-bit flat signature, and dynamic band
+    // extraction; only the pair predicate differs (all id_a < id_b pairs
+    // instead of the cross-parity probe).
     "d5_embedding_neardup" -> s"""
-      WITH n0 AS (
+      WITH prm0 AS (
+        SELECT greatest(${graft.operators.Dedup.EmbBandBits},
+          CAST(round(ln(CAST(greatest(count(*), 1) AS DOUBLE)
+                        / ${graft.operators.Dedup.EmbTargetBucket})
+                     / ln(2), 0) AS INT)) AS bits
+        FROM embeddings),
+      prm AS (SELECT bits,
+                least(${graft.operators.Dedup.EmbBands}, 63 // bits) AS nbands
+              FROM prm0),
+      n0 AS (
         SELECT vec_id, embedding,
-          (${graft.functions.VectorFunctions.hyperplaneBucketDuckSql(
-            "embedding", 64,
-            graft.operators.Dedup.EmbBands * graft.operators.Dedup.EmbBandBits)}) AS sig,
+          (${graft.functions.VectorFunctions.hyperplaneBucketDuckSqlFlat(
+            "embedding", 64, 63)}) AS sig,
           sqrt(list_sum(list_transform(embedding,
             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
         FROM embeddings),
       nv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ne, sig
              FROM n0),
       bands AS (
-        SELECT vec_id, band, (sig >> (band * ${graft.operators.Dedup.EmbBandBits}))
-          & ${(1 << graft.operators.Dedup.EmbBandBits) - 1} AS bkey
-        FROM nv, (SELECT unnest(range(0, ${graft.operators.Dedup.EmbBands})) AS band) bb),
+        SELECT vec_id, band, (sig >> (band * bits)) & ((1::BIGINT << bits) - 1) AS bkey
+        FROM nv CROSS JOIN prm
+        CROSS JOIN (SELECT unnest(range(0, ${graft.operators.Dedup.EmbBands})) AS band) bb
+        WHERE band < nbands),
       cand AS (
         SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
         FROM bands a JOIN bands b
@@ -522,42 +536,7 @@ object SparkEntry {
     // bucket identical to Spark's sb-bit bucket for any sb <= 16 (sb = 16
     // needs a ~10^12-vector corpus). Centroids, argmax assignment, and
     // the keep-first within-cell prune replay the pinned d14 tail.
-    "d14_auto_cells" -> s"""
-      WITH prm AS (
-        SELECT CASE WHEN count(*) <= 0 THEN 0
-               ELSE greatest(0, CAST(round(
-                 ln(sqrt(CAST(count(*) AS DOUBLE)) / CAST(2 AS DOUBLE)
-                    / CAST(greatest(count(DISTINCT label), 1) AS DOUBLE))
-                 / ln(2), 0) AS INT)) END AS sb
-        FROM embeddings),
-      cm0 AS (
-        SELECT vec_id, embedding,
-          CAST(label AS INT) * (1 << sb)
-            + ((${graft.functions.VectorFunctions.hyperplaneBucketDuckSql(
-                 "embedding", 64, 16)}) & ((1 << sb) - 1)) AS cell
-        FROM embeddings CROSS JOIN prm),
-      ue AS (SELECT vec_id, cell, unnest(range(1, len(embedding) + 1)) AS i, embedding
-             FROM cm0),
-      cpos AS (
-        SELECT cell AS cent_id, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
-        FROM ue GROUP BY 1, 2),
-      cent AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM cpos GROUP BY 1),
-      e AS (SELECT vec_id, embedding FROM embeddings),
-      acu AS (
-        SELECT vec_id, cent_id, unnest(range(1, len(embedding) + 1)) AS i, embedding, cv
-        FROM e CROSS JOIN cent),
-      acs AS (
-        SELECT vec_id, cent_id,
-          sum(CAST(embedding[i] AS DOUBLE) * cv[i]) AS dot,
-          sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS na,
-          sum(cv[i] * cv[i]) AS nb
-        FROM acu GROUP BY 1, 2),
-      ac AS (SELECT vec_id, cent_id, dot / (sqrt(na) * sqrt(nb)) AS cc FROM acs),
-      assigned AS (
-        SELECT vec_id, cent_id FROM (
-          SELECT vec_id, cent_id,
-            row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS r
-          FROM ac) WHERE r = 1),
+    "d14_auto_cells" -> (IvfAssignAutoCtesSql + s""",
       pr AS (
         SELECT a.vec_id AS u, b.vec_id AS v, a.cent_id AS cell
         FROM assigned a JOIN assigned b
@@ -576,7 +555,7 @@ object SparkEntry {
       fl AS (SELECT * FROM pc WHERE cs >= 0.45),
       rk AS (SELECT *, row_number() OVER (PARTITION BY v ORDER BY u) AS rn FROM fl)
       SELECT v AS vec_id, cell, u AS pruned_by, round(cs, 4) AS cos_sim
-      FROM rk WHERE rn = 1 ORDER BY vec_id""",
+      FROM rk WHERE rn = 1 ORDER BY vec_id"""),
 
     "s1_ann_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
@@ -1406,7 +1385,7 @@ object SparkEntry {
 
     // s3: full IVF replay — 6dp-rounded per-label centroids pin the
     // assignment argmax across engines; candidate scoring mirrors s1.
-    "s3_ann_ivf_topk" -> (IvfAssignCtesSql + s""",
+    "s3_ann_ivf_topk" -> (IvfAssignAutoCtesSql + s""",
       prb AS (
         SELECT query_id, cent_id FROM (
           SELECT vec_id AS query_id, cent_id,
@@ -1485,11 +1464,11 @@ object SparkEntry {
       FROM j GROUP BY 1 ORDER BY doc_id"""),
 
     // s5 (r6): candidate-driven — s3's IVF probe CTEs produce the
-    // candidate set (IvfAssignCtesSql + prb/cand replay the registered
-    // s3's cells and probes verbatim), the s4 reconstruction grid feeds
-    // the 6dp-rounded coarse ranking over candidates only, and the float
-    // vectors feed the exact rerank.
-    "s5_two_stage_ann" -> (IvfAssignCtesSql + s""",
+    // candidate set (IvfAssignAutoCtesSql + prb/cand replay the registered
+    // s3's auto-sized cells and probes verbatim), the s4 reconstruction
+    // grid feeds the 6dp-rounded coarse ranking over candidates only, and
+    // the float vectors feed the exact rerank.
+    "s5_two_stage_ann" -> (IvfAssignAutoCtesSql + s""",
       prb AS (
         SELECT query_id, cent_id FROM (
           SELECT vec_id AS query_id, cent_id,
@@ -1864,16 +1843,36 @@ object SparkEntry {
         FROM qp JOIN eb ON qp.bucket = eb.bucket
         WHERE eb.vec_id <> qp.query_id)"""
 
-  /** The s3 coarse-quantizer replay — per-label centroids (6dp means) and
-    * nearest-centroid assignment; shared by the s3 and s5 oracles.
+  /** The r6 AUTO coarse-quantizer replay, shared by the s3/s5/d14
+    * oracles: `sb` replays deriveSubBits as a scalar subquery over
+    * (count, distinct labels); seed cells are label·2^sb + a masked
+    * 16-bit hyperplane bucket (plane PREFIXES are identical for any
+    * sb <= 16, so the mask reproduces Spark's sb-bit bucket exactly;
+    * sb = 16 needs a ~10^12-vector corpus); then 6dp centroid means and
+    * the argmax assignment. Starts its own WITH; exposes `e`
+    * (vec_id, embedding), `ac` (vec × centroid cosines), `assigned`.
     */
-  private val IvfAssignCtesSql: String = """
-      WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-      ue AS (SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS i, embedding FROM e),
+  private def IvfAssignAutoCtesSql: String = s"""
+      WITH prm AS (
+        SELECT CASE WHEN count(*) <= 0 THEN 0
+               ELSE greatest(0, CAST(round(
+                 ln(sqrt(CAST(count(*) AS DOUBLE)) / CAST(2 AS DOUBLE)
+                    / CAST(greatest(count(DISTINCT label), 1) AS DOUBLE))
+                 / ln(2), 0) AS INT)) END AS sb
+        FROM embeddings),
+      cm0 AS (
+        SELECT vec_id, embedding,
+          CAST(label AS INT) * (1 << sb)
+            + ((${graft.functions.VectorFunctions.hyperplaneBucketDuckSql(
+                 "embedding", 64, 16)}) & ((1 << sb) - 1)) AS cell
+        FROM embeddings CROSS JOIN prm),
+      ue AS (SELECT vec_id, cell, unnest(range(1, len(embedding) + 1)) AS i, embedding
+             FROM cm0),
       cpos AS (
-        SELECT label AS cent_id, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+        SELECT cell AS cent_id, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
         FROM ue GROUP BY 1, 2),
       cent AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM cpos GROUP BY 1),
+      e AS (SELECT vec_id, embedding FROM embeddings),
       acu AS (
         SELECT vec_id, cent_id, unnest(range(1, len(embedding) + 1)) AS i, embedding, cv
         FROM e CROSS JOIN cent),

@@ -155,12 +155,14 @@ object Similarity {
     * step from a deterministic seeding — no iteration, no RNG, fully
     * replayable.
     *
-    * `autoCells = false` pins subBits to 0 (pure per-label cells) — the
-    * configuration the static DuckDB twin replays at ANY scale factor;
-    * the registered `s3_ann_ivf_topk` query uses it so oracle parity
-    * cannot silently break on a bigger fixture, while API callers get
-    * the scaling quantizer by default (gate-scale equivalence of the two
-    * is asserted in DedupSpec).
+    * The REGISTERED s3 uses the auto quantizer (r6): the DuckDB twin
+    * replays deriveSubBits as a scalar subquery over (count, distinct
+    * labels) and seeds cells from the masked hyperplane bucket — the
+    * d14_auto_cells machinery — so oracle parity holds at ANY scale
+    * factor while the cell count grows with the corpus.
+    * `autoCells = false` pins subBits to 0 (pure per-label cells), the
+    * r5 parity configuration kept for baselines; gate-scale equivalence
+    * of the two is asserted in DedupSpec.
     */
   def annIvfTopK(spark: SparkSession, dir: String, k: Int = TopK,
                  autoCells: Boolean = true): DataFrame = {
@@ -327,10 +329,12 @@ object Similarity {
     * cut.
     */
   def annTwoStageTopK(spark: SparkSession, dir: String, k: Int = TopK,
-                      shortlist: Int = RerankShortlist): DataFrame = {
+                      shortlist: Int = RerankShortlist,
+                      autoCells: Boolean = true): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val raw = Tables.embeddings(spark, dir)
-    candidateCoarseRerank(ivfCandidates(raw), int8ReconCodes(raw), raw, k, shortlist)
+    candidateCoarseRerank(ivfCandidates(raw, autoCells), int8ReconCodes(raw),
+      raw, k, shortlist)
   }
 
   /** The r5 registered form of s5: a corpus×queries coarse scan with no

@@ -81,7 +81,7 @@ class Round6Spec extends AnyFunSuite {
   test("s5 candidate-driven: results live in the IVF candidate set, rerank exact") {
     import graft.operators.Similarity
     val raw = graft.sources.Tables.embeddings(spark, sf)
-    val cand = Similarity.ivfCandidates(raw).collect()
+    val cand = Similarity.ivfCandidates(raw, autoCells = true).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val s5 = Similarity.annTwoStageTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
