@@ -60,9 +60,9 @@ object Bench {
     // outlier, and the (max-min)/median spread is emitted per query so a
     // noisy number is SELF-DESCRIBING instead of a phantom regression.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
-    // soak runs exclude queries whose registered form pins gate-scale
-    // parameters (d5's oracle banding) — their auto-scaling variants are
-    // timed separately (see SoakGen)
+    // skip list for targeted exclusions (r6: the registered forms all
+    // auto-size from corpus statistics, so soak runs no longer need to
+    // exclude pinned-parameter queries)
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     // include-list for targeted runs (profiling one query, noise verdicts);

@@ -24,11 +24,12 @@ import org.apache.spark.sql.functions._
   *    machinery does real work).
   *
   * Usage: runMain graft.SoakGen [srcSfDir] [factor] [outDir] [--time-auto]
-  * `--time-auto` additionally times the AUTO-scaling d5/s3 variants on
-  * the generated corpus — the registered queries pin gate-scale LSH/IVF
-  * parameters for oracle parity (bandBits=3, per-label cells), which the
-  * derivations deliberately outgrow here (deriveBandBits(20k)=8), so at
-  * soak scale the API defaults are the honest measurement.
+  * `--time-auto` additionally times the auto-scaling d5/s3/d13/d14
+  * variants plus the d12 indexed probe on the generated corpus, and
+  * prints the pair-growth diagnostics the soak ledger judges the
+  * replica-quadratic operators by. Since r6 the registered queries
+  * auto-size from corpus statistics, so these timings coincide with the
+  * registered configurations at each scale.
   */
 object SoakGen {
   val KeyOffset = 10000000L // divisible by 50, 20, and 2 (see scaladoc)

@@ -1273,11 +1273,11 @@ object Dedup {
     * Scale: the cell self-join shuffles on `cell` only; with the auto
     * quantizer (`subBits = Similarity.deriveSubBits(...)`) cells number
     * ≈√n/2 so expected cell width is ≈2√n and the pair count stays
-    * ~n^1.5 — the registered form pins subBits = 0 (pure label cells),
-    * the configuration the static DuckDB twin replays at any scale
-    * factor, exactly the s3 registration compromise. A pathologically hot
-    * cell (one cluster owning the corpus) is the q18 skew case: salt the
-    * cell id and union the salted pair blocks.
+    * ~n^1.5 — the REGISTERED form ([[semanticDedupAuto]]) uses exactly
+    * that derivation, replayed by the DuckDB twin as a scalar subquery;
+    * `subBits = 0` (pure label cells) survives as the r5 parity baseline.
+    * A pathologically hot cell (one cluster owning the corpus) is the
+    * q18 skew case: salt the cell id and union the salted pair blocks.
     */
   def semanticDedup(spark: SparkSession, dir: String,
                     threshold: Double = 0.45, subBits: Int = 0): DataFrame = {
