@@ -59,13 +59,22 @@ object SoakGen {
     val reps = spark.range(factor).select(col("id").as("rep"))
     def off(k: String) = (col(k) + col("rep") * lit(KeyOffset)).as(k)
 
+    // every fact write repartitions explicitly: the replica plan is a
+    // broadcast crossJoin over the (often single-row-group) source file,
+    // so the write would otherwise inherit ONE partition — and a
+    // one-row-group parquet caps every downstream scan at one task,
+    // silently serializing the scan stage of all soak measurements
+    // (caught in r6: q4 read 1M events single-threaded)
+    val outParts = cpus.toInt
+
     /** Replicate with the named key columns offset, everything else kept. */
     def replicate(table: String, keys: Seq[String],
                   extra: DataFrame => DataFrame = identity): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
       val cols = base.columns.map(c => if (keys.contains(c)) off(c) else col(c))
       val big = extra(base.crossJoin(reps).select(cols.toIndexedSeq: _*))
-      big.write.mode("overwrite").parquet(s"$out/$table.parquet")
+      big.repartition(outParts)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
       println(s"[soakgen] $table: ${factor}x written")
     }
 
@@ -93,6 +102,7 @@ object SoakGen {
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(outParts)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     println(s"[soakgen] documents: ${factor}x written (near-dup replicas)")
 
@@ -106,6 +116,7 @@ object SoakGen {
             (pmod(col("rep") * 2654435761L + i * 40503, lit(1000)) - 500)
               .cast("double") / 50000.0).cast("float")).as("embedding"),
         col("label"))
+      .repartition(outParts)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println(s"[soakgen] embeddings: ${factor}x written (noised replicas)")
     }

@@ -333,7 +333,10 @@ object Similarity {
                       autoCells: Boolean = true): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val raw = Tables.embeddings(spark, dir)
-    candidateCoarseRerank(ivfCandidates(raw, autoCells), int8ReconCodes(raw),
+    val grid = int8Grid(raw)
+    candidateCoarseRerank(ivfCandidates(raw, autoCells),
+      int8Encode(raw, grid),
+      int8Encode(raw.filter(col("vec_id") % 50 === 0), grid),
       raw, k, shortlist)
   }
 
@@ -351,30 +354,41 @@ object Similarity {
     coarseRerank(int8ReconCodes(raw), raw, k, shortlist)
   }
 
-  /** s4's int8 reconstruction as a (vec_id, rv) frame — the compressed
-    * representation the two-stage scans score against (shared by s5's
-    * full coarse scan and s7's candidate-driven ranking): quantize each
-    * dimension to the 255-step min/max grid, decode back to the double
-    * array the fused ArrayCosine consumes. One map-side expression over
-    * a 1-row broadcast grid.
+  /** s4's per-dimension [min,max] grid as a 1-row broadcastable frame —
+    * the MODEL the int8 codec learns from the FULL corpus (learning and
+    * encoding split so the query side encodes only its own rows).
     */
-  private[graft] def int8ReconCodes(raw: DataFrame): DataFrame = {
+  private[graft] def int8Grid(raw: DataFrame): DataFrame = {
     val dims = raw
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("pos"))
       .agg(round(min(col("x").cast("double")), 6).as("lo"),
         round(max(col("x").cast("double")), 6).as("hi"))
-    val grid = dims.agg(sort_array(collect_list(
+    dims.agg(sort_array(collect_list(
       struct(col("pos"), col("lo"), col("hi")))).as("dm"))
+  }
+
+  /** Encode `df`'s embeddings through a learned [[int8Grid]]: quantize
+    * each dimension to the 255-step grid, decode back to the double
+    * array the fused ArrayCosine consumes. One map-side expression over
+    * the 1-row broadcast grid.
+    */
+  private[graft] def int8Encode(df: DataFrame, grid: DataFrame): DataFrame = {
     val recon = zip_with(col("embedding"), col("dm"), (x, m) => {
       val lo = m.getField("lo"); val hi = m.getField("hi")
       val q = round((x.cast("double") - lo) / (hi - lo) * lit(255.0), 0)
       when(hi === lo, lo).otherwise(lo + q / lit(255.0) * (hi - lo))
     })
-    raw.select(col("vec_id"), col("embedding"))
+    df.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(grid))
       .select(col("vec_id"), recon.as("rv"))
   }
+
+  /** The full corpus through the int8 codec — the compressed
+    * representation the FULL-SCAN baselines score against.
+    */
+  private[graft] def int8ReconCodes(raw: DataFrame): DataFrame =
+    int8Encode(raw, int8Grid(raw))
 
   /** s7: the PRODUCTION two-stage composition — s2's LSH candidate
     * generation feeding the int8 coarse ranking and the exact rerank.
@@ -393,27 +407,35 @@ object Similarity {
                        shortlist: Int = RerankShortlist): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val raw = Tables.embeddings(spark, dir)
-    candidateCoarseRerank(lshCandidates(raw), int8ReconCodes(raw), raw, k, shortlist)
+    val grid = int8Grid(raw)
+    candidateCoarseRerank(lshCandidates(raw),
+      int8Encode(raw, grid),
+      int8Encode(raw.filter(col("vec_id") % 50 === 0), grid),
+      raw, k, shortlist)
   }
 
   /** The candidate-driven two-stage tail shared by s5/s6/s7: join the
-    * compressed reconstructions `codes` (vec_id, rv) onto a bare
+    * compressed reconstructions (vec_id, rv) onto a bare
     * (query_id, neighbor_id) candidate frame, coarse-rank to a
     * top-`shortlist` cut, then exact-float-rerank the shortlist against
-    * `raw`. The coarse window shuffles (query_id, neighbor_id, score)
-    * rows only — embeddings never ride the exchange — and coarse scores
-    * are 6dp-rounded before ranking so cross-engine float-sum noise
-    * (~1e-15) cannot flip the cut.
+    * `raw`. Neighbor- and query-side codes arrive SEPARATELY so the
+    * query side encodes only the n/50 query rows (one shared learned
+    * model; encoding the full corpus twice was pure waste). The coarse
+    * window shuffles (query_id, neighbor_id, score) rows only —
+    * embeddings never ride the exchange — and coarse scores are
+    * 6dp-rounded before ranking so cross-engine float-sum noise (~1e-15)
+    * cannot flip the cut.
     */
-  private[graft] def candidateCoarseRerank(cand: DataFrame, codes: DataFrame,
+  private[graft] def candidateCoarseRerank(cand: DataFrame,
+                                           ncodes: DataFrame, qcodes: DataFrame,
                                            raw: DataFrame,
                                            k: Int, shortlist: Int): DataFrame = {
     val wCoarse = Window.partitionBy(col("query_id"))
       .orderBy(col("coarse").desc, col("neighbor_id").asc)
     val shortlisted = cand
-      .join(codes.select(col("vec_id").as("neighbor_id"), col("rv").as("nrv")),
+      .join(ncodes.select(col("vec_id").as("neighbor_id"), col("rv").as("nrv")),
         "neighbor_id")
-      .join(codes.select(col("vec_id").as("query_id"), col("rv").as("qrv")),
+      .join(qcodes.select(col("vec_id").as("query_id"), col("rv").as("qrv")),
         "query_id")
       .select(col("query_id"), col("neighbor_id"),
         round(graft.expressions.VectorExpressions
@@ -498,7 +520,10 @@ object Similarity {
                 shortlist: Int = RerankShortlist): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val raw = Tables.embeddings(spark, dir)
-    candidateCoarseRerank(lshCandidates(raw), pqReconCodes(raw, m, signBits),
+    val cb = pqCodebook(raw, m, signBits)
+    candidateCoarseRerank(lshCandidates(raw),
+      pqEncode(raw, cb, m),
+      pqEncode(raw.filter(col("vec_id") % 50 === 0), cb, m),
       raw, k, shortlist)
   }
 
@@ -522,8 +547,8 @@ object Similarity {
     * broadcast codebook. Shared by the registered candidate-driven s6 and
     * the full-scan recall baseline.
     */
-  private[graft] def pqReconCodes(raw: DataFrame, m: Int,
-                                  signBits: Int): DataFrame = {
+  private[graft] def pqCodebook(raw: DataFrame, m: Int,
+                                signBits: Int): DataFrame = {
     val ds = Dim / m
     // subspace slices + seeding bucket (sign bits of the leading dims)
     val sv = raw.select(col("vec_id"),
@@ -542,28 +567,49 @@ object Similarity {
       .groupBy(col("sub"), col("bkt"))
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("mc")))),
         e => e.getField("mc")).as("cv"))
-    val cbArr = cents
-      .agg(sort_array(collect_list(struct(col("sub"), col("bkt"), col("cv"))))
-        .as("cb"))
-    // encode + reconstruct in one map-side expression: per subspace, the
-    // argmin-L2 centroid (6dp-rounded distance, bucket-id tie-break via
-    // the max-of-negated-struct trick), concatenated in subspace order
+    // NESTED layout (r6): one bucket-entries array per subspace, the
+    // outer array ordered by sub — the per-row encode indexes its
+    // subspace's 2^signBits entries directly (cb[i]) instead of
+    // filtering the flat m·2^signBits struct list per subspace per row
+    // (8×16 scanned structs per row, was 8×128)
+    cents
+      .groupBy(col("sub"))
+      .agg(sort_array(collect_list(struct(col("bkt"), col("cv")))).as("entries"))
+      .agg(transform(sort_array(collect_list(struct(col("sub"), col("entries")))),
+        s => s.getField("entries")).as("cb"))
+  }
+
+  /** Encode `df`'s embeddings through a learned [[pqCodebook]]: per
+    * subspace, the argmin-L2 centroid (6dp-rounded distance, bucket-id
+    * tie-break via the max-of-negated-struct trick), concatenated in
+    * subspace order. One map-side expression over the 1-row broadcast
+    * codebook.
+    */
+  private[graft] def pqEncode(df: DataFrame, cbArr: DataFrame,
+                              m: Int): DataFrame = {
+    val ds = Dim / m
     def dist2(a: Column, cv: Column): Column =
       aggregate(zip_with(a, cv, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
         lit(0.0), (acc, y) => acc + y)
     val recon = flatten(transform(sequence(lit(0), lit(m - 1)), i => {
       val sub = slice(col("embedding"), i * ds + 1, lit(ds))
-      val best = array_max(transform(
-        filter(col("cb"), c => c.getField("sub") === i),
+      val best = array_max(transform(col("cb")(i),
         c => struct((-round(dist2(sub, c.getField("cv")), 6)).as("nd"),
           (-c.getField("bkt")).as("nb"),
           c.getField("cv").as("cv"))))
       best.getField("cv")
     }))
-    raw.select(col("vec_id"), col("embedding"))
+    df.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cbArr))
       .select(col("vec_id"), recon.as("rv"))
   }
+
+  /** The full corpus through the PQ codec — the compressed representation
+    * the FULL-SCAN baseline scores against.
+    */
+  private[graft] def pqReconCodes(raw: DataFrame, m: Int,
+                                  signBits: Int): DataFrame =
+    pqEncode(raw, pqCodebook(raw, m, signBits), m)
 
   /** s4: int8 scalar quantization of the embedding column — per-dimension
     * [min,max] learned in one distributive pass (posexplode + groupBy(pos),
