@@ -98,19 +98,32 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
       .select(col("doc_id"), size(col("ordered")).as("n"),
+        // prefix length ⌊(1-τ)·n⌋+1, with an epsilon nudge before the
+        // floor: (1-τ) is not exact in binary (1.0-0.8 =
+        // 0.19999999999999996), so whenever (1-τ)·n is an exact integer
+        // the raw product lands just BELOW it and the cast-floor drops
+        // the final prefix position — precisely the boundary where a
+        // j == τ pair's only shared rare shingle can sit (caught by an
+        // off-gate sf0.1 oracle sweep in r6: pair (1568, 2466), j = 0.8
+        // exactly, missed). 1e-9 is orders above the float error
+        // (~1e-11 at n = 10^6) and orders below any genuine fractional
+        // part of (1-τ)·n.
         explode(slice(transform(col("ordered"), e => e.getField("s")), lit(1),
-          (size(col("ordered")).cast("double") * (1.0 - threshold))
+          (size(col("ordered")).cast("double") * (1.0 - threshold) + 1e-9)
             .cast("int") + 1)).as("s"))
       .cache()
 
     // length filter (AllPairs): j >= τ forces |A∩B| >= τ·max(|A|,|B|) and
     // |A∩B| <= min(|A|,|B|), so set sizes must be within factor τ — that
     // alone cuts the candidate set several-fold on length-varied corpora
+    // the epsilon mirrors the prefix-length nudge: n·τ computes a hair
+    // ABOVE the exact product (0.8 rounds up in binary), which would
+    // wrongly prune |B| = τ·|A| exactly — the max-jaccard-equals-τ pairs
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.n").cast("double") >= col("a.n") * threshold &&
-          col("a.n").cast("double") >= col("b.n") * threshold)
+          col("b.n").cast("double") >= col("a.n") * threshold - 1e-9 &&
+          col("a.n").cast("double") >= col("b.n") * threshold - 1e-9)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 

@@ -21,6 +21,33 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == naive, s"LSH=${lsh.size} naive=${naive.size}")
   }
 
+  test("d2 prefix filter keeps pairs at exactly the threshold boundary (r6 regression)") {
+    // |A| = 5 trigram shingles (7 tokens), |B| = 4 (A's first 6 tokens):
+    // jaccard = 4/5 = 0.8 EXACTLY. The pre-r6 code lost this pair twice
+    // over — the prefix length (n·(1-τ)).cast(int) floored just below
+    // the exact integer because 1.0-0.8 = 0.19999999999999996, dropping
+    // A's second prefix slot (its only rare-but-shared shingle), and the
+    // length filter computed 5·0.8 a hair above 4, pruning |B| = τ·|A|.
+    // Found by the off-gate sf0.1 oracle sweep (pair 1568/2466), shrunk
+    // to this minimal fixture.
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d2_boundary").toString
+    Seq(
+      (1L, (0 until 7).map(i => s"tok$i").mkString(" "), "en", "src"),
+      (2L, (0 until 6).map(i => s"tok$i").mkString(" "), "en", "src"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.ngramJaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 0.8)), s"boundary pair lost or distorted: $got")
+    // and the naive baseline agrees
+    val naive = Dedup.ngramJaccardPairsNaive(spark, dir).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(naive == Seq((1L, 2L)))
+  }
+
   test("near-dup pairs have small simhash hamming distance; random pairs large") {
     val sims = Dedup.simhashSignatures(spark, sf)
     val pairs = Dedup.ngramJaccardPairs(spark, sf)
