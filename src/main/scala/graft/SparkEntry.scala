@@ -151,6 +151,12 @@ object SparkEntry {
     "t21_zipf_fit"            -> ((s: SparkSession, d: String) => TextAnalysis.zipfFit(s, d)),
     "t22_vocab_growth"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabGrowth(s, d)),
     "s7_lsh_rerank"           -> ((s: SparkSession, d: String) => Similarity.annLshRerankTopK(s, d)),
+    // batch 7 extensions (round 6): the duplication modes the Jaccard/
+    // min-id family misses — near-subset pairs, quality-ranked survivors,
+    // and media clusters over perceptual fingerprints
+    "d17_containment_dedup"   -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
+    "d18_quality_survivors"   -> ((s: SparkSession, d: String) => Dedup.qualitySurvivors(s, d)),
+    "m6_media_dedup_clusters" -> ((s: SparkSession, d: String) => Multimodal.mediaDedupClusters(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -698,6 +704,8 @@ object SparkEntry {
       ORDER BY c_custkey""",
 
     "d6_neardup_clusters" -> NearDupClustersSql,
+    "d17_containment_dedup" -> ContainmentPairsSql,
+    "d18_quality_survivors" -> QualitySurvivorsSql,
 
     "q25_bloom_prefilter" -> """
       WITH urgent AS (
@@ -1599,26 +1607,29 @@ object SparkEntry {
     // m5: the 52-bit block-mean aHash replays exactly — the bit test is an
     // integer cross-multiplication (sum_j*L > total*len_j), so no float
     // division can round differently between engines.
-    "m5_perceptual_hash" -> """
-      WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
-      b AS (
-        SELECT doc_id,
-          list_transform(range(1, length(h) // 2 + 1),
-            i -> ('0x' || substr(h, CAST(2 * i - 1 AS INT), 2))::BIGINT) AS bytes
-        FROM hx),
-      t AS (SELECT doc_id, bytes, len(bytes) AS L,
-              CAST(list_sum(bytes) AS BIGINT) AS total FROM b),
-      bits AS (
-        SELECT doc_id, L,
-          CAST(list_sum(list_transform(range(0, 52), j ->
-            CASE WHEN CAST(coalesce(list_sum(list_slice(bytes, j * L // 52 + 1,
-                                                        (j + 1) * L // 52)), 0)
-                       AS BIGINT) * L
-                      > total * ((j + 1) * L // 52 - j * L // 52)
-                 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS phash
-        FROM t)
+    "m5_perceptual_hash" -> s"""
+      WITH $PhashCteBody
       SELECT doc_id, CAST(L AS BIGINT) AS byte_len, phash
       FROM bits ORDER BY doc_id""",
+
+    // m6: exact hamming pairs at radius 7 (the banded multi-index retrieval
+    // is exact by pigeonhole, so the O(n²) oracle join is semantically
+    // identical), then d6's recursive reachability CC.
+    "m6_media_dedup_clusters" -> s"""
+      WITH RECURSIVE $PhashCteBody,
+      jp AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 7),
+      e AS (SELECT id_a AS src, id_b AS dst FROM jp
+            UNION SELECT id_b, id_a FROM jp),
+      nodes AS (SELECT DISTINCT src AS doc FROM e),
+      reach(doc, other) AS (
+        SELECT doc, doc FROM nodes
+        UNION
+        SELECT r.doc, e.dst FROM reach r JOIN e ON r.other = e.src)
+      SELECT doc AS doc_id, min(other) AS cluster_root
+      FROM reach GROUP BY doc ORDER BY doc_id""",
 
     // t21: the DuckDB twin ranks with a plain global window (oracle-side
     // single partitions are fine); ranks are identical to the broadcast-
@@ -2035,6 +2046,47 @@ object SparkEntry {
       SELECT doc AS doc_id, min(other) AS cluster_root
       FROM reach GROUP BY doc ORDER BY doc_id"""
 
+  /** d18: d6's cluster CTEs (same pair graph — minhash-verify IS exact
+    * Jaccard), then per-cluster quality rank: most tokens wins, doc_id
+    * ascending tie-break — the same (n_tokens DESC, doc_id ASC) window
+    * both engines order identically because both operands are integers.
+    */
+  private val QualitySurvivorsSql: String = s"""
+      $NearDupClustersCtes,
+      cl AS (SELECT doc AS doc_id, min(other) AS cluster_root
+             FROM reach GROUP BY doc),
+      nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tk),
+      rk AS (
+        SELECT cl.cluster_root, cl.doc_id, nt.n_tokens,
+          row_number() OVER (PARTITION BY cl.cluster_root
+                             ORDER BY nt.n_tokens DESC, cl.doc_id ASC) AS rn,
+          count(*) OVER (PARTITION BY cl.cluster_root) AS n_members
+        FROM cl JOIN nt USING (doc_id))
+      SELECT cluster_root, doc_id AS survivor_id,
+        n_tokens AS survivor_tokens, CAST(n_members AS BIGINT) AS n_members
+      FROM rk WHERE rn = 1 ORDER BY cluster_root"""
+
+  /** m5/m6: bytes → 52 block means → bit per block, all in integer
+    * arithmetic. No leading WITH so m6 can prepend RECURSIVE.
+    */
+  private val PhashCteBody: String = """hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+      b AS (
+        SELECT doc_id,
+          list_transform(range(1, length(h) // 2 + 1),
+            i -> ('0x' || substr(h, CAST(2 * i - 1 AS INT), 2))::BIGINT) AS bytes
+        FROM hx),
+      t AS (SELECT doc_id, bytes, len(bytes) AS L,
+              CAST(list_sum(bytes) AS BIGINT) AS total FROM b),
+      bits AS (
+        SELECT doc_id, L,
+          CAST(list_sum(list_transform(range(0, 52), j ->
+            CASE WHEN CAST(coalesce(list_sum(list_slice(bytes, j * L // 52 + 1,
+                                                        (j + 1) * L // 52)), 0)
+                       AS BIGINT) * L
+                      > total * ((j + 1) * L // 52 - j * L // 52)
+                 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS phash
+        FROM t)"""
+
   /** Shared word-trigram shingle CTE block (tk/idx/sh/cnt) — ONE spelling
     * of the normalization + n-gram definition for every Jaccard oracle
     * (d2, d3, d11); editing the shingle rule here keeps them in lockstep.
@@ -2062,6 +2114,23 @@ object SparkEntry {
         JOIN cnt cb ON id_b = cb.doc_id)
       SELECT id_a, id_b, round(jaccard, 4) AS jaccard
       FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""
+
+  /** d17: exact containment pairs — the shared shingle CTEs with the
+    * min-size normalizer replacing the union-size one.
+    */
+  private val ContainmentPairsSql: String = ShingleCtesSql + """,
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      c AS (
+        SELECT id_a, id_b,
+          CAST(shared AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE) AS containment
+        FROM pairs
+        JOIN cnt ca ON id_a = ca.doc_id
+        JOIN cnt cb ON id_b = cb.doc_id)
+      SELECT id_a, id_b, round(containment, 4) AS containment
+      FROM c WHERE containment >= 0.8 ORDER BY id_a, id_b"""
 
   /** d11: the same exact-Jaccard contract restricted to
     * batch(odd)×corpus(even) pairs — LSH banding is recall machinery,

@@ -324,21 +324,31 @@ object Multimodal {
   }
 
   /** Near-duplicate media pairs over [[perceptualHashes]]' fingerprints —
-    * d9's banded retrieval verbatim (4 bands × 13 bits; pigeonhole makes
-    * recall EXACT for hamming ≤ 3), with the true hamming verify on
-    * candidates. Works on ANY (doc_id, phash) frame so real image
-    * fingerprints ride the same operator; the registered m5 query ships
-    * the fingerprint table itself because the driver fixture has no
-    * planted media near-dups (the pair path is spec-verified on planted
-    * payload edits instead — MultimodalSpec).
+    * multi-index hashing (Norouzi et al., "Fast Search in Hamming Space
+    * with Multi-Index Hashing"): the 52-bit signature splits into
+    * `maxHamming + 1` disjoint bands, so by pigeonhole any pair within the
+    * radius collides on at least one band UNTOUCHED by the differing bits
+    * — recall is EXACT, and the true hamming verify on candidates makes
+    * precision exact too. Band boundaries follow ⌊j·52/B⌋ so uneven widths
+    * (6/7 bits at B=8) distribute fairly. Works on ANY (doc_id, phash)
+    * frame so real image fingerprints ([[pixelPerceptualHashes]]) ride the
+    * same operator. Scale note: band COUNT is fixed by the radius (that is
+    * the algorithm), so per-band bucket occupancy grows with the corpus —
+    * at 100 TB you widen the signature (e.g. 4×64-bit block hashes →
+    * 32-bit bands at radius 7), which this operator takes as-is since the
+    * banding derives from `BlockMeanHash.Bits`; 52 bits is the DuckDB-
+    * replayable width the oracle contract pins.
     */
   def mediaNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val bandBits = graft.expressions.BlockMeanHash.Bits / 4 // 13-bit bands
+    val nBits = graft.expressions.BlockMeanHash.Bits
+    val nBands = maxHamming + 1
+    val bandExprs = (0 until nBands).map { j =>
+      val start = j * nBits / nBands
+      val width = (j + 1) * nBits / nBands - start
+      expr(s"shiftright(phash, $start) & ${(1L << width) - 1}")
+    }
     val bands = hashes.select(col("doc_id"), col("phash"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .select(col("doc_id"), col("phash"), col("band"),
-        expr(s"shiftright(phash, band * $bandBits) & ${(1L << bandBits) - 1}")
-          .as("bkey"))
+        posexplode(array(bandExprs: _*)).as(Seq("band", "bkey")))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -351,5 +361,27 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** m6: media dedup clusters — [[mediaNearDupPairs]] at radius 7 (~13% of
+    * the signature, the conventional pHash near-dup threshold) fed into
+    * the SAME connected-components machinery d6 uses for text
+    * ([[graft.operators.Dedup.connectedComponents]]): re-encodes, crops
+    * and small edits of one image chain into a single cluster keyed by its
+    * least doc_id, the unit at which an image corpus dedups. One banded
+    * equi-join + O(diameter) label-propagation rounds; no corpus-wide
+    * scan anywhere.
+    */
+  def mediaDedupClusters(spark: SparkSession, dir: String,
+                         maxHamming: Int = 7): DataFrame = {
+    val pairs = mediaNearDupPairs(perceptualHashes(spark, dir), maxHamming)
+      .select(col("id_a"), col("id_b")).cache()
+    val result = graft.operators.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+      .withColumnRenamed("root", "cluster_root")
+      .orderBy(col("doc_id"))
+    val out = result.localCheckpoint()
+    pairs.unpersist()
+    out
   }
 }

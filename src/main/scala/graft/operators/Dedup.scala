@@ -340,6 +340,136 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d17: containment near-dup pairs — `|A∩B| / min(|A|,|B|) >= threshold`
+    * over the word-trigram shingle sets. Containment catches the near-SUBSET
+    * duplicates Jaccard structurally cannot: a page whose article body is
+    * verbatim inside a larger boilerplate-wrapped page has Jaccard
+    * |A|/|B| (arbitrarily low as the wrapper grows) but containment 1.0 —
+    * the dominant duplication mode in web crawls (same article syndicated
+    * under different chrome). d2 and d17 are therefore complementary
+    * registered surfaces, not variants of one query.
+    *
+    * Exact join, PPJoin-style but ASYMMETRIC: the Jaccard length filter is
+    * unavailable by design (any size ratio is admissible), so the prefix
+    * filter leans on one side only. For the pair's SMALLER set S, overlap
+    * >= ⌈τ·|S|⌉ forces at least one of S's `|S| - ⌈τ·|S|⌉ + 1` rarest
+    * shingles (global rare-first order, like d2) to occur in the partner —
+    * so candidates = prefix(smaller) ⋈ allShingles(larger), an equi join
+    * whose per-key fan-out is bounded by the document frequency of RARE
+    * shingles. Candidates are verified with exact array_intersect
+    * containment. At 100 TB this scales with Σ_{s∈prefixes} df(s) — the
+    * prefix's rare-first ordering is what keeps that sum near-linear.
+    */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       threshold: Double = 0.8,
+                       release: Boolean = true): DataFrame = {
+    val docs = docShingles(spark, dir).cache()
+    val ds = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+
+    // global shingle order: (document frequency asc, shingle) — rare first
+    val dfreq = ds.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ordered = ds.join(dfreq, "s")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
+      .select(col("doc_id"), size(col("ordered")).as("n"),
+        transform(col("ordered"), e => e.getField("s")).as("shs"))
+      .cache()
+
+    // prefix of the prospective SMALLER side: n - ⌈τ·n⌉ + 1 rarest
+    // shingles (ε inside the ceil mirrors d2's nudges: 0.8 binary-rounds
+    // UP, so τ·n lands a hair ABOVE an exact integer product and the raw
+    // ceil would shorten the prefix exactly at containment == τ pairs)
+    val prefix = ordered.select(col("doc_id"), col("n"),
+      explode(slice(col("shs"), lit(1),
+        (col("n") - ceil(col("n").cast("double") * threshold - 1e-9) + 1)
+          .cast("int"))).as("s"))
+    val full = ordered.select(col("doc_id"), col("n"),
+      explode(col("shs")).as("s"))
+
+    // the prefix side must be the pair's smaller set; (n, doc_id)
+    // lexicographic breaks the equal-size tie so each unordered pair is
+    // generated exactly once
+    val candidates = prefix.as("a")
+      .join(full.as("b"),
+        col("a.s") === col("b.s") &&
+          (col("a.n") < col("b.n") ||
+            (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))))
+      .select(col("a.doc_id").as("id_s"), col("b.doc_id").as("id_l"))
+      .distinct()
+
+    val verified = candidates
+      .join(docs.select(col("doc_id").as("id_s"), col("sh").as("sh_s")), "id_s")
+      .join(docs.select(col("doc_id").as("id_l"), col("sh").as("sh_l")), "id_l")
+      .withColumn("shared", size(array_intersect(col("sh_s"), col("sh_l"))))
+      .withColumn("containment",
+        col("shared").cast("double") /
+          least(size(col("sh_s")), size(col("sh_l"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(least(col("id_s"), col("id_l")).as("id_a"),
+        greatest(col("id_s"), col("id_l")).as("id_b"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+    if (release) materializeAndRelease(verified, docs, ordered) else verified
+  }
+
+  /** Naive all-pairs containment — correctness baseline for
+    * [[containmentPairs]] (asserted equal in DedupSpec); test-scale only.
+    */
+  def containmentPairsNaive(spark: SparkSession, dir: String,
+                            threshold: Double = 0.8): DataFrame = {
+    val docs = docShingles(spark, dir)
+    val ds = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val cnt = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    ds.as("a")
+      .join(ds.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(cnt.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(cnt.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** d18: quality-aware survivor selection — d6's near-dup clusters, but
+    * the kept document per cluster is the HIGHEST-QUALITY member (most
+    * tokens, doc_id ascending as the deterministic tie-break), not the
+    * smallest id. This is what production dedup actually ships: among a
+    * syndication cluster you keep the longest/cleanest copy, not an
+    * arbitrary one — d7's min-id rule is the right *mechanical* survivor
+    * for idempotent re-runs, d18 is the right *corpus-quality* survivor.
+    * Cost over d6: one token-count projection + a window over CLUSTER
+    * members only (cluster-sized partitions, not corpus-sized) — the
+    * per-cluster argmax adds nothing measurable at any scale.
+    */
+  def qualitySurvivors(spark: SparkSession, dir: String,
+                       threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashLshPairs(spark, dir, threshold)
+      .select(col("id_a"), col("id_b")).cache()
+    val clusters = connectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+      .withColumnRenamed("root", "cluster_root")
+    val ntok = Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val ranked = clusters.join(ntok, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_root"))
+          .orderBy(col("n_tokens").desc, col("doc_id").asc)))
+    val members = ranked.groupBy(col("cluster_root"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+    val result = ranked.filter(col("rn") === 1)
+      .select(col("cluster_root"), col("doc_id").as("survivor_id"),
+        col("n_tokens").as("survivor_tokens"))
+      .join(members, "cluster_root")
+      .select(col("cluster_root"), col("survivor_id"),
+        col("survivor_tokens"), col("n_members"))
+      .orderBy(col("cluster_root"))
+    materializeAndRelease(result, pairs)
+  }
+
   /** SimHash signature width: 52 bits, the width of [[graft.functions
     * .TextFunctions.hash52]] — chosen so the token hash (and therefore the
     * whole signature) is reproducible in DuckDB and the query hash-checks

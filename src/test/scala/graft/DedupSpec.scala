@@ -191,4 +191,81 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getDouble(2) >= 0.3 - 1e-9)
     }
   }
+
+  private def writeDocs(prefix: String, docs: Seq[(Long, String)]): String = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d17 containment catches the near-subset pair Jaccard structurally misses") {
+    // the dominant web-crawl duplication mode: the same 22-token article
+    // syndicated inside a 62-token boilerplate wrapper. All 20 of the
+    // article's trigram shingles appear verbatim in the wrapper, so
+    // containment = 1.0 — while jaccard = 20/60 = 0.33 sits far below any
+    // usable dedup threshold.
+    val article = (0 until 22).map(i => s"art$i").mkString(" ")
+    val wrapper = ((0 until 20).map(i => s"nav$i") ++
+      (0 until 22).map(i => s"art$i") ++
+      (0 until 20).map(i => s"foot$i")).mkString(" ")
+    val dir = writeDocs("graft_d17_subset", Seq((1L, article), (2L, wrapper)))
+    val cont = Dedup.containmentPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(cont == Seq((1L, 2L, 1.0)), s"containment pair lost: $cont")
+    assert(Dedup.ngramJaccardPairs(spark, dir).count() == 0,
+      "jaccard at 0.8 must NOT see the subset pair — that asymmetry is d17's point")
+  }
+
+  test("d17 prefix filter keeps pairs at exactly the containment boundary; == naive") {
+    // A = 7 tokens -> 5 shingles; B = A's first 6 tokens + 20 boilerplate
+    // tokens: shares exactly 4 of A's 5 shingles -> containment 4/5 = 0.8
+    // EXACTLY, on the smaller side's prefix boundary (prefix length
+    // 5 - ceil(0.8*5) + 1 = 2, and one of A's two rarest shingles must be
+    // shared — exercising the epsilon inside the ceil).
+    val a = (0 until 7).map(i => s"tok$i").mkString(" ")
+    val b = ((0 until 6).map(i => s"tok$i") ++
+      (0 until 20).map(i => s"pad$i")).mkString(" ")
+    val dir = writeDocs("graft_d17_boundary", Seq((1L, a), (2L, b)))
+    val got = Dedup.containmentPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 0.8)), s"boundary containment pair lost: $got")
+    // and on the organic fixture the prefix-filtered join equals naive
+    val naive = Dedup.containmentPairsNaive(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fast = Dedup.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(naive.nonEmpty, "fixture should contain containment pairs")
+    assert(fast == naive, s"fast=${fast.size} naive=${naive.size}")
+  }
+
+  test("d18 keeps the highest-quality cluster member, d7 the mechanical min-id") {
+    // three near-dups of increasing length: the corpus-quality survivor is
+    // doc 3 (most tokens), the idempotency survivor (d7) is doc 1 (min id)
+    val base = (0 until 50).map(i => s"w$i").mkString(" ")
+    val dir = writeDocs("graft_d18_quality", Seq(
+      (1L, base), (2L, base + " extra1"), (3L, base + " extra1 extra2")))
+    val rows = Dedup.qualitySurvivors(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq((1L, 3L, 52L, 3L)),
+      s"expected cluster root 1 surviving via doc 3 (52 tokens, 3 members): $rows")
+    val kept = Dedup.dedupedCorpus(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L), s"d7 keeps the min id: $kept")
+  }
+
+  test("d18 survivor tie-break is the smallest doc id among equal token counts") {
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    // 2 and 3 tie on tokens (same length); 3 differs in ONE token so the
+    // pair graph still connects all three through the shared base
+    val dir = writeDocs("graft_d18_tie", Seq(
+      (5L, base), (6L, base + " x1"), (7L, base + " x2")))
+    val rows = Dedup.qualitySurvivors(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq((5L, 6L, 41L, 3L)),
+      s"tie at 41 tokens must resolve to the smaller id 6: $rows")
+  }
 }

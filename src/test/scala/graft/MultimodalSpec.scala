@@ -273,4 +273,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stats.map(_.getString(0)).toSet.subsetOf(Set("img", "vid")))
     assert(stats.map(_.getLong(1)).sum == d1.size)
   }
+
+  test("m6: radius-7 banded retrieval is exact vs brute force on the fixture") {
+    import org.apache.spark.sql.functions.col
+    val hashes = Multimodal.perceptualHashes(spark, sf)
+    val hs = hashes.select(col("doc_id"), col("phash")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield (a, b, d.toLong)).toSet
+    val banded = Multimodal.mediaNearDupPairs(hashes, maxHamming = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size} (multi-index pigeonhole must be exact)")
+  }
+
+  test("m6 clusters: transitive chains close into one component (A~B~C, A-C beyond radius)") {
+    // planted chain: progressively heavier edits of one payload, so
+    // adjacent docs collide within radius 7 while the endpoints sit
+    // beyond it — the case pair-listing (m5) under-reports and m6 exists
+    // for. The reference clustering is an independent driver-side BFS
+    // over the brute-force pair graph.
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val base = ("the quick brown fox jumps over the lazy dog " * 40).trim
+    def edit(s: String, n: Int): String = {
+      val cs = s.toCharArray
+      (0 until n).foreach { k =>
+        val pos = (k * 97 + 13) % cs.length
+        cs(pos) = if (cs(pos) == 'z') 'a' else (cs(pos) + 1).toChar
+      }
+      new String(cs)
+    }
+    val docs = (0 to 6).map(i => (i.toLong + 1, edit(base, i * 12)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_m6_chain").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val hs = Multimodal.perceptualHashes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val edges = (for {
+      (a, ha) <- hs.toSeq; (b, hb) <- hs.toSeq
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 7
+    } yield (a, b))
+    assert(edges.nonEmpty, "chain fixture must produce at least one within-radius pair")
+    // independent reference: BFS components over the brute edge list
+    val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    def component(seed: Long): Set[Long] = {
+      var seen = Set(seed); var frontier = Set(seed)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      seen
+    }
+    val expected = adj.keySet.map(n => n -> component(n).min).toMap
+    val got = Multimodal.mediaDedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
 }

@@ -181,6 +181,7 @@ class PlanSpec extends AnyFunSuite {
     import graft.operators.{Dedup, TextAnalysis}
     name match {
       case "d2_ngram_jaccard"    => Dedup.ngramJaccardPairs(spark, sf, release = false)
+      case "d17_containment_dedup" => Dedup.containmentPairs(spark, sf, release = false)
       case "d3_minhash_lsh"      => Dedup.minhashLshPairs(spark, sf, release = false)
       case "d5_embedding_neardup" => Dedup.embeddingNearDupPairs(spark, sf, release = false)
       case "d8_decontaminate"    => Dedup.decontaminate(spark, sf, release = false)
