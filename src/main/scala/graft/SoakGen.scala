@@ -147,6 +147,18 @@ object SoakGen {
       time("d12_indexed_probe") {
         graft.operators.Dedup.incrementalDedupIndexed(spark, out).count()
       }
+      // r6 batch-7 operators: row counts double as the pair-growth
+      // diagnostics (replica near-dups make true containment/cluster
+      // pairs grow ~factor² per group, like d2/d12 above)
+      time("d17_containment") {
+        graft.operators.Dedup.containmentPairs(spark, out).count()
+      }
+      time("d18_quality_surv") {
+        graft.operators.Dedup.qualitySurvivors(spark, out).count()
+      }
+      time("m6_media_clusters") {
+        graft.multimodal.Multimodal.mediaDedupClusters(spark, out).count()
+      }
       // pair-growth diagnostics for the soak ledger: the replica design
       // makes true near-dup GROUPS widen with the factor, so verified d12
       // pairs (printed as rows above) and d14's within-cell pair

@@ -157,6 +157,8 @@ object SparkEntry {
     "d17_containment_dedup"   -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "d18_quality_survivors"   -> ((s: SparkSession, d: String) => Dedup.qualitySurvivors(s, d)),
     "m6_media_dedup_clusters" -> ((s: SparkSession, d: String) => Multimodal.mediaDedupClusters(s, d)),
+    "t23_dsir_weights"        -> ((s: SparkSession, d: String) => TextAnalysis.dsirWeights(s, d)),
+    "t24_ccnet_cut"           -> ((s: SparkSession, d: String) => TextAnalysis.ccnetPerplexityCut(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -1584,24 +1586,73 @@ object SparkEntry {
     // t20: the bigram LM replays exactly — integer counts, one smoothing
     // formula, log2/power over identical double quotients (the t8/t18
     // cross-engine libm regime, pinned by the 1e-9 nudge + rounding).
-    "t20_lm_perplexity" -> """
-      WITH tk AS (
-        SELECT doc_id,
-          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        FROM documents),
-      bi AS (
-        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tk)),
-      cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
-      cw AS (SELECT w1, sum(cb) AS cw FROM cb GROUP BY 1),
-      v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
-            FROM (SELECT unnest(toks) AS tok FROM tk)),
-      sc AS (
-        SELECT doc_id, -log2((cb.cb + 0.5) / (cw.cw + 0.5 * v.v)) AS nll
-        FROM bi JOIN cb USING (w1, w2) JOIN cw USING (w1) CROSS JOIN v)
+    "t20_lm_perplexity" -> s"""
+      WITH $LmNllCtesSql
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         round(avg(nll) + 0.000000001, 4) AS avg_nll_bits,
         round(power(2, avg(nll)) + 0.000000001, 2) AS ppl
+      FROM sc GROUP BY 1 ORDER BY doc_id""",
+
+    // t24: per-source perplexity terciles — t20's per-doc ppl (shared CTE
+    // body, so the model spelling stays in lockstep), then t11's explicit
+    // rank-⌈q·n⌉ boundary replay PER SOURCE and the two-comparison cut.
+    "t24_ccnet_cut" -> s"""
+      WITH $LmNllCtesSql,
+      doc AS (
+        SELECT doc_id, round(power(2, avg(nll)) + 0.000000001, 2) AS ppl
+        FROM sc GROUP BY 1),
+      ps AS (
+        SELECT d.doc_id, documents.source, d.ppl
+        FROM doc d JOIN documents USING (doc_id)),
+      r AS (
+        SELECT source, ppl,
+          row_number() OVER (PARTITION BY source ORDER BY ppl) AS rnk,
+          count(*) OVER (PARTITION BY source) AS cnt
+        FROM ps),
+      b AS (
+        SELECT source,
+          max(CASE WHEN rnk = CAST(ceil((1.0 / 3) * cnt) AS BIGINT) THEN ppl END) AS b1,
+          max(CASE WHEN rnk = CAST(ceil((2.0 / 3) * cnt) AS BIGINT) THEN ppl END) AS b2
+        FROM r GROUP BY source),
+      ct AS (
+        SELECT ps.doc_id, ps.source, ps.ppl,
+          1 + CASE WHEN ps.ppl > b.b1 THEN 1 ELSE 0 END
+            + CASE WHEN ps.ppl > b.b2 THEN 1 ELSE 0 END AS c
+        FROM ps JOIN b ON ps.source = b.source)
+      SELECT doc_id, source, ppl,
+        CASE c WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS cut
+      FROM ct ORDER BY doc_id""",
+
+    // t23: the hashed-bigram bucket ids replay through the portable hash52,
+    // both bucket models are exact integer-count ratios, and the per-doc
+    // log-ratio sum carries t20's 1e-9 nudge before the round.
+    "t23_dsir_weights" -> s"""
+      WITH tk AS (
+        SELECT doc_id, source,
+          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+        FROM documents),
+      bi AS (
+        SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS bigram
+        FROM (SELECT doc_id, source, toks, unnest(range(1, len(toks))) AS i FROM tk)),
+      db AS (
+        SELECT doc_id, source,
+          ${graft.functions.TextFunctions.hash52Sql("bigram")} % 1024 AS b,
+          count(*) AS n
+        FROM bi GROUP BY 1, 2, 3),
+      model AS (
+        SELECT b,
+          sum(CASE WHEN source = 'src1' THEN n ELSE 0 END) AS nt,
+          sum(CASE WHEN source <> 'src1' THEN n ELSE 0 END) AS nr
+        FROM db GROUP BY 1),
+      tot AS (SELECT CAST(sum(nt) AS DOUBLE) AS tt,
+                     CAST(sum(nr) AS DOUBLE) AS tr FROM model),
+      sc AS (
+        SELECT doc_id, n,
+          n * (ln((nt + 0.5) / (tt + 512.0)) - ln((nr + 0.5) / (tr + 512.0))) AS lr
+        FROM db JOIN model USING (b) CROSS JOIN tot
+        WHERE source <> 'src1')
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        round(sum(lr) + 0.000000001, 4) AS log_weight
       FROM sc GROUP BY 1 ORDER BY doc_id""",
 
     // m5: the 52-bit block-mean aHash replays exactly — the bit test is an
@@ -2065,6 +2116,26 @@ object SparkEntry {
       SELECT cluster_root, doc_id AS survivor_id,
         n_tokens AS survivor_tokens, CAST(n_members AS BIGINT) AS n_members
       FROM rk WHERE rn = 1 ORDER BY cluster_root"""
+
+  /** t20/t24 shared bigram-LM CTE body (tk/bi/cb/cw/v/sc): ONE spelling of
+    * the tokenization + add-k model + per-bigram nll, so the perplexity
+    * score and the cut built on it can never drift apart. No leading WITH
+    * (callers compose it).
+    */
+  private val LmNllCtesSql: String = """tk AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents),
+      bi AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tk)),
+      cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+      cw AS (SELECT w1, sum(cb) AS cw FROM cb GROUP BY 1),
+      v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+            FROM (SELECT unnest(toks) AS tok FROM tk)),
+      sc AS (
+        SELECT doc_id, -log2((cb.cb + 0.5) / (cw.cw + 0.5 * v.v)) AS nll
+        FROM bi JOIN cb USING (w1, w2) JOIN cw USING (w1) CROSS JOIN v)"""
 
   /** m5/m6: bytes → 52 block means → bit per block, all in integer
     * arithmetic. No leading WITH so m6 can prepend RECURSIVE.

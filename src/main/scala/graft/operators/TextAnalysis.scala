@@ -765,6 +765,111 @@ object TextAnalysis {
       .orderBy(col("decile"))
   }
 
+  /** t24: CCNet head/middle/tail cut (Wenzek et al. 2019 §4.3) — the
+    * shard assignment step that follows t20's perplexity scoring: within
+    * each SOURCE, documents are cut into the best (head), middle, and
+    * worst (tail) perplexity terciles; CCNet trains on head+middle and
+    * discards or down-weights tail. Per-source (not global) cuts are the
+    * paper's design: each crawl/domain has its own perplexity regime, so
+    * a global threshold would empty high-perplexity domains entirely.
+    *
+    * Scale design is t11's: the tercile BOUNDARIES are one grouped
+    * `percentile_approx` sketch (mergeable, map-side partials), joined
+    * back as a broadcast (source-count rows — thousands at most), and
+    * each document is cut with two map-side comparisons. No per-source
+    * window anywhere — the plan that dies at 100 TB is ntile over
+    * PARTITION BY source (a source = one window partition = one task);
+    * boundary ties land in the lower cut, the same contract the oracle
+    * replays with an explicit per-source row_number at gate scale.
+    */
+  def ccnetPerplexityCut(spark: SparkSession, dir: String,
+                         k: Double = 0.5, release: Boolean = true): DataFrame = {
+    val scored = ngramLmPerplexity(spark, dir, k, release)
+      .select(col("doc_id"), col("ppl"))
+    val ps = scored.join(
+      Tables.documentsParallel(spark, dir).select(col("doc_id"), col("source")),
+      "doc_id")
+    val bounds = ps.groupBy(col("source"))
+      .agg(percentile_approx(col("ppl"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("bs"))
+    val cut = lit(1) + (col("ppl") > element_at(col("bs"), 1)).cast("int") +
+      (col("ppl") > element_at(col("bs"), 2)).cast("int")
+    ps.join(broadcast(bounds), "source")
+      .select(col("doc_id"), col("source"), col("ppl"),
+        element_at(array(lit("head"), lit("middle"), lit("tail")), cut).as("cut"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t23: DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed-bigram features are under
+    * a TARGET distribution than under the raw pool's own distribution —
+    * log w(x) = Σ_b n_x[b]·(ln p̂_t[b] − ln p̂_r[b]) — so that a
+    * downstream sampler (t14's hash machinery) can resample the raw pool
+    * toward the target domain. The target here is one corpus source
+    * (`targetSource`, standing in for the Wikipedia/books slice the paper
+    * uses); both bucket models use add-k smoothing over the same fixed
+    * `buckets`-bucket hash space, the paper's hashed n-gram
+    * generative-model construction.
+    *
+    * Shape: bigrams are a map-side zip (t20's spelling) hashed into
+    * `buckets` ids via the portable [[hash52]] (oracle-replayable);
+    * ONE corpus shuffle builds the (doc, bucket) count table, and
+    * EVERYTHING else derives from it: the two bucket models roll up from
+    * its ≤`buckets`-row aggregation (never a second corpus pass), their
+    * totals are a scalar over the model, and scoring joins the broadcast
+    * model back to the per-doc buckets — a `buckets`-row broadcast, so
+    * the scoring pass is exchange-free on the corpus side. The final
+    * per-doc sum rides the same (doc_id)-keyed shuffle any per-doc
+    * aggregate pays. The fixed bucket count means hot buckets are
+    * map-side-combined, never a skew problem.
+    */
+  def dsirWeights(spark: SparkSession, dir: String,
+                  targetSource: String = "src1",
+                  buckets: Int = 1024, k: Double = 0.5,
+                  release: Boolean = true): DataFrame = {
+    // cache barrier against InferFiltersFromGenerate (the d8/d10 trap):
+    // tokenization runs once, shared by the model and scoring branches
+    val toks = Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .cache()
+    val bg = toks.select(col("doc_id"), col("source"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val db = bg
+      .select(col("doc_id"), col("source"),
+        pmod(hash52(col("bigram")), lit(buckets.toLong)).as("b"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .cache()
+    val model = db.groupBy(col("b"))
+      .agg(sum(when(col("source") === targetSource, col("n")).otherwise(0L))
+             .cast("long").as("nt"),
+           sum(when(col("source") =!= targetSource, col("n")).otherwise(0L))
+             .cast("long").as("nr"))
+    val totals = model.agg(sum(col("nt")).cast("double").as("tt"),
+                           sum(col("nr")).cast("double").as("tr"))
+    val kb = k * buckets
+    val result = db.filter(col("source") =!= targetSource)
+      .join(broadcast(model), "b")
+      .crossJoin(broadcast(totals))
+      .withColumn("lr", col("n") *
+        (log((col("nt") + k) / (col("tt") + kb)) -
+         log((col("nr") + k) / (col("tr") + kb))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_bigrams"),
+           sum(col("lr")).as("raw"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("raw") + 1e-9, 4).as("log_weight"))
+      .orderBy(col("doc_id"))
+    if (release) {
+      val out = result.localCheckpoint()
+      toks.unpersist(); db.unpersist(); out
+    } else result
+  }
+
   /** t3: corpus-level quality aggregation per (lang, source) — the shape of
     * a "which crawl sources are worth keeping" report.
     */

@@ -109,13 +109,20 @@ class PlanSpec extends AnyFunSuite {
     //    scans moved to the FullScan recall baselines) — their remaining
     //    BNLJ nodes are all 1-row broadcasts: the s3 quantizer pair (s5)
     //    and the int8-grid/PQ-codebook (both)
+    //  - t23 (r6): the 1-row model-totals scalar broadcast (t20's shape)
+    //  - t24 (r6): inherits t20's vocabulary-scalar broadcast, planned
+    //    once per reference of the scored frame (bounds branch + scoring
+    //    branch → 2; the registered form checkpoints the scores so the
+    //    duplication exists only in this live inspection plan); its own
+    //    additions — grouped sketch + broadcast equi join on source —
+    //    add none
     val quadraticByDesign = Set(
       "s1_ann_topk", "s3_ann_ivf_topk", "s4_quantize_int8",
       "t8_tfidf", "t11_length_buckets", "t14_mixture_sample",
       "q36_histogram", "q44_supplier_revenue", "q23_correlated_subq",
       "q49_expectations", "d14_auto_cells", "s5_two_stage_ann",
       "t20_lm_perplexity", "s6_pq_ann", "t22_vocab_growth",
-      "s7_lsh_rerank")
+      "s7_lsh_rerank", "t23_dsir_weights", "t24_ccnet_cut")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticByDesign)
       .flatMap { name =>
@@ -146,7 +153,7 @@ class PlanSpec extends AnyFunSuite {
       "q23_correlated_subq" -> 0, "q49_expectations" -> 1,
       "d14_auto_cells" -> 2, "s5_two_stage_ann" -> 4,
       "t20_lm_perplexity" -> 1, "s6_pq_ann" -> 2, "t22_vocab_growth" -> 1,
-      "s7_lsh_rerank" -> 2)
+      "s7_lsh_rerank" -> 2, "t23_dsir_weights" -> 1, "t24_ccnet_cut" -> 2)
     val actual = expectedBnlj.keys.map { n =>
       val p = planString(livePlanOf(n))
       n -> ("BroadcastNestedLoopJoin".r.findAllIn(p).size +
@@ -198,6 +205,8 @@ class PlanSpec extends AnyFunSuite {
       case "t9_repetition"       => TextAnalysis.repetitionStats(spark, sf, release = false)
       case "t13_quality_filter"  => TextAnalysis.qualityFilterVerdicts(spark, sf, release = false)
       case "t21_zipf_fit"        => TextAnalysis.zipfFit(spark, sf, release = false)
+      case "t23_dsir_weights"    => TextAnalysis.dsirWeights(spark, sf, release = false)
+      case "t24_ccnet_cut"       => TextAnalysis.ccnetPerplexityCut(spark, sf, release = false)
       case _ => SparkEntry.queries(name)(spark, sf)
     }
   }

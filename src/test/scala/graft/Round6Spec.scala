@@ -187,6 +187,61 @@ class Round6Spec extends AnyFunSuite {
     assert(a == b, s"zipf fit not deterministic: $a vs $b")
   }
 
+  test("t23 DSIR: target-like raw docs outweigh alien ones; target docs excluded") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val spark2 = spark
+    import spark2.implicits._
+    // target source src1: a characteristic bigram vocabulary; raw source
+    // src2 holds one doc written in the target's bigram distribution and
+    // one written in a disjoint vocabulary — DSIR must rank the mimic
+    // above the alien (that ordering IS the data-selection contract).
+    val targetText = (0 until 60).map(i => s"t${i % 12}").mkString(" ")
+    val mimicText = (0 until 40).map(i => s"t${(i + 3) % 12}").mkString(" ")
+    val alienText = (0 until 40).map(i => s"z${i % 17}").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_t23").toString
+    Seq(
+      (1L, targetText, "src1"), (2L, targetText + " t0 t1", "src1"),
+      (10L, mimicText, "src2"), (11L, alienText, "src2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.dsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows.keySet == Set(10L, 11L),
+      s"only raw (non-target) docs are scored: ${rows.keySet}")
+    assert(rows(10L) > rows(11L),
+      s"target-mimicking doc must outweigh the alien one: $rows")
+    // the mimic's features are common under the target model -> its
+    // log-ratio should be positive; the alien's target counts are all
+    // zero-smoothed -> negative
+    assert(rows(10L) > 0 && rows(11L) < 0, s"sign contract: $rows")
+  }
+
+  test("t24 CCNet cut: per-source tercile ordering, boundary ties to the lower cut") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.ccnetPerplexityCut(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._4).toSet.subsetOf(Set("head", "middle", "tail")))
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      val byCut = docs.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      // cut ordering: every head ppl is strictly below every middle ppl
+      // (boundary ties all land in the lower cut), middles below tails
+      for {
+        h <- byCut.get("head"); m <- byCut.get("middle")
+      } assert(h.max < m.min, s"$src: head/middle overlap")
+      for {
+        m <- byCut.get("middle"); t <- byCut.get("tail")
+      } assert(m.max < t.min, s"$src: middle/tail overlap")
+      // a source with >= 3 scored docs exercises all three cuts unless
+      // ties collapse a boundary; at minimum the head cut is non-empty
+      assert(byCut.contains("head"), s"$src: no head cut")
+    }
+  }
+
   test("full-scan baselines remain quadratic-by-design and UNREGISTERED") {
     // the r5 forms retired from the registry; a re-registration would
     // reintroduce the corpus x queries coarse scan to the graded surface
