@@ -48,10 +48,10 @@ object SoakGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // the source events.parquet carries INT64 TIMESTAMP(NANOS), which
-    // Spark 4 only reads as a long under this flag; the replica is written
-    // as a plain BIGINT and Tables.events rebuilds the µs timestamp from
-    // it identically either way
+    // nanos-generation events.parquet (INT64 TIMESTAMP(NANOS)) is only
+    // readable as a long under this flag; the replica then carries a plain
+    // BIGINT (µs-generation sources replicate their timestamp unchanged)
+    // and Tables.events normalizes either encoding identically
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val onlyTime = args.contains("--only-time") // reuse an existing outDir

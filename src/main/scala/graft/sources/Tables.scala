@@ -34,15 +34,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is written as parquet INT64 TIMESTAMP(NANOS) which Spark 4
-    * rejects outright (PARQUET_TYPE_ILLEGAL). Read it as a long via the
-    * legacy conf, then truncate ns → µs into a proper TimestampType — the
-    * same truncation DuckDB/pandas apply, so oracle parity holds.
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: INT64 TIMESTAMP(NANOS), which Spark 4 rejects outright
+    * (PARQUET_TYPE_ILLEGAL) unless read as a long via the legacy conf and
+    * then truncated ns → µs; and plain TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false, which Spark lands as TIMESTAMP_NTZ. Branch on
+    * the landed type so both generations normalize to the same
+    * session-TZ TimestampType µs column — the session TZ is pinned UTC
+    * everywhere, so the NTZ → TZ cast preserves the wall-clock instant
+    * and DuckDB (which reads either encoding as a naive µs timestamp)
+    * stays hash-identical.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
 

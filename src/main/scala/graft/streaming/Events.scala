@@ -316,17 +316,7 @@ object Events {
     * `processAllAvailable()` in tests.
     */
   def streamingWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
-    // nanos timestamps are read as long (see Tables.events) and rebuilt
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.events(spark, dir).schema
-    val raw = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(schema.map {
-        case f if f.name == "ts" =>
-          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
-        case f => f
-      }))
-      .parquet(s"$dir/events*.parquet") // glob: file sources monitor dirs/globs, not single files
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventsStream(spark, dir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
@@ -340,35 +330,28 @@ object Events {
     * dropDuplicates would grow state forever).
     */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.events(spark, dir).schema
-    val raw = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(schema.map {
-        case f if f.name == "ts" =>
-          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
-        case f => f
-      }))
-      .parquet(s"$dir/events*.parquet")
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventsStream(spark, dir)
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("ts"))
   }
 
-  /** Shared streaming events source (nanos → µs rebuild, same as the other
-    * stream readers).
+  /** Shared streaming events source. Probes the physical encoding through
+    * the batch reader and mirrors [[Tables.events]]' normalization branch:
+    * nanos-as-long generations rebuild µs timestamps, TIMESTAMP(MICROS)
+    * generations (landed as NTZ) cast into the UTC-pinned session TZ.
+    * The glob matters: file sources monitor dirs/globs, not single files.
     */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.events(spark, dir).schema
-    spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(schema.map {
-        case f if f.name == "ts" =>
-          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
-        case f => f
-      }))
-      .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val physical = spark.read.parquet(Tables.path(dir, "events")).schema
+    val raw = spark.readStream.schema(physical).parquet(s"$dir/events*.parquet")
+    physical("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Stream-stream interval join — the streaming twin of the q29 range
