@@ -159,6 +159,12 @@ object SparkEntry {
     "m6_media_dedup_clusters" -> ((s: SparkSession, d: String) => Multimodal.mediaDedupClusters(s, d)),
     "t23_dsir_weights"        -> ((s: SparkSession, d: String) => TextAnalysis.dsirWeights(s, d)),
     "t24_ccnet_cut"           -> ((s: SparkSession, d: String) => TextAnalysis.ccnetPerplexityCut(s, d)),
+    // batch 8 extensions (round 6): the pre-model rule battery, diversified
+    // ANN serving, and the jaccard-vs-containment audit that justifies
+    // running both dedup surfaces
+    "t25_gopher_rules"        -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
+    "s8_diversified_topk"     -> ((s: SparkSession, d: String) => Similarity.annDiversifiedTopK(s, d)),
+    "d19_dedup_audit"         -> ((s: SparkSession, d: String) => Dedup.dedupAudit(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -1654,6 +1660,95 @@ object SparkEntry {
       SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
         round(sum(lr) + 0.000000001, 4) AS log_weight
       FROM sc GROUP BY 1 ORDER BY doc_id""",
+
+    // t25: every rule is a scalar over the same normalized token list the
+    // t18/t23 oracles use; `passes` compares the ROUNDED ratios on both
+    // sides so 4dp pins the rule boundaries across engines.
+    "t25_gopher_rules" -> """
+      WITH nm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM documents),
+      tk AS (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM nm),
+      m AS (
+        SELECT doc_id,
+          len(t) AS nw,
+          greatest(len(t), 1) AS n,
+          len(replace(norm, ' ', '')) AS totlen,
+          len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+          len(list_intersect(list_distinct(t),
+            ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS n_stop,
+          len(regexp_extract_all(norm, '#'))
+            + len(regexp_extract_all(norm, '\.\.\.')) AS n_sym
+        FROM tk),
+      r AS (
+        SELECT doc_id,
+          CAST(nw AS BIGINT) AS n_words,
+          round(CAST(totlen AS DOUBLE) / n + 0.000000001, 4) AS mean_word_len,
+          round(CAST(n_alpha AS DOUBLE) / n + 0.000000001, 4) AS frac_alpha,
+          round(CAST(n_sym AS DOUBLE) / n + 0.000000001, 4) AS symbol_ratio,
+          CAST(n_stop AS BIGINT) AS n_stop_kinds
+        FROM m)
+      SELECT doc_id, n_words, mean_word_len, frac_alpha, symbol_ratio, n_stop_kinds,
+        (n_words BETWEEN 50 AND 100000) AS rule_words,
+        (mean_word_len BETWEEN 3.0 AND 10.0) AS rule_word_len,
+        (symbol_ratio < 0.1) AS rule_symbols,
+        (frac_alpha >= 0.8) AS rule_alpha,
+        (n_stop_kinds >= 2) AS rule_stops,
+        (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+          AND (symbol_ratio < 0.1) AND (frac_alpha >= 0.8)
+          AND (n_stop_kinds >= 2) AS passes
+      FROM r ORDER BY doc_id""",
+
+    // s8: s2's candidate + cosine CTEs verbatim, then the label-cap window
+    // (lr <= 2 per neighbor label) before the global top-k window.
+    "s8_diversified_topk" -> ("WITH e AS (SELECT vec_id, embedding FROM embeddings)," +
+      LshCandCtesSql + s""",
+      j AS (
+        SELECT cand.query_id, cand.neighbor_id, eq.embedding AS qe, en.embedding AS ne
+        FROM cand
+        JOIN e eq ON eq.vec_id = cand.query_id
+        JOIN e en ON en.vec_id = cand.neighbor_id),
+      u AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne FROM j),
+      s AS (
+        SELECT query_id, neighbor_id,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
+          sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
+        FROM u GROUP BY 1, 2),
+      c AS (SELECT query_id, neighbor_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM s),
+      lab AS (
+        SELECT c.query_id, c.neighbor_id, el.label, c.cos,
+          row_number() OVER (PARTITION BY c.query_id, el.label
+                             ORDER BY c.cos DESC, c.neighbor_id) AS lr
+        FROM c JOIN embeddings el ON el.vec_id = c.neighbor_id),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM lab WHERE lr <= 2)
+      SELECT query_id, neighbor_id, label, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""),
+
+    // d19: the shared shingle CTEs emit both raw metrics per candidate
+    // pair; classification and the class rollup replay directly.
+    "d19_dedup_audit" -> (ShingleCtesSql + """,
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      m AS (
+        SELECT id_a, id_b,
+          CAST(shared AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE) AS containment,
+          CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jaccard
+        FROM pairs
+        JOIN cnt ca ON id_a = ca.doc_id
+        JOIN cnt cb ON id_b = cb.doc_id),
+      f AS (
+        SELECT CASE WHEN jaccard >= 0.8 THEN 'both' ELSE 'containment_only' END AS relation,
+          jaccard, containment
+        FROM m WHERE containment >= 0.8)
+      SELECT relation, CAST(count(*) AS BIGINT) AS n_pairs,
+        round(avg(jaccard) + 0.000000001, 4) AS avg_jaccard,
+        round(avg(containment) + 0.000000001, 4) AS avg_containment
+      FROM f GROUP BY 1 ORDER BY 1"""),
 
     // m5: the 52-bit block-mean aHash replays exactly — the bit test is an
     // integer cross-multiplication (sum_j*L > total*len_j), so no float

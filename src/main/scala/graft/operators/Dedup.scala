@@ -363,6 +363,53 @@ object Dedup {
   def containmentPairs(spark: SparkSession, dir: String,
                        threshold: Double = 0.8,
                        release: Boolean = true): DataFrame = {
+    val (verified, caches) = containmentVerified(spark, dir, threshold)
+    val out = verified
+      .filter(col("containment") >= threshold)
+      .select(least(col("id_s"), col("id_l")).as("id_a"),
+        greatest(col("id_s"), col("id_l")).as("id_b"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+    if (release) materializeAndRelease(out, caches: _*) else out
+  }
+
+  /** d19: the jaccard-vs-containment dedup audit — the report that
+    * justifies running BOTH d2 and d17: per relation class
+    * (`both` = the pair clears the Jaccard threshold too,
+    * `containment_only` = the near-subset pairs Jaccard structurally
+    * misses), the pair count and the average of each raw metric. The
+    * `containment_only` row's `avg_jaccard` is the number that matters
+    * operationally: how far below the Jaccard radar the wrapper-page
+    * duplicates fly.
+    *
+    * One pass: candidates come from [[containmentVerified]], whose
+    * prefix-filter recall at containment ≥ τ covers Jaccard ≥ τ for free
+    * (jaccard ≤ containment always, since the union is at least the
+    * smaller set). Cost identical to d17 plus a 2-row aggregation.
+    */
+  def dedupAudit(spark: SparkSession, dir: String,
+                 threshold: Double = 0.8): DataFrame = {
+    val (verified, caches) = containmentVerified(spark, dir, threshold)
+    val out = verified
+      .filter(col("containment") >= threshold)
+      .withColumn("relation",
+        when(col("jaccard") >= threshold, lit("both"))
+          .otherwise(lit("containment_only")))
+      .groupBy(col("relation"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        round(avg(col("jaccard")) + 1e-9, 4).as("avg_jaccard"),
+        round(avg(col("containment")) + 1e-9, 4).as("avg_containment"))
+      .orderBy(col("relation"))
+    materializeAndRelease(out, caches: _*)
+  }
+
+  /** Shared d17/d19 candidate generation + exact verification. Returns
+    * every candidate pair with BOTH raw metrics (`containment`,
+    * `jaccard`) plus the caches to release; callers filter/shape. The
+    * pair orientation is (id_s = smaller set, id_l = larger).
+    */
+  private def containmentVerified(spark: SparkSession, dir: String,
+                                  threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val docs = docShingles(spark, dir).cache()
     val ds = docs.select(col("doc_id"), explode(col("sh")).as("s"))
 
@@ -404,12 +451,10 @@ object Dedup {
       .withColumn("containment",
         col("shared").cast("double") /
           least(size(col("sh_s")), size(col("sh_l"))).cast("double"))
-      .filter(col("containment") >= threshold)
-      .select(least(col("id_s"), col("id_l")).as("id_a"),
-        greatest(col("id_s"), col("id_l")).as("id_b"),
-        round(col("containment"), 4).as("containment"))
-      .orderBy(col("id_a"), col("id_b"))
-    if (release) materializeAndRelease(verified, docs, ordered) else verified
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (size(col("sh_s")) + size(col("sh_l")) - col("shared")).cast("double"))
+    (verified, Seq(docs, ordered))
   }
 
   /** Naive all-pairs containment — correctness baseline for

@@ -120,6 +120,48 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** s8: diversified ANN serving — s2's exact LSH candidate machinery,
+    * with the returned top-k LABEL-CAPPED: at most `perLabelCap` results
+    * per neighbor label, then the best k of what survives. This is the
+    * result-diversification step a retrieval/RAG serving stack runs after
+    * candidate scoring (don't hand the model five copies of the same
+    * cluster); the label column stands in for whatever partition key the
+    * deployment diversifies on (source, domain, dedup cluster).
+    *
+    * Scale story is exactly s2's: both windows partition by query (or
+    * query × label) over CANDIDATE SETS only — bucket-width-bounded by
+    * [[deriveLshBits]], never corpus-wide — so the cap adds two
+    * candidate-set-sized window passes and nothing that grows with the
+    * corpus.
+    */
+  def annDiversifiedTopK(spark: SparkSession, dir: String, k: Int = TopK,
+                         perLabelCap: Int = 2, lshBits: Int = 0): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    val bits = resolveLshBits(raw, lshBits)
+    val e = raw.select(col("vec_id"), col("embedding"), col("label"),
+      lshBucketCol(bits).as("bucket"))
+    val probes = lshProbes(bits)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(array(probes.map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))
+    val scored = e.join(q, "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        expr("array_cosine(qe, embedding)").as("cos"))
+    val wl = Window.partitionBy(col("query_id"), col("label"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("lr", row_number().over(wl))
+      .filter(col("lr") <= perLabelCap)
+      .withColumn("rnk", row_number().over(wq).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("label"),
+        col("rnk"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val IvfNProbe = 3
 
   /** The s3 auto-derivation: sub-bucket bits for a corpus of `n` vectors

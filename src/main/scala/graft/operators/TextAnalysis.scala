@@ -870,6 +870,56 @@ object TextAnalysis {
     } else result
   }
 
+  /** The Gopher required-stopword list (Rae et al. 2021, A1.1): a document
+    * must contain at least two of these to pass the rule set. Distinct from
+    * [[graft.functions.TextFunctions.Stopwords]] (the ratio list) on
+    * purpose — the paper's rule names these eight words specifically.
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** t25: Gopher quality-rule report (Rae et al. 2021, Appendix A1.1) —
+    * the per-document rule battery production pipelines run before any
+    * model-based filter: word count in [50, 100k], mean word length in
+    * [3, 10], symbol-to-word ratio (# or ...) below 0.1, ≥80% of words
+    * containing an alphabetic character, and at least two of the eight
+    * required stopwords present. The line-structure rules (bullet/ellipsis
+    * line fractions) are omitted: this corpus is single-line by
+    * construction, so they would be vacuously true — the adaptation is
+    * documented rather than silently padded.
+    *
+    * Every rule is a map-side expression over the staged token array (one
+    * scan, no shuffle, whole-stage codegen). The report carries PER-RULE
+    * verdicts, as production rule batteries do (which rule rejected a
+    * document decides the remediation), plus the conjunction. Rule
+    * comparisons use the ROUNDED ratios so the boundaries are pinned to
+    * the same 4dp values the oracle replays — comparing raw doubles would
+    * let a 1-ulp cross-engine difference flip a boundary document.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val denom = greatest(col("n_tokens"), lit(1L)).cast("double")
+    staged(spark, dir)
+      .select(col("doc_id"), col("n_tokens").as("n_words"),
+        round(length(regexp_replace(col("norm"), " ", "")).cast("double")
+          / denom + 1e-9, 4).as("mean_word_len"),
+        round(size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double")
+          / denom + 1e-9, 4).as("frac_alpha"),
+        round((regexp_count(col("norm"), lit("#")) +
+          regexp_count(col("norm"), lit("\\.\\.\\."))).cast("double")
+          / denom + 1e-9, 4).as("symbol_ratio"),
+        size(array_intersect(array_distinct(col("toks")),
+          array(GopherStops.map(lit(_)): _*))).cast("long").as("n_stop_kinds"))
+      .withColumn("rule_words", col("n_words").between(50L, 100000L))
+      .withColumn("rule_word_len", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("rule_symbols", col("symbol_ratio") < 0.1)
+      .withColumn("rule_alpha", col("frac_alpha") >= 0.8)
+      .withColumn("rule_stops", col("n_stop_kinds") >= 2L)
+      .withColumn("passes",
+        col("rule_words") && col("rule_word_len") && col("rule_symbols") &&
+          col("rule_alpha") && col("rule_stops"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t3: corpus-level quality aggregation per (lang, source) — the shape of
     * a "which crawl sources are worth keeping" report.
     */

@@ -252,4 +252,94 @@ class Round6Spec extends AnyFunSuite {
     assert(names.contains("d13_auto_banded") && names.contains("d14_auto_cells"),
       "auto-scaling forms must stay registered")
   }
+
+  test("t25 gopher rules: map-side ratios equal an exploded recomputation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    import graft.operators.TextAnalysis
+    val g = TextAnalysis.gopherRules(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(g.count() == docs.count(), "one report row per document")
+    // alternate formulation: explode the tokens and aggregate — total
+    // non-space chars == sum of token lengths, etc.
+    val alt = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(length(col("tok"))).cast("double") / count(lit(1)) + 1e-9, 4)
+          .as("mwl"),
+        round(sum(when(col("tok").rlike("[a-z]"), 1.0).otherwise(0.0))
+          / count(lit(1)) + 1e-9, 4).as("fa"),
+        size(collect_set(when(col("tok")
+          .isInCollection(TextAnalysis.GopherStops), col("tok")))).cast("long")
+          .as("stops"))
+    val joined = g.join(alt, "doc_id")
+    assert(joined.filter(col("n_words") =!= col("n") ||
+      col("mean_word_len") =!= col("mwl") ||
+      col("frac_alpha") =!= col("fa") ||
+      col("n_stop_kinds") =!= col("stops")).count() == 0,
+      "map-side ratios must equal the exploded recomputation")
+    // rule diversity on this corpus: the word-count rule actually splits
+    // documents (23-token and 78-token docs both exist)
+    val words = g.select(col("rule_words")).distinct().count()
+    assert(words == 2, "rule_words should both pass and fail on testdata")
+  }
+
+  test("s8 diversified top-k: cap binds on a planted same-label cluster") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_s8").toString
+    // five identical-direction vectors: query 0 plus corpus 1,2,3 (label 1)
+    // and 4 (label 2). Identical vectors share an LSH bucket by
+    // construction; cosine ties break by neighbor_id ascending.
+    val base = (0 until Similarity.Dim).map(_ => 1.0f)
+    val rows = Seq((0L, base, 1), (1L, base, 1), (2L, base, 1),
+      (3L, base, 1), (4L, base, 2))
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val capped = Similarity.annDiversifiedTopK(spark, dir, k = 2, perLabelCap = 1)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    // uncapped top-2 would be (1, label1), (2, label1); the cap must
+    // replace the second label-1 hit with the label-2 vector
+    assert(capped.toSeq == Seq((1L, 1, 1L), (4L, 2, 2L)),
+      s"cap=1 should yield neighbor 1 then the label-2 vector 4, got ${capped.toSeq}")
+    // registered form invariants at gate scale: per-(query,label) counts
+    // never exceed the cap and ranks are contiguous from 1
+    val reg = Similarity.annDiversifiedTopK(spark, sf).collect()
+    val byQL = reg.groupBy(r => (r.getLong(0), r.getInt(2))).view.mapValues(_.length)
+    assert(byQL.values.forall(_ <= 2), "per-label cap violated")
+    reg.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getLong(3)).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq, s"ranks not contiguous for query $q")
+    }
+  }
+
+  test("d19 audit reconciles with d2/d17 and classifies a planted wrapper pair") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    // gate-scale reconciliation: class counts sum to d17's pairs, the
+    // 'both' class count equals d2's pairs (jaccard <= containment)
+    val audit = Dedup.dedupAudit(spark, sf).collect()
+    val total = audit.map(_.getLong(1)).sum
+    assert(total == Dedup.containmentPairs(spark, sf).count())
+    val both = audit.filter(_.getString(0) == "both").map(_.getLong(1)).sum
+    assert(both == Dedup.ngramJaccardPairs(spark, sf).count())
+    audit.foreach(r => assert(r.getDouble(2) <= r.getDouble(3) + 1e-9,
+      "avg jaccard must not exceed avg containment"))
+    // planted wrapper: an article verbatim inside a much larger page —
+    // containment 1.0, jaccard well under threshold -> containment_only
+    val dir = java.nio.file.Files.createTempDirectory("graft_d19").toString
+    val article = (1 to 12).map(i => s"word$i").mkString(" ")
+    val wrapper = (1 to 60).map(i => s"chrome$i").mkString(" ") + " " + article
+    val docs = Seq((1L, article, "en", "src1"), (2L, wrapper, "en", "src1"))
+    spark.createDataFrame(docs).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Dedup.dedupAudit(spark, dir).collect()
+    assert(planted.length == 1 && planted(0).getString(0) == "containment_only" &&
+      planted(0).getLong(1) == 1L,
+      s"wrapper pair must class containment_only, got ${planted.toSeq}")
+    assert(planted(0).getDouble(3) == 1.0, "article is fully contained")
+    assert(planted(0).getDouble(2) < 0.8, "jaccard stays under threshold")
+  }
 }
