@@ -100,6 +100,17 @@ class EmptyInputSpec extends AnyFunSuite {
       "vocab growth: all-decile curve at zero")
   }
 
+  test("round-6 operators behave on an empty corpus") {
+    assert(graft.operators.Dedup.containmentPairs(spark, emptyDir).count() == 0)
+    assert(graft.operators.Dedup.dedupAudit(spark, emptyDir).count() == 0)
+    assert(graft.operators.Dedup.qualitySurvivors(spark, emptyDir).count() == 0)
+    assert(graft.operators.TextAnalysis.gopherRules(spark, emptyDir).count() == 0)
+    assert(graft.operators.TextAnalysis.dsirWeights(spark, emptyDir).count() == 0)
+    assert(graft.operators.TextAnalysis.ccnetPerplexityCut(spark, emptyDir).count() == 0)
+    assert(graft.operators.Similarity.annDiversifiedTopK(spark, emptyDir).count() == 0)
+    assert(graft.multimodal.Multimodal.mediaDedupClusters(spark, emptyDir).count() == 0)
+  }
+
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {
     // a global aggregate over zero rows still emits one row — pinned so the
     // contract is explicit, not accidental
