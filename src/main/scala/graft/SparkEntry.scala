@@ -165,6 +165,7 @@ object SparkEntry {
     "t25_gopher_rules"        -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
     "s8_diversified_topk"     -> ((s: SparkSession, d: String) => Similarity.annDiversifiedTopK(s, d)),
     "d19_dedup_audit"         -> ((s: SparkSession, d: String) => Dedup.dedupAudit(s, d)),
+    "t26_heavy_hitters"       -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -1698,6 +1699,23 @@ object SparkEntry {
           AND (symbol_ratio < 0.1) AND (frac_alpha >= 0.8)
           AND (n_stop_kinds >= 2) AS passes
       FROM r ORDER BY doc_id""",
+
+    // t26: the Misra-Gries guarantee makes the sketch's candidate set
+    // sufficient for count >= ceil(n/k) and the exact verify pass removes
+    // its false positives, so the deterministic output replays as a plain
+    // grouped-count threshold; ceil is exact integer arithmetic.
+    "t26_heavy_hitters" -> """
+      WITH tk AS (
+        SELECT unnest(string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents),
+      tot AS (SELECT count(*) AS n FROM tk),
+      c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1)
+      SELECT token, CAST(cnt AS BIGINT) AS cnt,
+        round(CAST(cnt AS DOUBLE) / n + 0.000000001, 4) AS freq
+      FROM c CROSS JOIN tot
+      WHERE cnt >= (n + 49) // 50
+      ORDER BY cnt DESC, token""",
 
     // s8: s2's candidate + cosine CTEs verbatim, then the label-cap window
     // (lr <= 2 per neighbor label) before the global top-k window.

@@ -920,6 +920,82 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Misra–Gries heavy-hitter sketch state: items processed plus at most
+    * k surviving counters.
+    */
+  case class MgSketch(n: Long, counters: Map[String, Long])
+
+  /** The classic Misra–Gries summary as a typed mergeable Aggregator.
+    * Guarantee: any token with true count > n/(k+1) survives the sketch
+    * (its counter underestimates by at most n/(k+1)); the decrement step
+    * removes k+1 distinct tokens' mass at a time, so it can fire at most
+    * n/(k+1) times. Merge (Agarwal et al. 2013, "Mergeable summaries"):
+    * sum counters, then subtract the (k+1)-th largest survivor and drop
+    * non-positives — the merged summary keeps the same guarantee, which
+    * is exactly what makes the sketch map-side combinable: at 100 TB
+    * every partition reduces its token stream to ≤ k counters before
+    * anything crosses the wire.
+    */
+  class MisraGriesAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, MgSketch, MgSketch] {
+    def zero: MgSketch = MgSketch(0L, Map.empty)
+    def reduce(b: MgSketch, tok: String): MgSketch = {
+      val m = b.counters
+      val nm =
+        if (m.contains(tok)) m.updated(tok, m(tok) + 1L)
+        else if (m.size < k) m.updated(tok, 1L)
+        else m.flatMap { case (t, c) => if (c > 1L) Some(t -> (c - 1L)) else None }
+      MgSketch(b.n + 1L, nm)
+    }
+    def merge(a: MgSketch, b: MgSketch): MgSketch = {
+      val s = a.counters.foldLeft(b.counters) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c)
+      }
+      val nm =
+        if (s.size <= k) s
+        else {
+          val cut = s.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
+          s.flatMap { case (t, c) => if (c > cut) Some(t -> (c - cut)) else None }
+        }
+      MgSketch(a.n + b.n, nm)
+    }
+    def finish(r: MgSketch): MgSketch = r
+    def bufferEncoder = org.apache.spark.sql.Encoders.product[MgSketch]
+    def outputEncoder = org.apache.spark.sql.Encoders.product[MgSketch]
+  }
+
+  /** t26: corpus heavy hitters — the two-pass sketch-then-verify pattern
+    * for "top tokens at 100 TB without trusting a full shuffle": pass 1
+    * runs the [[MisraGriesAgg]] sketch (per-partition partial summaries,
+    * ≤ k counters each, merged to one global summary — the t21-style
+    * bounded scalar fan-in); pass 2 exact-counts ONLY the ≤ k candidate
+    * tokens via a broadcast join and keeps those with exact count ≥
+    * ⌈n/k⌉. The guarantee makes the candidate set sufficient: every
+    * token with count ≥ ⌈n/k⌉ > n/(k+1) survives the sketch, so the
+    * exact pass removes false positives and can miss nothing — the
+    * output is therefore DETERMINISTIC (sketch internals never leak into
+    * it), which is what lets a DuckDB twin replay it as a plain
+    * grouped-count threshold. The threshold is integer arithmetic
+    * ((n + k − 1) / k), no float boundary to disagree on.
+    */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documentsParallel(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+    val sketch = toks.as[String]
+      .groupByKey(_ => 0)
+      .agg(new MisraGriesAgg(k).toColumn.name("s"))
+      .select(col("s.n").as("n"),
+        explode(map_keys(col("s.counters"))).as("token"))
+    toks.join(broadcast(sketch), "token")
+      .groupBy(col("token"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= (col("n") + (k - 1)) / k)
+      .select(col("token"), col("cnt"),
+        round(col("cnt").cast("double") / col("n") + 1e-9, 4).as("freq"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   /** t3: corpus-level quality aggregation per (lang, source) — the shape of
     * a "which crawl sources are worth keeping" report.
     */

@@ -109,6 +109,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.operators.TextAnalysis.ccnetPerplexityCut(spark, emptyDir).count() == 0)
     assert(graft.operators.Similarity.annDiversifiedTopK(spark, emptyDir).count() == 0)
     assert(graft.multimodal.Multimodal.mediaDedupClusters(spark, emptyDir).count() == 0)
+    assert(graft.operators.TextAnalysis.heavyHitters(spark, emptyDir).count() == 0)
   }
 
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {

@@ -314,6 +314,52 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  test("t26 heavy hitters: sketch-then-verify equals the exact threshold count") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    import graft.operators.TextAnalysis
+    // exact formulation: full groupBy count, same integer-ceil threshold
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    val n = toks.count()
+    val expected = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= (n + 49) / 50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = TextAnalysis.heavyHitters(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected, s"got ${got.size} expected ${expected.size}")
+    assert(got.nonEmpty, "the small fixed vocabulary must produce heavy hitters")
+  }
+
+  test("t26 sketch guarantee survives forced decrements (tiny k, planted skew)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    // one doc: 100 x 'hot' + 40 distinct cold tokens; k=2 forces the
+    // MG decrement path constantly, but count(hot)=100 > n/(k+1)=46.7
+    // must survive the sketch, and the verify threshold ceil(140/2)=70
+    // admits exactly 'hot'
+    val dir = java.nio.file.Files.createTempDirectory("graft_t26").toString
+    val text = (Seq.fill(100)("hot") ++ (1 to 40).map(i => s"cold$i")).mkString(" ")
+    spark.createDataFrame(Seq((1L, text, "en", "src1")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.heavyHitters(spark, dir, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("hot", 100L)), s"got ${out.toSeq}")
+    // merge path: the same answer at any partitioning (mergeable-summary
+    // property, Agarwal et al. 2013)
+    import spark.implicits._
+    val sk4 = spark.createDataset(
+        Seq.fill(100)("hot") ++ (1 to 40).map(i => s"cold$i"))
+      .repartition(4)
+      .groupByKey(_ => 0)
+      .agg(new TextAnalysis.MisraGriesAgg(2).toColumn.name("s"))
+      .collect()(0)._2
+    assert(sk4.n == 140L && sk4.counters.contains("hot"),
+      s"hot must survive a 4-way partitioned merge, got ${sk4.counters}")
+  }
+
   test("d19 audit reconciles with d2/d17 and classifies a planted wrapper pair") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
