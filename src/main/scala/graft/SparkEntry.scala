@@ -166,6 +166,8 @@ object SparkEntry {
     "s8_diversified_topk"     -> ((s: SparkSession, d: String) => Similarity.annDiversifiedTopK(s, d)),
     "d19_dedup_audit"         -> ((s: SparkSession, d: String) => Dedup.dedupAudit(s, d)),
     "t26_heavy_hitters"       -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
+    "s9_radius_search"        -> ((s: SparkSession, d: String) => Similarity.annRadiusSearch(s, d)),
+    "q50_cohort_retention"    -> ((s: SparkSession, d: String) => Events.cohortRetention(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -1716,6 +1718,42 @@ object SparkEntry {
       FROM c CROSS JOIN tot
       WHERE cnt >= (n + 49) // 50
       ORDER BY cnt DESC, token""",
+
+    // s9: s2's candidate + cosine CTEs verbatim, then the exact-cosine
+    // radius filter — no window, no top-k.
+    "s9_radius_search" -> ("WITH e AS (SELECT vec_id, embedding FROM embeddings)," +
+      LshCandCtesSql + s""",
+      j AS (
+        SELECT cand.query_id, cand.neighbor_id, eq.embedding AS qe, en.embedding AS ne
+        FROM cand
+        JOIN e eq ON eq.vec_id = cand.query_id
+        JOIN e en ON en.vec_id = cand.neighbor_id),
+      u AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne FROM j),
+      s AS (
+        SELECT query_id, neighbor_id,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
+          sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
+        FROM u GROUP BY 1, 2),
+      c AS (SELECT query_id, neighbor_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM s)
+      SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim
+      FROM c WHERE cos >= 0.2 ORDER BY query_id, neighbor_id"""),
+
+    // q50: the (user, day) distinct makes the rollup's count(*) the
+    // distinct-user count; retention joins back the offset-0 row.
+    "q50_cohort_retention" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, d FROM e),
+      g AS (
+        SELECT cohort_day, date_diff('day', cohort_day, d) AS day_offset,
+          count(*) AS n_users
+        FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+      c AS (SELECT cohort_day, n_users AS cohort_n FROM g WHERE day_offset = 0)
+      SELECT g.cohort_day, CAST(g.day_offset AS BIGINT) AS day_offset,
+        CAST(g.n_users AS BIGINT) AS n_users,
+        round(CAST(g.n_users AS DOUBLE) / cohort_n + 0.000000001, 4) AS retention
+      FROM g JOIN c USING (cohort_day) ORDER BY 1, 2""",
 
     // s8: s2's candidate + cosine CTEs verbatim, then the label-cap window
     // (lr <= 2 per neighbor label) before the global top-k window.

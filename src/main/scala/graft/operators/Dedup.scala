@@ -388,7 +388,7 @@ object Dedup {
     * smaller set). Cost identical to d17 plus a 2-row aggregation.
     */
   def dedupAudit(spark: SparkSession, dir: String,
-                 threshold: Double = 0.8): DataFrame = {
+                 threshold: Double = 0.8, release: Boolean = true): DataFrame = {
     val (verified, caches) = containmentVerified(spark, dir, threshold)
     val out = verified
       .filter(col("containment") >= threshold)
@@ -400,7 +400,7 @@ object Dedup {
         round(avg(col("jaccard")) + 1e-9, 4).as("avg_jaccard"),
         round(avg(col("containment")) + 1e-9, 4).as("avg_containment"))
       .orderBy(col("relation"))
-    materializeAndRelease(out, caches: _*)
+    if (release) materializeAndRelease(out, caches: _*) else out
   }
 
   /** Shared d17/d19 candidate generation + exact verification. Returns

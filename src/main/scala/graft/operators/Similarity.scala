@@ -120,6 +120,37 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** s9: radius retrieval — the OTHER retrieval primitive next to top-k:
+    * every candidate within a cosine radius, not a fixed count. Rides
+    * s2's LSH candidate machinery unchanged (same buckets, same
+    * hamming-1 probes) and then filters by the exact cosine — no window
+    * at all, so it is strictly cheaper than s2. Like every LSH
+    * retrieval, recall is candidate-bounded: neighbors hashed into
+    * unprobed buckets are not returned (s2's recall contract tests
+    * quantify this); precision is exact by construction, and the output
+    * is deterministic — the DuckDB twin replays the identical candidate
+    * set, so the query is fully hash-checked, not rows-only.
+    */
+  def annRadiusSearch(spark: SparkSession, dir: String,
+                      radius: Double = 0.2, lshBits: Int = 0): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    val bits = resolveLshBits(raw, lshBits)
+    val e = raw.select(col("vec_id"), col("embedding"), lshBucketCol(bits).as("bucket"))
+    val probes = lshProbes(bits)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(array(probes.map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))
+    e.join(q, "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("array_cosine(qe, embedding)").as("cos"))
+      .filter(col("cos") >= radius)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** s8: diversified ANN serving — s2's exact LSH candidate machinery,
     * with the returned top-k LABEL-CAPPED: at most `perLabelCap` results
     * per neighbor label, then the best k of what survives. This is the

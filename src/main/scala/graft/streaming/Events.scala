@@ -263,6 +263,39 @@ object Events {
     * user_id for the window, one tiny aggregate; at 100 TB the window key
     * is the shuffle key and AQE splits hot users.
     */
+  /** q50: cohort retention — users cohorted by their FIRST active day,
+    * then per (cohort_day, day_offset) the distinct-user count and the
+    * retention share of the cohort. The product-analytics workhorse the
+    * reference's dashboard layer would ask of any event store.
+    *
+    * Scale shape: one (user)-keyed aggregate for the cohort assignment,
+    * one (user, day) distinct (both plain hash shuffles with map-side
+    * partials), then the (cohort, offset) rollup whose output is
+    * calendar-bounded (days², tiny forever) — joined back against the
+    * offset-0 row as a broadcast. Nothing here holds per-user state
+    * beyond the shuffle, and no window function appears at all, so there
+    * is no single-partition collapse risk at any corpus size.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    // (user, day) distinct first: each user contributes once per active
+    // day, so the rollup's count(*) IS the distinct-user count
+    val active = ev.distinct()
+    val grid = active.join(firstDay, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+    val cohortN = grid.filter(col("day_offset") === 0L)
+      .select(col("cohort_day"), col("n_users").as("cohort_n"))
+    grid.join(broadcast(cohortN), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_users"),
+        round(col("n_users").cast("double") / col("cohort_n") + 1e-9, 4)
+          .as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   def eventTransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))

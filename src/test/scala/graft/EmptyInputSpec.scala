@@ -110,6 +110,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.operators.Similarity.annDiversifiedTopK(spark, emptyDir).count() == 0)
     assert(graft.multimodal.Multimodal.mediaDedupClusters(spark, emptyDir).count() == 0)
     assert(graft.operators.TextAnalysis.heavyHitters(spark, emptyDir).count() == 0)
+    assert(graft.operators.Similarity.annRadiusSearch(spark, emptyDir).count() == 0)
+    assert(graft.streaming.Events.cohortRetention(spark, emptyDir).count() == 0)
   }
 
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {

@@ -189,6 +189,7 @@ class PlanSpec extends AnyFunSuite {
     name match {
       case "d2_ngram_jaccard"    => Dedup.ngramJaccardPairs(spark, sf, release = false)
       case "d17_containment_dedup" => Dedup.containmentPairs(spark, sf, release = false)
+      case "d19_dedup_audit"     => Dedup.dedupAudit(spark, sf, release = false)
       case "d3_minhash_lsh"      => Dedup.minhashLshPairs(spark, sf, release = false)
       case "d5_embedding_neardup" => Dedup.embeddingNearDupPairs(spark, sf, release = false)
       case "d8_decontaminate"    => Dedup.decontaminate(spark, sf, release = false)
@@ -225,6 +226,17 @@ class PlanSpec extends AnyFunSuite {
       if (empties.nonEmpty) Some(name) else None
     }
     assert(offenders.isEmpty, s"single-partition windows in: $offenders")
+  }
+
+  test("t26 heavy hitters: sketch aggregates stay object-hash, verify pass broadcasts") {
+    val plan = initialPlan(graft.operators.TextAnalysis.heavyHitters(spark, sf))
+    val s = plan.toString
+    assert(s.contains("ObjectHashAggregate"),
+      "typed MG sketch should plan as ObjectHashAggregate (partial per-partition summaries)")
+    assert(s.contains("BroadcastHashJoin"),
+      "the exact verify pass must broadcast the <= k-row candidate sketch")
+    assert(!s.contains("SortMergeJoin"),
+      "no corpus-side shuffle join belongs in the verify pass")
   }
 
   test("s3 IVF: centroid assignment is map-side (no window/exchange touches the corpus scan)") {

@@ -360,6 +360,57 @@ class Round6Spec extends AnyFunSuite {
       s"hot must survive a 4-way partitioned merge, got ${sk4.counters}")
   }
 
+  test("s9 radius search: exact precision, every pair verified against brute force") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    graft.expressions.VectorExpressions.register(spark)
+    val out = Similarity.annRadiusSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty, "radius 0.2 should return pairs on testdata")
+    assert(out.forall(_._3 >= 0.2), "radius filter must be exact")
+    // every returned pair must appear in the BRUTE-FORCE radius set with
+    // the identical rounded cosine (precision 1.0; recall is candidate-
+    // bounded by design and covered by s2's recall contract)
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val brute = e.crossJoin(
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(expr("array_cosine(qe, embedding)"), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out.forall(brute.contains), "returned pair missing from brute-force radius set")
+  }
+
+  test("q50 cohort retention: offset-0 anchors at 1.0, matches countDistinct recomputation") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Events
+    val rows = Events.cohortRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cohortN = rows.filter(_.getLong(1) == 0L)
+      .map(r => (r.getDate(0).toString, r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (c, off, n, ret) =
+        (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3))
+      if (off == 0L) assert(ret == 1.0, s"cohort $c offset 0 must retain 1.0")
+      assert(n <= cohortN(c), s"cohort $c offset $off exceeds cohort size")
+      assert(ret > 0.0 && ret <= 1.0)
+    }
+    // alternate formulation: countDistinct over raw (not pre-distinct) days
+    val ev = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    val alt = ev.join(first, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    val got = rows.map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(got == alt, "pre-distinct count(*) must equal countDistinct recomputation")
+  }
+
   test("d19 audit reconciles with d2/d17 and classifies a planted wrapper pair") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
