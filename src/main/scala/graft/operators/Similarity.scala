@@ -87,6 +87,31 @@ object Similarity {
   private def resolveLshBits(raw: DataFrame, lshBits: Int): Int =
     if (lshBits > 0) lshBits else deriveLshBits(raw.count())
 
+  /** THE s2-family candidate join, vectors carried through: every
+    * (query, same-or-hamming-1-bucket neighbor) pair with the query and
+    * neighbor embeddings (and the neighbor's label) as columns. Each
+    * consumer (s2 top-k, s8 diversified, s9 radius, s7/s6 via the bare
+    * [[lshCandidates]]) scores or drops what it needs — Catalyst prunes
+    * unreferenced vector/label columns, so carrying them is free for
+    * consumers that ignore them. No site spells the bucket/probe/join
+    * locally: the recall contracts ("s7 tracks s2") and the shared
+    * DuckDB `LshCandCtesSql` twin only hold while every candidate
+    * generator hashes identically.
+    */
+  private def lshScoredCandidates(raw: DataFrame, lshBits: Int): DataFrame = {
+    val bits = resolveLshBits(raw, lshBits)
+    val e = raw.select(col("vec_id"), col("embedding"), col("label"),
+      lshBucketCol(bits).as("bucket"))
+    val probes = lshProbes(bits)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(array(probes.map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))
+    e.join(q, "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qe"), col("embedding").as("ne"), col("label").as("nlabel"))
+  }
+
   /** s2: LSH-bucketed ANN — corpus and queries hashed to 2^bits sign
     * buckets; candidate set = same-bucket vectors only, then exact cosine
     * top-k within candidates. Multi-probe: the query also probes all
@@ -99,20 +124,11 @@ object Similarity {
   def annLshTopK(spark: SparkSession, dir: String, k: Int = TopK,
                  lshBits: Int = 0): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
-    val raw = Tables.embeddings(spark, dir)
-    val bits = resolveLshBits(raw, lshBits)
-    val e = raw
-      .select(col("vec_id"), col("embedding"), lshBucketCol(bits).as("bucket"))
-    val probes = lshProbes(bits)
-    val q = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(array(probes.map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    e.join(q, "bucket")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        expr("array_cosine(qe, embedding)").as("cos"))
+    lshScoredCandidates(Tables.embeddings(spark, dir), lshBits)
+      .select(col("query_id"), col("neighbor_id"),
+        expr("array_cosine(qe, ne)").as("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
@@ -134,17 +150,9 @@ object Similarity {
   def annRadiusSearch(spark: SparkSession, dir: String,
                       radius: Double = 0.2, lshBits: Int = 0): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
-    val raw = Tables.embeddings(spark, dir)
-    val bits = resolveLshBits(raw, lshBits)
-    val e = raw.select(col("vec_id"), col("embedding"), lshBucketCol(bits).as("bucket"))
-    val probes = lshProbes(bits)
-    val q = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(array(probes.map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))
-    e.join(q, "bucket")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        expr("array_cosine(qe, embedding)").as("cos"))
+    lshScoredCandidates(Tables.embeddings(spark, dir), lshBits)
+      .select(col("query_id"), col("neighbor_id"),
+        expr("array_cosine(qe, ne)").as("cos"))
       .filter(col("cos") >= radius)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cos"), 4).as("cos_sim"))
@@ -168,18 +176,9 @@ object Similarity {
   def annDiversifiedTopK(spark: SparkSession, dir: String, k: Int = TopK,
                          perLabelCap: Int = 2, lshBits: Int = 0): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
-    val raw = Tables.embeddings(spark, dir)
-    val bits = resolveLshBits(raw, lshBits)
-    val e = raw.select(col("vec_id"), col("embedding"), col("label"),
-      lshBucketCol(bits).as("bucket"))
-    val probes = lshProbes(bits)
-    val q = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(array(probes.map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))
-    val scored = e.join(q, "bucket")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
-        expr("array_cosine(qe, embedding)").as("cos"))
+    val scored = lshScoredCandidates(Tables.embeddings(spark, dir), lshBits)
+      .select(col("query_id"), col("neighbor_id"), col("nlabel").as("label"),
+        expr("array_cosine(qe, ne)").as("cos"))
     val wl = Window.partitionBy(col("query_id"), col("label"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     val wq = Window.partitionBy(col("query_id"))
@@ -343,22 +342,16 @@ object Similarity {
 
   /** The s2 LSH candidate set as a bare (query_id, neighbor_id) frame —
     * the sub-linear candidate generator feeding s6/s7's coarse+rerank
-    * tails. Same bucket expression, probe set, and [[deriveLshBits]]
-    * auto-sizing as the registered s2 ([[lshBucketCol]]/[[lshProbes]]
-    * are THE single spelling), so recall tracks s2's bucket recall
-    * exactly.
+    * tails. Delegates to [[lshScoredCandidates]] (THE single candidate
+    * spelling) and drops the carried columns — Catalyst column-prunes
+    * the unreferenced vectors out of the join, so the bare frame costs
+    * what the old hand-rolled one did while recall tracks s2 exactly by
+    * construction.
     */
   private[graft] def lshCandidates(raw: DataFrame,
-                                   lshBits: Int = 0): DataFrame = {
-    val bits = resolveLshBits(raw, lshBits)
-    val eb = raw.select(col("vec_id"), lshBucketCol(bits).as("bucket"))
-    val q = eb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"),
-        explode(array(lshProbes(bits).map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))
-    eb.join(q, "bucket")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-  }
+                                   lshBits: Int = 0): DataFrame =
+    lshScoredCandidates(raw, lshBits)
+      .select(col("query_id"), col("neighbor_id"))
 
   /** The s3 IVF candidate set as a bare (query_id, neighbor_id) frame —
     * every vector in the query's `IvfNProbe` nearest cells, from the same

@@ -700,9 +700,23 @@ object TextAnalysis {
         .groupBy(col("freq"), substring(col("token"), 1, prefixLen).as("sub"))
         .agg(count(lit(1)).cast("long").as("nf"))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the driver-side sub-group order MUST match the engine's string
+    // order: Spark/DuckDB compare UTF-8 BYTES, while Java compareTo
+    // compares UTF-16 code units — they disagree for supplementary-plane
+    // vs high-BMP first chars (emoji sort before U+F000.. in UTF-16 but
+    // after in UTF-8), which would swap two sub-groups' rank offsets
+    val utf8Order: Ordering[String] = (a: String, b: String) => {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n && x(i) == y(i)) i += 1
+      if (i < n) (x(i) & 0xff) - (y(i) & 0xff) else x.length - y.length
+    }
     val groups = (perFreq.filterNot(g => splitFreqs(g._1))
         .map { case (f, nf) => (f, "", nf) } ++ subCounts)
-      .sortBy { case (f, sub, _) => (-f, sub) }
+      .sortBy { case (f, sub, _) => (f, sub) }(
+        Ordering.Tuple2(Ordering[Long].reverse, utf8Order))
     val offsets = groups.scanLeft(0L) { case (acc, (_, _, nf)) => acc + nf }
       .init.zip(groups).map { case (before, (f, sub, _)) => (f, sub, before) }
     val offDf = spark.createDataFrame(offsets.toSeq).toDF("freq", "sub", "offset")
@@ -990,7 +1004,12 @@ object TextAnalysis {
     toks.join(broadcast(sketch), "token")
       .groupBy(col("token"), col("n"))
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= (col("n") + (k - 1)) / k)
+      // cnt >= ceil(n/k) spelled as k*cnt >= n: Column `/` is FRACTIONAL
+      // division even on integral types (a `(n + k - 1) / k` spelling
+      // yields 70.5-style thresholds and silently drops exact-boundary
+      // tokens the oracle's integer `//` admits); the cross-multiplied
+      // form is integer-exact
+      .filter(col("cnt") * k >= col("n"))
       .select(col("token"), col("cnt"),
         round(col("cnt").cast("double") / col("n") + 1e-9, 4).as("freq"))
       .orderBy(col("cnt").desc, col("token"))

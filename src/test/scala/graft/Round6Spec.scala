@@ -347,6 +347,20 @@ class Round6Spec extends AnyFunSuite {
     val out = TextAnalysis.heavyHitters(spark, dir, k = 2)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq == Seq(("hot", 100L)), s"got ${out.toSeq}")
+    // exact-boundary corpus: count(hot) == ceil(n/k) precisely (70 hot +
+    // 70 cold singles, k=2 -> threshold 70). A fractional-division
+    // threshold spelling (70.5) drops it; the integer-exact spelling and
+    // the oracle's `//` both admit it.
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_t26b").toString
+    val text2 = (Seq.fill(70)("hot") ++ (1 to 70).map(i => s"cold$i")).mkString(" ")
+    spark.createDataFrame(Seq((1L, text2, "en", "src1")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val out2 = TextAnalysis.heavyHitters(spark, dir2, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out2.toSeq == Seq(("hot", 70L)),
+      s"exact-boundary count ceil(n/k) must be admitted, got ${out2.toSeq}")
     // merge path: the same answer at any partitioning (mergeable-summary
     // property, Agarwal et al. 2013)
     import spark.implicits._
