@@ -380,8 +380,6 @@ object Multimodal {
       .withColumnRenamed("node", "doc_id")
       .withColumnRenamed("root", "cluster_root")
       .orderBy(col("doc_id"))
-    val out = result.localCheckpoint()
-    pairs.unpersist()
-    out
+    graft.operators.Dedup.materializeAndRelease(result, pairs)
   }
 }

@@ -30,8 +30,8 @@ object Dedup {
     * across invocations: Bench runs every query twice per round and a
     * long-lived session would otherwise accumulate memory/disk pressure.
     */
-  private def materializeAndRelease(result: DataFrame,
-                                    caches: DataFrame*): DataFrame = {
+  private[graft] def materializeAndRelease(result: DataFrame,
+                                           caches: DataFrame*): DataFrame = {
     val out = result.localCheckpoint()
     caches.foreach(_.unpersist())
     out

@@ -787,27 +787,43 @@ object TextAnalysis {
     * paper's design: each crawl/domain has its own perplexity regime, so
     * a global threshold would empty high-perplexity domains entirely.
     *
-    * Scale design is t11's: the tercile BOUNDARIES are one grouped
-    * `percentile_approx` sketch (mergeable, map-side partials), joined
-    * back as a broadcast (source-count rows — thousands at most), and
-    * each document is cut with two map-side comparisons. No per-source
-    * window anywhere — the plan that dies at 100 TB is ntile over
-    * PARTITION BY source (a source = one window partition = one task);
-    * boundary ties land in the lower cut, the same contract the oracle
-    * replays with an explicit per-source row_number at gate scale.
+    * Scale design: the tercile BOUNDARIES are EXACT, computed from
+    * cumulative doc counts over the DISTINCT 2dp ppl values per source —
+    * t20 rounds ppl to 2dp, so the per-source window here is bounded by
+    * the value GRID (thousands of distinct ppls at most, forever), not
+    * by the doc count; the boundary is the smallest grid value whose
+    * cumulative count reaches ⌈n/3⌉ (resp. ⌈2n/3⌉), spelled as the
+    * integer-exact cross-multiplication. This replaces an earlier
+    * `percentile_approx` sketch whose parity with the oracle's exact
+    * rank-ceil replay was fixture-size-conditional (the sketch starts
+    * compressing past its accuracy). The plan that dies at 100 TB —
+    * ntile over PARTITION BY source, one task per source — still
+    * appears nowhere; boundary ties land in the lower cut, the same
+    * contract the oracle replays with an explicit per-source
+    * row_number.
     */
   def ccnetPerplexityCut(spark: SparkSession, dir: String,
                          k: Double = 0.5, release: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = ngramLmPerplexity(spark, dir, k, release)
       .select(col("doc_id"), col("ppl"))
     val ps = scored.join(
       Tables.documentsParallel(spark, dir).select(col("doc_id"), col("source")),
       "doc_id")
-    val bounds = ps.groupBy(col("source"))
-      .agg(percentile_approx(col("ppl"),
-        array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("bs"))
-    val cut = lit(1) + (col("ppl") > element_at(col("bs"), 1)).cast("int") +
-      (col("ppl") > element_at(col("bs"), 2)).cast("int")
+    val grid = ps.groupBy(col("source"), col("ppl"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val wcum = Window.partitionBy(col("source")).orderBy(col("ppl").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("cum", sum(col("c")).over(wcum))
+    val totals = cum.groupBy(col("source")).agg(max(col("cum")).as("n"))
+    val bounds = cum.join(broadcast(totals), "source")
+      .groupBy(col("source"))
+      .agg(
+        // cum >= ceil(n/3) ⟺ 3·cum >= n; cum >= ceil(2n/3) ⟺ 3·cum >= 2n
+        min(when(col("cum") * 3 >= col("n"), col("ppl"))).as("b1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("ppl"))).as("b2"))
+    val cut = lit(1) + (col("ppl") > col("b1")).cast("int") +
+      (col("ppl") > col("b2")).cast("int")
     ps.join(broadcast(bounds), "source")
       .select(col("doc_id"), col("source"), col("ppl"),
         element_at(array(lit("head"), lit("middle"), lit("tail")), cut).as("cut"))

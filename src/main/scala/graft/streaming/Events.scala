@@ -375,7 +375,7 @@ object Events {
     * generations (landed as NTZ) cast into the UTC-pinned session TZ.
     * The glob matters: file sources monitor dirs/globs, not single files.
     */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val physical = spark.read.parquet(Tables.path(dir, "events")).schema

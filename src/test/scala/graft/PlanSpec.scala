@@ -153,7 +153,9 @@ class PlanSpec extends AnyFunSuite {
       "q23_correlated_subq" -> 0, "q49_expectations" -> 1,
       "d14_auto_cells" -> 2, "s5_two_stage_ann" -> 4,
       "t20_lm_perplexity" -> 1, "s6_pq_ann" -> 2, "t22_vocab_growth" -> 1,
-      "s7_lsh_rerank" -> 2, "t23_dsir_weights" -> 1, "t24_ccnet_cut" -> 2)
+      // t24 = 3: t20's one-row LM-total broadcast re-planned per consumer
+      // of the shared scored frame (grid chain + final cut join)
+      "s7_lsh_rerank" -> 2, "t23_dsir_weights" -> 1, "t24_ccnet_cut" -> 3)
     val actual = expectedBnlj.keys.map { n =>
       val p = planString(livePlanOf(n))
       n -> ("BroadcastNestedLoopJoin".r.findAllIn(p).size +
