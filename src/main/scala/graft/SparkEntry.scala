@@ -59,7 +59,7 @@ object SparkEntry {
     "d5_embedding_neardup"    -> ((s: SparkSession, d: String) =>
                                    Dedup.embeddingNearDupPairs(s, d)),
     // similarity search
-    "s1_ann_topk"             -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
+    "s1_ann_topk"             -> ((s: SparkSession, d: String) => Similarity.annMultiIndexTopK(s, d)),
     "s2_ann_lsh_topk"         -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s3_ann_ivf_topk"         -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
     // streaming-shaped (batch twins of the Structured Streaming plans)
@@ -574,24 +574,44 @@ object SparkEntry {
       SELECT v AS vec_id, cell, u AS pruned_by, round(cs, 4) AS cos_sim
       FROM rk WHERE rn = 1 ORDER BY vec_id"""),
 
-    "s1_ann_topk" -> """
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
-      p AS (
-        SELECT query_id, vec_id AS neighbor_id, qe, embedding AS ne
-        FROM embeddings, q WHERE vec_id <> query_id),
-      u AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne FROM p),
-      s AS (
+    // s1 (r7): multi-index exact top-k — the IVF candidate CTEs (the
+    // registered s3's auto-sized quantizer, verbatim) UNIONed with the
+    // LSH candidate CTEs (the shared s2-family fragment, "l"-prefixed to
+    // dodge the `prm` name collision), then exact cosine top-k over the
+    // deduplicated union. SQL UNION (not UNION ALL) replays the Spark
+    // side's .distinct().
+    "s1_ann_topk" -> (IvfAssignAutoCtesSql + s""",
+      prb AS (
+        SELECT query_id, cent_id FROM (
+          SELECT vec_id AS query_id, cent_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS r
+          FROM ac WHERE vec_id % 50 = 0) WHERE r <= ${graft.operators.Similarity.IvfNProbe}),
+      icand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM prb p JOIN assigned a ON p.cent_id = a.cent_id
+        WHERE a.vec_id <> p.query_id),""" + LshCandCtesSqlPrefixed("l") + s""",
+      allc AS (
+        SELECT query_id, neighbor_id FROM lcand
+        UNION
+        SELECT query_id, neighbor_id FROM icand),
+      pairs AS (
+        SELECT allc.query_id, allc.neighbor_id, eq.embedding AS qe, en.embedding AS ne
+        FROM allc
+        JOIN e eq ON eq.vec_id = allc.query_id
+        JOIN e en ON en.vec_id = allc.neighbor_id),
+      pu AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne FROM pairs),
+      ps AS (
         SELECT query_id, neighbor_id,
           sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
           sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
           sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
-        FROM u GROUP BY 1, 2),
-      c AS (SELECT query_id, neighbor_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM s),
+        FROM pu GROUP BY 1, 2),
+      pc AS (SELECT query_id, neighbor_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM ps),
       r AS (
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-        FROM c)
+        FROM pc)
       SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
-      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
+      FROM r WHERE rnk <= ${graft.operators.Similarity.TopK} ORDER BY query_id, rnk"""),
 
     "st1_windowed_counts" -> """
       SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
@@ -1705,22 +1725,27 @@ object SparkEntry {
     // t26: the Misra-Gries guarantee makes the sketch's candidate set
     // sufficient for count >= ceil(n/k) and the exact verify pass removes
     // its false positives, so the deterministic output replays as a plain
-    // grouped-count threshold; ceil is exact integer arithmetic.
-    "t26_heavy_hitters" -> """
+    // grouped-count threshold; ceil is exact integer arithmetic. k is
+    // interpolated from the Scala default so operator and oracle cannot
+    // desync (ADVICE r6).
+    "t26_heavy_hitters" -> s"""
       WITH tk AS (
         SELECT unnest(string_split(
-          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
         FROM documents),
       tot AS (SELECT count(*) AS n FROM tk),
       c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1)
       SELECT token, CAST(cnt AS BIGINT) AS cnt,
         round(CAST(cnt AS DOUBLE) / n + 0.000000001, 4) AS freq
       FROM c CROSS JOIN tot
-      WHERE cnt >= (n + 49) // 50
+      WHERE cnt >= (n + ${graft.operators.TextAnalysis.HeavyHittersK - 1})
+                   // ${graft.operators.TextAnalysis.HeavyHittersK}
       ORDER BY cnt DESC, token""",
 
-    // s9: s2's candidate + cosine CTEs verbatim, then the exact-cosine
-    // radius filter — no window, no top-k.
+    // s9: s2's candidate + cosine CTEs verbatim, then the radius filter
+    // on the 4dp-ROUNDED cosine (both engines — the boundary pin) with
+    // the radius interpolated from the Scala default (ADVICE r6) — no
+    // window, no top-k.
     "s9_radius_search" -> ("WITH e AS (SELECT vec_id, embedding FROM embeddings)," +
       LshCandCtesSql + s""",
       j AS (
@@ -1735,9 +1760,11 @@ object SparkEntry {
           sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
           sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
         FROM u GROUP BY 1, 2),
-      c AS (SELECT query_id, neighbor_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM s)
-      SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim
-      FROM c WHERE cos >= 0.2 ORDER BY query_id, neighbor_id"""),
+      c AS (SELECT query_id, neighbor_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+            FROM s)
+      SELECT query_id, neighbor_id, cos_sim
+      FROM c WHERE cos_sim >= ${graft.operators.Similarity.RadiusDefault}
+      ORDER BY query_id, neighbor_id"""),
 
     // q50: the (user, day) distinct makes the rollup's count(*) the
     // distinct-user count; retention joins back the offset-0 row.
@@ -2030,31 +2057,39 @@ object SparkEntry {
     * Fragment assumes it follows a WITH; exposes `eb` (vec_id, bucket)
     * and `cand` (query_id, neighbor_id).
     */
-  private def LshCandCtesSql: String = s"""
-      prm AS (
+  private def LshCandCtesSql: String = LshCandCtesSqlPrefixed("")
+
+  /** The s2-family LSH candidate CTE fragment with every CTE name
+    * prefixed by `p` — lets a twin that ALSO instantiates the IVF CTEs
+    * (whose names collide on `prm`) carry both candidate generators in
+    * one WITH (the r7 s1 multi-index twin). `p = ""` is the shared
+    * spelling every s2-family twin has used since r6.
+    */
+  private def LshCandCtesSqlPrefixed(p: String): String = s"""
+      ${p}prm AS (
         SELECT least(${graft.operators.Similarity.LshMaxBits},
           greatest(${graft.operators.Similarity.LshBits},
             CAST(round(ln(CAST(greatest(count(*), 1) AS DOUBLE)
                           / ${graft.operators.Similarity.LshTargetBucket})
                        / ln(2), 0) AS INT))) AS lb
         FROM embeddings),
-      eb AS (
+      ${p}eb AS (
         SELECT vec_id,
           (${graft.functions.VectorFunctions.hyperplaneBucketDuckSqlFlat(
              "embedding", 64, graft.operators.Similarity.LshMaxBits)})
             & ((1::BIGINT << lb) - 1) AS bucket
-        FROM embeddings CROSS JOIN prm),
-      probes AS (
+        FROM embeddings CROSS JOIN ${p}prm),
+      ${p}probes AS (
         SELECT unnest(list_append(
           list_transform(range(0, lb), p -> 1::BIGINT << p), 0::BIGINT)) AS p
-        FROM prm),
-      qp AS (
+        FROM ${p}prm),
+      ${p}qp AS (
         SELECT vec_id AS query_id, xor(bucket, p) AS bucket
-        FROM eb CROSS JOIN probes WHERE vec_id % 50 = 0),
-      cand AS (
-        SELECT qp.query_id, eb.vec_id AS neighbor_id
-        FROM qp JOIN eb ON qp.bucket = eb.bucket
-        WHERE eb.vec_id <> qp.query_id)"""
+        FROM ${p}eb CROSS JOIN ${p}probes WHERE vec_id % 50 = 0),
+      ${p}cand AS (
+        SELECT ${p}qp.query_id, ${p}eb.vec_id AS neighbor_id
+        FROM ${p}qp JOIN ${p}eb ON ${p}qp.bucket = ${p}eb.bucket
+        WHERE ${p}eb.vec_id <> ${p}qp.query_id)"""
 
   /** The r6 AUTO coarse-quantizer replay, shared by the s3/s5/d14
     * oracles: `sb` replays deriveSubBits as a scalar subquery over

@@ -975,14 +975,15 @@ object Dedup {
     * (tombstones stay in force for the live area — live directories are
     * transient and get purged when compaction folds them). Same verified
     * tmp-write discipline as the merge pass, plus a move-aside of the
-    * same-named old segment; like [[mergeIngestSegments]] this is an
-    * administrative rewrite that assumes NO concurrent readers — between
-    * the move-aside and the rename-in the canonical segment name does not
-    * exist, so a concurrent [[readIngestSink]] would silently drop that
-    * segment's rows (not merely see stale purge state). Run it in the
-    * same maintenance window as the merge pass. A crash in that window is
-    * healed by the recovery sweep at the start of the next purge (the
-    * `.old_` copy is restored).
+    * same-named old segment. Between the move-aside and the rename-in the
+    * canonical segment name does not exist; since r7 a concurrent
+    * [[readIngestSink]] falls back to the `.old_` copy in that window
+    * (pre-purge rows, equivalent after the read-time tombstone anti-join
+    * — see `readableSegments`), so readers see every row at any
+    * interleaving. Concurrent REWRITERS are still exclusive: run purge
+    * and merge in the same single-writer maintenance window. A crash in
+    * the window is healed by the recovery sweep at the start of the next
+    * purge (the `.old_` copy is restored).
     *
     * @return the (lo, hi) ranges of segments rewritten.
     */
@@ -1062,6 +1063,37 @@ object Dedup {
         f.getName.stripPrefix("batches_").split('_') match {
           case Array(lo, hi) =>
             scala.util.Try((lo.toLong, hi.toLong)).toOption
+          case _ => None
+        }
+      }
+  }
+
+  /** Segment ranges a READER should consume, each with the directory
+    * holding its rows: the canonical `batches_<lo>_<hi>` normally, and —
+    * r7, closing the purge/merge move-aside visibility window — a
+    * `.old_batches_<lo>_<hi>` stand-in when the canonical name is briefly
+    * absent (between [[purgeIngestSink]]/[[mergeIngestSegments]]' move-
+    * aside and rename-in). The `.old_` copy holds the PRE-rewrite rows,
+    * which read equivalently: a purge only removes tombstoned rows and
+    * the read path anti-joins tombstones anyway; a merge only re-buckets
+    * rows other canonical segments don't hold. A `.old_` dir whose
+    * canonical sibling EXISTS is a completed-rewrite leftover and is
+    * ignored (the rewriter or its recovery sweep deletes it).
+    */
+  private def readableSegments(sinkPath: String)
+      : Seq[((Long, Long), java.io.File)] = {
+    val segBase = new java.io.File(sinkPath, CompactedDirName)
+    val dirs = Option(segBase.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+    val canonNames = dirs.map(_.getName).filter(_.startsWith("batches_")).toSet
+    dirs.toSeq
+      .filter(f => canonNames(f.getName) ||
+        (f.getName.startsWith(".old_batches_") &&
+          !canonNames(f.getName.stripPrefix(".old_"))))
+      .flatMap { f =>
+        f.getName.stripPrefix(".old_").stripPrefix("batches_").split('_') match {
+          case Array(lo, hi) =>
+            scala.util.Try((lo.toLong, hi.toLong)).toOption.map(_ -> f)
           case _ => None
         }
       }
@@ -1231,10 +1263,15 @@ object Dedup {
   def readIngestSink(spark: SparkSession, sinkPath: String): DataFrame = {
     // a segment contained in a larger one is a major-merge leftover whose
     // rows the spanning segment already holds — skip it (mirrors the
-    // covered-live-dir guard, one level up)
-    val allRanges = compactedRanges(sinkPath)
-    val ranges = allRanges.filterNot(r =>
-      allRanges.exists(o => o != r && o._1 <= r._1 && r._2 <= o._2))
+    // covered-live-dir guard, one level up). Segments resolve through
+    // readableSegments, so a rewrite's move-aside window (canonical name
+    // briefly absent) falls back to the `.old_` copy instead of silently
+    // dropping the segment's rows (r7).
+    val allSegs = readableSegments(sinkPath)
+    val allRanges = allSegs.map(_._1)
+    val segs = allSegs.filterNot { case (r, _) =>
+      allRanges.exists(o => o != r && o._1 <= r._1 && r._2 <= o._2) }
+    val ranges = segs.map(_._1)
     val live = liveBatchDirs(sinkPath)
       .filter { case (id, _) => !covered(id, ranges) }.values.toSeq
     val parts =
@@ -1243,11 +1280,7 @@ object Dedup {
            .parquet(live.map(_.getPath): _*)
            .withColumn("ingest_batch", col("ingest_batch").cast("long")))
        else Nil) ++
-      ranges.map { case (lo, hi) =>
-        spark.read.parquet(new java.io.File(
-          new java.io.File(sinkPath, CompactedDirName),
-          s"batches_${lo}_$hi").getPath)
-      }
+      segs.map { case (_, dir) => spark.read.parquet(dir.getPath) }
     val all = parts.reduceOption(_.unionByName(_)).getOrElse(
       throw new IllegalArgumentException(s"empty ingest sink at $sinkPath"))
     // retractions are effective at read time, before any physical purge —

@@ -950,6 +950,12 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t26's default sketch width / frequency threshold divisor —
+    * interpolated into the DuckDB twin so the operator and oracle cannot
+    * desync (ADVICE r6).
+    */
+  val HeavyHittersK = 50
+
   /** Misra–Gries heavy-hitter sketch state: items processed plus at most
     * k surviving counters.
     */
@@ -1008,7 +1014,8 @@ object TextAnalysis {
     * grouped-count threshold. The threshold is integer arithmetic
     * ((n + k − 1) / k), no float boundary to disagree on.
     */
-  def heavyHitters(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+  def heavyHitters(spark: SparkSession, dir: String,
+                   k: Int = HeavyHittersK): DataFrame = {
     import spark.implicits._
     val toks = Tables.documentsParallel(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))

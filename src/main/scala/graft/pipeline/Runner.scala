@@ -33,28 +33,56 @@ object Runner {
     *   <work>/analytics/<table>/                 (parquet, overwritten)
     *   <work>/export/<table>/                    (csv, overwritten)
     */
+  /** T1 parity: the reference DAG gives every task one retry with a
+    * 5-minute delay (`extract_load_transform_data_pipeline.py.py:32-33`,
+    * `retries: 1, retry_delay: timedelta(minutes=5)`).
+    */
+  val DefaultRetries = 1
+  val DefaultRetryDelayMs: Long = 5L * 60L * 1000L
+
   /** T6 parity: log a failing stage to `<work>/error_log.txt` and rethrow
     * — the reference's log-and-reraise (`extract_load_transform_data_
     * pipeline.py.py:20-22`), deliberately WITHOUT replicating its tripdata
     * DAG's swallow-and-return-None bug (`tripdata_monthly_metrics.py:89-90`,
-    * SURVEY.md T6 ⚠).
+    * SURVEY.md T6 ⚠) — wrapped in the reference's retry budget (r7):
+    * EVERY failed attempt lands in the log attempt-numbered, exhausted
+    * retries rethrow the last failure. `sleep` is injectable so tests
+    * exercise the retry without the 5-minute wall-clock wait. Retried
+    * stages keep the pipeline's declared at-least-once semantics: Spark's
+    * file/JDBC committers publish output only on task-set success, so a
+    * failed attempt leaves nothing a re-run would double-count that the
+    * dup-faithful append contract (T5) doesn't already own.
     */
-  private def logged[A](work: String, stage: String)(f: => A): A =
-    try f catch {
-      case e: Throwable =>
-        try {
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(s"$work/error_log.txt"),
-            s"${java.time.Instant.now} [$stage] $e\n",
-            java.nio.file.StandardOpenOption.CREATE,
-            java.nio.file.StandardOpenOption.APPEND)
-        } catch { case _: Throwable => () } // logging must not mask the failure
-        throw e
-    }
+  private def logged[A](work: String, stage: String, retries: Int = 0,
+                        delayMs: Long = 0L,
+                        sleep: Long => Unit = Thread.sleep)(f: => A): A = {
+    def attempt(n: Int): A =
+      try f catch {
+        case e: Throwable =>
+          val total = retries + 1
+          val tag =
+            if (n < total) s"attempt $n/$total failed, retrying in ${delayMs}ms"
+            else s"attempt $n/$total failed"
+          try {
+            java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$work/error_log.txt"),
+              s"${java.time.Instant.now} [$stage] $tag: $e\n",
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.APPEND)
+          } catch { case _: Throwable => () } // logging must not mask the failure
+          if (n < total) { sleep(delayMs); attempt(n + 1) } else throw e
+      }
+    attempt(1)
+  }
 
-  def run(spark: SparkSession, work: String, runDate: String): RunReport = {
+  def run(spark: SparkSession, work: String, runDate: String,
+          retries: Int = DefaultRetries,
+          retryDelayMs: Long = DefaultRetryDelayMs,
+          sleep: Long => Unit = Thread.sleep): RunReport = {
     val landing = s"$work/landing/dt=$runDate"
+    def logged[A](work: String, stage: String)(f: => A): A =
+      Runner.logged(work, stage, retries, retryDelayMs, sleep)(f)
 
     // 1-2. landing scan + normalization (pinned schemas)
     val (orders, reviews, shipments) = logged(work, "landing") {

@@ -67,6 +67,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.operators.TextAnalysis.mixtureSample(spark, emptyDir).count() == 0)
     assert(graft.operators.TextAnalysis.lengthCurriculumBuckets(spark, emptyDir).count() == 0)
     assert(graft.operators.Similarity.annBruteForceTopK(spark, emptyDir).count() == 0)
+    assert(graft.operators.Similarity.annMultiIndexTopK(spark, emptyDir).count() == 0)
     assert(graft.operators.Similarity.annLshTopK(spark, emptyDir).count() == 0)
     assert(graft.operators.Similarity.annIvfTopK(spark, emptyDir).count() == 0)
     assert(graft.operators.Similarity.quantizeInt8(spark, emptyDir).count() == 0)

@@ -170,7 +170,11 @@ class PipelineSpec extends AnyFunSuite {
     writeCsv(landing, "reviews.csv", "review,product_id\n5,5\n")
     writeCsv(landing, "shipment_deliveries.csv",
       "shipment_id,order_id,shipment_date,delivery_date\n1,1,2022-01-10,\n")
-    val e = intercept[IllegalStateException] { Runner.run(spark, work, "2026-01-01") }
+    // retryDelayMs = 0: a deterministic failure retries immediately (the
+    // injectable-delay seam) instead of waiting the reference's 5 minutes
+    val e = intercept[IllegalStateException] {
+      Runner.run(spark, work, "2026-01-01", retryDelayMs = 0L)
+    }
     assert(e.getMessage.contains("negative amount"))
     val log = java.nio.file.Paths.get(s"$work/error_log.txt")
     assert(java.nio.file.Files.exists(log) &&
@@ -191,10 +195,44 @@ class PipelineSpec extends AnyFunSuite {
   test("failed stage is logged to error_log.txt and rethrown (T6, no swallow)") {
     import graft.pipeline.Runner
     val work = tmpDir() // no landing files → the landing stage fails
-    intercept[Exception] { Runner.run(spark, work, "2026-01-01") }
+    intercept[Exception] { Runner.run(spark, work, "2026-01-01", retryDelayMs = 0L) }
     val log = java.nio.file.Paths.get(s"$work/error_log.txt")
     assert(java.nio.file.Files.exists(log), "error_log.txt written")
-    assert(java.nio.file.Files.readString(log).contains("[landing]"))
+    val text = java.nio.file.Files.readString(log)
+    assert(text.contains("[landing]"))
+    // T1 retry parity: the default budget is one retry, so the exhausted
+    // stage logged BOTH attempts before rethrowing
+    assert(text.contains("attempt 1/2 failed, retrying in 0ms"), text)
+    assert(text.contains("attempt 2/2 failed"), text)
+  }
+
+  test("T1 retry parity: first attempt throws, second succeeds, both on record") {
+    import graft.pipeline.Runner
+    val work = tmpDir()
+    val landing = s"$work/landing/dt=2026-01-01"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    writeCsv(landing, "reviews.csv", "review,product_id\n5,5\n")
+    writeCsv(landing, "shipment_deliveries.csv",
+      "shipment_id,order_id,shipment_date,delivery_date\n1,1,2022-01-10,\n")
+    // orders.csv is MISSING at attempt 1; the injected sleep drops it in
+    // place before attempt 2 — the transient-failure shape (late file
+    // arrival) the reference's 5-minute retry budget exists for
+    var slept = List.empty[Long]
+    val deliverLate: Long => Unit = { ms =>
+      slept ::= ms
+      writeCsv(landing, "orders.csv",
+        """order_id,customer_id,order_date,product_id,unit_price,quantity,total_price
+          |1,10,2022-01-03,5,100,2,200
+          |""".stripMargin)
+    }
+    val r = Runner.run(spark, work, "2026-01-01",
+      retryDelayMs = 7L, sleep = deliverLate)
+    assert(r.stagedRows("orders") == 1L, "second attempt must complete the run")
+    assert(slept == List(7L), "exactly one retry, at the configured delay")
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$work/error_log.txt"))
+    assert(text.contains("[landing] attempt 1/2 failed, retrying in 7ms"), text)
+    assert(!text.contains("attempt 2/2"), s"second attempt succeeded: $text")
   }
 
   test("upsert: same-key rows replaced, new keys appended, idempotent") {

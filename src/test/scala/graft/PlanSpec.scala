@@ -93,7 +93,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("no query plan degenerates to a cartesian/nested-loop join (except declared quadratic ones)") {
     // intentionally non-equi or broadcast-cross plans:
-    //  - s1: exact all-pairs scan (the documented correctness baseline)
+    //  - s1 (r7): now multi-index candidate-driven — the corpus×queries
+    //    brute-force scan moved to the UNREGISTERED annBruteForceTopK
+    //    baseline; s1's remaining BNLJ nodes are the IVF quantizer's two
+    //    1-row centroid broadcasts (exactly s3's exempted shape)
     //  - s3/t8/t11/q36: crossJoin(broadcast(<1-row or dim>)) scalar/centroid fan-in
     //  - q23: correlated scalar subquery decorrelates to a single-row join
     // (d5 earned its way OUT of this set: banded-LSH candidates, r3)
@@ -147,7 +150,10 @@ class PlanSpec extends AnyFunSuite {
     // grid/centroid crossJoin); q23's correlated subquery decorrelates to
     // a plain hash join — zero.
     val expectedBnlj = Map(
-      "s1_ann_topk" -> 1, "s3_ann_ivf_topk" -> 2, "s4_quantize_int8" -> 1,
+      // s1 = 2 (r7): the IVF quantizer's 1-row centroid broadcasts
+      // (assignment + probe ranking) — the s3 shape; the r6 corpus×queries
+      // BNLJ left the registry with the brute-force demotion
+      "s1_ann_topk" -> 2, "s3_ann_ivf_topk" -> 2, "s4_quantize_int8" -> 1,
       "t8_tfidf" -> 1, "t11_length_buckets" -> 1, "t14_mixture_sample" -> 1,
       "q36_histogram" -> 1, "q44_supplier_revenue" -> 1,
       "q23_correlated_subq" -> 0, "q49_expectations" -> 1,

@@ -279,10 +279,23 @@ class Round6Spec extends AnyFunSuite {
       col("frac_alpha") =!= col("fa") ||
       col("n_stop_kinds") =!= col("stops")).count() == 0,
       "map-side ratios must equal the exploded recomputation")
-    // rule diversity on this corpus: the word-count rule actually splits
-    // documents (23-token and 78-token docs both exist)
-    val words = g.select(col("rule_words")).distinct().count()
-    assert(words == 2, "rule_words should both pass and fail on testdata")
+    // rule diversity: assert both rule_words verdicts on a PLANTED
+    // two-doc fixture (r7, ADVICE) — the shared testdata regenerates
+    // every round, so "a 23-token and a 78-token doc both exist" is a
+    // fixture property, not a code property
+    val dir = java.nio.file.Files.createTempDirectory("graft_t25").toString
+    val longText = (1 to 60).map(i => s"alpha$i").mkString(" ")
+    val planted = Seq(
+      (1L, longText, "en", "web", longText.length.toLong),
+      (2L, "too short to pass", "en", "web", 17L))
+    spark.createDataFrame(planted)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val verdicts = TextAnalysis.gopherRules(spark, dir)
+      .select(col("doc_id"), col("rule_words")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(verdicts == Map(1L -> true, 2L -> false),
+      s"60-word doc must pass rule_words, 4-word doc must fail: $verdicts")
   }
 
   test("s8 diversified top-k: cap binds on a planted same-label cluster") {
@@ -323,7 +336,8 @@ class Round6Spec extends AnyFunSuite {
       .select(explode(TextFunctions.tokens(col("text"))).as("token"))
     val n = toks.count()
     val expected = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= (n + 49) / 50)
+      .filter(col("cnt") >=
+        (n + TextAnalysis.HeavyHittersK - 1) / TextAnalysis.HeavyHittersK)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val got = TextAnalysis.heavyHitters(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet

@@ -276,6 +276,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(Dedup.purgeIngestSink(spark, sink).isEmpty)
   }
 
+  test("mid-rewrite read: the .old_ fallback sees every row inside the move-aside window") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val work = java.nio.file.Files.createTempDirectory("graft_oldread").toString
+    val (src, sink, ckpt) = (s"$work/src", s"$work/sink", s"$work/ckpt")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    (0 until 3).foreach { i =>
+      docs.filter(col("doc_id") % 10 === 2 * i + 1)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val q = Dedup.streamingIncrementalDedup(spark, sf, sink, ckpt,
+      sourcePath = Some(src), maxFilesPerTrigger = Some(1))
+    try q.processAllAvailable() finally q.stop()
+    val seg = Dedup.compactIngestSink(spark, sink, ckpt)
+    assert(seg.isDefined)
+    def readAll() = Dedup.readIngestSink(spark, sink)
+      .select("doc_id", "ingest_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val before = readAll()
+    assert(before.nonEmpty)
+
+    // simulate the purge/merge window between move-aside and rename-in:
+    // the canonical segment name does not exist, only the .old_ copy does
+    val segBase = new java.io.File(s"$sink/_compacted")
+    val canonical = new java.io.File(segBase, s"batches_${seg.get._1}_${seg.get._2}")
+    val aside = new java.io.File(segBase, s".old_batches_${seg.get._1}_${seg.get._2}")
+    require(canonical.renameTo(aside))
+    assert(readAll().sameElements(before),
+      "reader inside the move-aside window must fall back to the .old_ segment")
+
+    // retractions stay in force through the fallback path (what makes the
+    // pre-purge .old_ rows equivalent to the purged canonical)
+    val victim = before.head._1
+    Dedup.retractFromIngestSink(spark, sink, Seq(victim))
+    assert(readAll().sameElements(before.filterNot(_._1 == victim)),
+      "tombstone must filter the .old_ fallback read")
+
+    // window closes: canonical back in place, stale .old_ copy lingers
+    // (rewriter crash before its delete) — reader must NOT double-count
+    require(aside.renameTo(canonical))
+    spark.read.parquet(canonical.getPath).write.parquet(aside.getPath)
+    assert(readAll().sameElements(before.filterNot(_._1 == victim)),
+      "a .old_ copy whose canonical exists must be ignored")
+  }
+
   test("streaming sink longevity: 200+ micro-batches, compaction cadence, mid-run retraction, kill/recover") {
     // The composed long-run a continuously-fed corpus actually exercises:
     // five landing waves of 40 single-file micro-batches each, a
