@@ -168,6 +168,18 @@ object SparkEntry {
     "t26_heavy_hitters"       -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "s9_radius_search"        -> ((s: SparkSession, d: String) => Similarity.annRadiusSearch(s, d)),
     "q50_cohort_retention"    -> ((s: SparkSession, d: String) => Events.cohortRetention(s, d)),
+    // batch 9 extensions (round 7): filtered/hybrid retrieval, an audited
+    // k-means step, the fuzzier normalized dedup key, readability /
+    // charset / distribution-shift text signals, the audio frame-energy
+    // expression, and a sort-based skyline
+    "s10_filtered_ann"        -> ((s: SparkSession, d: String) => Similarity.annFilteredTopK(s, d)),
+    "s11_kmeans_step"         -> ((s: SparkSession, d: String) => Similarity.kmeansStep(s, d)),
+    "d20_normalized_dedup"    -> Dedup.normalizedDedupGroups _,
+    "t27_readability"         -> TextAnalysis.readability _,
+    "t28_char_classes"        -> TextAnalysis.charClassProfile _,
+    "t29_source_kl"           -> TextAnalysis.sourceKlDivergence _,
+    "m7_audio_energy"         -> Multimodal.audioEnergyProfile _,
+    "q51_part_skyline"        -> Extended.partSkyline _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -2047,6 +2059,181 @@ object SparkEntry {
       SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
       FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
     },
+
+    // s10: s2's candidate + cosine CTEs with the tenant predicate applied
+    // at the candidate join (neighbor label = query label), before any
+    // scoring — the pre-filter strategy the Spark plan uses.
+    "s10_filtered_ann" -> ("WITH e AS (SELECT vec_id, embedding, label FROM embeddings)," +
+      LshCandCtesSql + s""",
+      j AS (
+        SELECT cand.query_id, cand.neighbor_id, en.label AS label,
+          eq.embedding AS qe, en.embedding AS ne
+        FROM cand
+        JOIN e eq ON eq.vec_id = cand.query_id
+        JOIN e en ON en.vec_id = cand.neighbor_id
+        WHERE en.label = eq.label),
+      u AS (SELECT query_id, neighbor_id, label, unnest(range(1, len(qe) + 1)) AS i, qe, ne FROM j),
+      s AS (
+        SELECT query_id, neighbor_id, label,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
+          sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
+        FROM u GROUP BY 1, 2, 3),
+      c AS (SELECT query_id, neighbor_id, label, dot / (sqrt(na) * sqrt(nb)) AS cos FROM s),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM c)
+      SELECT query_id, neighbor_id, label, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
+      FROM r WHERE rnk <= ${graft.operators.Similarity.TopK} ORDER BY query_id, rnk"""),
+
+    // s11: full Lloyd-step replay — deterministic lowest-vec_id seeds,
+    // 6dp-rounded d² before the argmin (ties -> lowest cent_id), 6dp
+    // per-dimension means, nudge+4dp presentation rounds.
+    "s11_kmeans_step" -> s"""
+      WITH seeds AS (
+        SELECT vec_id AS cent_id, embedding AS cv
+        FROM embeddings ORDER BY vec_id LIMIT ${graft.operators.Similarity.KmeansK}),
+      d AS (
+        SELECT e.vec_id, e.embedding, s.cent_id,
+          round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))
+               * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE)))), 6) AS d2
+        FROM embeddings e CROSS JOIN seeds s),
+      asg AS (
+        SELECT vec_id, embedding, cent_id, d2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+          FROM d) WHERE rn = 1),
+      nm AS (
+        SELECT cent_id, pos, round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS m
+        FROM (SELECT cent_id, unnest(range(1, len(embedding) + 1)) AS pos, embedding FROM asg)
+        GROUP BY 1, 2),
+      nv AS (SELECT cent_id, list(m ORDER BY pos) AS nv FROM nm GROUP BY 1),
+      st AS (
+        SELECT cent_id, CAST(count(*) AS BIGINT) AS n_members,
+          round(sum(d2) + 0.000000001, 4) AS inertia
+        FROM asg GROUP BY 1)
+      SELECT st.cent_id, st.n_members, st.inertia,
+        round(sqrt(list_sum(list_transform(range(1, len(nv.nv) + 1),
+            i -> (nv.nv[i] - CAST(seeds.cv[i] AS DOUBLE))
+               * (nv.nv[i] - CAST(seeds.cv[i] AS DOUBLE))))) + 0.000000001, 4)
+          AS centroid_shift
+      FROM st JOIN nv USING (cent_id) JOIN seeds USING (cent_id)
+      ORDER BY cent_id""",
+
+    // d20: both dedup keys are md5 of deterministic normalizations, so the
+    // whole query replays as one grouped aggregate.
+    "d20_normalized_dedup" -> """
+      WITH k AS (
+        SELECT doc_id,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_exact,
+          md5(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))) AS fp_norm
+        FROM documents)
+      SELECT min(doc_id) AS survivor_id, CAST(count(*) AS BIGINT) AS n_copies,
+        CAST(count(DISTINCT fp_exact) AS BIGINT) AS n_exact_variants
+      FROM k GROUP BY fp_norm ORDER BY survivor_id""",
+
+    // t27: three regex counts are integers; the FK formula replays in the
+    // same operation order with the standard nudge+4dp round.
+    "t27_readability" -> """
+      WITH n AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+          CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words,
+          greatest(CAST(len(regexp_extract_all(norm, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+          CAST(len(regexp_extract_all(norm, '[aeiouy]+')) AS BIGINT) AS n_syllables
+        FROM n)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+            + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE))
+            - 15.59 + 0.000000001, 4) AS fk_grade
+      FROM c ORDER BY doc_id""",
+
+    // t28: class counts as length-differences after class-strip, ratios
+    // rounded BEFORE the verdict comparison on both engines.
+    "t28_char_classes" -> """
+      WITH n AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+          CAST(length(norm) AS BIGINT) AS n_chars,
+          CAST(length(norm) - length(regexp_replace(norm, '[a-z]', '', 'g')) AS BIGINT) AS n_letters,
+          CAST(length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+          CAST(length(norm) - length(regexp_replace(norm, ' ', '', 'g')) AS BIGINT) AS n_spaces
+        FROM n),
+      r AS (
+        SELECT doc_id, n_chars,
+          round(n_letters / CAST(greatest(n_chars, 1) AS DOUBLE) + 0.000000001, 4) AS letter_ratio,
+          round(n_digits / CAST(greatest(n_chars, 1) AS DOUBLE) + 0.000000001, 4) AS digit_ratio,
+          round(n_spaces / CAST(greatest(n_chars, 1) AS DOUBLE) + 0.000000001, 4) AS space_ratio,
+          round((n_chars - n_letters - n_digits - n_spaces)
+              / CAST(greatest(n_chars, 1) AS DOUBLE) + 0.000000001, 4) AS other_ratio
+        FROM c)
+      SELECT doc_id, n_chars, letter_ratio, digit_ratio, space_ratio, other_ratio,
+        CASE WHEN letter_ratio >= 0.6 AND other_ratio <= 0.1
+             THEN 'clean' ELSE 'suspect' END AS verdict
+      FROM r ORDER BY doc_id""",
+
+    // t29: the KL term's log argument is one double division of integer
+    // cross-products, spelled in the same order as the Spark column.
+    "t29_source_kl" -> """
+      WITH tk AS (
+        SELECT source,
+          unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+        FROM documents),
+      tf AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cnt_s FROM tk GROUP BY 1, 2),
+      ps AS (SELECT source, CAST(sum(cnt_s) AS BIGINT) AS tot_s,
+               CAST(count(*) AS BIGINT) AS n_terms FROM tf GROUP BY 1),
+      co AS (SELECT t, CAST(sum(cnt_s) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM co)
+      SELECT tf.source, ps.tot_s AS n_tokens, ps.n_terms,
+        round(sum(CAST(cnt_s AS DOUBLE) / CAST(tot_s AS DOUBLE)
+            * ln((CAST(cnt_s AS DOUBLE) * CAST(tot AS DOUBLE))
+                / (CAST(tot_s AS DOUBLE) * CAST(cnt AS DOUBLE))))
+          + 0.000000001, 4) AS kl_vs_corpus
+      FROM tf JOIN co USING (t) JOIN ps USING (source) CROSS JOIN tot
+      GROUP BY 1, 2, 3 ORDER BY 1""",
+
+    // m7: the frame-energy sums replay integer-exact from the same UTF-8
+    // bytes (hex + list slicing); peak tie-break is first occurrence on
+    // both engines (array_position / list_position).
+    "m7_audio_energy" -> s"""
+      WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+      b AS (SELECT doc_id, ${RollingHashBytesSql("h")} AS bytes FROM hx),
+      f AS (SELECT doc_id, bytes, CAST(len(bytes) AS BIGINT) AS L FROM b),
+      e AS (
+        SELECT doc_id,
+          CAST((L + ${graft.expressions.PcmFrameEnergies.FrameLen} - 1)
+               // ${graft.expressions.PcmFrameEnergies.FrameLen} AS BIGINT) AS n_frames,
+          list_transform(
+            range(0, (L + ${graft.expressions.PcmFrameEnergies.FrameLen} - 1)
+                     // ${graft.expressions.PcmFrameEnergies.FrameLen}),
+            fi -> CAST(list_sum(list_transform(
+                bytes[CAST(fi * ${graft.expressions.PcmFrameEnergies.FrameLen} + 1 AS BIGINT)
+                      :CAST(least((fi + 1) * ${graft.expressions.PcmFrameEnergies.FrameLen}, L) AS BIGINT)],
+                x -> (x - 128) * (x - 128))) AS BIGINT)) AS en
+        FROM f)
+      SELECT doc_id, n_frames,
+        CAST(coalesce(list_sum(en), 0) AS BIGINT) AS total_energy,
+        CASE WHEN n_frames > 0 THEN CAST(list_position(en, list_max(en)) - 1 AS BIGINT) END
+          AS peak_frame,
+        CASE WHEN n_frames > 0 THEN CAST(list_max(en) AS BIGINT) END AS peak_energy
+      FROM e ORDER BY doc_id""",
+
+    // q51: the oracle keeps the O(n²) NOT EXISTS dominance spelling to pin
+    // that the engine's bounded-domain plan computes the same frontier.
+    "q51_part_skyline" -> """
+      SELECT p1.p_partkey, p1.p_size, CAST(p1.p_retailprice AS DOUBLE) AS price
+      FROM part p1
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part p2
+        WHERE CAST(p2.p_retailprice AS DOUBLE) <= CAST(p1.p_retailprice AS DOUBLE)
+          AND p2.p_size >= p1.p_size
+          AND (CAST(p2.p_retailprice AS DOUBLE) < CAST(p1.p_retailprice AS DOUBLE)
+               OR p2.p_size > p1.p_size))
+      ORDER BY p1.p_size DESC, p1.p_partkey""",
   )
 
   /** The s2/s6/s7 dynamic-bucket LSH candidate CTEs: `lb` replays

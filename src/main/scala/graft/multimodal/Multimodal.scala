@@ -174,6 +174,57 @@ object Multimodal {
                    codec: MediaCodec = StubCodec): Dataset[FrameSample] =
     sampleFramesDecoded(decodeAll(spark, dir, codec), stride)
 
+  case class PixelFrameSample(doc_id: Long, frame_idx: Int, width: Int,
+                              height: Int, mean_lum: Double, frame_phash: Long)
+
+  /** REAL frame sampler through the ImageIO seam: decodes every
+    * `stride`-th frame of a multi-frame payload (GIF is the JDK's
+    * animated format — `reader.read(i)` seeks frame i without decoding
+    * the skipped ones' pixel planes), converts each sampled frame to the
+    * SAME 8-bit luminance plane the real-pixel m5 path fingerprints
+    * ([[luminancePlane]]), and emits the frame's mean luminance plus its
+    * 52-bit block-mean hash — the per-frame signal a video near-dup pass
+    * bands on, exactly the way [[mediaNearDupPairs]] consumes the m5
+    * hashes. Same flatMap fan-out shape, partitioning and amortized
+    * per-partition decoder init as the stub sampler, so the plan (and its
+    * 100 TB cost model: one decoder per partition, rows ∝ frames/stride,
+    * no shuffle) is identical; only the codec is real. Frames are taken
+    * as the reader stores them (GIF delta frames surface at their own
+    * raster size — compositing disposal methods is codec policy, not
+    * plumbing, and the contract fixtures write full frames).
+    */
+  def pixelFrameSamples(media: Dataset[MediaRecord],
+                        stride: Int = 4): Dataset[PixelFrameSample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory payloads only
+      records.flatMap { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, "no ImageIO reader recognizes this payload")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            // materialize before the reader is disposed: the iterator the
+            // caller drains outlives this record's try/finally scope
+            (0 until n by stride).map { i =>
+              val img = reader.read(i)
+              val lum = luminancePlane(img)
+              var s = 0L; var k = 0
+              while (k < lum.length) { s += (lum(k) & 0xff); k += 1 }
+              PixelFrameSample(r.doc_id, i, img.getWidth, img.getHeight,
+                s.toDouble / lum.length,
+                graft.expressions.BlockMeanHash.hashBytes(lum))
+            }.toVector
+          } finally reader.dispose()
+        } finally iis.close()
+      }
+    }
+  }
+
   /** m3: per-document frame-sample aggregation — the flatMap fan-out of
     * [[sampleFrames]] re-aggregated (count + hash checksum per doc). The
     * whole path (decode → stride sample → relational agg) is deterministic
@@ -279,6 +330,29 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** 8-bit luminance plane of a decoded image, row-major — integer BT.601
+    * weights (exact for gray pixels, deterministic for color). Shared by
+    * the real-pixel perceptual-hash path and the real frame sampler so
+    * both fingerprint the same plane a re-encode preserves.
+    */
+  private[multimodal] def luminancePlane(
+      img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val lum = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        lum(y * w + x) = (((rgb >> 16 & 0xFF) * 299 +
+          (rgb >> 8 & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000).toByte
+        x += 1
+      }
+      y += 1
+    }
+    lum
+  }
+
   /** [[perceptualHashes]] over REAL decoded pixels: each payload is
     * decoded with the JDK's `javax.imageio` (the [[ImageIOCodec]] seam's
     * library, here reading the full pixel planes, not just headers),
@@ -301,25 +375,43 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.payload))
         require(img != null, "no ImageIO reader recognizes this payload")
-        val w = img.getWidth; val h = img.getHeight
-        val lum = new Array[Byte](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            lum(y * w + x) = (((rgb >> 16 & 0xFF) * 299 +
-              (rgb >> 8 & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000).toByte
-            x += 1
-          }
-          y += 1
-        }
-        (r.doc_id, lum)
+        (r.doc_id, luminancePlane(img))
       }
     }.toDF("doc_id", "pixels")
       .select(col("doc_id"),
         length(col("pixels")).cast("long").as("byte_len"),
         expr("block_mean_hash(pixels)").as("phash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** m7: audio-style frame-energy profile — every payload's byte stream cut
+    * into 256-sample frames by the codegen'd
+    * [[graft.expressions.PcmFrameEnergies]] expression, then reduced
+    * map-side to the per-document loudness summary (frame count, total
+    * energy, peak frame and its energy) an audio curation pass filters on
+    * (silence trim, clipping detection, loudness capping). Integer
+    * arithmetic end-to-end — the DuckDB twin replays the exact frame sums
+    * from the same UTF-8 bytes, so the query is hash-checked, not
+    * rows-only. Shuffle-free except the presentation sort: one expression
+    * + array reductions per row, the same per-row cost at any corpus size.
+    * Peak tie-break: `array_position` returns the FIRST maximal frame,
+    * matching DuckDB's `list_position` — earliest peak wins on both
+    * engines. Empty payloads report zero frames and NULL peaks on both.
+    */
+  def audioEnergyProfile(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.PcmFrameEnergies.register(spark)
+    Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), expr("pcm_frame_energies(payload)").as("en"))
+      .select(
+        col("doc_id"),
+        size(col("en")).cast("long").as("n_frames"),
+        coalesce(aggregate(col("en"), lit(0L), (a, x) => a + x), lit(0L))
+          .as("total_energy"),
+        when(size(col("en")) > 0,
+          (array_position(col("en"), array_max(col("en"))) - 1).cast("long"))
+          .as("peak_frame"),
+        when(size(col("en")) > 0, array_max(col("en"))).as("peak_energy"))
       .orderBy(col("doc_id"))
   }
 

@@ -49,6 +49,28 @@ object Dedup {
       .orderBy(col("survivor_id"))
   }
 
+  /** d20: aggressively-normalized exact dedup — the C4/Dolma-style dedup
+    * key one notch fuzzier than d1: lowercase, EVERY non-letter run
+    * (digits, punctuation, whitespace) collapsed to a single space, then
+    * trimmed. Catches the duplicates exact fingerprints structurally miss
+    * (re-punctuated copies, timestamp/byline variants, "1,000" vs "1000")
+    * without any pair machinery — still one hash-groupBy, so it runs at
+    * d1's cost at any corpus size. `n_exact_variants` counts the distinct
+    * d1 fingerprints inside each normalized group: > 1 is exactly the
+    * fuzz this key buys over d1.
+    */
+  def normalizedDedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documentsParallel(spark, dir)
+    d.select(col("doc_id"), fingerprint(col("text")).as("fp_exact"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z]+", " "))).as("fp_norm"))
+      .groupBy(col("fp_norm"))
+      .agg(min(col("doc_id")).as("survivor_id"),
+        count(lit(1)).cast("long").as("n_copies"),
+        countDistinct(col("fp_exact")).cast("long").as("n_exact_variants"))
+      .select(col("survivor_id"), col("n_copies"), col("n_exact_variants"))
+      .orderBy(col("survivor_id"))
+  }
+
   /** Distinct word-3-gram shingles per doc, as 64-bit xxhash values: all
     * downstream work (document-frequency counts, prefix joins, signature
     * hashing, array_intersect verification) shuffles and compares 8-byte

@@ -642,6 +642,54 @@ object Extended {
     * whole result deterministic and hash-checkable (the oracle returns the
     * exact counts plus literal `true`).
     */
+  /** q51: 2-D skyline (Pareto frontier) of the part catalog — the parts no
+    * other part dominates on (cheaper-or-equal price, larger-or-equal
+    * size, strictly better in one): the "efficient frontier" shape of
+    * best-tradeoff queries (cost vs capacity, latency vs accuracy).
+    * Computed dominance-free, not by the O(n²) self-join the naive SQL
+    * spells: sizes are a bounded domain (1..50 in the catalog), so one
+    * map-side-combinable groupBy collapses the corpus to a per-size
+    * best-price frame; that frame packs into ONE array row where the
+    * running min over STRICTLY larger sizes is a prefix-min expression
+    * (O(|domain|²) slice work on ≤ 50 elements — cheaper than even a
+    * one-task window, and this repo's window gate stays at zero
+    * exemptions); and one broadcast join back decides membership per
+    * row: on the frontier iff strictly cheaper than every larger size's
+    * best and tied with its own size's best. One shuffle (the bounded
+    * agg) + one broadcast at any corpus size — the DuckDB twin keeps the
+    * NOT EXISTS spelling precisely to pin that this plan computes the
+    * quadratic definition's answer. Duplicate (size, price) pairs are
+    * mutually non-dominating and all surface, which the min-tie rule
+    * preserves.
+    */
+  def partSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_size"),
+        col("p_retailprice").cast("double").as("price"))
+    val perSize = p.groupBy(col("p_size")).agg(min(col("price")).as("best_same"))
+    // pack the bounded frame into one size-DESC-sorted array row; element
+    // i's best_larger = min best price over elements before it (strictly
+    // larger sizes), null for the largest size
+    val packed = perSize
+      .agg(reverse(sort_array(collect_list(struct(col("p_size"), col("best_same")))))
+        .as("arr"))
+    val bounds = packed.select(explode(
+        transform(col("arr"), (x, i) =>
+          struct(x.getField("p_size").as("p_size"),
+            x.getField("best_same").as("best_same"),
+            when(i === 0, lit(null).cast("double"))
+              .otherwise(array_min(transform(slice(col("arr"), lit(1), i),
+                y => y.getField("best_same")))).as("best_larger"))))
+        .as("b"))
+      .select(col("b.p_size"), col("b.best_same"), col("b.best_larger"))
+    p.join(broadcast(bounds), "p_size")
+      .filter(
+        (col("best_larger").isNull || col("price") < col("best_larger")) &&
+          col("price") <= col("best_same"))
+      .select(col("p_partkey"), col("p_size"), col("price"))
+      .orderBy(col("p_size").desc, col("p_partkey"))
+  }
+
   def approxDistinctParts(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     // dedup (flag, partkey) first, then run BOTH the exact count and the

@@ -149,11 +149,13 @@ object Similarity {
     val probes = lshProbes(bits)
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("qlabel"),
         explode(array(probes.map(col("bucket").bitwiseXOR(_)): _*)).as("bucket"))
     e.join(q, "bucket")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("qe"), col("embedding").as("ne"), col("label").as("nlabel"))
+        col("qe"), col("embedding").as("ne"), col("label").as("nlabel"),
+        col("qlabel"))
   }
 
   /** s2: LSH-bucketed ANN — corpus and queries hashed to 2^bits sign
@@ -237,6 +239,100 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("label"),
         col("rnk"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** s10: metadata-filtered ANN ("hybrid search") — the retrieval shape
+    * every multi-tenant / ACL-scoped vector store serves: a structured
+    * predicate (here: neighbor label must equal the query's label — the
+    * tenant key stand-in) composed with vector similarity. The predicate
+    * applies to the CANDIDATE rows before any scoring, so filtered-out
+    * neighbors cost one comparison, never a cosine — the "pre-filter"
+    * strategy, which beats post-filtering exactly when the predicate is
+    * selective (post-filtering a top-k can return < k survivors; this
+    * returns the true top-k of the filtered set, candidate-recall
+    * bounded like every LSH path). Rides [[lshScoredCandidates]]
+    * unchanged — same buckets, same probes, same scale story as s2.
+    */
+  def annFilteredTopK(spark: SparkSession, dir: String, k: Int = TopK,
+                      lshBits: Int = 0): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    lshScoredCandidates(Tables.embeddings(spark, dir), lshBits)
+      .filter(col("nlabel") === col("qlabel"))
+      .select(col("query_id"), col("neighbor_id"), col("nlabel").as("label"),
+        expr("array_cosine(qe, ne)").as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("label"), col("rnk"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** s11's centroid count — seeded from the `KmeansK` lowest vec_ids. */
+  val KmeansK = 8
+
+  /** s11: one exact Lloyd iteration of k-means over the embedding corpus —
+    * the clustering primitive behind semantic-dedup cell maps (d14),
+    * SemDeDup-style pruning and topic-balanced mixture curation. Seeds are
+    * the `kCents` lowest vec_ids (deterministic, no RNG); every vector is
+    * assigned to its nearest seed by squared euclidean distance (map-side
+    * argmin over ONE broadcast centroid-array row — the corpus is never
+    * shuffled to learn its cell, the [[coarseQuantizer]] shape) and the
+    * step reports per cluster: member count, inertia (Σ d², the quantity
+    * Lloyd descends) and how far the centroid moved. Iterating to
+    * convergence is this operator in a loop (each round is one more
+    * broadcast + one posexplode partial agg, the d6 localCheckpoint recipe
+    * applies); ONE audited step is what a DuckDB twin can replay exactly,
+    * and per-step cost is the honest 100 TB unit: n·k fused distance
+    * loops + a map-side-combinable (k·dim)-group aggregate.
+    *
+    * Cross-engine determinism: d² folds left-to-right over the dimensions
+    * and is 6dp-rounded before the argmin (ties → lowest cent_id, the
+    * row_number convention); new-centroid means are 6dp-rounded like the
+    * s3 quantizer's; inertia and shift take the nudge+4dp presentation
+    * round.
+    */
+  def kmeansStep(spark: SparkSession, dir: String,
+                 kCents: Int = KmeansK): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+    val seeds = raw.orderBy(col("vec_id")).limit(kCents)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val centArr = seeds
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("cv")))).as("cents"))
+
+    def d2To(cv: Column): Column = round(
+      aggregate(
+        zip_with(col("embedding"), cv, (x, y) =>
+          (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (a, x) => a + x), 6)
+    // argmin as array_min over (d2, cent_id) structs — ties take the
+    // lowest cent_id by the struct's field order, zero shuffle
+    val best = array_min(transform(col("cents"), c =>
+      struct(d2To(c.getField("cv")).as("d2"), c.getField("cent_id").as("cent_id"))))
+    val assigned = raw.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("embedding"),
+        best.getField("cent_id").as("cent_id"), best.getField("d2").as("d2"))
+      .cache()
+
+    val newCents = assigned
+      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cent_id"), col("pos"))
+      .agg(round(avg(col("x").cast("double")), 6).as("m"))
+      .groupBy(col("cent_id"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("nv"))
+    val stats = assigned.groupBy(col("cent_id"))
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        round(sum(col("d2")) + lit(1e-9), 4).as("inertia"))
+    val result = stats.join(newCents, "cent_id").join(seeds, "cent_id")
+      .select(col("cent_id"), col("n_members"), col("inertia"),
+        round(sqrt(aggregate(
+          zip_with(col("nv"), col("cv"), (n, o) =>
+            (n - o.cast("double")) * (n - o.cast("double"))),
+          lit(0.0), (a, x) => a + x)) + lit(1e-9), 4).as("centroid_shift"))
+      .orderBy(col("cent_id"))
+    graft.operators.Dedup.materializeAndRelease(result, assigned)
   }
 
   val IvfNProbe = 3

@@ -1038,6 +1038,107 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
   }
 
+  /** t27: readability scoring — the Flesch–Kincaid grade from three
+    * map-side regex counts over the normalized text: words (whitespace
+    * tokens), sentences (runs of `.!?`, floored at 1), and syllables via
+    * the standard vowel-group approximation (runs of `aeiouy`; hyphenless
+    * long-document corpora don't warrant a dictionary syllabifier).
+    * Grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59.
+    * A curriculum/quality signal (too-low and too-high grades both
+    * correlate with junk). Shuffle-free: three `regexp_extract_all`
+    * counts per row — the t1 cost shape, identical per-row at 100 TB.
+    * All three inputs are integers, so the only float work is the final
+    * fixed-order formula, nudged and 4dp-rounded like every cross-engine
+    * double.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), normalize(col("text")).as("norm"))
+      .select(col("doc_id"),
+        size(split(col("norm"), " ")).cast("long").as("n_words"),
+        greatest(size(regexp_extract_all(col("norm"), lit("[.!?]+"), lit(0)))
+          .cast("long"), lit(1L)).as("n_sentences"),
+        size(regexp_extract_all(col("norm"), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syllables"))
+    val wDen = greatest(col("n_words"), lit(1L)).cast("double")
+    base.select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(lit(0.39) * (col("n_words").cast("double") / col("n_sentences").cast("double")) +
+          lit(11.8) * (col("n_syllables").cast("double") / wDen) - lit(15.59) + lit(1e-9), 4)
+          .as("fk_grade"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t28: character-class profile — the C4/Dolma-style encoding-sanity
+    * signal: per-document fractions of letters, digits, spaces and
+    * "other" (punctuation, control bytes, mojibake), with a verdict that
+    * compares the ROUNDED ratios so the clean/suspect boundary is pinned
+    * identically on both engines (the t24/t26 cross-engine convention).
+    * Counts are length-differences after class-strip `regexp_replace` —
+    * pure map-side string work, no shuffle but the presentation sort.
+    */
+  def charClassProfile(spark: SparkSession, dir: String): DataFrame = {
+    def classCount(c: org.apache.spark.sql.Column, rx: String) =
+      (length(c) - length(regexp_replace(c, rx, ""))).cast("long")
+    val base = Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), normalize(col("text")).as("norm"))
+      .select(col("doc_id"),
+        length(col("norm")).cast("long").as("n_chars"),
+        classCount(col("norm"), "[a-z]").as("n_letters"),
+        classCount(col("norm"), "[0-9]").as("n_digits"),
+        classCount(col("norm"), " ").as("n_spaces"))
+    val den = greatest(col("n_chars"), lit(1L)).cast("double")
+    base.select(col("doc_id"), col("n_chars"),
+        round(col("n_letters") / den + lit(1e-9), 4).as("letter_ratio"),
+        round(col("n_digits") / den + lit(1e-9), 4).as("digit_ratio"),
+        round(col("n_spaces") / den + lit(1e-9), 4).as("space_ratio"),
+        round((col("n_chars") - col("n_letters") - col("n_digits") - col("n_spaces")) / den
+          + lit(1e-9), 4).as("other_ratio"))
+      .withColumn("verdict",
+        when(col("letter_ratio") >= 0.6 && col("other_ratio") <= 0.1, lit("clean"))
+          .otherwise(lit("suspect")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t29: per-source distribution shift — KL(source ‖ corpus) over the
+    * unigram token distributions, the mixture-health metric a pretraining
+    * curator watches when a crawl source drifts (boilerplate floods,
+    * template spam). p ranges over the source's tokens, q over the whole
+    * corpus, so q > 0 wherever p > 0 and the sum is total. Two hash
+    * aggregations (per-(source,token) and per-token term frequencies,
+    * both map-side combinable) + a broadcast-joined totals row — no
+    * quadratic anywhere; vocabulary-bounded like t7. The log argument is
+    * a single double division of integer cross-products, computed in the
+    * same order in the DuckDB twin, and the per-source sum takes the
+    * standard nudge+4dp round.
+    */
+  def sourceKlDivergence(spark: SparkSession, dir: String): DataFrame = {
+    // tf feeds three consumers (the join probe, per-source totals, corpus
+    // totals) — cached so the explode+shuffle runs once, released after
+    // materialization like every interim cache in the d-family
+    val tf = Tables.documentsParallel(spark, dir)
+      .select(col("source"), explode(split(normalize(col("text")), " ")).as("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).cast("long").as("cnt_s"))
+      .cache()
+    val perSource = tf.groupBy(col("source"))
+      .agg(sum(col("cnt_s")).as("tot_s"), count(lit(1)).cast("long").as("n_terms"))
+    val corpus = tf.groupBy(col("t")).agg(sum(col("cnt_s")).as("cnt"))
+    val total = corpus.agg(sum(col("cnt")).as("tot"))
+    val result = tf.join(corpus, "t")
+      .join(broadcast(perSource), "source")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("tot_s"), col("n_terms"),
+        (col("cnt_s").cast("double") / col("tot_s").cast("double") *
+          log((col("cnt_s").cast("double") * col("tot").cast("double")) /
+            (col("tot_s").cast("double") * col("cnt").cast("double")))).as("term"))
+      .groupBy(col("source"), col("tot_s"), col("n_terms"))
+      .agg(round(sum(col("term")) + lit(1e-9), 4).as("kl_vs_corpus"))
+      .select(col("source"), col("tot_s").as("n_tokens"), col("n_terms"),
+        col("kl_vs_corpus"))
+      .orderBy(col("source"))
+    Dedup.materializeAndRelease(result, tf)
+  }
+
   /** t3: corpus-level quality aggregation per (lang, source) — the shape of
     * a "which crawl sources are worth keeping" report.
     */

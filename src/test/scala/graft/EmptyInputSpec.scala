@@ -115,6 +115,16 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.streaming.Events.cohortRetention(spark, emptyDir).count() == 0)
   }
 
+  test("round-7 operators behave on an empty corpus") {
+    assert(graft.operators.Dedup.normalizedDedupGroups(spark, emptyDir).count() == 0)
+    assert(graft.operators.TextAnalysis.readability(spark, emptyDir).count() == 0)
+    assert(graft.operators.TextAnalysis.charClassProfile(spark, emptyDir).count() == 0)
+    assert(graft.operators.TextAnalysis.sourceKlDivergence(spark, emptyDir).count() == 0)
+    assert(graft.operators.Similarity.annFilteredTopK(spark, emptyDir).count() == 0)
+    assert(graft.operators.Similarity.kmeansStep(spark, emptyDir).count() == 0)
+    assert(graft.multimodal.Multimodal.audioEnergyProfile(spark, emptyDir).count() == 0)
+  }
+
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {
     // a global aggregate over zero rows still emits one row — pinned so the
     // contract is explicit, not accidental

@@ -134,6 +134,83 @@ class MultimodalSpec extends AnyFunSuite {
     assert(framesOut(4L).size == 3) // 9 frames, stride 4 -> indices 0,4,8
   }
 
+  test("m3 over real frames: strided ImageIO decode of an animated GIF matches per-frame pixel math") {
+    import spark.implicits._
+    val W = 104; val H = 26 // 2704 pixels: 52 blocks of 52 bytes, 2 per row
+    // frame i: top split(i) ROWS gray 40, rest gray 200 — both exact GIF
+    // palette entries, and BT.601 on gray (v,v,v) returns v exactly, so
+    // the decoded luminance plane is computable in closed form. The split
+    // moves along the ROW axis because the 1-D block hash is row-major
+    // (two 52-byte blocks per row): a row split changes which blocks are
+    // dark, so distinct frames land distinct hashes — a COLUMN split
+    // gives every block the same dark/bright mix and hashes identically
+    // at any split (verified: that is the aHash's intended invariance,
+    // not a decode bug)
+    def split(i: Int) = (i + 1) * H / 10
+    def frameImage(i: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until W; y <- 0 until H) {
+        val v = if (y < split(i)) 40 else 200
+        img.setRGB(x, y, v << 16 | v << 8 | v)
+      }
+      img
+    }
+    def animatedGif(nFrames: Int): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { i =>
+        writer.writeToSequence(new javax.imageio.IIOImage(frameImage(i), null, null), null)
+      }
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      baos.toByteArray
+    }
+    def pngOf(i: Int): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(frameImage(i), "png", baos), "no png writer")
+      baos.toByteArray
+    }
+    def expectedLum(i: Int): Array[Byte] = {
+      val lum = new Array[Byte](W * H)
+      for (y <- 0 until H; x <- 0 until W)
+        lum(y * W + x) = (if (y < split(i)) 40 else 200).toByte
+      lum
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, animatedGif(8)),
+      Multimodal.MediaRecord(2L, pngOf(3)))
+      .toDS().repartition(2) // per-partition decoder init really runs twice
+    val out = Multimodal.pixelFrameSamples(media, stride = 3)
+      .collect().groupBy(_.doc_id)
+
+    // stride fan-out: 8 GIF frames at stride 3 -> indices 0,3,6; the
+    // single-frame PNG rides the same operator as one row at index 0
+    assert(out(1L).map(_.frame_idx).toSet == Set(0, 3, 6))
+    assert(out(2L).map(_.frame_idx).toSet == Set(0))
+
+    (out(1L) ++ out(2L)).foreach { f =>
+      val lum = expectedLum(if (f.doc_id == 1L) f.frame_idx else 3)
+      assert((f.width, f.height) == ((W, H)), s"$f")
+      val s = split(if (f.doc_id == 1L) f.frame_idx else 3)
+      val wantMean = (s * 40.0 + (H - s) * 200.0) / H
+      assert(math.abs(f.mean_lum - wantMean) < 1e-9,
+        s"doc ${f.doc_id} frame ${f.frame_idx}: mean ${f.mean_lum} != $wantMean")
+      // the frame hash IS the m5 hash of the frame's luminance plane —
+      // the per-frame signal mediaNearDupPairs bands on
+      assert(f.frame_phash ==
+        graft.expressions.BlockMeanHash.hashBytes(lum),
+        s"doc ${f.doc_id} frame ${f.frame_idx}: phash mismatch")
+    }
+    // distinct patterns fingerprint apart; GIF frame 3 and its PNG
+    // re-encode carry IDENTICAL pixels, so they collide exactly
+    assert(out(1L).map(_.frame_phash).distinct.size == out(1L).size)
+    assert(out(1L).find(_.frame_idx == 3).get.frame_phash ==
+      out(2L).head.frame_phash)
+  }
+
   test("GraftExtensions registers functions and strategy without error") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(e) // builder-time injection contract

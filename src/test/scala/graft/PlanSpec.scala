@@ -162,6 +162,8 @@ class PlanSpec extends AnyFunSuite {
       // t24 = 3: t20's one-row LM-total broadcast re-planned per consumer
       // of the shared scored frame (grid chain + final cut join)
       "s7_lsh_rerank" -> 2, "t23_dsir_weights" -> 1, "t24_ccnet_cut" -> 3)
+    // (r7: s11/t29's one-row broadcasts plan as broadcast HASH joins —
+    // zero BNLJ nodes — so they stay under the main gate, unexempted)
     val actual = expectedBnlj.keys.map { n =>
       val p = planString(livePlanOf(n))
       n -> ("BroadcastNestedLoopJoin".r.findAllIn(p).size +

@@ -70,6 +70,137 @@ class Round7Spec extends AnyFunSuite {
       "duplicate (query, neighbor) rows — the candidate union must dedupe")
   }
 
+  test("d20: aggressive key merges at least as much as d1, splits nothing") {
+    import graft.operators.Dedup
+    val d1 = Dedup.exactDedupGroups(spark, sf).collect()
+    val d20 = Dedup.normalizedDedupGroups(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(d20.nonEmpty)
+    // group membership is total on both keys
+    assert(d20.map(_._2).sum == d1.map(_.getLong(1)).sum)
+    // the aggressive key is a coarsening: never more groups than d1
+    assert(d20.length <= d1.length)
+    d20.foreach { case (_, copies, variants) =>
+      assert(variants >= 1 && variants <= copies)
+    }
+  }
+
+  test("t27: FK grade recomputes from the emitted integer counts") {
+    val rows = graft.operators.TextAnalysis.readability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, s9, syl) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(w >= 1 && s9 >= 1 && syl >= 0)
+      val want = BigDecimal(0.39 * (w.toDouble / s9.toDouble) +
+        11.8 * (syl.toDouble / math.max(w, 1L).toDouble) - 15.59 + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(4) - want) < 5e-4, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("t28: class ratios partition the text; verdict binds on the rounded values") {
+    val rows = graft.operators.TextAnalysis.charClassProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rs = (2 to 5).map(r.getDouble)
+      rs.foreach(x => assert(x >= 0.0 && x <= 1.0))
+      assert(math.abs(rs.sum - 1.0) < 5e-4, s"doc ${r.getLong(0)}: ratios ${rs.sum}")
+      val want = if (rs(0) >= 0.6 && rs(3) <= 0.1) "clean" else "suspect"
+      assert(r.getString(6) == want, s"doc ${r.getLong(0)} verdict")
+    }
+  }
+
+  test("t29: KL is non-negative, token mass is total, one row per source") {
+    val rows = graft.operators.TextAnalysis.sourceKlDivergence(spark, sf).collect()
+    val sources = graft.sources.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(rows.length == sources)
+    val corpusTokens = graft.operators.TextAnalysis.textStats(spark, sf)
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(1)).sum == corpusTokens)
+    rows.foreach(r => assert(r.getDouble(3) >= -1e-4,
+      s"source ${r.getString(0)}: KL ${r.getDouble(3)}"))
+  }
+
+  test("s10: every hit satisfies the tenant predicate and is the filtered top-k") {
+    import graft.operators.Similarity
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.annFilteredTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, n, lbl, _, _) =>
+      assert(labels(n) == labels(q), s"($q,$n) crosses tenants")
+      assert(lbl == labels(n))
+    }
+    // filtered results are a (ranked) subset of the UNfiltered candidate
+    // scoring: dropping a tenant-mismatched candidate must never admit a
+    // worse-scoring one above a better same-tenant one
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to rows.length).toSeq, s"query $q ranks")
+      val cs = byRank.map(_._5)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"query $q order")
+    }
+  }
+
+  test("s11: one Lloyd step — total membership, self-assigned seeds, shift sanity") {
+    import graft.operators.Similarity
+    val res = Similarity.kmeansStep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    // every seed is its own nearest centroid (d²=0), so all K clusters live
+    assert(res.length == Similarity.KmeansK)
+    assert(res.map(_._2).sum == n, "every vector assigned exactly once")
+    res.foreach { case (c, m, inertia, shift) =>
+      assert(m >= 1, s"cluster $c empty")
+      assert(inertia >= 0.0 && shift >= 0.0)
+    }
+    // the K seeds are the K lowest vec_ids
+    val expectSeeds = graft.sources.Tables.embeddings(spark, sf)
+      .orderBy(col("vec_id")).limit(Similarity.KmeansK)
+      .collect().map(_.getLong(0)).toSet
+    assert(res.map(_._1).toSet == expectSeeds)
+  }
+
+  test("m7: frame energies match the direct byte computation") {
+    import graft.expressions.PcmFrameEnergies
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id").limit(20).collect()
+    val got = graft.multimodal.Multimodal.audioEnergyProfile(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.get(3), r.get(4))).toMap
+    docs.foreach { d =>
+      val en = PcmFrameEnergies.energies(
+        d.getString(1).getBytes("UTF-8"), PcmFrameEnergies.FrameLen)
+      val (nf, tot, peakF, peakE) = got(d.getLong(0))
+      assert(nf == en.length, s"doc ${d.getLong(0)} frames")
+      assert(tot == en.sum, s"doc ${d.getLong(0)} total")
+      if (en.nonEmpty) {
+        val m = en.max
+        assert(peakE == m && peakF == en.indexOf(m).toLong, s"doc ${d.getLong(0)} peak")
+      } else assert(peakF == null && peakE == null)
+    }
+  }
+
+  test("q51: the bounded-domain plan equals the quadratic dominance definition") {
+    val parts = graft.sources.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_size"),
+        col("p_retailprice").cast("double")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val expect = parts.filter { case (_, s1, p1) =>
+      !parts.exists { case (_, s2, p2) =>
+        p2 <= p1 && s2 >= s1 && (p2 < p1 || s2 > s1)
+      }
+    }.map(t => (t._1, t._2, t._3)).toSet
+    val got = graft.operators.Extended.partSkyline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == expect, s"skyline mismatch: extra=${(got -- expect).take(3)} " +
+      s"missing=${(expect -- got).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("s9 radius filter binds on the ROUNDED cosine (the cross-engine boundary pin)") {
     import graft.operators.Similarity
     val got = Similarity.annRadiusSearch(spark, sf).collect()
