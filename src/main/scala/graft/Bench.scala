@@ -76,7 +76,13 @@ object Bench {
       // codegen/broadcast for THAT query, which would otherwise dominate
       // the spread and masquerade as box noise
       runOnce(n)
-      val times = Seq.fill(iters)(runOnce(n)).filter(_ >= 0).sorted
+      val raw = Seq.fill(iters)(runOnce(n))
+      // SPARK_GRAFT_BENCH_RAW=1: print every run's time to stderr — the noise
+      // dispositions need the raw distribution (bimodality is invisible
+      // in a median+spread pair)
+      if (sys.env.contains("SPARK_GRAFT_BENCH_RAW"))
+        System.err.println(f"[bench-raw] $n: ${raw.map(t => f"$t%.2f").mkString(" ")}")
+      val times = raw.filter(_ >= 0).sorted
       if (times.isEmpty) n -> (-1.0, -1.0)
       else {
         // true median: failed runs are filtered above, so even counts happen
