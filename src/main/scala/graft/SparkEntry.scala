@@ -180,6 +180,14 @@ object SparkEntry {
     "t29_source_kl"           -> TextAnalysis.sourceKlDivergence _,
     "m7_audio_energy"         -> Multimodal.audioEnergyProfile _,
     "q51_part_skyline"        -> Extended.partSkyline _,
+    // batch 10 extensions (round 7): positional span dedup, first-
+    // occurrence event dedup (streaming twin in StreamingSpec), decayed
+    // spend, token burstiness, and scene-change keyframe selection
+    "d21_shared_spans"        -> ((s: SparkSession, d: String) => Dedup.longestSharedSpan(s, d)),
+    "st6_event_dedup"         -> Events.eventDedup _,
+    "q52_ewma_spend"          -> Extended.ewmaSpend _,
+    "t30_burstiness"          -> ((s: SparkSession, d: String) => TextAnalysis.tokenBurstiness(s, d)),
+    "m8_keyframes"            -> ((s: SparkSession, d: String) => Multimodal.keyframes(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -2234,6 +2242,131 @@ object SparkEntry {
           AND (CAST(p2.p_retailprice AS DOUBLE) < CAST(p1.p_retailprice AS DOUBLE)
                OR p2.p_size > p1.p_size))
       ORDER BY p1.p_size DESC, p1.p_partkey""",
+
+    // d21: windows group by their STRING here vs xxhash64 in the engine —
+    // the d10 collision contract; min/max owner replaces count-distinct,
+    // and the run length is plain gaps-and-islands (pos - rn).
+    "d21_shared_spans" -> s"""
+      WITH tk AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+      w AS (
+        SELECT doc_id, t, unnest(range(1,
+          greatest(len(t) - ${graft.operators.Dedup.SpanWindowTokens - 2}, 1))) AS i
+        FROM tk),
+      w2 AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+          array_to_string(t[i:i + ${graft.operators.Dedup.SpanWindowTokens - 1}], ' ') AS s
+        FROM w),
+      g AS (SELECT s, min(doc_id) AS mn, max(doc_id) AS mx FROM w2 GROUP BY 1),
+      f AS (
+        SELECT w2.doc_id, w2.pos, (g.mn < w2.doc_id OR g.mx > w2.doc_id) AS shared
+        FROM w2 JOIN g USING (s)),
+      r AS (
+        SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        FROM f WHERE shared),
+      isl AS (SELECT doc_id, count(*) AS run FROM r GROUP BY doc_id, pos - rn),
+      mr AS (SELECT doc_id, max(run) AS max_run FROM isl GROUP BY 1),
+      tot AS (
+        SELECT doc_id, count(*) AS n_windows,
+          count(*) FILTER (WHERE shared) AS n_shared
+        FROM f GROUP BY 1)
+      SELECT tot.doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+        CAST(n_shared AS BIGINT) AS n_shared,
+        CAST(coalesce(max_run, 0) AS BIGINT) AS max_run,
+        CAST(CASE WHEN coalesce(max_run, 0) > 0
+          THEN coalesce(max_run, 0) + ${graft.operators.Dedup.SpanWindowTokens - 1}
+          ELSE 0 END AS BIGINT) AS max_span_tokens
+      FROM tot LEFT JOIN mr USING (doc_id)
+      ORDER BY doc_id""",
+
+    // st6: first occurrence per (user, type) in (ts, event_id) order.
+    "st6_event_dedup" -> """
+      WITH r AS (
+        SELECT user_id, event_type, ts, event_id,
+          row_number() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS rn,
+          count(*) OVER (PARTITION BY user_id, event_type) AS n
+        FROM events)
+      SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id,
+        CAST(n - 1 AS BIGINT) AS n_dups
+      FROM r WHERE rn = 1
+      ORDER BY user_id, event_type""",
+
+    // q52: ages in integer microseconds on both engines (unix_micros /
+    // epoch_us), λ interpolated from the one Scala constant.
+    "q52_ewma_spend" -> s"""
+      WITH p AS (
+        SELECT user_id, value, epoch_us(ts) AS us
+        FROM events WHERE event_type = 'purchase'),
+      a AS (SELECT max(us) AS anchor_us FROM p)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        round(sum(value), 2) AS total_spend,
+        round(sum(value * exp(-${graft.operators.Extended.EwmaLambdaPerDay}
+                 * CAST(anchor_us - us AS DOUBLE) / 86400000000.0))
+          / sum(exp(-${graft.operators.Extended.EwmaLambdaPerDay}
+                 * CAST(anchor_us - us AS DOUBLE) / 86400000000.0))
+          + 0.000000001, 4) AS ewma_spend
+      FROM p CROSS JOIN a GROUP BY user_id ORDER BY user_id""",
+
+    // t30: zeros never materialize — mean and E[c²] come from the counts
+    // that exist plus the N scalar; both engines divide exact integers as
+    // doubles, so the variance arithmetic is bit-identical.
+    "t30_burstiness" -> s"""
+      WITH tk AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM tk),
+      pc AS (SELECT doc_id, unnest(t) AS token FROM tk),
+      c AS (SELECT token, doc_id, count(*) AS c FROM pc GROUP BY 1, 2),
+      agg AS (SELECT token, sum(c) AS total, sum(c * c) AS sumsq,
+        count(*) AS n_docs_with FROM c GROUP BY 1)
+      SELECT token, CAST(total AS BIGINT) AS total,
+        CAST(n_docs_with AS BIGINT) AS n_docs_with,
+        round((CAST(sumsq AS DOUBLE) / n_docs
+               - (CAST(total AS DOUBLE) / n_docs) * (CAST(total AS DOUBLE) / n_docs))
+              / (CAST(total AS DOUBLE) / n_docs) + 0.000000001, 4) AS burstiness
+      FROM agg CROSS JOIN nd
+      ORDER BY total DESC, token ASC
+      LIMIT ${graft.operators.TextAnalysis.BurstinessTopN}""",
+
+    // m8: m7's byte/frame CTEs verbatim, then lag-diff + rank — integer
+    // arithmetic end-to-end, earliest frame wins ties on both engines.
+    "m8_keyframes" -> s"""
+      WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+      b AS (SELECT doc_id, ${RollingHashBytesSql("h")} AS bytes FROM hx),
+      f AS (SELECT doc_id, bytes, CAST(len(bytes) AS BIGINT) AS L FROM b),
+      e AS (
+        SELECT doc_id,
+          CAST((L + ${graft.expressions.PcmFrameEnergies.FrameLen} - 1)
+               // ${graft.expressions.PcmFrameEnergies.FrameLen} AS BIGINT) AS n_frames,
+          list_transform(
+            range(0, (L + ${graft.expressions.PcmFrameEnergies.FrameLen} - 1)
+                     // ${graft.expressions.PcmFrameEnergies.FrameLen}),
+            fi -> CAST(list_sum(list_transform(
+                bytes[CAST(fi * ${graft.expressions.PcmFrameEnergies.FrameLen} + 1 AS BIGINT)
+                      :CAST(least((fi + 1) * ${graft.expressions.PcmFrameEnergies.FrameLen}, L) AS BIGINT)],
+                x -> (x - 128) * (x - 128))) AS BIGINT)) AS en
+        FROM f),
+      x AS (SELECT doc_id, unnest(range(0, n_frames)) AS fi, en FROM e),
+      y AS (SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        CAST(en[CAST(fi + 1 AS BIGINT)] AS BIGINT) AS energy FROM x),
+      d AS (
+        SELECT doc_id, frame_idx, energy,
+          CAST(abs(energy - coalesce(lag(energy) OVER (
+            PARTITION BY doc_id ORDER BY frame_idx), 0)) AS BIGINT) AS diff_energy
+        FROM y),
+      r AS (
+        SELECT doc_id, frame_idx, energy, diff_energy,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY diff_energy DESC, frame_idx) AS rnk
+        FROM d)
+      SELECT doc_id, frame_idx, energy, diff_energy, CAST(rnk AS BIGINT) AS rnk
+      FROM r WHERE rnk <= ${graft.multimodal.Multimodal.KeyframesPerDoc}
+      ORDER BY doc_id, rnk""",
   )
 
   /** The s2/s6/s7 dynamic-bucket LSH candidate CTEs: `lb` replays

@@ -415,6 +415,44 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Keyframes kept per media payload by [[keyframes]] — interpolated into
+    * the DuckDB twin.
+    */
+  val KeyframesPerDoc = 3
+
+  /** m8: scene-change keyframe selection — per payload, the `k` frames
+    * with the largest energy DELTA against their predecessor (frame 0's
+    * delta is its own energy: the cut from silence/black). The frame-diff
+    * heuristic every video curation pass uses to pick representative
+    * frames for captioning/embedding without decoding the full stream —
+    * here over the same [[graft.expressions.PcmFrameEnergies]] frames as
+    * m7, so the whole chain is integer-exact and the DuckDB twin replays
+    * it byte-for-byte (hash-checked, not rows-only).
+    *
+    * Shape: one codegen'd expression per row, the lag and the rank both
+    * inside a PER-DOCUMENT window (frame count is bounded by payload
+    * size; documents parallelize freely), presentation sort only at the
+    * end. Ties rank earliest-frame-first on both engines.
+    */
+  def keyframes(spark: SparkSession, dir: String,
+                k: Int = KeyframesPerDoc): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.PcmFrameEnergies.register(spark)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val rankW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("diff_energy").desc, col("frame_idx").asc)
+    Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), expr("pcm_frame_energies(payload)").as("en"))
+      .select(col("doc_id"), posexplode(col("en")).as(Seq("fi", "energy")))
+      .select(col("doc_id"), col("fi").cast("long").as("frame_idx"), col("energy"))
+      .withColumn("diff_energy",
+        abs(col("energy") - coalesce(lag(col("energy"), 1).over(byDoc), lit(0L))))
+      .withColumn("rnk", row_number().over(rankW).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** Near-duplicate media pairs over [[perceptualHashes]]' fingerprints —
     * multi-index hashing (Norouzi et al., "Fast Search in Hamming Space
     * with Multi-Index Hashing"): the 52-bit signature splits into

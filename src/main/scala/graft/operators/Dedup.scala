@@ -1676,4 +1676,69 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Window width (tokens) for [[longestSharedSpan]] — interpolated into
+    * the DuckDB twin so operator and oracle cannot desync.
+    */
+  val SpanWindowTokens = 8
+
+  /** d21: longest shared-span detection — for each document, the longest
+    * RUN of consecutive token positions whose `n`-token window also occurs
+    * in some OTHER document. This is the positional strengthening of d10:
+    * d10 reports WHAT share of a doc's n-grams is corpus-duplicated; d21
+    * reports WHERE and HOW LONG the duplication is contiguous — the signal
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better") removes spans by (their suffix-array "shared
+    * substring >= 50 tokens" rule is exactly `max_span_tokens >= 50` here
+    * with perfect recall at span granularity n).
+    *
+    * Scale shape: one shuffle to reduce each window hash to its (min,max)
+    * owner doc — membership in >=2 docs is `mn < doc OR mx > doc`, no
+    * count-distinct, no pair enumeration — one join back, then the
+    * gaps-and-islands run length entirely inside a PER-DOCUMENT window
+    * (parallel across docs; a document's window count is bounded by its
+    * own length, so no partition outgrows its doc). Linear in corpus size
+    * like d10, even where near-dup PAIRS would be quadratic. The df
+    * grouping rides xxhash64 like d10/d8 — same negligible-collision
+    * contract (the failure mode is a pessimistic span, never a miss).
+    */
+  def longestSharedSpan(spark: SparkSession, dir: String,
+                        n: Int = SpanWindowTokens,
+                        release: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("wins"))
+      .select(col("doc_id"), posexplode(col("wins")).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("s")).as("h"))
+      .cache()
+    val owners = w.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val flagged = w.join(owners, "h")
+      .select(col("doc_id"), col("pos"),
+        (col("mn") < col("doc_id") || col("mx") > col("doc_id")).as("shared"))
+    // gaps-and-islands: consecutive shared positions share (pos - rn)
+    val rnW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = flagged.filter(col("shared"))
+      .withColumn("grp", col("pos") - row_number().over(rnW))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).cast("long").as("run"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run")).as("max_run"))
+    val totals = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        sum(when(col("shared"), 1L).otherwise(0L)).cast("long").as("n_shared"))
+    val result = totals.join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_shared"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+      .withColumn("max_span_tokens",
+        when(col("max_run") > 0, col("max_run") + (n - 1)).otherwise(0L)
+          .cast("long"))
+      .orderBy(col("doc_id"))
+    if (release) materializeAndRelease(result, w) else result
+  }
 }

@@ -713,4 +713,41 @@ object Extended {
       .select(col("l_returnflag"), col("n_parts_exact"), col("approx_within_5pct"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** q52's decay constant: ln 2 / half-life, per day. The literal is
+    * interpolated into the DuckDB twin from here so the two engines share
+    * one constant (the ADVICE r6 rule for every shared default).
+    */
+  val EwmaHalfLifeDays = 7.0
+  val EwmaLambdaPerDay: Double = math.log(2.0) / EwmaHalfLifeDays
+
+  /** q52: exponentially-decayed spend per user — each purchase weighted by
+    * `exp(-λ · age_days)` against the corpus' newest purchase, the
+    * recency-weighted LTV metric scoring pipelines use instead of a plain
+    * sum (a purchase 7 days old counts half; one 70 days old, ~0.1%).
+    *
+    * Shape: a true EWMA is sequential, but against a FIXED anchor the
+    * decayed sum is a plain weighted aggregation — one map-side-combined
+    * shuffle on user_id, weights computed per-row from `unix_micros`
+    * (integer microseconds on both engines, so the age arithmetic is
+    * bit-identical cross-engine before the one double multiply). The
+    * anchor is a scalar broadcast, not a window — no per-user max pass.
+    */
+  def ewmaSpend(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+    val anchor = p.agg(max(col("us")).as("anchor_us"))
+    val lam = lit(EwmaLambdaPerDay)
+    p.crossJoin(broadcast(anchor))
+      .select(col("user_id"), col("value"),
+        exp(-lam * (col("anchor_us") - col("us")).cast("double") / 86400000000.0)
+          .as("w"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_purchases"),
+        round(sum(col("value")), 2).as("total_spend"),
+        round(sum(col("value") * col("w")) / sum(col("w")) + 1e-9, 4)
+          .as("ewma_spend"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -1159,4 +1159,47 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("n_docs"))
       .orderBy(col("lang"), col("source"))
   }
+
+  /** How many tokens [[tokenBurstiness]] reports — interpolated into the
+    * DuckDB twin.
+    */
+  val BurstinessTopN = 100
+
+  /** t30: token burstiness — for the `topN` highest-count tokens, the
+    * variance-to-mean ratio of per-document counts over ALL documents
+    * (zeros included). Poisson scatter gives b ≈ 1; content words clump
+    * (b ≫ 1: absent from most docs, repeated where topical); function
+    * words spread evenly (b near its floor). Church & Gale's burstiness /
+    * adaptation signal — quality pipelines use it to separate topical
+    * vocabulary from boilerplate-ish uniform tokens, and spam tokens show
+    * up as extreme b at low document frequency.
+    *
+    * Zeros never materialize: with N total docs, mean = Σc/N and
+    * E[c²] = Σc²/N need only the per-(token, doc) counts that EXIST —
+    * two shuffles (token×doc, then token), both map-side combined, and
+    * the N scalar rides a broadcast. Top-N is TakeOrdered on the ~vocab-
+    * sized aggregate, never a corpus sort.
+    */
+  def tokenBurstiness(spark: SparkSession, dir: String,
+                      topN: Int = BurstinessTopN): DataFrame = {
+    val base = staged(spark, dir)
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    val perDoc = base
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("token"))
+      .agg(sum(col("c")).cast("long").as("total"),
+        sum(col("c") * col("c")).cast("double").as("sumsq"),
+        count(lit(1)).cast("long").as("n_docs_with"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("token"), col("total"), col("n_docs_with"),
+        (col("total").cast("double") / col("n_docs")).as("mean"),
+        (col("sumsq") / col("n_docs")).as("ex2"))
+      .select(col("token"), col("total"), col("n_docs_with"),
+        round((col("ex2") - col("mean") * col("mean")) / col("mean") + 1e-9, 4)
+          .as("burstiness"))
+      .orderBy(col("total").desc, col("token").asc)
+      .limit(topN)
+  }
 }

@@ -57,6 +57,36 @@ object Events {
       .orderBy(col("window_start"), col("rnk"))
   }
 
+  /** st6: first-occurrence event dedup — keep each (user_id, event_type)
+    * key's EARLIEST event (event-time order, event_id tie-break) and report
+    * how many duplicates it shadowed. The at-least-once ingestion repair
+    * every event pipeline runs before aggregation: upstream retries and
+    * replayed batches surface as duplicate keys, and the first occurrence
+    * is the canonical one.
+    *
+    * Batch form: one shuffle on the dedup key; `min_by` rides the hash
+    * aggregate's map-side combine (no per-key window sort — the combiner
+    * keeps one (ts, event_id)-minimal row per key per partition, so the
+    * exchange carries keys, not events). The streaming form
+    * ([[streamingEventDedup]]) is `dropDuplicatesWithinWatermark` on the
+    * same key: state is bounded by the watermark horizon instead of the
+    * key space — the 100 TB/day shape — and StreamingSpec asserts it emits
+    * exactly this batch result's key set when arrivals respect event-time
+    * order.
+    */
+  def eventDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        struct(col("ts"), col("event_id")).as("arrival"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("arrival")).as("first"),
+        count(lit(1)).cast("long").as("n_events"))
+      .select(col("user_id"), col("event_type"),
+        col("first.ts").as("first_ts"),
+        col("first.event_id").as("first_event_id"),
+        (col("n_events") - 1L).cast("long").as("n_dups"))
+      .orderBy(col("user_id"), col("event_type"))
+
   /** st2: gap-based sessionization, declarative form — new session when the
     * gap to the previous event of the same user exceeds 30 minutes; session
     * id = running count of session starts. One shuffle (user_id), two

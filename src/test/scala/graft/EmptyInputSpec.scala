@@ -125,6 +125,14 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.multimodal.Multimodal.audioEnergyProfile(spark, emptyDir).count() == 0)
   }
 
+  test("batch-10 operators behave on an empty corpus") {
+    assert(graft.operators.Dedup.longestSharedSpan(spark, emptyDir).count() == 0)
+    assert(graft.streaming.Events.eventDedup(spark, emptyDir).count() == 0)
+    assert(graft.operators.Extended.ewmaSpend(spark, emptyDir).count() == 0)
+    assert(graft.operators.TextAnalysis.tokenBurstiness(spark, emptyDir).count() == 0)
+    assert(graft.multimodal.Multimodal.keyframes(spark, emptyDir).count() == 0)
+  }
+
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {
     // a global aggregate over zero rows still emits one row — pinned so the
     // contract is explicit, not accidental

@@ -125,7 +125,8 @@ class PlanSpec extends AnyFunSuite {
       "q36_histogram", "q44_supplier_revenue", "q23_correlated_subq",
       "q49_expectations", "d14_auto_cells", "s5_two_stage_ann",
       "t20_lm_perplexity", "s6_pq_ann", "t22_vocab_growth",
-      "s7_lsh_rerank", "t23_dsir_weights", "t24_ccnet_cut")
+      "s7_lsh_rerank", "t23_dsir_weights", "t24_ccnet_cut",
+      "q52_ewma_spend", "t30_burstiness")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticByDesign)
       .flatMap { name =>
@@ -161,7 +162,10 @@ class PlanSpec extends AnyFunSuite {
       "t20_lm_perplexity" -> 1, "s6_pq_ann" -> 2, "t22_vocab_growth" -> 1,
       // t24 = 3: t20's one-row LM-total broadcast re-planned per consumer
       // of the shared scored frame (grid chain + final cut join)
-      "s7_lsh_rerank" -> 2, "t23_dsir_weights" -> 1, "t24_ccnet_cut" -> 3)
+      "s7_lsh_rerank" -> 2, "t23_dsir_weights" -> 1, "t24_ccnet_cut" -> 3,
+      // r7 batch 10: one 1-row scalar broadcast each (q52's anchor
+      // timestamp, t30's corpus doc count)
+      "q52_ewma_spend" -> 1, "t30_burstiness" -> 1)
     // (r7: s11/t29's one-row broadcasts plan as broadcast HASH joins —
     // zero BNLJ nodes — so they stay under the main gate, unexempted)
     val actual = expectedBnlj.keys.map { n =>

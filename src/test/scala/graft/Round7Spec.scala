@@ -214,4 +214,110 @@ class Round7Spec extends AnyFunSuite {
         s"($q,$n) cos $c not 4dp-rounded")
     }
   }
+
+  test("d21: a planted 12-token shared run spans 5 windows at either offset") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d21").toString
+    val run = (1 to 12).map(i => s"run$i").mkString(" ")
+    val a = s"ax1 ax2 ax3 $run ay1 ay2 ay3 ay4 ay5"
+    val b = s"bx1 bx2 bx3 bx4 bx5 bx6 bx7 $run by1 by2"
+    val c = (1 to 30).map(i => s"cz$i").mkString(" ")
+    spark.createDataFrame(Seq(
+      (1L, a, "en", "web", a.length.toLong),
+      (2L, b, "en", "web", b.length.toLong),
+      (3L, c, "en", "web", c.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Dedup.longestSharedSpan(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // a 12-token run holds 12-8+1 = 5 consecutive 8-token windows; every
+    // window crossing the run boundary mixes in doc-unique tokens
+    assert(out(1L) == (13L, 5L, 5L, 12L), s"doc1: ${out(1L)}")
+    assert(out(2L) == (14L, 5L, 5L, 12L), s"doc2: ${out(2L)}")
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0L && out(3L)._4 == 0L,
+      s"doc3: ${out(3L)}")
+  }
+
+  test("d21 corpus invariants: runs bounded by shared windows; span = run + 7") {
+    val rows = graft.operators.Dedup.longestSharedSpan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, ns, mr, span) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ns <= nw && mr <= ns, s"doc ${r.getLong(0)}: ns=$ns nw=$nw mr=$mr")
+      assert(if (mr == 0) span == 0 else span == mr + 7,
+        s"doc ${r.getLong(0)}: mr=$mr span=$span")
+    }
+    assert(rows.exists(_.getLong(3) > 0),
+      "planted near-dups must surface contiguous shared spans")
+  }
+
+  test("st6: dedup accounting is exact and first_ts is the key's event-time min") {
+    import org.apache.spark.sql.functions._
+    val out = graft.streaming.Events.eventDedup(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(out.map(_.getLong(4)).sum + out.length == ev.count(),
+      "every event is either a key's first or counted in its n_dups")
+    val mins = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("mn")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getTimestamp(2)).toMap
+    out.foreach { r =>
+      assert(r.getTimestamp(2) == mins((r.getLong(0), r.getString(1))),
+        s"key (${r.getLong(0)}, ${r.getString(1)}) first_ts not the min")
+    }
+  }
+
+  test("q52: a purchase exactly one half-life old carries weight 1/2") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q52").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00") // 7 d older
+    spark.createDataFrame(Seq(
+      (0L, t1, 1L, "purchase", 10.0, "{}"),
+      (1L, t0, 1L, "purchase", 40.0, "{}"),
+      (2L, t0, 1L, "view", 99.0, "{}"))) // excluded
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.operators.Extended.ewmaSpend(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 2L && r(0).getDouble(2) == 50.0)
+    // (40·1 + 10·½) / (1 + ½) = 30 — the view's 99 must not appear
+    assert(math.abs(r(0).getDouble(3) - 30.0) < 1e-4, s"ewma=${r(0).getDouble(3)}")
+  }
+
+  test("t30: burstiness separates a clumped token from a uniform one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_t30").toString
+    val docs = Seq(
+      (1L, "aa aa aa aa bb", "en", "web", 14L),
+      (2L, "bb f21 f22", "en", "web", 10L),
+      (3L, "bb f31 f32", "en", "web", 10L),
+      (4L, "bb f41 f42", "en", "web", 10L))
+    spark.createDataFrame(docs).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val b = graft.operators.TextAnalysis.tokenBurstiness(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // "aa": counts (4,0,0,0) over N=4 → mean 1, E[x²] 4, var 3 → b = 3
+    // "bb": once everywhere → var 0 → b = 0
+    assert(b("aa") == 3.0, s"aa: ${b("aa")}")
+    assert(b("bb") == 0.0, s"bb: ${b("bb")}")
+  }
+
+  test("m8: keyframes are the top-3 frame deltas, recomputed byte-for-byte") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_m8").toString
+    // five 256-byte frames with distinct energies → distinct deltas
+    val text = "a" * 256 + "~" * 256 + "0" * 256 + "a" * 256 + "~" * 100
+    spark.createDataFrame(Seq((1L, text, "en", "web", text.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val en = graft.expressions.PcmFrameEnergies.energies(
+      text.getBytes("UTF-8"), graft.expressions.PcmFrameEnergies.FrameLen)
+    val expect = en.zipWithIndex.map { case (e, i) =>
+      (i.toLong, e, math.abs(e - (if (i == 0) 0L else en(i - 1))))
+    }.sortBy { case (fi, _, d) => (-d, fi) }.take(3).zipWithIndex
+      .map { case ((fi, e, d), r) => (1L, fi, e, d, r + 1L) }.toSet
+    val got = graft.multimodal.Multimodal.keyframes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expect, s"got=$got expect=$expect")
+  }
 }
