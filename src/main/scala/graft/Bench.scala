@@ -18,6 +18,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // backstop for the per-query System.gc() in the sweep: reap
+      // unreferenced shuffle files every minute instead of the 30-minute
+      // default (soak-scale suites write GBs of shuffle per query)
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -45,8 +49,17 @@ object Bench {
         // exception HERE (e.g. a session already torn down by the failure
         // the catch above absorbed) would replace the -1.0 failure marker
         // and abort the whole bench instead of recording one failed query.
-        scala.util.Try(
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true)))
+        scala.util.Try {
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          // shuffle files are reaped by the ContextCleaner only when the
+          // JVM garbage-collects the ShuffleDependency — with an 80 GiB
+          // heap that happens approximately never, so a long suite
+          // ACCUMULATES every finished query's shuffle spill on local
+          // disk (the r7 100× full-suite run died disk-full at ~53 GiB
+          // of orphaned blockmgr files). One explicit GC per query keeps
+          // local-disk usage bounded by the CURRENT query's working set.
+          System.gc()
+        }
       }
     }
 
@@ -72,6 +85,10 @@ object Bench {
     val selected = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip).filter(n => only.forall(_.contains(n)))
     val results = selected.map { n =>
+      // progress marker BEFORE the query runs: when a soak-scale run dies
+      // mid-suite (disk-full spill, OOM), stderr names the offender — the
+      // r7 100× full-suite run failed anonymously without this
+      System.err.println(s"[bench-run] $n at ${System.currentTimeMillis() / 1000}")
       // one untimed warmup per query: the first execution pays planning/
       // codegen/broadcast for THAT query, which would otherwise dominate
       // the spread and masquerade as box noise

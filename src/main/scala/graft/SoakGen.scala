@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   *    split, % 2 d11 parity), so per-replica selections mirror rep 0.
   *  - `documents` replicas get a unique tail token (the r3 Soak recipe):
   *    replicas are NEAR-duplicates of their original — the hardest dedup
-  *    case, near-dup pair count grows factor²-per-group while exact
-  *    fingerprints see nothing.
+  *    case — but near-dup group size is capped at [[MaxNearDupGroup]]
+  *    (r7): beyond 10× the GROUP COUNT grows with the factor, not the
+  *    group size, so true pair output scales linearly like a real crawl's
+  *    (the uncapped factor² design exceeds single-box scratch disk at
+  *    100× — see the documents replication comment).
   *  - `embeddings` replicas get deterministic per-dimension pseudo-noise
   *    (near — not identical — vectors, so banded/bucketed candidate
   *    machinery does real work).
@@ -33,6 +36,12 @@ import org.apache.spark.sql.functions._
   */
 object SoakGen {
   val KeyOffset = 10000000L // divisible by 50, 20, and 2 (see scaladoc)
+
+  /** Near-dup cluster size cap for document replicas — the 10× design's
+    * group size, held constant as the factor grows (see the documents
+    * replication comment for why).
+    */
+  val MaxNearDupGroup = 10
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -91,20 +100,51 @@ object SoakGen {
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     replicate("events", Seq("event_id", "user_id"))
 
-    // documents: rep>0 texts get a unique tail token -> near-duplicates
+    // documents: replicas are NEAR-duplicates of their original (unique
+    // tail token), but near-dup GROUP SIZE is capped at MaxNearDupGroup:
+    // replica r joins group gid = r / MaxNearDupGroup, and each gid > 0
+    // group's text swaps every 6th token for a group marker — ~half its
+    // trigram shingles change, so cross-group jaccard lands ≈ 0.33, far
+    // below the 0.8 family threshold, while within-group stays ≈ 0.95.
+    //
+    // WHY the cap (r7): duplication-CLUSTER size is a property of the
+    // data, not of the corpus scale — a 100× crawl has ~100× as many
+    // dup clusters, not 100-member clusters everywhere. The uncapped
+    // design makes every operator's TRUE pair output grow factor²
+    // (24.75M verified pairs at 100×), and the pair-verify stages then
+    // need pairs × shingle-array bytes of shuffle scratch — ~70 GB for
+    // d17 alone, which is an output-size property no algorithm can
+    // beat, and it exceeds single-box disk (measured: the r7 first
+    // 100× full-suite attempt died disk-full inside d17). With groups
+    // capped at the 10× design's size, pair count scales LINEARLY with
+    // the factor beyond 10× (group count grows instead), which is the
+    // engine-scaling question the soak exists to answer; at factor <= 10
+    // this reduces to the old design exactly (one group), keeping the
+    // 10× ledger rows comparable.
     val docs = spark.read.parquet(s"$src/documents.parquet")
     docs.crossJoin(reps)
+      .withColumn("gid", (col("rep") / MaxNearDupGroup).cast("int"))
       .select(
         (col("doc_id") + col("rep") * lit(KeyOffset)).as("doc_id"),
-        when(col("rep") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" uniq"), col("rep"),
+        when(col("gid") === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "), (t, i) =>
+              when(i % 6 === 5,
+                concat(lit("g"), col("gid"), lit("p"), i)).otherwise(t)),
+            " ")).as("grouped"),
+        col("rep"), col("lang"), col("source"))
+      .select(
+        col("doc_id"),
+        when(col("rep") === 0, col("grouped"))
+          .otherwise(concat(col("grouped"), lit(" uniq"), col("rep"),
             lit("x"), col("doc_id"))).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars")
       .repartition(outParts)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    println(s"[soakgen] documents: ${factor}x written (near-dup replicas)")
+    println(s"[soakgen] documents: ${factor}x written " +
+      s"(near-dup groups of ${math.min(factor, MaxNearDupGroup)})")
 
     // embeddings: deterministic pseudo-noise per replica dimension
     val eb = spark.read.parquet(s"$src/embeddings.parquet")

@@ -188,6 +188,11 @@ object SparkEntry {
     "q52_ewma_spend"          -> Extended.ewmaSpend _,
     "t30_burstiness"          -> ((s: SparkSession, d: String) => TextAnalysis.tokenBurstiness(s, d)),
     "m8_keyframes"            -> ((s: SparkSession, d: String) => Multimodal.keyframes(s, d)),
+    // batch 11 extensions (round 7): cluster-quality audit over the
+    // near-dup graph, hourly volume anomaly alerts, and audio silence trim
+    "d22_cluster_cohesion"    -> ((s: SparkSession, d: String) => Dedup.clusterCohesion(s, d)),
+    "q53_hourly_anomaly"      -> Events.hourlyAnomaly _,
+    "m9_silence_trim"         -> Multimodal.silenceTrim _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -2367,6 +2372,92 @@ object SparkEntry {
       SELECT doc_id, frame_idx, energy, diff_energy, CAST(rnk AS BIGINT) AS rnk
       FROM r WHERE rnk <= ${graft.multimodal.Multimodal.KeyframesPerDoc}
       ORDER BY doc_id, rnk""",
+
+    // d22: d6's recursive-reach CTEs verbatim, plus the ROUNDED exact
+    // Jaccard per edge (the d2/d3 oracle contract); cohesion aggregates
+    // bind on the rounded pair values on both engines.
+    "d22_cluster_cohesion" -> s"""
+      $NearDupClustersCtes,
+      cl AS (SELECT doc AS doc_id, min(other) AS cluster_root
+             FROM reach GROUP BY doc),
+      jr AS (
+        SELECT id_a, id_b,
+          round(CAST(shared AS DOUBLE)
+                / CAST(ca.n + cb.n - shared AS DOUBLE), 4) AS jaccard
+        FROM prs
+        JOIN cnt ca ON id_a = ca.doc_id
+        JOIN cnt cb ON id_b = cb.doc_id
+        WHERE CAST(shared AS DOUBLE)
+              / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.8),
+      ed AS (SELECT cl.cluster_root, jaccard
+             FROM jr JOIN cl ON jr.id_a = cl.doc_id),
+      sz AS (SELECT cluster_root, count(*) AS n_docs FROM cl GROUP BY 1),
+      ag AS (
+        SELECT cluster_root, count(*) AS n_edges,
+          round(avg(jaccard) + 0.000000001, 4) AS avg_jaccard,
+          round(min(jaccard), 4) AS min_jaccard
+        FROM ed GROUP BY 1)
+      SELECT ag.cluster_root, CAST(sz.n_docs AS BIGINT) AS n_docs,
+        CAST(n_edges AS BIGINT) AS n_edges, avg_jaccard, min_jaccard,
+        round(CAST(n_edges AS DOUBLE) * 2
+              / CAST(sz.n_docs * (sz.n_docs - 1) AS DOUBLE)
+              + 0.000000001, 4) AS density
+      FROM ag JOIN sz USING (cluster_root)
+      ORDER BY cluster_root""",
+
+    // q53: integer hourly counts make mean exact; the alert binds on the
+    // 4dp-rounded z on both engines, threshold interpolated.
+    "q53_hourly_anomaly" -> s"""
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+          count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      m AS (
+        SELECT event_type, avg(n_events) AS mean_events,
+          stddev_pop(n_events) AS sd
+        FROM hourly GROUP BY 1),
+      z AS (
+        SELECT h.event_type, h.hour, CAST(h.n_events AS BIGINT) AS n_events,
+          round(m.mean_events + 0.000000001, 4) AS mean_events,
+          round((h.n_events - m.mean_events) / m.sd + 0.000000001, 4) AS z
+        FROM hourly h JOIN m USING (event_type))
+      SELECT event_type, hour, n_events, mean_events, z FROM z
+      WHERE abs(z) >= ${graft.streaming.Events.AnomalyZThreshold}
+      ORDER BY event_type, hour""",
+
+    // m9: m7's byte/frame CTEs verbatim; loud-frame indexes via the same
+    // transform-then-filter shape, threshold interpolated.
+    "m9_silence_trim" -> s"""
+      WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+      b AS (SELECT doc_id, ${RollingHashBytesSql("h")} AS bytes FROM hx),
+      f AS (SELECT doc_id, bytes, CAST(len(bytes) AS BIGINT) AS L FROM b),
+      e AS (
+        SELECT doc_id,
+          CAST((L + ${graft.expressions.PcmFrameEnergies.FrameLen} - 1)
+               // ${graft.expressions.PcmFrameEnergies.FrameLen} AS BIGINT) AS n_frames,
+          list_transform(
+            range(0, (L + ${graft.expressions.PcmFrameEnergies.FrameLen} - 1)
+                     // ${graft.expressions.PcmFrameEnergies.FrameLen}),
+            fi -> CAST(list_sum(list_transform(
+                bytes[CAST(fi * ${graft.expressions.PcmFrameEnergies.FrameLen} + 1 AS BIGINT)
+                      :CAST(least((fi + 1) * ${graft.expressions.PcmFrameEnergies.FrameLen}, L) AS BIGINT)],
+                x -> (x - 128) * (x - 128))) AS BIGINT)) AS en
+        FROM f),
+      l AS (
+        SELECT doc_id, n_frames,
+          list_filter(
+            list_transform(range(0, n_frames),
+              fi -> CASE WHEN en[CAST(fi + 1 AS BIGINT)] >
+                ${graft.multimodal.Multimodal.SilenceEnergyPerSample *
+                  graft.expressions.PcmFrameEnergies.FrameLen}
+                THEN fi END),
+            x -> x IS NOT NULL) AS loud
+        FROM e)
+      SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        CAST(len(loud) AS BIGINT) AS n_loud,
+        CASE WHEN len(loud) > 0 THEN CAST(loud[1] AS BIGINT) END AS first_loud,
+        CASE WHEN len(loud) > 0 THEN CAST(loud[-1] AS BIGINT) END AS last_loud
+      FROM l ORDER BY doc_id""",
   )
 
   /** The s2/s6/s7 dynamic-bucket LSH candidate CTEs: `lb` replays

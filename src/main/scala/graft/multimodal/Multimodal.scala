@@ -453,6 +453,46 @@ object Multimodal {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** m9's loudness threshold: a frame is "loud" when its energy clears
+    * frameLen · this — i.e. mean squared deviation > 2048 (RMS ≈ 45 of
+    * 128) from the DC midpoint. On the UTF-8 stand-in corpus this lands
+    * BETWEEN letter-only frames (~36–961 per sample) and space/digit-mixed
+    * frames (space = 9216), so both verdicts genuinely occur.
+    * Interpolated into the DuckDB twin.
+    */
+  val SilenceEnergyPerSample = 2048L
+
+  /** m9: silence trim — per payload, the first and last LOUD frame (energy
+    * above [[SilenceEnergyPerSample]]·frameLen) plus loud/total frame
+    * counts: the leading/trailing-silence removal pass audio curation runs
+    * before any transcription or embedding work. Array-level min/max over
+    * m7's integer frame energies — wholly map-side, one expression per
+    * row, no shuffle but the presentation sort; all-quiet payloads report
+    * NULL trim points and survive (the caller decides whether silence-only
+    * media is droppable). Integer end-to-end like m7/m8, so the twin
+    * replays it exactly.
+    */
+  def silenceTrim(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.PcmFrameEnergies.register(spark)
+    val thr = SilenceEnergyPerSample *
+      graft.expressions.PcmFrameEnergies.FrameLen
+    Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), expr("pcm_frame_energies(payload)").as("en"))
+      .select(col("doc_id"), col("en"),
+        filter(transform(col("en"), (e, i) => when(e > thr, i)),
+          x => x.isNotNull).as("loud"))
+      .select(
+        col("doc_id"),
+        size(col("en")).cast("long").as("n_frames"),
+        size(col("loud")).cast("long").as("n_loud"),
+        when(size(col("loud")) > 0, element_at(col("loud"), 1).cast("long"))
+          .as("first_loud"),
+        when(size(col("loud")) > 0, element_at(col("loud"), -1).cast("long"))
+          .as("last_loud"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-duplicate media pairs over [[perceptualHashes]]' fingerprints —
     * multi-index hashing (Norouzi et al., "Fast Search in Hamming Space
     * with Multi-Index Hashing"): the 52-bit signature splits into

@@ -1741,4 +1741,45 @@ object Dedup {
       .orderBy(col("doc_id"))
     if (release) materializeAndRelease(result, w) else result
   }
+
+  /** d22: cluster-cohesion audit — per near-dup cluster, the edge-level
+    * quality report dedup reviews run before trusting a survivor pass:
+    * member count, verified-edge count, average / minimum pairwise
+    * Jaccard over the 4dp-ROUNDED pair values (the cross-engine boundary
+    * pin), and edge density against the complete graph. A cluster with
+    * low min-Jaccard or low density is a CHAIN — pairs glued through
+    * intermediates that are not pairwise similar — exactly the clusters
+    * where min-id survivor selection (d7) silently drops non-duplicates;
+    * this query is how you find them.
+    *
+    * Cost shape: d3's pairs and their connected components computed ONCE
+    * and shared (unlike composing d3+d6 naively, which would run the LSH
+    * join twice); everything after is key-grouped aggregation on the
+    * pair set — no new joins against the corpus.
+    */
+  def clusterCohesion(spark: SparkSession, dir: String,
+                      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLshPairs(spark, dir, threshold).cache()
+    val clusters = connectedComponents(
+      pairs.select(col("id_a"), col("id_b")), 100)
+      .withColumnRenamed("node", "doc_id")
+      .withColumnRenamed("root", "cluster_root")
+    // both endpoints share a root by construction — label via id_a
+    val edges = pairs.join(
+      clusters.select(col("doc_id").as("id_a"), col("cluster_root")), "id_a")
+    val sizes = clusters.groupBy(col("cluster_root"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val result = edges.groupBy(col("cluster_root"))
+      .agg(count(lit(1)).cast("long").as("n_edges"),
+        round(avg(col("jaccard")) + 1e-9, 4).as("avg_jaccard"),
+        round(min(col("jaccard")), 4).as("min_jaccard"))
+      .join(sizes, "cluster_root")
+      .withColumn("density",
+        round(col("n_edges").cast("double") * 2 /
+          (col("n_docs") * (col("n_docs") - 1)).cast("double") + 1e-9, 4))
+      .select(col("cluster_root"), col("n_docs"), col("n_edges"),
+        col("avg_jaccard"), col("min_jaccard"), col("density"))
+      .orderBy(col("cluster_root"))
+    materializeAndRelease(result, pairs)
+  }
 }

@@ -293,6 +293,39 @@ object Events {
     * user_id for the window, one tiny aggregate; at 100 TB the window key
     * is the shuffle key and AQE splits hot users.
     */
+  /** q53's |z| alert threshold — interpolated into the DuckDB twin, and
+    * compared on the 4dp-ROUNDED z-score (the cross-engine boundary pin).
+    */
+  val AnomalyZThreshold = 2.0
+
+  /** q53: hourly volume anomaly detection — for each event type, hours
+    * whose event count sits ≥ `AnomalyZThreshold` population standard
+    * deviations from that type's hourly mean. The operational monitoring
+    * query every event pipeline runs: traffic spikes, outage troughs, and
+    * bot bursts all surface as |z| ≥ 2 hours.
+    *
+    * Two shuffles, both tiny after map-side combine: (type, hour) counts
+    * — bounded by types × hours, not events — then per-type moments
+    * broadcast back onto the hour rows. Sums are over exact integers, so
+    * mean and σ are bit-identical cross-engine before the one rounded
+    * division; the alert binds on the ROUNDED z like s9's radius.
+    */
+  def hourlyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+    val moments = hourly.groupBy(col("event_type"))
+      .agg(avg(col("n_events")).as("mean_events"),
+        stddev_pop(col("n_events")).as("sd"))
+    hourly.join(broadcast(moments), "event_type")
+      .withColumn("z",
+        round((col("n_events") - col("mean_events")) / col("sd") + 1e-9, 4))
+      .filter(abs(col("z")) >= AnomalyZThreshold)
+      .select(col("event_type"), col("hour"), col("n_events"),
+        round(col("mean_events") + 1e-9, 4).as("mean_events"), col("z"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** q50: cohort retention — users cohorted by their FIRST active day,
     * then per (cohort_day, day_offset) the distinct-user count and the
     * retention share of the cohort. The product-analytics workhorse the

@@ -131,6 +131,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.operators.Extended.ewmaSpend(spark, emptyDir).count() == 0)
     assert(graft.operators.TextAnalysis.tokenBurstiness(spark, emptyDir).count() == 0)
     assert(graft.multimodal.Multimodal.keyframes(spark, emptyDir).count() == 0)
+    assert(graft.operators.Dedup.clusterCohesion(spark, emptyDir).count() == 0)
+    assert(graft.streaming.Events.hourlyAnomaly(spark, emptyDir).count() == 0)
+    assert(graft.multimodal.Multimodal.silenceTrim(spark, emptyDir).count() == 0)
   }
 
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {

@@ -302,6 +302,71 @@ class Round7Spec extends AnyFunSuite {
     assert(b("bb") == 0.0, s"bb: ${b("bb")}")
   }
 
+  test("d22: cohesion separates a planted clique from a planted chain") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d22").toString
+    // docs 1,2,3: identical → a triangle with all-1.0 edges, density 1.
+    // docs 4,5,6: sliding 90-token windows of a 100-token stream — 4 and
+    // 6 each share 88 of 98 shingles with 5 (j = 0.8980 ≥ τ) but only 78
+    // of 98 with each other (j = 0.7959 < τ) → a 2-edge CHAIN, density
+    // 2/3: exactly the glued-through-an-intermediate cluster this audit
+    // exists to flag.
+    val clique = (1 to 40).map(i => s"a$i").mkString(" ")
+    def win(from: Int, to: Int) = (from to to).map(i => s"b$i").mkString(" ")
+    val rows = Seq(
+      (1L, clique, "en", "web", clique.length.toLong),
+      (2L, clique, "en", "web", clique.length.toLong),
+      (3L, clique, "en", "web", clique.length.toLong),
+      (4L, win(1, 90), "en", "book", 0L),
+      (5L, win(1, 100), "en", "book", 0L),
+      (6L, win(11, 100), "en", "book", 0L))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Dedup.clusterCohesion(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(out(1L) == (3L, 3L, 1.0, 1.0, 1.0), s"clique: ${out(1L)}")
+    // 88/98 rounds to 0.8980; two such edges over C(3,2) slots
+    assert(out(4L) == (3L, 2L, 0.898, 0.898, 0.6667), s"chain: ${out(4L)}")
+  }
+
+  test("q53: a planted 10x spike hour is flagged with the right sign") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q53").toString
+    // 24 hours of 5 events each, then hour 25 with 50: z >> 2 at the spike
+    val rows = (0 until 24).flatMap { h =>
+      (0 until 5).map(i => ((h * 5 + i).toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:10:00"), 1L, "view",
+        1.0, "{}"))
+    } ++ (0 until 50).map(i => ((200 + i).toLong,
+      java.sql.Timestamp.valueOf("2024-01-02 03:10:00"), 1L, "view", 1.0, "{}"))
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.streaming.Events.hourlyAnomaly(spark, dir).collect()
+    assert(out.length == 1, s"only the spike hour: ${out.toSeq}")
+    assert(out(0).getLong(2) == 50L && out(0).getDouble(4) > 2.0)
+  }
+
+  test("m9: silence trim recomputed byte-for-byte; all-quiet payload keeps NULLs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_m9").toString
+    // doc 1: quiet 'a' frame, loud space frame, quiet 'a' frame, loud '0'
+    // tail → first_loud 1, last_loud 3. doc 2: all 'a' → all quiet.
+    val t1 = "a" * 256 + " " * 256 + "a" * 256 + "0" * 100
+    val t2 = "a" * 600
+    spark.createDataFrame(Seq(
+      (1L, t1, "en", "web", t1.length.toLong),
+      (2L, t2, "en", "web", t2.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.multimodal.Multimodal.silenceTrim(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 4 && out(1L).getLong(2) == 2 &&
+      out(1L).getLong(3) == 1 && out(1L).getLong(4) == 3, s"doc1: ${out(1L)}")
+    assert(out(2L).getLong(2) == 0 && out(2L).isNullAt(3) && out(2L).isNullAt(4),
+      s"doc2: ${out(2L)}")
+  }
+
   test("m8: keyframes are the top-3 frame deltas, recomputed byte-for-byte") {
     val dir = java.nio.file.Files.createTempDirectory("graft_m8").toString
     // five 256-byte frames with distinct energies → distinct deltas
