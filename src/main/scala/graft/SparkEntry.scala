@@ -193,6 +193,17 @@ object SparkEntry {
     "d22_cluster_cohesion"    -> ((s: SparkSession, d: String) => Dedup.clusterCohesion(s, d)),
     "q53_hourly_anomaly"      -> Events.hourlyAnomaly _,
     "m9_silence_trim"         -> Multimodal.silenceTrim _,
+    // batch 12 extensions (round 7): temperature mixture weights, the
+    // vocabulary coverage curve, centroid silhouette, spend deciles
+    // (Lorenz), sweep-line peak concurrency, stream-static enrichment
+    // (streaming twin in StreamingSpec), and the audio clipping audit
+    "t31_temp_mixture"        -> ((s: SparkSession, d: String) => TextAnalysis.temperatureMixture(s, d)),
+    "t32_coverage_curve"      -> ((s: SparkSession, d: String) => TextAnalysis.coverageCurve(s, d)),
+    "s12_silhouette"          -> Similarity.labelSilhouette _,
+    "q54_spend_deciles"       -> ((s: SparkSession, d: String) => Extended.spendDeciles(s, d)),
+    "q55_max_concurrency"     -> ((s: SparkSession, d: String) => Extended.maxConcurrency(s, d)),
+    "st7_enriched_counts"     -> Events.enrichedWindowCounts _,
+    "m10_audio_clipping"      -> Multimodal.audioClipping _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -2458,6 +2469,176 @@ object SparkEntry {
         CASE WHEN len(loud) > 0 THEN CAST(loud[1] AS BIGINT) END AS first_loud,
         CASE WHEN len(loud) > 0 THEN CAST(loud[-1] AS BIGINT) END AS last_loud
       FROM l ORDER BY doc_id""",
+
+    // t31: α and the token budget interpolate from the one Scala constant
+    // pair; shares t21's tokenization spelling.
+    "t31_temp_mixture" -> s"""
+      WITH tk AS (
+        SELECT source, len(string_split(
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n
+        FROM documents),
+      per AS (SELECT source, count(*) AS n_docs, sum(n) AS n_tokens
+              FROM tk GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot_tokens,
+                sum(pow(CAST(n_tokens AS DOUBLE),
+                    ${graft.operators.TextAnalysis.MixtureAlpha})) AS tot_pow
+              FROM per)
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        round(CAST(n_tokens AS DOUBLE) / tot_tokens + 0.000000001, 6) AS raw_share,
+        round(pow(CAST(n_tokens AS DOUBLE),
+            ${graft.operators.TextAnalysis.MixtureAlpha}) / tot_pow
+          + 0.000000001, 6) AS temp_weight,
+        round(${graft.operators.TextAnalysis.MixtureBudgetTokens}
+          * (pow(CAST(n_tokens AS DOUBLE),
+              ${graft.operators.TextAnalysis.MixtureAlpha}) / tot_pow)
+          / CAST(n_tokens AS DOUBLE) + 0.000000001, 4) AS effective_epochs
+      FROM per CROSS JOIN tot ORDER BY source""",
+
+    // t32: t21's global (freq DESC, token ASC) rank replay, summed at the
+    // CoverageKs checkpoints.
+    "t32_coverage_curve" -> s"""
+      WITH tk AS (
+        SELECT unnest(string_split(
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+        FROM documents),
+      tf AS (SELECT token, count(*) AS freq FROM tk GROUP BY 1),
+      tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS tot,
+                CAST(count(*) AS BIGINT) AS vocab FROM tf),
+      rk AS (SELECT token, freq,
+               row_number() OVER (ORDER BY freq DESC, token ASC) AS rnk
+             FROM tf),
+      ks AS (SELECT unnest([${graft.operators.TextAnalysis.CoverageKs.mkString(", ")}]) AS k)
+      SELECT CAST(k AS BIGINT) AS k, vocab,
+        CAST(count(*) AS BIGINT) AS top_types,
+        CAST(sum(freq) AS BIGINT) AS covered_tokens,
+        round(sum(freq) / tot + 0.000000001, 6) AS coverage
+      FROM rk CROSS JOIN ks CROSS JOIN tot
+      WHERE rnk <= k GROUP BY k, vocab, tot ORDER BY k""",
+
+    // s12: per-label 6dp centroid means (the s3 quantizer spelling), the
+    // n×k cosine pass, then a = own-label distance / b = nearest other,
+    // with b := a when no other label exists.
+    "s12_silhouette" -> """
+      WITH ue AS (
+        SELECT vec_id, CAST(label AS INT) AS cl,
+          unnest(range(1, len(embedding) + 1)) AS i, embedding
+        FROM embeddings),
+      cpos AS (SELECT cl, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+               FROM ue GROUP BY 1, 2),
+      cent AS (SELECT cl, list(m ORDER BY i) AS cv FROM cpos GROUP BY 1),
+      acu AS (
+        SELECT vec_id, label, cl,
+          unnest(range(1, len(embedding) + 1)) AS i, embedding, cv
+        FROM embeddings CROSS JOIN cent),
+      acs AS (
+        SELECT vec_id, label, cl,
+          sum(CAST(embedding[i] AS DOUBLE) * cv[i]) AS dot,
+          sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS na,
+          sum(cv[i] * cv[i]) AS nb
+        FROM acu GROUP BY 1, 2, 3),
+      d AS (SELECT vec_id, label, cl,
+              1.0 - round(dot / (sqrt(na) * sqrt(nb)), 6) AS dd FROM acs),
+      ab AS (
+        SELECT vec_id, label,
+          max(CASE WHEN cl = CAST(label AS INT) THEN dd END) AS a,
+          min(CASE WHEN cl <> CAST(label AS INT) THEN dd END) AS braw
+        FROM d GROUP BY 1, 2),
+      s AS (SELECT vec_id, label, a, coalesce(braw, a) AS b FROM ab)
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        round(avg(CASE WHEN greatest(a, b) <= 0 THEN 0.0
+                  ELSE (b - a) / greatest(a, b) END) + 0.000000001, 4)
+          AS mean_silhouette,
+        round(avg(a) + 0.000000001, 4) AS mean_intra,
+        round(avg(b) + 0.000000001, 4) AS mean_nearest_other
+      FROM s GROUP BY label ORDER BY label""",
+
+    // q54: t22's rank-ceil replay of the percentile_approx boundaries over
+    // per-customer spend, then the Lorenz rollup; boundary ties land in
+    // the lower bucket on both engines (strict >).
+    "q54_spend_deciles" -> {
+      val b = graft.operators.Extended.DecileBuckets
+      val bDefs = (1 until b).map(i =>
+        s"max(CASE WHEN rnk = CAST(ceil(cnt * $i.0 / $b) AS BIGINT) THEN spend END) AS b$i")
+        .mkString(", ")
+      val bucketExpr = (1 until b)
+        .map(i => s"CASE WHEN spend > b$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""
+      WITH sp AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+                  FROM orders GROUP BY 1),
+      r AS (SELECT spend, row_number() OVER (ORDER BY spend) AS rnk,
+              count(*) OVER () AS cnt FROM sp),
+      bo AS (SELECT $bDefs FROM r),
+      tot AS (SELECT sum(spend) AS tot FROM sp),
+      d AS (SELECT spend, CAST($bucketExpr AS BIGINT) AS decile
+            FROM sp CROSS JOIN bo),
+      g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+              round(sum(spend), 2) AS total_spend,
+              round(sum(spend) / tot + 0.000000001, 6) AS share
+            FROM d CROSS JOIN tot GROUP BY decile, tot)
+      SELECT decile, n_customers, total_spend, share,
+        round(sum(share) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+          + 0.000000001, 6) AS cum_share
+      FROM g ORDER BY decile"""
+    },
+
+    // q55: the same sweep-line — deltas ordered (t, delta) so releases
+    // precede acquisitions at an instant; peak instant = min t among
+    // peak-valued rows (deterministic under intra-tie permutation, see
+    // the operator scaladoc).
+    "q55_max_concurrency" -> s"""
+      WITH ev AS (SELECT event_type, ts, CAST(ts AS DATE) AS day FROM events),
+      u AS (
+        SELECT event_type, day, ts AS t, 1 AS delta FROM ev
+        UNION ALL
+        SELECT event_type, day,
+          least(ts + INTERVAL ${graft.operators.Extended.ConcurrencySessionSeconds} SECOND,
+                CAST(day + 1 AS TIMESTAMP)) AS t,
+          -1 AS delta FROM ev),
+      c AS (SELECT event_type, day, t,
+              sum(delta) OVER (PARTITION BY event_type, day
+                ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS cur
+            FROM u),
+      m AS (SELECT event_type, day, max(cur) AS mx FROM c GROUP BY 1, 2),
+      n AS (SELECT event_type, day, count(*) AS n_deltas FROM u GROUP BY 1, 2)
+      SELECT c.event_type, c.day, CAST(m.mx AS BIGINT) AS max_concurrent,
+        min(c.t) AS peak_ts, CAST(n.n_deltas // 2 AS BIGINT) AS n_events
+      FROM c JOIN m USING (event_type, day) JOIN n USING (event_type, day)
+      WHERE c.cur = m.mx
+      GROUP BY c.event_type, c.day, m.mx, n.n_deltas
+      ORDER BY c.event_type, c.day""",
+
+    // st7: the stream-static enrichment's batch twin — left join keeps
+    // unmatched users as 'none'.
+    "st7_enriched_counts" -> """
+      WITH dim AS (
+        SELECT c_custkey AS user_id, n_name AS nation
+        FROM customer JOIN nation ON c_nationkey = n_nationkey)
+      SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        coalesce(nation, 'none') AS nation,
+        CAST(count(*) AS BIGINT) AS n_events,
+        round(sum(value), 2) AS total_value
+      FROM events LEFT JOIN dim USING (user_id)
+      GROUP BY 1, 2 ORDER BY window_start, nation""",
+
+    // m10: the m7 byte decode, then the rail comparison — threshold and
+    // flag level interpolate from the Scala constants.
+    "m10_audio_clipping" -> s"""
+      WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+      b AS (SELECT doc_id, ${RollingHashBytesSql("h")} AS bytes FROM hx),
+      c AS (SELECT doc_id, CAST(len(bytes) AS BIGINT) AS n_samples,
+              CAST(coalesce(len(list_filter(bytes,
+                x -> abs(CAST(x AS BIGINT) - 128)
+                     >= ${graft.expressions.PcmClipCount.ClipThreshold})), 0)
+                AS BIGINT) AS n_clipped
+            FROM b),
+      f AS (SELECT doc_id, n_samples, n_clipped,
+              round(CAST(n_clipped AS DOUBLE) / greatest(n_samples, 1)
+                + 0.000000001, 6) AS clip_fraction
+            FROM c)
+      SELECT doc_id, n_samples, n_clipped, clip_fraction,
+        clip_fraction > ${graft.multimodal.Multimodal.ClipFlagFraction} AS clipped
+      FROM f ORDER BY doc_id""",
   )
 
   /** The s2/s6/s7 dynamic-bucket LSH candidate CTEs: `lb` replays

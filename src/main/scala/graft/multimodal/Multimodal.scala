@@ -552,4 +552,34 @@ object Multimodal {
       .orderBy(col("doc_id"))
     graft.operators.Dedup.materializeAndRelease(result, pairs)
   }
+
+  /** m10's flag level: a payload whose clip fraction exceeds this is
+    * marked clipped — interpolated into the DuckDB twin.
+    */
+  val ClipFlagFraction = 0.16
+
+  /** m10: audio clipping audit — per payload, how many samples sit at the
+    * rails ([[graft.expressions.PcmClipCount]], |x − 128| ≥ threshold),
+    * the clip fraction, and the too-hot verdict at [[ClipFlagFraction]].
+    * The capture-quality gate an audio curation pass runs before any
+    * feature extraction: clipping is unrecoverable distortion, so flagged
+    * payloads are dropped or re-gained at ingest. Like m7/m8/m9 the
+    * arithmetic is integer until the final fraction, one codegen'd
+    * expression per row, shuffle-free — per-row cost at any corpus size;
+    * the 6dp+nudge round pins the fraction (and therefore the boundary
+    * verdict) across engines.
+    */
+  def audioClipping(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.PcmClipCount.register(spark)
+    Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_samples"),
+        expr("pcm_clip_count(payload)").cast("long").as("n_clipped"))
+      .select(col("doc_id"), col("n_samples"), col("n_clipped"),
+        round(col("n_clipped").cast("double") /
+          greatest(col("n_samples"), lit(1L)) + 1e-9, 6).as("clip_fraction"))
+      .withColumn("clipped", col("clip_fraction") > ClipFlagFraction)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -750,4 +750,114 @@ object Extended {
           .as("ewma_spend"))
       .orderBy(col("user_id"))
   }
+
+  /** q54's bucket count — interpolated into the DuckDB twin. */
+  val DecileBuckets = 10
+
+  /** q54: customer spend deciles — the Lorenz/concentration table behind
+    * "the top decile of customers carries X% of revenue" (and, in corpus
+    * terms, "the top decile of sources carries X% of tokens" — same
+    * operator, different key). Per-customer spend is bucketed by EXACT
+    * decile boundaries and each bucket reports its customer count, total
+    * spend, revenue share, and the cumulative (Lorenz) share.
+    *
+    * Scale design: boundaries ride the t11/t22 sketch recipe — ONE
+    * `percentile_approx` row broadcast back, bucket assignment is a
+    * map-side comparison sum, and the only windows run over the ≤10-row
+    * bucket table. The plan that dies at 100 TB — `ntile(10)` over a
+    * single-partition window — appears nowhere. The sketch returns the
+    * exact ceil(p·n) order statistic below its 10k accuracy (oracle
+    * scale); the DuckDB twin replays that rank definition directly.
+    */
+  def spendDeciles(spark: SparkSession, dir: String,
+                   buckets: Int = DecileBuckets): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+    val qs = (1 until buckets).map(i => lit(i.toDouble / buckets))
+    // accuracy 100k (not t11's 10k): the grouping key is CUSTOMERS —
+    // 15k at sf0.1, above the 10k sketch's exact range (the off-gate
+    // sweep caught the one-customer boundary drift) — and the sketch
+    // must stay exact through every driver scale factor for the oracle's
+    // rank-ceil replay; beyond it the boundaries degrade gracefully to
+    // approximate deciles, which is the correct 100 TB trade anyway
+    val bounds = spend.agg(
+      percentile_approx(col("spend"), array(qs: _*), lit(100000)).as("bs"),
+      sum(col("spend")).as("tot"))
+    val bucket = (1 until buckets)
+      .map(i => (col("spend") > element_at(col("bs"), i)).cast("int"))
+      .reduce(_ + _)
+    // the Lorenz cumsum runs over the PACKED ≤`buckets`-row result as an
+    // array expression (collect_list → slice/aggregate), NOT a global
+    // window: Window.orderBy with no partition key is the single-partition
+    // shape PlanSpec bans suite-wide, and on a ≤10-row frame the
+    // expression form is both exact and exchange-free
+    spend.crossJoin(broadcast(bounds))
+      .select(col("spend"), col("tot"), bucket.cast("long").as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        round(sum(col("spend")), 2).as("total_spend"),
+        round(sum(col("spend")) / first(col("tot")) + 1e-9, 6).as("share"))
+      .agg(sort_array(collect_list(struct(col("decile"), col("n_customers"),
+        col("total_spend"), col("share")))).as("ds"))
+      .select(posexplode(col("ds")).as(Seq("i", "r")), col("ds"))
+      .select(col("r.decile").as("decile"),
+        col("r.n_customers").as("n_customers"),
+        col("r.total_spend").as("total_spend"),
+        col("r.share").as("share"),
+        round(aggregate(slice(col("ds"), lit(1), col("i") + 1), lit(0.0),
+          (a, x) => a + x.getField("share")) + 1e-9, 6).as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
+  /** q55's session horizon: an event holds a "slot" for this many seconds
+    * (truncated at its day's end — see scaladoc). Interpolated into the
+    * DuckDB twin.
+    */
+  val ConcurrencySessionSeconds = 300L
+
+  /** q55: peak concurrency — the classic interval sweep-line: each event
+    * opens a slot at `ts` and releases it `ConcurrencySessionSeconds`
+    * later, and the answer is the maximum number of simultaneously-open
+    * slots per (event_type, day), plus WHEN the peak first occurred. The
+    * capacity-planning query (max simultaneous sessions/connections/jobs)
+    * that naive self-join spellings make quadratic; the sweep-line is the
+    * linear form: +1/−1 deltas, one cumulative sum, one max.
+    *
+    * Scale design: slots truncate at day end, so every delta lands in its
+    * event's own (event_type, day) partition and the cumsum window is
+    * PARTITIONED — no global ordering anywhere; a day×type partition holds
+    * at most that day's events, the same bound st1's hourly windows rely
+    * on. Determinism under timestamp ties: deltas order by (t, delta), so
+    * releases process before acquisitions at the same instant (a
+    * back-to-back session chain counts 1, not 2) and the intra-tie cumsum
+    * maximum is permutation-invariant (all −1s, then all +1s — the peak is
+    * the value after the last +1, whatever the physical row order). The
+    * peak instant is recovered as the EARLIEST t among peak rows via one
+    * max-of-struct aggregate (negated µs — no second window pass).
+    */
+  def maxConcurrency(spark: SparkSession, dir: String,
+                     horizonSec: Long = ConcurrencySessionSeconds): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), to_date(col("ts")).as("day"))
+    val dayEnd = to_timestamp(date_add(col("day"), 1))
+    val starts = ev.select(col("event_type"), col("day"),
+      col("ts").as("t"), lit(1).as("delta"))
+    val ends = ev.select(col("event_type"), col("day"),
+      least(col("ts") + expr(s"INTERVAL $horizonSec SECONDS"), dayEnd).as("t"),
+      lit(-1).as("delta"))
+    val wCum = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("t").asc, col("delta").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    starts.unionAll(ends)
+      .withColumn("cur", sum(col("delta")).over(wCum).cast("long"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(struct(col("cur"), (-unix_micros(col("t"))).as("negus"))).as("pk"),
+        count(lit(1)).cast("long").as("n_deltas"))
+      .select(col("event_type"), col("day"),
+        col("pk.cur").as("max_concurrent"),
+        timestamp_micros(-col("pk.negus")).as("peak_ts"),
+        (col("n_deltas") / 2).cast("long").as("n_events"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

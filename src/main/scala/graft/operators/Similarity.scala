@@ -856,4 +856,63 @@ object Similarity {
           size(col("errs")) + 1e-9, 6).as("mean_abs_err"))
       .orderBy(col("vec_id"))
   }
+
+  /** s12: centroid silhouette — the clustering-quality audit over the
+    * label partition of the embedding corpus, the report a curation
+    * pipeline reads before trusting labels (or a k-means result, via s11)
+    * for topic-balanced sampling or SemDeDup cells. Per vector:
+    * a = cosine distance to its OWN label centroid, b = the nearest OTHER
+    * label centroid, s = (b − a)/max(a, b) — the SIMPLIFIED silhouette
+    * (Rousseeuw's a/b replaced by centroid distances), which is the only
+    * formulation that scales: exact silhouette is all-pairs within/across
+    * clusters (corpus², the s1-baseline shape), while centroid silhouette
+    * is one broadcast of k centroids and a map-side pass — n·k fused
+    * cosines, ZERO corpus shuffle beyond the per-label rollup whose keys
+    * are the label vocabulary.
+    *
+    * Cross-engine determinism: centroid means 6dp (the s3 quantizer
+    * convention), per-centroid cosine rounded 6dp BEFORE the 1−x distance
+    * so a/b live on an exact 1e-6 grid; the per-label means take the
+    * nudge+4dp presentation round. A vector whose label is the ONLY label
+    * has no "other" centroid: b := a (s = 0, neutral) — degenerate-corpus
+    * guard, exercised by EmptyInputSpec.
+    */
+  def labelSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    val centroids = raw
+      .select(col("label").cast("int").as("cl"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cl"), col("pos"))
+      .agg(round(avg(col("x").cast("double")), 6).as("m"))
+      .groupBy(col("cl"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("cv"))
+    val centArr = centroids
+      .agg(sort_array(collect_list(struct(col("cl"), col("cv")))).as("cents"))
+    val dists = transform(col("cents"), c =>
+      struct(c.getField("cl").as("cl"),
+        (lit(1.0) - round(graft.expressions.VectorExpressions
+          .arrayCosine(col("embedding"), c.getField("cv")), 6)).as("d")))
+    val aCol = element_at(
+      filter(col("ds"), s => s.getField("cl") === col("label").cast("int")), 1)
+      .getField("d")
+    val bCol = array_min(transform(
+      filter(col("ds"), s => s.getField("cl") =!= col("label").cast("int")),
+      s => s.getField("d")))
+    raw.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("label"), dists.as("ds"))
+      .select(col("vec_id"), col("label"), aCol.as("a"),
+        coalesce(bCol, aCol).as("b"))
+      .select(col("vec_id"), col("label"), col("a"), col("b"),
+        when(greatest(col("a"), col("b")) <= 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
+          .as("s"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n_vectors"),
+        round(avg(col("s")) + 1e-9, 4).as("mean_silhouette"),
+        round(avg(col("a")) + 1e-9, 4).as("mean_intra"),
+        round(avg(col("b")) + 1e-9, 4).as("mean_nearest_other"))
+      .orderBy(col("label"))
+  }
 }

@@ -1202,4 +1202,100 @@ object TextAnalysis {
       .orderBy(col("total").desc, col("token").asc)
       .limit(topN)
   }
+
+  /** t31's sampling temperature exponent α and nominal token budget —
+    * interpolated into the DuckDB twin so operator and oracle share ONE
+    * constant (α = 0.3 is the multilingual-LM sampling exponent of
+    * XLM-R/mT5; UniMax-style capping is t17's job, not this one's).
+    */
+  val MixtureAlpha = 0.3
+  val MixtureBudgetTokens = 1000000L
+
+  /** t31: temperature-scaled source mixture — the sampling-weight table a
+    * multilingual / multi-source training run derives before building its
+    * data loader: w_s ∝ c_s^α with α < 1 UP-samples small sources and
+    * flattens the head (α = 1 is proportional, α = 0 uniform), and
+    * `effective_epochs` = budget·w_s / c_s says how many times source s's
+    * tokens repeat under a fixed total token budget — the over-sampling
+    * diagnostic (epochs ≫ 1 on a small source means it will be memorized).
+    *
+    * Shape: ONE corpus aggregation to the per-source token counts (the
+    * hash-groupBy's map-side combine does the heavy lifting; sources are a
+    * bounded vocabulary), then all temperature math runs on the
+    * source-sized table against a broadcast 1-row total. The corpus is
+    * touched exactly once — at 100 TB this is a scan + combine, shuffle
+    * rows = #sources × #partitions.
+    *
+    * Cross-engine floats: pow/sums are double on both engines; every
+    * emitted ratio takes the nudge+round (6dp weights, 4dp epochs), the
+    * q52-exp() convention.
+    */
+  def temperatureMixture(spark: SparkSession, dir: String,
+                         alpha: Double = MixtureAlpha,
+                         budget: Long = MixtureBudgetTokens): DataFrame = {
+    val per = staged(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).cast("double").as("tot_tokens"),
+      sum(pow(col("n_tokens").cast("double"), lit(alpha))).as("tot_pow"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot_tokens") + 1e-9, 6)
+          .as("raw_share"),
+        round(pow(col("n_tokens").cast("double"), lit(alpha)) / col("tot_pow")
+          + 1e-9, 6).as("temp_weight"),
+        round(lit(budget.toDouble)
+          * (pow(col("n_tokens").cast("double"), lit(alpha)) / col("tot_pow"))
+          / col("n_tokens").cast("double") + 1e-9, 4).as("effective_epochs"))
+      .orderBy(col("source"))
+  }
+
+  /** t32's coverage checkpoints — interpolated into the DuckDB twin. */
+  val CoverageKs: Seq[Int] = Seq(10, 100, 1000)
+
+  /** t32: vocabulary coverage curve — what fraction of all token
+    * OCCURRENCES the top-k most frequent token TYPES cover, at the
+    * `CoverageKs` checkpoints. The tokenizer-budget planning curve: a
+    * corpus whose top-1000 types cover 95% of occurrences tokenizes
+    * compactly with a small vocab, while a flat curve (OCR noise, random
+    * strings) predicts byte-fallback explosion; read next to t21's Zipf
+    * slope (same ranked table) and t18's entropy.
+    *
+    * Shape: the corpus pays ONE explode+count to the vocab-sized frequency
+    * table; ranking reuses [[zipfRanked]] — the hapax-safe global rank
+    * with NO single-partition window — and everything after filters to
+    * rnk ≤ max(k): a ≤1000-row table crossed with the 3-row checkpoint
+    * frame against a broadcast scalar total. Coverage at each k sums the
+    * top-k frequencies exactly; ties at the k-boundary resolve by the rank
+    * order (token asc within a frequency), the t21 contract the oracle
+    * replays.
+    */
+  def coverageCurve(spark: SparkSession, dir: String,
+                    ks: Seq[Int] = CoverageKs,
+                    release: Boolean = true): DataFrame = {
+    // cached like t21: the corpus-priced tokenize+count runs ONCE, shared
+    // by the totals scalar and zipfRanked's per-frequency collect
+    val tf = staged(spark, dir)
+      .select(explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("freq"))
+      .cache()
+    val tot = tf.agg(sum(col("freq")).cast("double").as("tot"),
+      count(lit(1)).cast("long").as("vocab"))
+    val ranked = zipfRanked(spark, tf).filter(col("rnk") <= ks.max.toLong)
+    val kdf = spark.createDataFrame(ks.map(k => Tuple1(k.toLong))).toDF("k")
+    val result = ranked.crossJoin(broadcast(kdf))
+      .filter(col("rnk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).cast("long").as("top_types"),
+        sum(col("freq")).cast("long").as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("vocab"), col("top_types"), col("covered_tokens"),
+        round(col("covered_tokens").cast("double") / col("tot") + 1e-9, 6)
+          .as("coverage"))
+      .orderBy(col("k"))
+    if (release) { val out = result.localCheckpoint(); tf.unpersist(); out }
+    else result
+  }
 }

@@ -562,4 +562,51 @@ object Events {
           sessions.iterator
       }
   }
+
+  /** The st7 dimension: user → nation name via customer, with a `'none'`
+    * fallback for users outside the customer table — shared by the batch
+    * query and its streaming twin so both join the identical mapping.
+    */
+  private[graft] def userNationDim(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("user_id"), col("n_name").as("nation"))
+
+  /** st7: stream-static enrichment — hourly event counts per customer
+    * NATION: the events feed joined to the customer→nation dimension,
+    * then windowed. This is the canonical streaming-enrichment shape (a
+    * firehose decorated with a slowly-changing dimension before
+    * aggregation): the dim side is a BROADCAST (a stream-static join
+    * re-reads the static side per micro-batch but never shuffles the
+    * stream), unmatched users keep their rows with nation `'none'` (left
+    * join — enrichment must not drop events), and the post-join
+    * aggregation is an ordinary watermark-bounded windowed count. Batch
+    * form here is the oracle-checked registered query;
+    * [[streamingEnrichedCounts]] is the same plan over `readStream`,
+    * asserted equal in StreamingSpec.
+    */
+  def enrichedWindowCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .join(broadcast(userNationDim(spark, dir)), Seq("user_id"), "left")
+      .groupBy(window(col("ts"), "1 hour").as("w"),
+        coalesce(col("nation"), lit("none")).as("nation"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("nation"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("nation"))
+
+  /** [[enrichedWindowCounts]]' streaming twin (StreamingSpec). */
+  def streamingEnrichedCounts(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .join(broadcast(userNationDim(spark, dir)), Seq("user_id"), "left")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"),
+        coalesce(col("nation"), lit("none")).as("nation"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("nation"),
+        col("n_events"), col("total_value"))
 }

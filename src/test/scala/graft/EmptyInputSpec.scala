@@ -18,7 +18,7 @@ class EmptyInputSpec extends AnyFunSuite {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
     }
-    Seq("documents", "orders", "customer", "embeddings").foreach(writeEmpty)
+    Seq("documents", "orders", "customer", "nation", "embeddings").foreach(writeEmpty)
     // events needs the raw long-nanos ts column the reader rebuilds from
     val evSchema = org.apache.spark.sql.types.StructType(
       graft.sources.Tables.events(spark, TestSpark.sf).schema.map {
@@ -134,6 +134,16 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.operators.Dedup.clusterCohesion(spark, emptyDir).count() == 0)
     assert(graft.streaming.Events.hourlyAnomaly(spark, emptyDir).count() == 0)
     assert(graft.multimodal.Multimodal.silenceTrim(spark, emptyDir).count() == 0)
+  }
+
+  test("batch-12 operators behave on an empty corpus") {
+    assert(graft.operators.TextAnalysis.temperatureMixture(spark, emptyDir).count() == 0)
+    assert(graft.operators.TextAnalysis.coverageCurve(spark, emptyDir).count() == 0)
+    assert(graft.operators.Similarity.labelSilhouette(spark, emptyDir).count() == 0)
+    assert(graft.operators.Extended.spendDeciles(spark, emptyDir).count() == 0)
+    assert(graft.operators.Extended.maxConcurrency(spark, emptyDir).count() == 0)
+    assert(graft.streaming.Events.enrichedWindowCounts(spark, emptyDir).count() == 0)
+    assert(graft.multimodal.Multimodal.audioClipping(spark, emptyDir).count() == 0)
   }
 
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {

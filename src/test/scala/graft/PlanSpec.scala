@@ -126,7 +126,9 @@ class PlanSpec extends AnyFunSuite {
       "q49_expectations", "d14_auto_cells", "s5_two_stage_ann",
       "t20_lm_perplexity", "s6_pq_ann", "t22_vocab_growth",
       "s7_lsh_rerank", "t23_dsir_weights", "t24_ccnet_cut",
-      "q52_ewma_spend", "t30_burstiness")
+      "q52_ewma_spend", "t30_burstiness",
+      "t31_temp_mixture", "t32_coverage_curve", "s12_silhouette",
+      "q54_spend_deciles")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticByDesign)
       .flatMap { name =>
@@ -165,7 +167,12 @@ class PlanSpec extends AnyFunSuite {
       "s7_lsh_rerank" -> 2, "t23_dsir_weights" -> 1, "t24_ccnet_cut" -> 3,
       // r7 batch 10: one 1-row scalar broadcast each (q52's anchor
       // timestamp, t30's corpus doc count)
-      "q52_ewma_spend" -> 1, "t30_burstiness" -> 1)
+      "q52_ewma_spend" -> 1, "t30_burstiness" -> 1,
+      // r7 batch 12: one 1-row scalar broadcast each (t31's totals, s12's
+      // centroid array, q54's boundary row); t32 adds the 3-row
+      // checkpoint frame to its totals broadcast
+      "t31_temp_mixture" -> 1, "t32_coverage_curve" -> 2,
+      "s12_silhouette" -> 1, "q54_spend_deciles" -> 1)
     // (r7: s11/t29's one-row broadcasts plan as broadcast HASH joins —
     // zero BNLJ nodes — so they stay under the main gate, unexempted)
     val actual = expectedBnlj.keys.map { n =>
@@ -222,6 +229,7 @@ class PlanSpec extends AnyFunSuite {
       case "t21_zipf_fit"        => TextAnalysis.zipfFit(spark, sf, release = false)
       case "t23_dsir_weights"    => TextAnalysis.dsirWeights(spark, sf, release = false)
       case "t24_ccnet_cut"       => TextAnalysis.ccnetPerplexityCut(spark, sf, release = false)
+      case "t32_coverage_curve"  => TextAnalysis.coverageCurve(spark, sf, release = false)
       case _ => SparkEntry.queries(name)(spark, sf)
     }
   }

@@ -367,6 +367,154 @@ class Round7Spec extends AnyFunSuite {
       s"doc2: ${out(2L)}")
   }
 
+  test("t31: temperature weights sum to 1, flatten the head, and price epochs") {
+    val out = graft.operators.TextAnalysis.temperatureMixture(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)))
+    assert(out.nonEmpty)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-3, "raw shares sum to 1")
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-3, "temp weights sum to 1")
+    // α < 1 flattens: the largest source is DOWN-weighted, the smallest
+    // UP-weighted, relative to proportional sampling
+    val byTokens = out.sortBy(_._2)
+    assert(byTokens.last._4 <= byTokens.last._3 + 1e-9,
+      s"largest source must not gain weight: ${byTokens.last}")
+    assert(byTokens.head._4 >= byTokens.head._3 - 1e-9,
+      s"smallest source must not lose weight: ${byTokens.head}")
+    // effective epochs = budget · w / c, recomputed per row
+    out.foreach { case (s, c, _, w, ep) =>
+      val expect = graft.operators.TextAnalysis.MixtureBudgetTokens * w / c
+      assert(math.abs(ep - expect) < 1e-3, s"$s epochs $ep vs $expect")
+    }
+  }
+
+  test("t32: coverage curve monotone, k=10 point recomputed from raw counts") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.TextAnalysis.coverageCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.map(_._1).toSeq ==
+      graft.operators.TextAnalysis.CoverageKs.map(_.toLong))
+    // monotone in k, bounded by 1, top_types = min(k, vocab)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._5 >= a._5 - 1e-12 && b._4 >= a._4, s"non-monotone: $a -> $b")
+    }
+    out.foreach { case (k, vocab, types, _, cov) =>
+      assert(types == math.min(k, vocab) && cov <= 1.0 + 1e-9)
+    }
+    // independent recomputation of the k=10 checkpoint
+    val tf = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(regexp_replace(lower(trim(col("text"))),
+        "\\s+", " "), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val top10 = tf.sortBy { case (t, f) => (-f, t) }.take(10).map(_._2).sum
+    assert(out.head._4 == top10, s"k=10 covered ${out.head._4} vs $top10")
+  }
+
+  test("s12: planted separated clusters score high; single label scores 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_s12").toString
+    def vec(axis: Int, eps: Float): Array[Float] = {
+      val v = Array.fill(8)(0.0f); v(axis) = 1.0f; v((axis + 4) % 8) = eps; v
+    }
+    // two tight clusters on orthogonal axes → b ≈ 1, a ≈ 0, s ≈ 1
+    val rows = (0 until 6).map(i =>
+      (i.toLong, vec(0, 0.01f * (i + 1)), 0)) ++
+      (6 until 12).map(i => (i.toLong, vec(2, 0.01f * (i - 5)), 1))
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.Similarity.labelSilhouette(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(0, 1) && out.values.forall(_._1 == 6L))
+    out.foreach { case (l, (_, s)) => assert(s > 0.9, s"label $l silhouette $s") }
+
+    // degenerate: one label only → b falls back to a, silhouette exactly 0
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_s12b").toString
+    spark.createDataFrame(rows.take(6)).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir1/embeddings.parquet")
+    val solo = graft.operators.Similarity.labelSilhouette(spark, dir1).collect()
+    assert(solo.length == 1 && solo(0).getDouble(2) == 0.0, s"${solo.toSeq}")
+  }
+
+  test("q54: deciles partition the customers into an increasing Lorenz curve") {
+    val out = graft.operators.Extended.spendDeciles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    val nCust = graft.sources.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(out.map(_._2).sum == nCust, "buckets partition the customers")
+    assert(out.map(_._1).toSeq == out.map(_._1).toSeq.sorted)
+    // deciles are by ascending spend → per-bucket share non-decreasing
+    // (bucket populations are equal up to boundary ties)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 >= a._4 - 1e-6, s"Lorenz share dipped: $a -> $b")
+    }
+    assert(math.abs(out.last._5 - 1.0) < 1e-3,
+      s"cumulative share must reach 1: ${out.last}")
+    // cum_share is the running sum of the rounded shares, recomputed
+    val cums = out.scanLeft(0.0)(_ + _._4).tail
+    out.zip(cums).foreach { case (row, c) =>
+      assert(math.abs(row._5 - c) < 1e-5, s"cum drift at ${row._1}") }
+  }
+
+  test("q55: sweep-line peak equals a brute-force recount on one group") {
+    import org.apache.spark.sql.functions._
+    // integer-µs comparison end-to-end: event timestamps carry µs, and the
+    // JVM-local Timestamp accessors would truncate/shift them
+    val out = graft.operators.Extended.maxConcurrency(spark, sf)
+      .select(col("event_type"), col("day").cast("string"),
+        col("max_concurrent"), unix_micros(col("peak_ts")), col("n_events"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.nonEmpty)
+    val ((typ, day), (mx, peakUs, nEv)) = out.head
+    val evs = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === typ &&
+        to_date(col("ts")).cast("string") === day)
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted
+    assert(nEv == evs.length, "n_events is the group's event count")
+    val horizon = graft.operators.Extended.ConcurrencySessionSeconds * 1000000L
+    val dayEndUs = java.time.LocalDate.parse(day).plusDays(1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    // brute force: concurrency at each instant (releases before acquires)
+    val deltas = evs.map(t => (t, 1)) ++
+      evs.map(t => (math.min(t + horizon, dayEndUs), -1))
+    var cur = 0; var best = 0; var bestT = 0L
+    deltas.sortBy { case (t, d) => (t, d) }.foreach { case (t, d) =>
+      cur += d; if (cur > best) { best = cur; bestT = t }
+    }
+    assert(mx == best, s"peak $mx vs brute-force $best")
+    assert(peakUs == bestT, s"peak instant $peakUs vs $bestT")
+  }
+
+  test("m10: clipping counts spaces on text payloads; planted verdict split") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_m10").toString
+    val t1 = "aa aa aa aa aa"   // 4 spaces of 14 → 0.286 > 0.16: clipped
+    val t2 = "aaaaaaaaaaaa a"   // 1 space of 14 → 0.071: clean
+    spark.createDataFrame(Seq(
+      (1L, t1, "en", "web", t1.length.toLong),
+      (2L, t2, "en", "web", t2.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.multimodal.Multimodal.audioClipping(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(1L) == ((14L, 4L, true)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((14L, 1L, false)), s"doc2: ${out(2L)}")
+    // expression agrees with its own entry point on real corpus bytes
+    val sample = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").limit(5).collect()
+    val got = graft.multimodal.Multimodal.audioClipping(spark, sf)
+      .filter(col("doc_id").isin(sample.map(_.getLong(0)): _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    sample.foreach { r =>
+      val expect = graft.expressions.PcmClipCount.clipped(
+        r.getString(1).getBytes("UTF-8"),
+        graft.expressions.PcmClipCount.ClipThreshold)
+      assert(got(r.getLong(0)) == expect, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("m8: keyframes are the top-3 frame deltas, recomputed byte-for-byte") {
     val dir = java.nio.file.Files.createTempDirectory("graft_m8").toString
     // five 256-byte frames with distinct energies → distinct deltas

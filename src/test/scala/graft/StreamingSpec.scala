@@ -24,6 +24,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st7: stream-static enrichment equals the batch twin") {
+    val batch = Events.enrichedWindowCounts(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    val q = Events.streamingEnrichedCounts(spark, sf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("st7_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM st7_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed == batch,
+        s"streamed=${streamed.size} batch=${batch.size} diff=${(streamed.toSet diff batch.toSet).take(3)}")
+      // the enrichment must not drop events: every event lands in exactly
+      // one (window, nation) bucket
+      val total = Events
+        .enrichedWindowCounts(spark, sf).collect().map(_.getLong(2)).sum
+      assert(total == graft.sources.Tables.events(spark, sf).count())
+    } finally q.stop()
+  }
+
   test("st5: per-window top-k over the streamed aggregate equals the batch twin") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
