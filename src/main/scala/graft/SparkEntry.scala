@@ -204,6 +204,7 @@ object SparkEntry {
     "q55_max_concurrency"     -> ((s: SparkSession, d: String) => Extended.maxConcurrency(s, d)),
     "st7_enriched_counts"     -> Events.enrichedWindowCounts _,
     "m10_audio_clipping"      -> Multimodal.audioClipping _,
+    "s13_index_quality"       -> ((s: SparkSession, d: String) => Similarity.indexQualityReport(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -2639,6 +2640,69 @@ object SparkEntry {
       SELECT doc_id, n_samples, n_clipped, clip_fraction,
         clip_fraction > ${graft.multimodal.Multimodal.ClipFlagFraction} AS clipped
       FROM f ORDER BY doc_id""",
+
+    // s13: the s1 truth stack (multi-index exact rank 1) + the s2 serving
+    // rank replayed from the SAME `lcand` CTE, left-joined per query.
+    "s13_index_quality" -> (IvfAssignAutoCtesSql + s""",
+      prb AS (
+        SELECT query_id, cent_id FROM (
+          SELECT vec_id AS query_id, cent_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS r
+          FROM ac WHERE vec_id % 50 = 0) WHERE r <= ${graft.operators.Similarity.IvfNProbe}),
+      icand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM prb p JOIN assigned a ON p.cent_id = a.cent_id
+        WHERE a.vec_id <> p.query_id),""" + LshCandCtesSqlPrefixed("l") + s""",
+      allc AS (
+        SELECT query_id, neighbor_id FROM lcand
+        UNION
+        SELECT query_id, neighbor_id FROM icand),
+      pairs AS (
+        SELECT allc.query_id, allc.neighbor_id, eq.embedding AS qe, en.embedding AS ne
+        FROM allc
+        JOIN e eq ON eq.vec_id = allc.query_id
+        JOIN e en ON en.vec_id = allc.neighbor_id),
+      pu AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne FROM pairs),
+      ps AS (
+        SELECT query_id, neighbor_id,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
+          sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
+        FROM pu GROUP BY 1, 2),
+      pc AS (SELECT query_id, neighbor_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM ps),
+      tr AS (
+        SELECT query_id, neighbor_id AS true_nn FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM pc) WHERE rnk = 1),
+      lj AS (
+        SELECT lcand.query_id, lcand.neighbor_id, eq.embedding AS qe, en.embedding AS ne
+        FROM lcand
+        JOIN e eq ON eq.vec_id = lcand.query_id
+        JOIN e en ON en.vec_id = lcand.neighbor_id),
+      lu AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne FROM lj),
+      ls AS (
+        SELECT query_id, neighbor_id,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
+          sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
+        FROM lu GROUP BY 1, 2),
+      lr AS (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, neighbor_id) AS rnk
+        FROM ls),
+      fnd AS (
+        SELECT tr.query_id, min(lr.rnk) AS found_rank
+        FROM tr JOIN lr ON lr.query_id = tr.query_id
+          AND lr.neighbor_id = tr.true_nn
+        WHERE lr.rnk <= ${graft.operators.Similarity.TopK}
+        GROUP BY 1)
+      SELECT tr.query_id, tr.true_nn,
+        CAST(fnd.found_rank AS BIGINT) AS found_rank,
+        round(coalesce(CAST(1.0 AS DOUBLE) / fnd.found_rank, 0) + 0.000000001, 4)
+          AS reciprocal_rank
+      FROM tr LEFT JOIN fnd ON fnd.query_id = tr.query_id
+      ORDER BY tr.query_id"""),
   )
 
   /** The s2/s6/s7 dynamic-bucket LSH candidate CTEs: `lb` replays

@@ -857,6 +857,42 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** s13: retrieval index-quality monitor — for every query, WHERE the
+    * serving index (s2's LSH top-k) ranks the true nearest neighbor, with
+    * the truth taken from the candidate-driven exact reference (s1's
+    * multi-index rerank, rank 1). The regression gauge a production
+    * retrieval stack runs after every index rebuild: `found_rank` NULL
+    * means the serving index missed its query's true neighbor entirely
+    * (recall loss), and the per-query reciprocal rank aggregates to MRR
+    * in one further GROUP BY the caller owns. Everything stays
+    * candidate-driven — truth comes from s1, not a corpus scan, so the
+    * monitor itself obeys the same no-quadratic-plan rule as the indexes
+    * it audits; the extra cost over running s1+s2 is one broadcast-sized
+    * join on (query, neighbor).
+    *
+    * Determinism: both inputs are the registered s1/s2 outputs (their
+    * rank order is already cross-engine-pinned); reciprocal ranks are
+    * exact small rationals taking the nudge+4dp presentation round.
+    */
+  def indexQualityReport(spark: SparkSession, dir: String,
+                         k: Int = TopK): DataFrame = {
+    val truth = annMultiIndexTopK(spark, dir, k)
+      .filter(col("rnk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("true_nn"))
+    val served = annLshTopK(spark, dir, k)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("nid"),
+        col("rnk"))
+    truth.join(served,
+        col("query_id") === col("qid") && col("true_nn") === col("nid"),
+        "left")
+      .groupBy(col("query_id"), col("true_nn"))
+      .agg(min(col("rnk")).cast("long").as("found_rank"))
+      .select(col("query_id"), col("true_nn"), col("found_rank"),
+        round(coalesce(lit(1.0) / col("found_rank"), lit(0.0)) + 1e-9, 4)
+          .as("reciprocal_rank"))
+      .orderBy(col("query_id"))
+  }
+
   /** s12: centroid silhouette — the clustering-quality audit over the
     * label partition of the embedding corpus, the report a curation
     * pipeline reads before trusting labels (or a k-means result, via s11)

@@ -144,6 +144,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.operators.Extended.maxConcurrency(spark, emptyDir).count() == 0)
     assert(graft.streaming.Events.enrichedWindowCounts(spark, emptyDir).count() == 0)
     assert(graft.multimodal.Multimodal.audioClipping(spark, emptyDir).count() == 0)
+    assert(graft.operators.Similarity.indexQualityReport(spark, emptyDir).count() == 0)
   }
 
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {

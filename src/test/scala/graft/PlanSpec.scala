@@ -128,7 +128,7 @@ class PlanSpec extends AnyFunSuite {
       "s7_lsh_rerank", "t23_dsir_weights", "t24_ccnet_cut",
       "q52_ewma_spend", "t30_burstiness",
       "t31_temp_mixture", "t32_coverage_curve", "s12_silhouette",
-      "q54_spend_deciles")
+      "q54_spend_deciles", "s13_index_quality")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticByDesign)
       .flatMap { name =>
@@ -172,7 +172,9 @@ class PlanSpec extends AnyFunSuite {
       // centroid array, q54's boundary row); t32 adds the 3-row
       // checkpoint frame to its totals broadcast
       "t31_temp_mixture" -> 1, "t32_coverage_curve" -> 2,
-      "s12_silhouette" -> 1, "q54_spend_deciles" -> 1)
+      "s12_silhouette" -> 1, "q54_spend_deciles" -> 1,
+      // s13 composes s1 (2 centroid broadcasts) with s2 (0)
+      "s13_index_quality" -> 2)
     // (r7: s11/t29's one-row broadcasts plan as broadcast HASH joins —
     // zero BNLJ nodes — so they stay under the main gate, unexempted)
     val actual = expectedBnlj.keys.map { n =>

@@ -515,6 +515,34 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("s13: index-quality rows recompute exactly from the s1/s2 outputs") {
+    import graft.operators.Similarity
+    val truth = Similarity.annMultiIndexTopK(spark, sf).collect()
+      .filter(_.getLong(2) == 1L).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val served = Similarity.annLshTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = Similarity.indexQualityReport(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getDouble(3)))
+      .toMap
+    assert(got.keySet == truth.keySet, "one row per truth query")
+    got.foreach { case (q, (nn, rank, rr)) =>
+      assert(nn == truth(q), s"query $q truth drifted")
+      val expect = served.get((q, nn))
+      assert(rank == expect, s"query $q found_rank $rank vs $expect")
+      val expectRr = expect.map(r => math.rint((1.0 / r + 1e-9) * 1e4) / 1e4)
+        .getOrElse(0.0)
+      assert(math.abs(rr - expectRr) < 1e-9, s"query $q rr $rr vs $expectRr")
+    }
+    // ranks, when present, live in [1, k] (at sf0.001 the LSH index may
+    // legitimately miss EVERY truth neighbor — 500 vectors over 256
+    // buckets is the documented weak-recall profile — so hit existence
+    // is not asserted, only consistency)
+    got.values.flatMap(_._2).foreach(r =>
+      assert(r >= 1 && r <= graft.operators.Similarity.TopK))
+  }
+
   test("m8: keyframes are the top-3 frame deltas, recomputed byte-for-byte") {
     val dir = java.nio.file.Files.createTempDirectory("graft_m8").toString
     // five 256-byte frames with distinct energies → distinct deltas
