@@ -205,6 +205,11 @@ object SparkEntry {
     "st7_enriched_counts"     -> Events.enrichedWindowCounts _,
     "m10_audio_clipping"      -> Multimodal.audioClipping _,
     "s13_index_quality"       -> ((s: SparkSession, d: String) => Similarity.indexQualityReport(s, d)),
+    // batch 13 extensions (round 7): the dedup token-budget report, the
+    // sessionized engagement KPI, and the payload-entropy screen
+    "d23_effective_tokens"    -> Dedup.effectiveTokens _,
+    "q56_bounce_rate"         -> Events.bounceRate _,
+    "m11_byte_entropy"        -> Multimodal.byteEntropyProfile _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -2703,6 +2708,77 @@ object SparkEntry {
           AS reciprocal_rank
       FROM tr LEFT JOIN fnd ON fnd.query_id = tr.query_id
       ORDER BY tr.query_id"""),
+
+    // d23: d6's cluster CTEs for the loser set; token counts come from an
+    // independent full-corpus pass (the cluster CTEs' tokenization may
+    // skip shingle-short docs, and the report must count EVERY document).
+    "d23_effective_tokens" -> s"""
+      $NearDupClustersCtes
+      , roots AS (SELECT doc, min(other) AS root FROM reach GROUP BY doc),
+      losers AS (SELECT doc FROM roots WHERE doc <> root),
+      tc AS (
+        SELECT doc_id,
+          CAST(len(string_split(
+            regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+            AS BIGINT) AS n,
+          doc_id IN (SELECT doc FROM losers) AS lost
+        FROM documents)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(coalesce(sum(CASE WHEN NOT lost THEN 1 ELSE 0 END), 0) AS BIGINT)
+          AS n_docs_kept,
+        CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens,
+        CAST(coalesce(sum(CASE WHEN NOT lost THEN n ELSE 0 END), 0) AS BIGINT)
+          AS n_tokens_kept,
+        round(CAST(coalesce(sum(CASE WHEN NOT lost THEN 1 ELSE 0 END), 0) AS DOUBLE)
+          / greatest(count(*), 1) + 0.000000001, 6) AS doc_kept_frac,
+        round(CAST(coalesce(sum(CASE WHEN NOT lost THEN n ELSE 0 END), 0) AS DOUBLE)
+          / greatest(coalesce(sum(n), 0), 1) + 0.000000001, 6) AS token_kept_frac
+      FROM tc""",
+
+    // q56: st2's session CTEs verbatim, rolled up per day of
+    // session_start; total_value re-rounds the per-session 2dp sums.
+    "q56_bounce_rate" -> """
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
+      n AS (SELECT *, CASE WHEN prev_ts IS NULL
+                            OR date_diff('second', prev_ts, ts) > 1800
+                      THEN 1 ELSE 0 END AS ns FROM l),
+      s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM n),
+      g AS (
+        SELECT user_id, session_seq, min(ts) AS session_start,
+          count(*) AS n_events, round(sum(value), 2) AS total_value,
+          CAST(date_diff('microsecond', min(ts), max(ts)) // 60000000 AS BIGINT)
+            AS duration_min
+        FROM s GROUP BY 1, 2)
+      SELECT CAST(session_start AS DATE) AS day,
+        CAST(count(*) AS BIGINT) AS n_sessions,
+        CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        round(avg(duration_min) + 0.000000001, 4) AS avg_duration_min,
+        round(sum(total_value), 2) AS total_value,
+        round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*) + 0.000000001, 6) AS bounce_rate
+      FROM g GROUP BY 1 ORDER BY 1""",
+
+    // m11: the m7 byte decode → per-byte histogram → Shannon bits; the
+    // verdict binds on the rounded value, threshold interpolated.
+    "m11_byte_entropy" -> s"""
+      WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+      b AS (SELECT doc_id, ${RollingHashBytesSql("h")} AS bytes FROM hx),
+      u AS (SELECT doc_id, unnest(bytes) AS v FROM b),
+      cnt AS (SELECT doc_id, v, count(*) AS c FROM u GROUP BY 1, 2),
+      tot AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM cnt GROUP BY 1),
+      h AS (
+        SELECT cnt.doc_id,
+          -sum((c / n) * ln(c / n)) / ln(CAST(2 AS DOUBLE)) AS hb
+        FROM cnt JOIN tot USING (doc_id) GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+        round(coalesce(hb, 0) + 0.000000001, 6) AS entropy_bits,
+        round(coalesce(hb, 0) + 0.000000001, 6)
+          < ${graft.multimodal.Multimodal.LowEntropyBits} AS low_entropy
+      FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
   )
 
   /** The s2/s6/s7 dynamic-bucket LSH candidate CTEs: `lb` replays

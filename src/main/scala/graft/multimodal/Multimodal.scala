@@ -569,6 +569,33 @@ object Multimodal {
     * the 6dp+nudge round pins the fraction (and therefore the boundary
     * verdict) across engines.
     */
+  /** m11's flag level in BITS: payloads whose byte entropy falls below
+    * this are constant/padded-suspect. Interpolated into the twin.
+    */
+  val LowEntropyBits = 3.0
+
+  /** m11: byte-entropy profile — per payload, the Shannon entropy of its
+    * byte histogram in bits ([[graft.expressions.ByteEntropy]], /ln 2)
+    * and the low-entropy verdict at [[LowEntropyBits]]. The
+    * compressibility screen of a media ingest pass: ~0 bits = constant
+    * padding or black frames (drop before decode), ~8 bits =
+    * already-compressed or encrypted payloads (route around the decoder).
+    * One codegen'd histogram fold per row, shuffle-free; the verdict
+    * binds on the 6dp+nudge-rounded value so the boundary is pinned
+    * across engines.
+    */
+  def byteEntropyProfile(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.ByteEntropy.register(spark)
+    Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        round(expr("byte_entropy(payload)") / math.log(2.0) + 1e-9, 6)
+          .as("entropy_bits"))
+      .withColumn("low_entropy", col("entropy_bits") < LowEntropyBits)
+      .orderBy(col("doc_id"))
+  }
+
   def audioClipping(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.PcmClipCount.register(spark)
     Tables.documentsParallel(spark, dir)

@@ -362,6 +362,41 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d23: effective-token report — the one-row "what did dedup buy us"
+    * summary a curation run publishes: document and TOKEN counts before
+    * and after near-dup pruning (d6 clusters, min-id survivors — d7's
+    * rule), with kept fractions. Token-weighted shrinkage is the number
+    * that matters for a training budget (dropping 10% of docs that carry
+    * 30% of tokens is a very different corpus), and the gap between
+    * doc_kept_frac and token_kept_frac says whether duplication
+    * concentrates in long or short documents.
+    *
+    * Cost on top of the d6 cluster build: one (doc_id)-keyed join of the
+    * loser set against a map-side token count, then a single global
+    * aggregate — no new pair work anywhere.
+    */
+  def effectiveTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+    val losers = nearDupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_root"))
+      .select(col("doc_id"), lit(1).as("lost"))
+    toks.join(losers, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(when(col("lost").isNull, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_docs_kept"),
+        coalesce(sum(col("n_tokens")), lit(0L)).cast("long").as("n_tokens"),
+        coalesce(sum(when(col("lost").isNull, col("n_tokens")).otherwise(0L)),
+          lit(0L)).cast("long").as("n_tokens_kept"))
+      .select(col("n_docs"), col("n_docs_kept"), col("n_tokens"),
+        col("n_tokens_kept"),
+        round(col("n_docs_kept").cast("double") /
+          greatest(col("n_docs"), lit(1L)) + 1e-9, 6).as("doc_kept_frac"),
+        round(col("n_tokens_kept").cast("double") /
+          greatest(col("n_tokens"), lit(1L)) + 1e-9, 6).as("token_kept_frac"))
+  }
+
   /** d17: containment near-dup pairs — `|A∩B| / min(|A|,|B|) >= threshold`
     * over the word-trigram shingle sets. Containment catches the near-SUBSET
     * duplicates Jaccard structurally cannot: a page whose article body is
@@ -447,24 +482,47 @@ object Dedup {
     // prefix of the prospective SMALLER side: n - ⌈τ·n⌉ + 1 rarest
     // shingles (ε inside the ceil mirrors d2's nudges: 0.8 binary-rounds
     // UP, so τ·n lands a hair ABOVE an exact integer product and the raw
-    // ceil would shorten the prefix exactly at containment == τ pairs)
+    // ceil would shorten the prefix exactly at containment == τ pairs).
+    // Both explodes carry the shingle's POSITION in the global rare-first
+    // order for the PPJoin positional filter below.
     val prefix = ordered.select(col("doc_id"), col("n"),
-      explode(slice(col("shs"), lit(1),
+      posexplode(slice(col("shs"), lit(1),
         (col("n") - ceil(col("n").cast("double") * threshold - 1e-9) + 1)
-          .cast("int"))).as("s"))
+          .cast("int"))).as(Seq("i", "s")))
     val full = ordered.select(col("doc_id"), col("n"),
-      explode(col("shs")).as("s"))
+      posexplode(col("shs")).as(Seq("j", "s")))
 
     // the prefix side must be the pair's smaller set; (n, doc_id)
     // lexicographic breaks the equal-size tie so each unordered pair is
-    // generated exactly once
+    // generated exactly once.
+    //
+    // POSITIONAL filter (PPJoin, r7): a shingle matched at 0-based
+    // positions (i, j) of the two rare-first-sorted lists bounds the
+    // overlap from above by min(n_s − i, n_l − j) — every further common
+    // shingle sits AFTER it in BOTH lists because the sort order is the
+    // one global (df, s) order. For the pair's EARLIEST common shingle
+    // that bound must still clear the required overlap ⌈τ·n_s⌉, and the
+    // prefix theorem guarantees that shingle is among the observed
+    // matches — so keeping pairs where the max observed bound clears the
+    // requirement drops NO true pair. What it does drop is the boilerplate
+    // explosion: a match on a common (high-df) shingle sits near the END
+    // of both lists, its bound collapses, and the pair dies HERE as one
+    // aggregated row instead of shipping two full shingle arrays into the
+    // verify join (the r7 100× soak measured the verify stage spilling
+    // tens of GB without this).
+    val minOv = ceil(col("a.n").cast("double") * threshold - 1e-9)
     val candidates = prefix.as("a")
       .join(full.as("b"),
         col("a.s") === col("b.s") &&
           (col("a.n") < col("b.n") ||
             (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))))
-      .select(col("a.doc_id").as("id_s"), col("b.doc_id").as("id_l"))
-      .distinct()
+      .select(col("a.doc_id").as("id_s"), col("b.doc_id").as("id_l"),
+        least(col("a.n") - col("a.i"), col("b.n") - col("b.j")).as("bound"),
+        minOv.as("min_ov"))
+      .groupBy(col("id_s"), col("id_l"))
+      .agg(max(col("bound")).as("best_bound"), first(col("min_ov")).as("min_ov"))
+      .filter(col("best_bound") >= col("min_ov"))
+      .select(col("id_s"), col("id_l"))
 
     val verified = candidates
       .join(docs.select(col("doc_id").as("id_s"), col("sh").as("sh_s")), "id_s")

@@ -116,6 +116,27 @@ object Events {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** q56: daily bounce rate — sessions rolled up per calendar day with
+    * the single-event ("bounce") share, mean session duration, and total
+    * session value. The engagement KPI every event pipeline publishes on
+    * top of its sessionizer; built directly on [[sessionize]]'s output so
+    * the session definition (30-min gap, (ts, event_id) order) can never
+    * drift between the KPI and the session table. Adds one day-keyed
+    * hash aggregate over the session table (rows ≈ sessions, far below
+    * events) — nothing touches the event corpus a second time.
+    */
+  def bounceRate(spark: SparkSession, dir: String): DataFrame =
+    sessionize(spark, dir)
+      .groupBy(to_date(col("session_start")).as("day"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_bounces"),
+        round(avg(col("duration_min")) + 1e-9, 4).as("avg_duration_min"),
+        round(sum(col("total_value")), 2).as("total_value"))
+      .withColumn("bounce_rate",
+        round(col("n_bounces").cast("double") / col("n_sessions") + 1e-9, 6))
+      .orderBy(col("day"))
+
   /** st4: native session windows — the same gap-based sessionization as
     * [[sessionize]] via Spark's built-in `session_window` (which also runs
     * incrementally over a stream with merging session state, unlike the

@@ -145,6 +145,11 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.streaming.Events.enrichedWindowCounts(spark, emptyDir).count() == 0)
     assert(graft.multimodal.Multimodal.audioClipping(spark, emptyDir).count() == 0)
     assert(graft.operators.Similarity.indexQualityReport(spark, emptyDir).count() == 0)
+    assert(graft.streaming.Events.bounceRate(spark, emptyDir).count() == 0)
+    assert(graft.multimodal.Multimodal.byteEntropyProfile(spark, emptyDir).count() == 0)
+    // d23 is a one-row global report — zeros, never a crash
+    val eff = graft.operators.Dedup.effectiveTokens(spark, emptyDir).collect()
+    assert(eff.length == 1 && eff(0).getLong(0) == 0L && eff(0).getLong(2) == 0L)
   }
 
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {

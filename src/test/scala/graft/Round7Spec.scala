@@ -543,6 +543,69 @@ class Round7Spec extends AnyFunSuite {
       assert(r >= 1 && r <= graft.operators.Similarity.TopK))
   }
 
+  test("d23: effective-token report recomputes from d7 survivors and raw counts") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Dedup.effectiveTokens(spark, sf).collect()(0)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(out.getLong(0) == docs.count(), "n_docs is the corpus size")
+    assert(out.getLong(1) ==
+      graft.operators.Dedup.dedupedCorpus(spark, sf).count(),
+      "n_docs_kept equals d7's survivor count")
+    val totalToks = docs.select(sum(size(split(
+      regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))))
+      .collect()(0).getLong(0)
+    assert(out.getLong(2) == totalToks, "n_tokens recounts the corpus")
+    assert(out.getLong(3) <= out.getLong(2) && out.getLong(1) <= out.getLong(0))
+    assert(out.getDouble(4) <= 1.0 + 1e-9 && out.getDouble(5) <= 1.0 + 1e-9)
+  }
+
+  test("q56: bounce rate recomputes from the sessionizer output") {
+    val sessions = graft.streaming.Events.sessionize(spark, sf).collect()
+      .map(r => (r.getTimestamp(2).toInstant
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString,
+        r.getLong(4), r.getLong(6), r.getDouble(5)))
+    val expect = sessions.groupBy(_._1).map { case (day, ss) =>
+      day -> (ss.length.toLong, ss.count(_._2 == 1L).toLong,
+        math.rint((ss.map(_._3).sum.toDouble / ss.length + 1e-9) * 1e4) / 1e4)
+    }
+    val got = graft.streaming.Events.bounceRate(spark, sf).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (day, (n, b, avg)) =>
+      val (gn, gb, gavg) = got(day)
+      assert(gn == n && gb == b, s"$day sessions/bounces")
+      assert(math.abs(gavg - avg) < 1e-9, s"$day avg duration $gavg vs $avg")
+    }
+  }
+
+  test("m11: entropy is 0 for constant bytes, exactly 3 bits at the boundary") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_m11").toString
+    val t1 = "a" * 64                 // one symbol → 0 bits → low_entropy
+    val t2 = "abcdefgh" * 8           // 8 equiprobable symbols → exactly 3.0
+    spark.createDataFrame(Seq(
+      (1L, t1, "en", "web", t1.length.toLong),
+      (2L, t2, "en", "web", t2.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.multimodal.Multimodal.byteEntropyProfile(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((64L, 0.0, true)), s"constant: ${out(1L)}")
+    // the 3.0-bit value sits ON the threshold: NOT below it → false
+    assert(out(2L) == ((64L, 3.0, false)), s"boundary: ${out(2L)}")
+    // expression agrees with its own entry point on real corpus bytes
+    val sample = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").limit(5).collect()
+    val got = graft.multimodal.Multimodal.byteEntropyProfile(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    sample.foreach { r =>
+      val expect = math.rint((graft.expressions.ByteEntropy.entropy(
+        r.getString(1).getBytes("UTF-8")) / math.log(2.0) + 1e-9) * 1e6) / 1e6
+      assert(math.abs(got(r.getLong(0)) - expect) < 1e-9, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("m8: keyframes are the top-3 frame deltas, recomputed byte-for-byte") {
     val dir = java.nio.file.Files.createTempDirectory("graft_m8").toString
     // five 256-byte frames with distinct energies → distinct deltas
