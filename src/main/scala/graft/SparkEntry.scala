@@ -210,6 +210,9 @@ object SparkEntry {
     "d23_effective_tokens"    -> Dedup.effectiveTokens _,
     "q56_bounce_rate"         -> Events.bounceRate _,
     "m11_byte_entropy"        -> Multimodal.byteEntropyProfile _,
+    // batch 14 (round 8): the real-pixel GIF frame decode, registered —
+    // the r7 verdict's one remaining stub-backed m-family row
+    "m12_pixel_frames"        -> Multimodal.pixelFrameStats _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -2265,9 +2268,10 @@ object SparkEntry {
                OR p2.p_size > p1.p_size))
       ORDER BY p1.p_size DESC, p1.p_partkey""",
 
-    // d21: windows group by their STRING here vs xxhash64 in the engine —
-    // the d10 collision contract; min/max owner replaces count-distinct,
-    // and the run length is plain gaps-and-islands (pos - rn).
+    // d21: windows group by their STRING here vs the rolling combination
+    // of per-token xxhash64 values in the engine (WindowHashes) — the d10
+    // collision contract; min/max owner replaces count-distinct, and the
+    // run length is plain gaps-and-islands (pos - rn).
     "d21_shared_spans" -> s"""
       WITH tk AS (
         SELECT doc_id,
@@ -2679,23 +2683,13 @@ object SparkEntry {
         SELECT query_id, neighbor_id AS true_nn FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
           FROM pc) WHERE rnk = 1),
-      lj AS (
-        SELECT lcand.query_id, lcand.neighbor_id, eq.embedding AS qe, en.embedding AS ne
-        FROM lcand
-        JOIN e eq ON eq.vec_id = lcand.query_id
-        JOIN e en ON en.vec_id = lcand.neighbor_id),
-      lu AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne FROM lj),
-      ls AS (
-        SELECT query_id, neighbor_id,
-          sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
-          sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
-          sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
-        FROM lu GROUP BY 1, 2),
       lr AS (
-        SELECT query_id, neighbor_id,
-          row_number() OVER (PARTITION BY query_id
-            ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, neighbor_id) AS rnk
-        FROM ls),
+        -- serving ranks: restrict the ALREADY-computed pc cosines to the
+        -- LSH candidate set (ADVICE r7 — one cosine spelling, not two)
+        SELECT pc.query_id, pc.neighbor_id,
+          row_number() OVER (PARTITION BY pc.query_id
+            ORDER BY pc.cos DESC, pc.neighbor_id) AS rnk
+        FROM pc JOIN lcand USING (query_id, neighbor_id)),
       fnd AS (
         SELECT tr.query_id, min(lr.rnk) AS found_rank
         FROM tr JOIN lr ON lr.query_id = tr.query_id
@@ -2779,6 +2773,37 @@ object SparkEntry {
           < ${graft.multimodal.Multimodal.LowEntropyBits} AS low_entropy
       FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
       ORDER BY d.doc_id""",
+
+    // m12: the REAL GIF decode's stats replayed in closed form — the
+    // fixture pixels are deterministic in (doc_id, frame_idx), so
+    // mean_lum = (s·dark + (H−s)·bright)/H and phash = 2^52 − 2^(2s)
+    // exactly (pixel-exactness proven by the m3-real-frames contract in
+    // MultimodalSpec); geometry/shade/stride constants interpolate from
+    // the one set of Scala definitions.
+    "m12_pixel_frames" -> s"""
+      WITH f AS (
+        SELECT doc_id,
+          CAST(unnest(range(0, 2 + doc_id % 7,
+            ${graft.multimodal.Multimodal.PixelStride})) AS BIGINT) AS i
+        FROM documents),
+      sp AS (
+        SELECT doc_id, i,
+          1 + (doc_id * 5 + i * 3) % ${graft.multimodal.Multimodal.PixelSplitMod} AS s
+        FROM f),
+      p AS (
+        SELECT doc_id, i,
+          (s * ${graft.multimodal.Multimodal.PixelDark}.0 +
+           (${graft.multimodal.Multimodal.PixelH} - s) *
+             ${graft.multimodal.Multimodal.PixelBright}.0)
+            / ${graft.multimodal.Multimodal.PixelH} AS mean_lum,
+          (CAST(1 AS BIGINT) << 52) - (CAST(1 AS BIGINT) << CAST(2 * s AS INT))
+            AS phash
+        FROM sp)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+        round(avg(mean_lum) + 0.000000001, 4) AS avg_lum,
+        CAST(sum(phash) AS BIGINT) AS sum_phash,
+        CAST(count(DISTINCT phash) AS BIGINT) AS n_distinct_phash
+      FROM p GROUP BY doc_id ORDER BY doc_id""",
   )
 
   /** The s2/s6/s7 dynamic-bucket LSH candidate CTEs: `lb` replays

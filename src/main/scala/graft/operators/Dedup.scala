@@ -1756,23 +1756,28 @@ object Dedup {
     * gaps-and-islands run length entirely inside a PER-DOCUMENT window
     * (parallel across docs; a document's window count is bounded by its
     * own length, so no partition outgrows its doc). Linear in corpus size
-    * like d10, even where near-dup PAIRS would be quadratic. The df
-    * grouping rides xxhash64 like d10/d8 — same negligible-collision
-    * contract (the failure mode is a pessimistic span, never a miss).
+    * like d10, even where near-dup PAIRS would be quadratic.
+    *
+    * Window hashing (r8): the n-token window hash is the codegen'd
+    * [[graft.expressions.WindowHashes]] rolling combination of per-token
+    * xxhash64 values — O(doc_len) longs per document, replacing the r7
+    * per-window `concat_ws` string build that was O(doc_len × n) BYTES
+    * (the suite's single most expensive constant factor at 10.7 s). Same
+    * negligible-collision grouping contract d10/d8 ride (the failure
+    * mode is a pessimistic span, never a miss); the oracle twin groups
+    * windows by their joined STRING — the equality the hash represents.
     */
   def longestSharedSpan(spark: SparkSession, dir: String,
                         n: Int = SpanWindowTokens,
                         release: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.expressions.WindowHashes.register(spark)
     val w = Tables.documentsParallel(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        when(size(col("toks")) < n, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
-            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("wins"))
-      .select(col("doc_id"), posexplode(col("wins")).as(Seq("pos", "s")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        xxhash64(col("s")).as("h"))
+        expr(s"window_hashes(transform(toks, t -> xxhash64(t)), $n)").as("whs"))
+      .select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
       .cache()
     val owners = w.groupBy(col("h"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))

@@ -769,20 +769,42 @@ object Extended {
     * exact ceil(p·n) order statistic below its 10k accuracy (oracle
     * scale); the DuckDB twin replays that rank definition directly.
     */
+  /** The largest `percentile_approx` accuracy [[spendDeciles]] will size
+    * itself to — the sketch stays an exact rank-ceil order statistic while
+    * the customer count is ≤ accuracy, so below this cap the oracle's
+    * exact-rank replay binds; beyond it the boundaries degrade gracefully
+    * to approximate deciles (the correct 100 TB trade) and the operator
+    * SAYS so instead of letting the exactness contract drift silently
+    * (ADVICE r7).
+    */
+  val DecileAccuracyCap = 4000000
+
   def spendDeciles(spark: SparkSession, dir: String,
                    buckets: Int = DecileBuckets): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+      .cache()
     val qs = (1 until buckets).map(i => lit(i.toDouble / buckets))
-    // accuracy 100k (not t11's 10k): the grouping key is CUSTOMERS —
-    // 15k at sf0.1, above the 10k sketch's exact range (the off-gate
-    // sweep caught the one-customer boundary drift) — and the sketch
-    // must stay exact through every driver scale factor for the oracle's
-    // rank-ceil replay; beyond it the boundaries degrade gracefully to
-    // approximate deciles, which is the correct 100 TB trade anyway
+    // accuracy DERIVED from the grouping-key count (ADVICE r7): the key
+    // is CUSTOMERS — 15k at sf0.1, above t11's 10k sketch exact range
+    // (the off-gate sweep caught the one-customer boundary drift) — and
+    // the sketch must stay exact through every driver scale factor for
+    // the oracle's rank-ceil replay. Floor 100k keeps small-sf ledger
+    // rows comparable; 2× headroom keeps the derivation robust to sketch
+    // internals; past DecileAccuracyCap exactness is no longer promised
+    // and the operator fails LOUDLY (stderr) rather than via oracle drift
+    val nCust = spend.count()
+    val accuracy =
+      math.min(math.max(100000L, 2L * nCust), DecileAccuracyCap.toLong).toInt
+    if (2L * nCust > DecileAccuracyCap)
+      Console.err.println(
+        s"[graft] spendDeciles: $nCust customers exceeds the exactness " +
+          s"range of the capped sketch (accuracy=$accuracy) — decile " +
+          "boundaries are now APPROXIMATE and the exact-rank oracle " +
+          "contract no longer applies")
     val bounds = spend.agg(
-      percentile_approx(col("spend"), array(qs: _*), lit(100000)).as("bs"),
+      percentile_approx(col("spend"), array(qs: _*), lit(accuracy)).as("bs"),
       sum(col("spend")).as("tot"))
     val bucket = (1 until buckets)
       .map(i => (col("spend") > element_at(col("bs"), i)).cast("int"))
@@ -792,7 +814,7 @@ object Extended {
     // window: Window.orderBy with no partition key is the single-partition
     // shape PlanSpec bans suite-wide, and on a ≤10-row frame the
     // expression form is both exact and exchange-free
-    spend.crossJoin(broadcast(bounds))
+    val result = spend.crossJoin(broadcast(bounds))
       .select(col("spend"), col("tot"), bucket.cast("long").as("decile"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).cast("long").as("n_customers"),
@@ -808,6 +830,7 @@ object Extended {
         round(aggregate(slice(col("ds"), lit(1), col("i") + 1), lit(0.0),
           (a, x) => a + x.getField("share")) + 1e-9, 6).as("cum_share"))
       .orderBy(col("decile"))
+    graft.operators.Dedup.materializeAndRelease(result, spend)
   }
 
   /** q55's session horizon: an event holds a "slot" for this many seconds

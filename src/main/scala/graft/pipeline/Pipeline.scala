@@ -324,7 +324,7 @@ object SqlScriptRunner {
     var state: Char = 'n' // n=normal, s='…', d="…", l=line comment, b=block comment
     while (i < script.length) {
       val c = script.charAt(i)
-      val next = if (i + 1 < script.length) script.charAt(i + 1) else ' '
+      val next = if (i + 1 < script.length) script.charAt(i + 1) else '\u0000'
       state match {
         case 'n' =>
           c match {

@@ -235,6 +235,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(!text.contains("attempt 2/2"), s"second attempt succeeded: $text")
   }
 
+  test("retried watermark load double-counts nothing (T1×T5, the Runner comment pinned)") {
+    import graft.pipeline.Runner
+    val work = tmpDir()
+    val landing = s"$work/landing/dt=2026-01-01"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    writeCsv(landing, "orders.csv",
+      """order_id,customer_id,order_date,product_id,unit_price,quantity,total_price
+        |1,10,2022-01-03,5,100,2,200
+        |2,11,2022-01-04,6,50,1,50
+        |""".stripMargin)
+    writeCsv(landing, "reviews.csv", "review,product_id\n5,5\n")
+    writeCsv(landing, "shipment_deliveries.csv",
+      "shipment_id,order_id,shipment_date,delivery_date\n1,1,2022-01-10,\n")
+    // sabotage: a garbage "parquet" in the shipments staging dir makes the
+    // STAGING stage throw — but only AFTER the orders watermark append has
+    // already committed (Map elements evaluate in order, orders first).
+    // This is the non-idempotent-append risk the Runner scaladoc claims
+    // retries don't have: a stage that half-ran, then retried whole.
+    val shipStage = java.nio.file.Paths.get(s"$work/staging/shipment_deliveries")
+    java.nio.file.Files.createDirectories(shipStage)
+    val garbage = shipStage.resolve("part-corrupt.parquet")
+    java.nio.file.Files.writeString(garbage, "not a parquet footer")
+    // the injected sleep "repairs the transient fault" before attempt 2
+    var slept = 0
+    val repair: Long => Unit = { _ =>
+      slept += 1
+      java.nio.file.Files.delete(garbage)
+    }
+    val r = Runner.run(spark, work, "2026-01-01", retryDelayMs = 3L, sleep = repair)
+    assert(slept == 1, "staging failed once and was retried once")
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$work/error_log.txt"))
+    assert(text.contains("[staging] attempt 1/2 failed, retrying in 3ms"), text)
+    // the retried stage re-ran the orders append against its own first
+    // attempt's committed output — the watermark filtered every key, so
+    // the successful attempt staged ZERO new orders rows...
+    assert(r.stagedRows("orders") == 0L,
+      s"retry must not re-append already-staged keys: ${r.stagedRows}")
+    // ...and the store holds each key exactly once
+    val staged = spark.read.parquet(s"$work/staging/orders")
+      .select("order_id").collect().map(_.getInt(0)).toSeq
+    assert(staged.sorted == Seq(1, 2), s"no double-count: $staged")
+  }
+
   test("upsert: same-key rows replaced, new keys appended, idempotent") {
     val dir = tmpDir()
     val staging = s"$dir/stage_upsert"
