@@ -213,6 +213,13 @@ object SparkEntry {
     // batch 14 (round 8): the real-pixel GIF frame decode, registered —
     // the r7 verdict's one remaining stub-backed m-family row
     "m12_pixel_frames"        -> Multimodal.pixelFrameStats _,
+    // batch 15 (round 8): threshold sensitivity, shot boundaries, the
+    // ordered funnel, the serving recall curve, and the disorder audit
+    "d24_threshold_sweep"     -> ((s: SparkSession, d: String) => Dedup.thresholdSweep(s, d)),
+    "m13_shot_boundaries"     -> Multimodal.shotBoundaries _,
+    "q57_funnel"              -> Extended.funnel _,
+    "s14_recall_curve"        -> ((s: SparkSession, d: String) => Similarity.recallCurve(s, d)),
+    "st8_disorder_audit"      -> ((s: SparkSession, d: String) => Events.disorderAudit(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -2652,56 +2659,27 @@ object SparkEntry {
 
     // s13: the s1 truth stack (multi-index exact rank 1) + the s2 serving
     // rank replayed from the SAME `lcand` CTE, left-joined per query.
-    "s13_index_quality" -> (IvfAssignAutoCtesSql + s""",
-      prb AS (
-        SELECT query_id, cent_id FROM (
-          SELECT vec_id AS query_id, cent_id,
-            row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS r
-          FROM ac WHERE vec_id % 50 = 0) WHERE r <= ${graft.operators.Similarity.IvfNProbe}),
-      icand AS (
-        SELECT p.query_id, a.vec_id AS neighbor_id
-        FROM prb p JOIN assigned a ON p.cent_id = a.cent_id
-        WHERE a.vec_id <> p.query_id),""" + LshCandCtesSqlPrefixed("l") + s""",
-      allc AS (
-        SELECT query_id, neighbor_id FROM lcand
-        UNION
-        SELECT query_id, neighbor_id FROM icand),
-      pairs AS (
-        SELECT allc.query_id, allc.neighbor_id, eq.embedding AS qe, en.embedding AS ne
-        FROM allc
-        JOIN e eq ON eq.vec_id = allc.query_id
-        JOIN e en ON en.vec_id = allc.neighbor_id),
-      pu AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne FROM pairs),
-      ps AS (
-        SELECT query_id, neighbor_id,
-          sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
-          sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
-          sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
-        FROM pu GROUP BY 1, 2),
-      pc AS (SELECT query_id, neighbor_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM ps),
-      tr AS (
-        SELECT query_id, neighbor_id AS true_nn FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-          FROM pc) WHERE rnk = 1),
-      lr AS (
-        -- serving ranks: restrict the ALREADY-computed pc cosines to the
-        -- LSH candidate set (ADVICE r7 — one cosine spelling, not two)
-        SELECT pc.query_id, pc.neighbor_id,
-          row_number() OVER (PARTITION BY pc.query_id
-            ORDER BY pc.cos DESC, pc.neighbor_id) AS rnk
-        FROM pc JOIN lcand USING (query_id, neighbor_id)),
-      fnd AS (
-        SELECT tr.query_id, min(lr.rnk) AS found_rank
-        FROM tr JOIN lr ON lr.query_id = tr.query_id
-          AND lr.neighbor_id = tr.true_nn
-        WHERE lr.rnk <= ${graft.operators.Similarity.TopK}
-        GROUP BY 1)
+    "s13_index_quality" -> (IndexQualityCtesSql + s"""
       SELECT tr.query_id, tr.true_nn,
         CAST(fnd.found_rank AS BIGINT) AS found_rank,
         round(coalesce(CAST(1.0 AS DOUBLE) / fnd.found_rank, 0) + 0.000000001, 4)
           AS reciprocal_rank
       FROM tr LEFT JOIN fnd ON fnd.query_id = tr.query_id
       ORDER BY tr.query_id"""),
+
+    // s14: the s13 truth/served CTEs rolled up into recall@k at the grid
+    // values (shared fragment — one cosine spelling for both twins).
+    "s14_recall_curve" -> (IndexQualityCtesSql + s""",
+      ks AS (SELECT unnest([${graft.operators.Similarity.RecallKs.mkString(", ")}]) AS k)
+      SELECT CAST(ks.k AS BIGINT) AS k,
+        CAST(count(*) AS BIGINT) AS n_queries,
+        CAST(count(*) FILTER (WHERE fnd.found_rank <= ks.k) AS BIGINT) AS n_hits,
+        round(CAST(count(*) FILTER (WHERE fnd.found_rank <= ks.k) AS DOUBLE)
+          / count(*) + 0.000000001, 4) AS recall
+      FROM tr LEFT JOIN fnd ON fnd.query_id = tr.query_id
+      CROSS JOIN ks
+      GROUP BY ks.k ORDER BY k"""),
+
 
     // d23: d6's cluster CTEs for the loser set; token counts come from an
     // independent full-corpus pass (the cluster CTEs' tokenization may
@@ -2804,6 +2782,101 @@ object SparkEntry {
         CAST(sum(phash) AS BIGINT) AS sum_phash,
         CAST(count(DISTINCT phash) AS BIGINT) AS n_distinct_phash
       FROM p GROUP BY doc_id ORDER BY doc_id""",
+
+    // d24: the d2/d3 exact-pair CTEs run once at the grid FLOOR; every
+    // grid row filters on the 4dp-rounded jaccard (boundary pin). The
+    // endpoint-unnest trick mirrors the engine: each pair contributes
+    // two endpoint rows, so pairs = count/2 and affected = distinct.
+    "d24_threshold_sweep" -> (ShingleCtesSql + s""",
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      j AS (
+        SELECT id_a, id_b,
+          round(CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE), 4) AS jaccard
+        FROM pairs
+        JOIN cnt ca ON id_a = ca.doc_id
+        JOIN cnt cb ON id_b = cb.doc_id
+        WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE)
+          >= ${graft.operators.Dedup.ThresholdSweep.min}),
+      u AS (SELECT jaccard, unnest([id_a, id_b]) AS doc_id FROM j),
+      nd AS (SELECT count(*) AS n FROM documents),
+      ks AS (SELECT unnest([${graft.operators.Dedup.ThresholdSweep.mkString(", ")}]) AS threshold)
+      SELECT ks.threshold AS threshold,
+        CAST(count(u.doc_id) / 2 AS BIGINT) AS n_pairs,
+        CAST(count(DISTINCT u.doc_id) AS BIGINT) AS n_docs_affected,
+        round(CAST(count(DISTINCT u.doc_id) AS DOUBLE) / nd.n + 0.000000001, 6)
+          AS frac_affected
+      FROM ks CROSS JOIN nd LEFT JOIN u ON u.jaccard >= ks.threshold
+      GROUP BY ks.threshold, nd.n ORDER BY threshold"""),
+
+    // m13: the m12 closed-form frame math plus a per-doc lag — deltas
+    // bind on the 4dp-rounded value like the engine.
+    "m13_shot_boundaries" -> s"""
+      WITH f AS (
+        SELECT doc_id,
+          CAST(unnest(range(0, 2 + doc_id % 7,
+            ${graft.multimodal.Multimodal.PixelStride})) AS BIGINT) AS i
+        FROM documents),
+      sp AS (
+        SELECT doc_id, i,
+          1 + (doc_id * 5 + i * 3) % ${graft.multimodal.Multimodal.PixelSplitMod} AS s
+        FROM f),
+      p AS (
+        SELECT doc_id, i,
+          (s * ${graft.multimodal.Multimodal.PixelDark}.0 +
+           (${graft.multimodal.Multimodal.PixelH} - s) *
+             ${graft.multimodal.Multimodal.PixelBright}.0)
+            / ${graft.multimodal.Multimodal.PixelH} AS ml
+        FROM sp),
+      d AS (
+        SELECT doc_id, i, ml,
+          round(abs(ml - lag(ml) OVER (PARTITION BY doc_id ORDER BY i))
+            + 0.000000001, 4) AS delta
+        FROM p)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+        CAST(count(delta) AS BIGINT) AS n_transitions,
+        CAST(count(*) FILTER (WHERE delta > ${graft.multimodal.Multimodal.ShotDeltaThreshold}) AS BIGINT) AS n_cuts,
+        round(coalesce(max(delta), 0.0), 4) AS max_delta
+      FROM d GROUP BY doc_id ORDER BY doc_id""",
+
+    // q57: min-timestamp stage chaining with strict > on both hops —
+    // ties at the same instant do not convert on either engine.
+    "q57_funnel" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, ts, CAST(ts AS DATE) AS day FROM events),
+      v AS (SELECT user_id, day, min(ts) AS t_view FROM ev
+            WHERE event_type = 'view' GROUP BY 1, 2),
+      c AS (SELECT e.user_id, e.day, min(e.ts) AS t_click
+            FROM ev e JOIN v USING (user_id, day)
+            WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1, 2),
+      p AS (SELECT e.user_id, e.day, min(e.ts) AS t_purchase
+            FROM ev e JOIN c USING (user_id, day)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1, 2)
+      SELECT v.day, CAST(count(*) AS BIGINT) AS n_viewers,
+        CAST(count(c.t_click) AS BIGINT) AS n_clicked,
+        CAST(count(p.t_purchase) AS BIGINT) AS n_purchased,
+        round(CAST(count(p.t_purchase) AS DOUBLE) / count(*) + 0.000000001, 6)
+          AS conversion
+      FROM v LEFT JOIN c USING (user_id, day) LEFT JOIN p USING (user_id, day)
+      GROUP BY v.day ORDER BY v.day""",
+
+    // st8: per-user running-max lateness in integer microseconds —
+    // bit-for-bit cross-engine (the q52 epoch_us convention); grace
+    // interpolated from the one Scala constant.
+    "st8_disorder_audit" -> s"""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      r AS (
+        SELECT user_id, event_id, us,
+          greatest(max(us) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS UNBOUNDED PRECEDING) - us, 0) AS late_us
+        FROM e)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(count(*) FILTER (WHERE late_us >
+          ${graft.streaming.Events.DisorderGraceSeconds} * 1000000) AS BIGINT) AS n_late,
+        CAST(max(late_us) AS BIGINT) AS max_lateness_us
+      FROM r GROUP BY user_id ORDER BY user_id""",
   )
 
   /** The s2/s6/s7 dynamic-bucket LSH candidate CTEs: `lb` replays
@@ -3004,6 +3077,55 @@ object SparkEntry {
       val lst = m.mkString("['", "', '", "']")
       s"CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS BIGINT) AS hits_$lang"
     }.mkString(",\n          ")
+
+  /** The s13/s14 shared fragment: s1's multi-index truth (exact rank-1
+    * over LSH ∪ IVF candidates) and the s2 serving ranks, BOTH drawing
+    * their cosines from the single `pc` CTE (ADVICE r7 — one cosine
+    * spelling). Ends at `fnd` (query_id, found_rank ≤ TopK); each twin
+    * appends its own rollup.
+    */
+  private def IndexQualityCtesSql: String = IvfAssignAutoCtesSql + s""",
+      prb AS (
+        SELECT query_id, cent_id FROM (
+          SELECT vec_id AS query_id, cent_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS r
+          FROM ac WHERE vec_id % 50 = 0) WHERE r <= ${graft.operators.Similarity.IvfNProbe}),
+      icand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM prb p JOIN assigned a ON p.cent_id = a.cent_id
+        WHERE a.vec_id <> p.query_id),""" + LshCandCtesSqlPrefixed("l") + s""",
+      allc AS (
+        SELECT query_id, neighbor_id FROM lcand
+        UNION
+        SELECT query_id, neighbor_id FROM icand),
+      pairs AS (
+        SELECT allc.query_id, allc.neighbor_id, eq.embedding AS qe, en.embedding AS ne
+        FROM allc
+        JOIN e eq ON eq.vec_id = allc.query_id
+        JOIN e en ON en.vec_id = allc.neighbor_id),
+      pu AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne FROM pairs),
+      ps AS (
+        SELECT query_id, neighbor_id,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
+          sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
+        FROM pu GROUP BY 1, 2),
+      pc AS (SELECT query_id, neighbor_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM ps),
+      tr AS (
+        SELECT query_id, neighbor_id AS true_nn FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM pc) WHERE rnk = 1),
+      lr AS (
+        SELECT pc.query_id, pc.neighbor_id,
+          row_number() OVER (PARTITION BY pc.query_id
+            ORDER BY pc.cos DESC, pc.neighbor_id) AS rnk
+        FROM pc JOIN lcand USING (query_id, neighbor_id)),
+      fnd AS (
+        SELECT tr.query_id, min(lr.rnk) AS found_rank
+        FROM tr JOIN lr ON lr.query_id = tr.query_id
+          AND lr.neighbor_id = tr.true_nn
+        WHERE lr.rnk <= ${graft.operators.Similarity.TopK}
+        GROUP BY 1)"""
 
   /** Connected components over the near-dup pair graph via a recursive
     * reachability CTE (DuckDB) — root = min reachable doc_id. Shared by the

@@ -322,6 +322,42 @@ object Multimodal {
         countDistinct(col("frame_phash")).cast("long").as("n_distinct_phash"))
       .orderBy(col("doc_id"))
 
+  /** m13's cut threshold: a sampled-frame luminance jump above this many
+    * levels is flagged as a shot boundary. Interpolated into the twin.
+    */
+  val ShotDeltaThreshold = 30.0
+
+  /** m13: shot-boundary detection — the temporal extension of m12: the
+    * same REAL GIF frame decode, but now consecutive sampled frames are
+    * compared (|Δ mean luminance|, the classic hard-cut detector a video
+    * curation pass runs to split payloads into shots before sampling
+    * training clips). Per document: transition count, cut count at
+    * [[ShotDeltaThreshold]], and the largest jump.
+    *
+    * Scale shape: the lag window is PARTITIONED per document and ordered
+    * by frame index — a partition never outgrows its own document's
+    * frame count, the same bound the d21 gaps-and-islands window rides;
+    * everything else is the m12 decode pipeline (per-partition codec
+    * init, no shuffle until the per-doc aggregation). Deltas bind on the
+    * 4dp-rounded value so the cut verdict is pinned across engines.
+    */
+  def shotBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    pixelFrameSamples(syntheticGifMedia(spark, dir), PixelStride)
+      .toDF()
+      .withColumn("delta",
+        round(abs(col("mean_lum") - lag(col("mean_lum"), 1).over(w)) + lit(1e-9), 4))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_sampled"),
+        count(col("delta")).cast("long").as("n_transitions"),
+        sum(when(col("delta") > ShotDeltaThreshold, 1L).otherwise(0L))
+          .cast("long").as("n_cuts"),
+        round(coalesce(max(col("delta")), lit(0.0)), 4).as("max_delta"))
+      .orderBy(col("doc_id"))
+  }
+
   /** m3: per-document frame-sample aggregation — the flatMap fan-out of
     * [[sampleFrames]] re-aggregated (count + hash checksum per doc). The
     * whole path (decode → stride sample → relational agg) is deterministic

@@ -1845,4 +1845,44 @@ object Dedup {
       .orderBy(col("cluster_root"))
     materializeAndRelease(result, pairs)
   }
+
+  /** The d24 sweep grid — the candidate thresholds a dedup pass is tuned
+    * over, interpolated into the DuckDB twin. The FLOOR is the exactness
+    * boundary: the single PPJoin pass runs at the lowest value, so every
+    * grid row aggregates a provably complete pair set.
+    */
+  val ThresholdSweep: Seq[Double] = Seq(0.7, 0.75, 0.8, 0.85, 0.9)
+
+  /** d24: dedup threshold sensitivity sweep — before committing a corpus
+    * to a near-dup pass at τ = 0.8, curation teams ask how the damage
+    * curve moves with τ: how many pairs, and how many documents, does
+    * each candidate threshold implicate? One row per grid value: pair
+    * count, affected-document count, and the corpus fraction affected.
+    *
+    * Scale shape: ONE exact PPJoin pass ([[ngramJaccardPairs]]) at the
+    * grid FLOOR — the prefix filter keeps it an exact similarity join at
+    * corpus scale — then every grid row is aggregation over that (small)
+    * cached pair set plus one scalar corpus count; the sweep adds zero
+    * corpus passes per extra threshold. Grid comparisons bind on the
+    * 4dp-ROUNDED jaccard (the s9 boundary-pin convention), so a pair
+    * sitting exactly on a grid value lands the same side in both engines.
+    */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val floor = ThresholdSweep.min
+    val pairs = ngramJaccardPairs(spark, dir, threshold = floor).cache()
+    val nDocs = Tables.documentsParallel(spark, dir).count()
+    val grid = ThresholdSweep.map { t =>
+      pairs.filter(col("jaccard") >= t)
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"),
+          col("id_a"), col("id_b"))
+        .agg(
+          lit(t).as("threshold"),
+          (count(lit(1)) / 2).cast("long").as("n_pairs"),
+          countDistinct(col("doc_id")).as("n_docs_affected"))
+        .select(col("threshold"), col("n_pairs"), col("n_docs_affected"),
+          round(col("n_docs_affected").cast("double") / nDocs + 1e-9, 6)
+            .as("frac_affected"))
+    }.reduce(_.unionAll(_)).orderBy(col("threshold"))
+    materializeAndRelease(grid, pairs)
+  }
 }

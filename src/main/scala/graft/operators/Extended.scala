@@ -784,7 +784,6 @@ object Extended {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(round(sum(col("o_totalprice")), 2).as("spend"))
-      .cache()
     val qs = (1 until buckets).map(i => lit(i.toDouble / buckets))
     // accuracy DERIVED from the grouping-key count (ADVICE r7): the key
     // is CUSTOMERS — 15k at sf0.1, above t11's 10k sketch exact range
@@ -793,7 +792,10 @@ object Extended {
     // the oracle's rank-ceil replay. Floor 100k keeps small-sf ledger
     // rows comparable; 2× headroom keeps the derivation robust to sketch
     // internals; past DecileAccuracyCap exactness is no longer promised
-    // and the operator fails LOUDLY (stderr) rather than via oracle drift
+    // and the operator fails LOUDLY (stderr) rather than via oracle drift.
+    // The count is its own scalar pass (the deriveBandBits convention) —
+    // NOT a cache+checkpoint, which would truncate the plan PlanSpec
+    // gates (the exemption map pins this query's one broadcast cross)
     val nCust = spend.count()
     val accuracy =
       math.min(math.max(100000L, 2L * nCust), DecileAccuracyCap.toLong).toInt
@@ -830,7 +832,7 @@ object Extended {
         round(aggregate(slice(col("ds"), lit(1), col("i") + 1), lit(0.0),
           (a, x) => a + x.getField("share")) + 1e-9, 6).as("cum_share"))
       .orderBy(col("decile"))
-    graft.operators.Dedup.materializeAndRelease(result, spend)
+    result
   }
 
   /** q55's session horizon: an event holds a "slot" for this many seconds
@@ -882,5 +884,45 @@ object Extended {
         timestamp_micros(-col("pk.negus")).as("peak_ts"),
         (col("n_deltas") / 2).cast("long").as("n_events"))
       .orderBy(col("event_type"), col("day"))
+  }
+
+  /** q57: strictly-ordered funnel — per user-day, the view → click →
+    * purchase progression where each stage must happen strictly AFTER
+    * the previous stage's first occurrence (the product-analytics funnel
+    * that naive `count(DISTINCT user) per type` spellings get wrong:
+    * a purchase before the first view is not a conversion). Rolled up
+    * per day: stage populations and the end-to-end conversion rate.
+    *
+    * Scale shape: three aggregations and two joins, ALL keyed on
+    * (user_id, day) — no window over anything bigger than a key group,
+    * no collect of per-user event lists (a bot user with millions of
+    * events costs its aggregation only a bigger min()). Stage chaining
+    * is min-timestamp joins: t_click = min ts of a click strictly after
+    * t_view, so ties at the same instant do not convert on either
+    * engine (strict `>` on both sides).
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        to_date(col("ts")).as("day"))
+    val keys = Seq("user_id", "day")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(keys.map(col): _*).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, keys)
+      .filter(col("ts") > col("t_view"))
+      .groupBy(keys.map(col): _*).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, keys)
+      .filter(col("ts") > col("t_click"))
+      .groupBy(keys.map(col): _*).agg(min(col("ts")).as("t_purchase"))
+    v.join(c.withColumn("clicked", lit(1)), keys, "left")
+      .join(p.withColumn("purchased", lit(1)), keys, "left")
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).cast("long").as("n_viewers"),
+        coalesce(sum(col("clicked")), lit(0L)).cast("long").as("n_clicked"),
+        coalesce(sum(col("purchased")), lit(0L)).cast("long").as("n_purchased"))
+      .withColumn("conversion",
+        round(col("n_purchased").cast("double") / col("n_viewers") + 1e-9, 6))
+      .orderBy(col("day"))
   }
 }

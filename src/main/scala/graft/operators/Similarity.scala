@@ -893,6 +893,40 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** The s14 recall grid — the k values the serving curve is read at;
+    * every value must be ≤ [[TopK]] (the serving index's result depth).
+    * Interpolated into the DuckDB twin.
+    */
+  val RecallKs: Seq[Int] = Seq(1, 5, 10)
+
+  /** s14: serving recall@k curve — s13's per-query found-rank ledger
+    * rolled up into the operating curve an index owner actually tunes
+    * against: for each k in [[RecallKs]], what fraction of queries find
+    * their true nearest neighbor within the serving index's top k. The
+    * summary that turns s13's per-query monitor into a re-index /
+    * probe-width decision (recall@1 is exactness of the first result;
+    * recall@10 is the budget ceiling at the current TopK).
+    *
+    * Scale shape: the expensive part IS s13 (two candidate-driven
+    * retrieval stacks, no corpus-quadratic plan), computed ONCE and
+    * cached; the curve adds |RecallKs| scalar aggregations over the
+    * per-query report — queries-sized, not corpus-sized.
+    */
+  def recallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val rep = indexQualityReport(spark, dir).cache()
+    val grid = RecallKs.map { k =>
+      rep.agg(
+        lit(k.toLong).as("k"),
+        count(lit(1)).cast("long").as("n_queries"),
+        coalesce(sum(when(col("found_rank") <= k, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_hits"))
+    }.reduce(_.unionAll(_))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_queries") + 1e-9, 4))
+      .orderBy(col("k"))
+    graft.operators.Dedup.materializeAndRelease(grid, rep)
+  }
+
   /** s12: centroid silhouette — the clustering-quality audit over the
     * label partition of the embedding corpus, the report a curation
     * pipeline reads before trusting labels (or a k-means result, via s11)

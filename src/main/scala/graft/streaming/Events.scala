@@ -619,6 +619,48 @@ object Events {
         col("n_events"), col("total_value"))
       .orderBy(col("window_start"), col("nation"))
 
+  /** st8's lateness grace: an event is "late" when its event time trails
+    * the per-user running max by more than this many seconds — the
+    * watermark-delay question asked OF the data. Interpolated into the
+    * DuckDB twin.
+    */
+  val DisorderGraceSeconds = 600L
+
+  /** st8: out-of-orderness audit — per user, how disordered the event
+    * stream actually is: with arrival order proxied by `event_id` (the
+    * generator's monotone sequence), an event is LATE when its event
+    * time trails the user's running-max event time by more than
+    * [[DisorderGraceSeconds]]. This is the measurement that SIZES a
+    * streaming watermark: st1–st7 all declare `withWatermark(..., 10
+    * minutes)`, and this query is how an operator validates that bound
+    * against the firehose before trusting it (n_late at grace g = the
+    * rows a g-second watermark would drop; max_lateness = the delay that
+    * would have lost nothing).
+    *
+    * Scale shape: one running-max window PARTITIONED by user and ordered
+    * by arrival — a partition never exceeds one user's event count (the
+    * q55/d21 bound), then a per-user aggregation; no global ordering
+    * anywhere. Lateness is integer microsecond arithmetic end-to-end, so
+    * the twin replays it bit-for-bit.
+    */
+  def disorderAudit(spark: SparkSession, dir: String,
+                    graceSec: Long = DisorderGraceSeconds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("late_us",
+        greatest(max(col("us")).over(w) - col("us"), lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        sum(when(col("late_us") > graceSec * 1000000L, 1L).otherwise(0L))
+          .cast("long").as("n_late"),
+        max(col("late_us")).as("max_lateness_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** [[enrichedWindowCounts]]' streaming twin (StreamingSpec). */
   def streamingEnrichedCounts(spark: SparkSession, dir: String): DataFrame =
     eventsStream(spark, dir)
