@@ -1880,7 +1880,10 @@ object Dedup {
           (count(lit(1)) / 2).cast("long").as("n_pairs"),
           countDistinct(col("doc_id")).as("n_docs_affected"))
         .select(col("threshold"), col("n_pairs"), col("n_docs_affected"),
-          round(col("n_docs_affected").cast("double") / nDocs + 1e-9, 6)
+          // empty-corpus guard: 0/0 would be NaN, and a 0-doc sweep's
+          // affected fraction is zero by definition
+          (if (nDocs == 0) lit(0.0)
+           else round(col("n_docs_affected").cast("double") / nDocs + 1e-9, 6))
             .as("frac_affected"))
     }.reduce(_.unionAll(_)).orderBy(col("threshold"))
     materializeAndRelease(grid, pairs)

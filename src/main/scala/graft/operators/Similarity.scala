@@ -922,7 +922,9 @@ object Similarity {
           .cast("long").as("n_hits"))
     }.reduce(_.unionAll(_))
       .withColumn("recall",
-        round(col("n_hits").cast("double") / col("n_queries") + 1e-9, 4))
+        // empty-corpus guard: a 0-query curve reads 0.0, never NaN
+        when(col("n_queries") === 0L, lit(0.0))
+          .otherwise(round(col("n_hits").cast("double") / col("n_queries") + 1e-9, 4)))
       .orderBy(col("k"))
     graft.operators.Dedup.materializeAndRelease(grid, rep)
   }

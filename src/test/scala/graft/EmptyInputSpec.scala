@@ -152,6 +152,25 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(eff.length == 1 && eff(0).getLong(0) == 0L && eff(0).getLong(2) == 0L)
   }
 
+  test("batch-15 operators behave on an empty corpus") {
+    assert(graft.multimodal.Multimodal.pixelFrameStats(spark, emptyDir).count() == 0)
+    assert(graft.multimodal.Multimodal.shotBoundaries(spark, emptyDir).count() == 0)
+    assert(graft.operators.Extended.funnel(spark, emptyDir).count() == 0)
+    assert(graft.streaming.Events.disorderAudit(spark, emptyDir).count() == 0)
+    // d24/s14 are grid REPORTS (the d23 precedent): one row per grid
+    // value, all zero, never a crash and never a NaN
+    val sweep = graft.operators.Dedup.thresholdSweep(spark, emptyDir).collect()
+    assert(sweep.length == graft.operators.Dedup.ThresholdSweep.length)
+    sweep.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getDouble(3) == 0.0)
+    }
+    val curve = graft.operators.Similarity.recallCurve(spark, emptyDir).collect()
+    assert(curve.length == graft.operators.Similarity.RecallKs.length)
+    curve.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getDouble(3) == 0.0)
+    }
+  }
+
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {
     // a global aggregate over zero rows still emits one row — pinned so the
     // contract is explicit, not accidental
