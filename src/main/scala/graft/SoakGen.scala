@@ -187,6 +187,25 @@ object SoakGen {
       time("d12_indexed_probe") {
         graft.operators.Dedup.incrementalDedupIndexed(spark, out).count()
       }
+      // r8: the s-family monitors the verdict flagged as the most
+      // plausible super-linear candidates (s13 composes the s1+s2
+      // retrieval stacks per run), plus their candidate-count
+      // diagnostics — the "judged per-candidate" columns of the ledger
+      time("s13_index_quality") {
+        graft.operators.Similarity.indexQualityReport(spark, out).count()
+      }
+      time("s12_silhouette") {
+        graft.operators.Similarity.labelSilhouette(spark, out).count()
+      }
+      time("s10_filtered_ann") {
+        graft.operators.Similarity.annFilteredTopK(spark, out).count()
+      }
+      locally {
+        val raw = graft.sources.Tables.embeddings(spark, out)
+        val lc = graft.operators.Similarity.lshCandidates(raw).count()
+        val ic = graft.operators.Similarity.ivfCandidates(raw, autoCells = true).count()
+        println(s"[soakgen] s1/s13 candidate pairs: lsh=$lc ivf=$ic")
+      }
       // r6 batch-7 operators: row counts double as the pair-growth
       // diagnostics (replica near-dups make true containment/cluster
       // pairs grow ~factor² per group, like d2/d12 above)

@@ -32,7 +32,7 @@ object Profile {
         case _ => base
       }
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    df.agg(aggs.head, aggs.toIndexedSeq.tail: _*)
   }
 
   /** q24: exact profile of `orders` (exact distinct so the DuckDB oracle
