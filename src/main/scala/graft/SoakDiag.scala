@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Soak-ledger diagnostics main — the pair/candidate counts that
+  * adjudicate the expensive rows of the full-suite 100× soak
+  * (`soak100_out.json`). The per-pair methodology (SURVEY §2.11a) judges
+  * a pair-producing operator's soak wall-clock against how its TRUE pair
+  * output and its CANDIDATE set grew, not against corpus row count — an
+  * operator whose candidates grew 150× on 100× data is pair-linear even
+  * when its wall-clock is super-linear in rows. This main prints, for
+  * one corpus dir, every count that judgment needs:
+  *
+  *   - d2/d24: AllPairs prefix-filter candidates + verified pairs at the
+  *     registered τ=0.8 and at the d24 grid floor τ=0.7
+  *   - d17/d19: asymmetric-containment candidates surviving the PPJoin
+  *     positional filter + verified pairs at τ=0.8 (d19 shares d17's
+  *     candidate machinery, so one measurement covers both)
+  *   - d9: 13-bit-band simhash candidates + pairs within Hamming ≤ 3
+  *   - d21: window-hash rows and shared-window rows (d21 never
+  *     enumerates pairs; its cost driver is the shared-window count)
+  *   - m6: pigeonhole pHash band candidates + pairs at radius 7
+  *
+  * Usage: runMain graft.SoakDiag [sfDir]
+  * Output: one line per metric — `[soakdiag] <name> <seconds> <count>` —
+  * plus a trailing JSON line with every count, for the ledger.
+  */
+object SoakDiag {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/soakdata/sf10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val out = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      out(name) = n
+      println(f"[soakdiag] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f s  $n%12d")
+      // same hygiene as Bench: drop caches + reap shuffle files between
+      // measurements so counts time against clean storage
+      scala.util.Try {
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        System.gc()
+      }
+      ()
+    }
+
+    time("n_docs") {
+      sources.Tables.documentsParallel(spark, dir).count()
+    }
+
+    // d2 at the registered τ=0.8, then the d24 grid floor τ=0.7: the
+    // sweep's single corpus pass runs at the floor, so its candidate
+    // count is the one that prices d24's PPJoin
+    Seq(0.8, 0.7).foreach { t =>
+      val tag = (t * 10).round.toInt
+      val (docs, prefix, candidates) =
+        operators.Dedup.ngramCandidates(spark, dir, t)
+      time(s"d2_candidates_t0$tag") { candidates.count() }
+      docs.unpersist(); prefix.unpersist()
+      time(s"d2_pairs_t0$tag") {
+        operators.Dedup.ngramJaccardPairs(spark, dir, threshold = t).count()
+      }
+    }
+
+    // d17/d19: candidates AFTER the positional filter (the verify join's
+    // input — the number the r8 232.8 s wall is judged by), then output
+    locally {
+      val (verified, caches) =
+        operators.Dedup.containmentVerified(spark, dir, 0.8)
+      val v = verified.cache()
+      time("d17_candidates") { v.count() }
+      time("d17_pairs") { v.filter(col("containment") >= 0.8).count() }
+      v.unpersist(); caches.foreach(_.unpersist())
+    }
+
+    // d9: band candidates, then Hamming-verified pairs
+    locally {
+      val sigs = operators.Dedup.simhashSignatures(spark, dir).cache()
+      val cand = operators.Dedup.simhashCandidates(sigs).cache()
+      time("d9_candidates") { cand.count() }
+      time("d9_pairs") {
+        cand.withColumn("hamming",
+            bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+          .filter(col("hamming") <= 3).count()
+      }
+      cand.unpersist(); sigs.unpersist()
+    }
+
+    // d21: no pair set exists — the cost drivers are total window-hash
+    // rows (the shuffle into the (min,max)-owner reduction) and the
+    // shared-window rows that flow into the per-doc islands window
+    locally {
+      val span = operators.Dedup.longestSharedSpan(spark, dir)
+        .agg(sum(col("n_windows")).as("w"), sum(col("n_shared")).as("s"))
+        .collect()(0)
+      time("d21_windows") { Option(span.get(0)).fold(0L)(_.toString.toLong) }
+      time("d21_shared_windows") { Option(span.get(1)).fold(0L)(_.toString.toLong) }
+    }
+
+    // m6: pigeonhole band candidates at radius 7, then verified pairs
+    locally {
+      val hashes = multimodal.Multimodal.perceptualHashes(spark, dir).cache()
+      val cand = multimodal.Multimodal.mediaBandCandidates(hashes, 7).cache()
+      time("m6_candidates") { cand.count() }
+      time("m6_pairs") {
+        cand.withColumn("hamming",
+            bit_count(col("ha").bitwiseXOR(col("hb"))))
+          .filter(col("hamming") <= 7).count()
+      }
+      cand.unpersist(); hashes.unpersist()
+    }
+
+    println("[soakdiag-json] " + out.map { case (k, v) => s""""$k":$v""" }
+      .mkString(s"""{"dir":"$dir",""", ",", "}"))
+    spark.stop()
+  }
+}

@@ -642,7 +642,22 @@ object Multimodal {
     * banding derives from `BlockMeanHash.Bits`; 52 bits is the DuckDB-
     * replayable width the oracle contract pins.
     */
-  def mediaNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def mediaNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    mediaBandCandidates(hashes, maxHamming)
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Shared m5/m6 candidate stage: the pigeonhole band self-join over a
+    * (doc_id, phash) frame — distinct candidate pairs carrying both
+    * signatures for the Hamming verify [[mediaNearDupPairs]] applies.
+    * `private[graft]` so [[graft.SoakDiag]] can count candidates at soak
+    * scale without duplicating the band layout.
+    */
+  private[graft] def mediaBandCandidates(hashes: DataFrame,
+                                         maxHamming: Int): DataFrame = {
     val nBits = graft.expressions.BlockMeanHash.Bits
     val nBands = maxHamming + 1
     val bandExprs = (0 until nBands).map { j =>
@@ -659,11 +674,6 @@ object Multimodal {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.phash").as("ha"), col("b.phash").as("hb"))
       .distinct()
-      .withColumn("hamming",
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** m6: media dedup clusters — [[mediaNearDupPairs]] at radius 7 (~13% of

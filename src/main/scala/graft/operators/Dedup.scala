@@ -107,6 +107,30 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String,
                         threshold: Double = 0.8,
                         release: Boolean = true): DataFrame = {
+    val (docs, prefix, candidates) = ngramCandidates(spark, dir, threshold)
+
+    val verified = candidates
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+    if (release) materializeAndRelease(verified, docs, prefix) else verified
+  }
+
+  /** Shared d2/d24 candidate stage: the prefix-filtered (AllPairs)
+    * candidate pairs at `threshold`, plus the two caches — shingled docs
+    * and exploded prefix — the caller must release. `private[graft]` so
+    * the soak-diagnostics ledger ([[graft.SoakDiag]]) can count
+    * candidates (the quantity the verify join's shuffle scales with)
+    * without duplicating the pipeline.
+    */
+  private[graft] def ngramCandidates(spark: SparkSession, dir: String,
+      threshold: Double): (DataFrame, DataFrame, DataFrame) = {
     val docs = docShingles(spark, dir).cache()
     val ds = docs.select(col("doc_id"), explode(col("sh")).as("s"))
 
@@ -148,18 +172,7 @@ object Dedup {
           col("a.n").cast("double") >= col("b.n") * threshold - 1e-9)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-
-    val verified = candidates
-      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("shared").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("shared")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
-    if (release) materializeAndRelease(verified, docs, prefix) else verified
+    (docs, prefix, candidates)
   }
 
   /** The naive all-pairs shingle self-join — the correctness baseline for
@@ -465,8 +478,8 @@ object Dedup {
     * `jaccard`) plus the caches to release; callers filter/shape. The
     * pair orientation is (id_s = smaller set, id_l = larger).
     */
-  private def containmentVerified(spark: SparkSession, dir: String,
-                                  threshold: Double): (DataFrame, Seq[DataFrame]) = {
+  private[graft] def containmentVerified(spark: SparkSession, dir: String,
+                                         threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val docs = docShingles(spark, dir).cache()
     val ds = docs.select(col("doc_id"), explode(col("sh")).as("s"))
 
@@ -1382,27 +1395,36 @@ object Dedup {
   def simhashNearDupPairs(spark: SparkSession, dir: String,
                           maxHamming: Int = 3,
                           release: Boolean = true): DataFrame = {
-    val bandBits = SimHashBits / 4 // 13-bit bands
     val sigs = simhashSignatures(spark, dir).cache()
-    val bands = sigs.select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .select(col("doc_id"), col("simhash"), col("band"),
-        expr(s"shiftright(simhash, band * $bandBits) & ${(1L << bandBits) - 1}")
-          .as("bkey"))
-    val candidates = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
-    val result = candidates
+    val result = simhashCandidates(sigs)
       .withColumn("hamming",
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
     if (release) materializeAndRelease(result, sigs) else result
+  }
+
+  /** Shared d9 candidate stage: the 13-bit-band LSH self-join over a
+    * simhash-signatures frame, distinct candidate pairs carrying both
+    * signatures (`sh_a`, `sh_b`) for the Hamming verify the caller
+    * applies. `private[graft]` so [[graft.SoakDiag]] can count
+    * candidates at soak scale without duplicating the band layout.
+    */
+  private[graft] def simhashCandidates(sigs: DataFrame): DataFrame = {
+    val bandBits = SimHashBits / 4 // 13-bit bands
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band"),
+        expr(s"shiftright(simhash, band * $bandBits) & ${(1L << bandBits) - 1}")
+          .as("bkey"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
   }
 
   /** Hamming distance between two 64-bit signatures (for tests/probing). */
@@ -1861,31 +1883,43 @@ object Dedup {
     *
     * Scale shape: ONE exact PPJoin pass ([[ngramJaccardPairs]]) at the
     * grid FLOOR — the prefix filter keeps it an exact similarity join at
-    * corpus scale — then every grid row is aggregation over that (small)
-    * cached pair set plus one scalar corpus count; the sweep adds zero
-    * corpus passes per extra threshold. Grid comparisons bind on the
-    * 4dp-ROUNDED jaccard (the s9 boundary-pin convention), so a pair
-    * sitting exactly on a grid value lands the same side in both engines.
+    * corpus scale — then the whole grid is ONE grouped pass over the
+    * (small) cached pair set (r9; previously |grid| separate
+    * countDistinct shuffles): each pair fans out to the grid values its
+    * jaccard clears (≤ |grid| rows) × its two endpoints, and a single
+    * groupBy computes every grid row's pair count (count/2 — each pair
+    * contributes both endpoints) and distinct-doc count together. Grid
+    * values no pair clears are restored by a left join from the literal
+    * grid frame, mirroring the twin's `ks LEFT JOIN u` shape. Grid
+    * comparisons bind on the 4dp-ROUNDED jaccard (the s9 boundary-pin
+    * convention), so a pair sitting exactly on a grid value lands the
+    * same side in both engines.
     */
   def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val floor = ThresholdSweep.min
     val pairs = ngramJaccardPairs(spark, dir, threshold = floor).cache()
     val nDocs = Tables.documentsParallel(spark, dir).count()
-    val grid = ThresholdSweep.map { t =>
-      pairs.filter(col("jaccard") >= t)
-        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"),
-          col("id_a"), col("id_b"))
-        .agg(
-          lit(t).as("threshold"),
-          (count(lit(1)) / 2).cast("long").as("n_pairs"),
-          countDistinct(col("doc_id")).as("n_docs_affected"))
-        .select(col("threshold"), col("n_pairs"), col("n_docs_affected"),
-          // empty-corpus guard: 0/0 would be NaN, and a 0-doc sweep's
-          // affected fraction is zero by definition
-          (if (nDocs == 0) lit(0.0)
-           else round(col("n_docs_affected").cast("double") / nDocs + 1e-9, 6))
-            .as("frac_affected"))
-    }.reduce(_.unionAll(_)).orderBy(col("threshold"))
+    val counts = pairs
+      .select(explode(filter(array(ThresholdSweep.map(lit): _*),
+          t => col("jaccard") >= t)).as("threshold"),
+        col("id_a"), col("id_b"))
+      .select(col("threshold"),
+        explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .groupBy(col("threshold"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("doc_id")).as("n_docs_affected"))
+    import spark.implicits._
+    val grid = ThresholdSweep.toDF("threshold")
+      .join(counts, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"))
+      .withColumn("frac_affected",
+        // empty-corpus guard: 0/0 would be NaN, and a 0-doc sweep's
+        // affected fraction is zero by definition
+        if (nDocs == 0) lit(0.0)
+        else round(col("n_docs_affected").cast("double") / nDocs + 1e-9, 6))
+      .orderBy(col("threshold"))
     materializeAndRelease(grid, pairs)
   }
 }
