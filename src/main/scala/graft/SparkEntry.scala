@@ -1351,18 +1351,27 @@ object SparkEntry {
           AS pct_of_orders
       FROM g CROSS JOIN t ORDER BY bucket""",
 
-    // m3: closed-form replay of the strided frame sampler over the
-    // rolling-hash frame count.
+    // m3 (real frames since r9): closed-form replay of the strided REAL
+    // GIF decode — the m12 pixel contract (phash = 2^52 − 2^(2s)) at
+    // m3's own stride and (n_sampled, sum_hash) column surface.
     "m3_frame_samples" -> s"""
-      WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
-      b AS (SELECT doc_id, ${RollingHashBytesSql("h")} AS bytes FROM hx),
-      r AS (SELECT doc_id, ${RollingHashReduceSql("bytes")} AS hsh FROM b),
-      f AS (SELECT doc_id, 1 + ((hsh // 1048576) % 16) AS n_frames FROM r),
-      s AS (SELECT doc_id, (n_frames + 3) // 4 AS n_sampled FROM f)
-      SELECT doc_id, CAST(n_sampled AS BIGINT) AS n_sampled,
-        CAST(doc_id * 31 * n_sampled + 4 * (n_sampled * (n_sampled - 1) // 2) AS BIGINT)
-          AS sum_hash
-      FROM s ORDER BY doc_id""",
+      WITH f AS (
+        SELECT doc_id,
+          CAST(unnest(range(0, 2 + doc_id % 7,
+            ${graft.multimodal.Multimodal.FrameSampleStride})) AS BIGINT) AS i
+        FROM documents),
+      sp AS (
+        SELECT doc_id, i,
+          1 + (doc_id * 5 + i * 3) % ${graft.multimodal.Multimodal.PixelSplitMod} AS s
+        FROM f),
+      p AS (
+        SELECT doc_id,
+          (CAST(1 AS BIGINT) << 52) - (CAST(1 AS BIGINT) << CAST(2 * s AS INT))
+            AS phash
+        FROM sp)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+        CAST(sum(phash) AS BIGINT) AS sum_hash
+      FROM p GROUP BY doc_id ORDER BY doc_id""",
 
     // d4: per-bit majority over hash52 of tokens — hash52 is reproduced by
     // ('0x' || md5-prefix)::BIGINT, so the full 52-bit signature matches.

@@ -358,18 +358,29 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** m3's frame stride (every 4th frame — the historical m3 cadence,
+    * distinct from m12's [[PixelStride]]). Interpolated into the twin.
+    */
+  val FrameSampleStride = 4
+
   /** m3: per-document frame-sample aggregation — the flatMap fan-out of
-    * [[sampleFrames]] re-aggregated (count + hash checksum per doc). The
-    * whole path (decode → stride sample → relational agg) is deterministic
-    * arithmetic over the rolling hash, so the oracle replays it in closed
-    * form.
+    * the frame sampler re-aggregated (count + fingerprint checksum per
+    * doc). Since r9 the registered form rides the REAL pixel sampler
+    * ([[pixelFrameSamples]] over [[syntheticGifMedia]], JDK GIF codec,
+    * stride [[FrameSampleStride]]) — the stub sampler
+    * ([[sampleFrames]]/[[decodeStub]]) survives only as the documented
+    * metadata-decode seam default for m1/m2/m4 and as spec fixtures.
+    * `sum_hash` is the checksum of real 52-bit block-mean frame hashes;
+    * the oracle replays it in closed form because the fixture pixels are
+    * deterministic in (doc_id, frame_idx) — the same m12 contract,
+    * at m3's own stride and column surface.
     */
   def frameSampleStats(spark: SparkSession, dir: String): DataFrame =
-    sampleFrames(spark, dir)
+    pixelFrameSamples(syntheticGifMedia(spark, dir), FrameSampleStride)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("long").as("n_sampled"),
-        sum(col("frame_hash")).cast("long").as("sum_hash"))
+        sum(col("frame_phash")).cast("long").as("sum_hash"))
       .orderBy(col("doc_id"))
 
   /** Welford running-moment accumulator — the numerically-stable

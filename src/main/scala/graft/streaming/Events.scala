@@ -635,7 +635,13 @@ object Events {
     * minutes)`, and this query is how an operator validates that bound
     * against the firehose before trusting it (n_late at grace g = the
     * rows a g-second watermark would drop; max_lateness = the delay that
-    * would have lost nothing).
+    * would have lost nothing). The drop equivalence is asserted
+    * end-to-end in StreamingSpec against a real `withWatermark` replay,
+    * with one boundary caveat the spec pins: the engine's state-eviction
+    * predicate is `ts <= watermark`, so an arrival late by EXACTLY the
+    * grace is dropped even though the audit's strict `late_us > g` does
+    * not count it — size a production watermark from `max_lateness` with
+    * a one-tick margin.
     *
     * Scale shape: one running-max window PARTITIONED by user and ordered
     * by arrival — a partition never exceeds one user's event count (the

@@ -203,6 +203,40 @@ class DedupSpec extends AnyFunSuite {
     dir
   }
 
+  test("d17 positional filter kills boilerplate probes before the verify join") {
+    // The adversarial shape that spilled tens of GB in the first 100×
+    // soak attempt: a short "stub" page S whose rare-first PREFIX is its
+    // syndication header (c-block, df = 21: S + the 20 host pages),
+    // because everything else S carries is an even COMMONER footer
+    // (f-block, df = 31 via the chaff docs — commoner shingles sort
+    // AFTER rarer ones, so the header lands in the prefix while
+    // containment stays far below τ). S's prefix probes every host in
+    // the candidate equi-join, but the c-windows occupy the LAST 5
+    // positions of each host's own rare-first list (hosts are dominated
+    // by unique content), so the positional bound min(n_s−i, n_l−j) ≤ 5
+    // can never reach the required overlap ⌈0.8·15⌉ = 12 — all 20
+    // probes must die in the aggregated candidate stage, BEFORE the
+    // verify join ships shingle arrays. Pinned by candidate COUNT so a
+    // positional-filter regression is caught here, not by a soak re-run.
+    val fBlock = (0 until 10).map(i => s"foot$i")
+    val cBlock = (0 until 7).map(i => s"head$i")
+    val stub = (fBlock ++ cBlock).mkString(" ")
+    val hosts = (0 until 20).map { k =>
+      (100L + k, ((0 until 40).map(j => s"h${k}u$j") ++ cBlock).mkString(" "))
+    }
+    val chaff = (0 until 30).map { k =>
+      (200L + k, ((0 until 30).map(j => s"x${k}u$j") ++ fBlock).mkString(" "))
+    }
+    val dir = writeDocs("graft_d17_positional", ((1L, stub) +: hosts) ++ chaff)
+    val (verified, caches) = Dedup.containmentVerified(spark, dir, 0.8)
+    val nCand = verified.count()
+    caches.foreach(_.unpersist(true))
+    assert(nCand == 0, s"positional filter regressed: $nCand boilerplate " +
+      "probes reached the verify join (the unfiltered candidate join admits 20)")
+    // and nothing here is a true pair, so the registered output is empty
+    assert(Dedup.containmentPairs(spark, dir).count() == 0)
+  }
+
   test("d17 containment catches the near-subset pair Jaccard structurally misses") {
     // the dominant web-crawl duplication mode: the same 22-token article
     // syndicated inside a 62-token boilerplate wrapper. All 20 of the

@@ -499,6 +499,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st8 sizes the watermark: a grace-second watermark drops exactly n_late rows") {
+    // st8's claim is operational: "n_late at grace g = the rows a
+    // g-second watermark would drop". The organic events fixture is
+    // perfectly ordered (max_lateness 0 at every SF), so this plants a
+    // disordered per-user stream and closes the loop: the SAME arrivals,
+    // (a) audited by the batch disorderAudit, (b) replayed one arrival
+    // per micro-batch through withWatermark(grace) + a stateful op — so
+    // the engine watermark advances exactly like the audit's running
+    // max — must drop exactly n_late rows. Per-user streams make the
+    // GLOBAL engine watermark coincide with the per-user running max the
+    // audit reasons about. Boundary: the engine's eviction predicate is
+    // `ts <= watermark` — an arrival late by EXACTLY the grace is
+    // dropped by the engine but NOT counted by the audit's strict
+    // `late_us > g`, so equality is asserted away from the boundary and
+    // the one-tick difference is pinned as its own case below (which is
+    // why sizing a production watermark straight from max_lateness needs
+    // a one-tick margin).
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def ts(off: Long) = java.sql.Timestamp.from(t0.plusSeconds(off))
+    // arrival-ordered event-time offsets (seconds); grace = 600 s:
+    // late by 650 s, 700 s, 1200 s -> 3 drops; 550 s late -> kept
+    val user1 = Seq(0L, 1000L, 450L, 350L, 2000L, 1500L, 1300L, 2100L, 900L, 2200L)
+    val user2 = Seq(0L, 100L, 200L, 300L) // fully ordered control
+    val user3 = Seq(0L, 1000L, 400L)      // one arrival EXACTLY grace late
+    val dir = java.nio.file.Files.createTempDirectory("graft_st8_twin").toString
+    (user1.zipWithIndex.map { case (off, i) => (i + 1L, ts(off), 1L) } ++
+      user2.zipWithIndex.map { case (off, i) => (i + 100L, ts(off), 2L) } ++
+      user3.zipWithIndex.map { case (off, i) => (i + 200L, ts(off), 3L) })
+      .toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val audit = Events.disorderAudit(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(audit(1L) == ((10L, 3L, 1200L * 1000000L)), s"audit=${audit(1L)}")
+    assert(audit(2L) == ((4L, 0L, 0L)), s"audit=${audit(2L)}")
+    assert(audit(3L) == ((3L, 0L, 600L * 1000000L)), s"audit=${audit(3L)}")
+
+    // user3's exactly-at-grace arrival: audit keeps it (strict >), the
+    // engine's <= eviction drops it — the one-tick boundary, pinned
+    for ((uid, offs, expDrops) <- Seq((1L, user1, 3L), (2L, user2, 0L),
+                                      (3L, user3, 1L))) {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      val q = mem.toDF().toDF("event_id", "ts")
+        .withWatermark("ts", s"${Events.DisorderGraceSeconds} seconds")
+        .dropDuplicates("event_id")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"st8_twin_$uid").start()
+      try {
+        offs.zipWithIndex.foreach { case (off, i) =>
+          mem.addData((i + 1L, ts(off)))
+          q.processAllAvailable() // one micro-batch per arrival
+        }
+        val survived = spark.sql(s"SELECT count(*) FROM st8_twin_$uid")
+          .collect()(0).getLong(0)
+        assert(offs.size - survived == expDrops,
+          s"user $uid: watermark dropped ${offs.size - survived}, expected $expDrops")
+      } finally q.stop()
+    }
+  }
+
   test("file stream discovers newly-landed files incrementally") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
