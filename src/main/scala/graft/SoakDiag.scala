@@ -84,17 +84,24 @@ object SoakDiag {
       v.unpersist(); caches.foreach(_.unpersist())
     }
 
-    // d9: band candidates, then Hamming-verified pairs
+    // d9: distinct band candidates (what the pre-r9 pipeline shuffled),
+    // raw band-join rows (what the r9 filter-first pipeline scans), and
+    // Hamming-verified pairs. No caching: the raw volume is the hazard
+    // being measured, so each count re-runs the (cheap) band join.
     locally {
       val sigs = operators.Dedup.simhashSignatures(spark, dir).cache()
-      val cand = operators.Dedup.simhashCandidates(sigs).cache()
-      time("d9_candidates") { cand.count() }
+      def cand = operators.Dedup.simhashCandidates(sigs)
+      time("d9_band_rows") { cand.count() }
+      time("d9_candidates") {
+        cand.select(col("id_a"), col("id_b")).distinct().count()
+      }
       time("d9_pairs") {
         cand.withColumn("hamming",
             bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-          .filter(col("hamming") <= 3).count()
+          .filter(col("hamming") <= 3)
+          .select(col("id_a"), col("id_b")).distinct().count()
       }
-      cand.unpersist(); sigs.unpersist()
+      sigs.unpersist()
     }
 
     // d21: no pair set exists — the cost drivers are total window-hash
@@ -108,17 +115,23 @@ object SoakDiag {
       time("d21_shared_windows") { Option(span.get(1)).fold(0L)(_.toString.toLong) }
     }
 
-    // m6: pigeonhole band candidates at radius 7, then verified pairs
+    // m6: distinct pigeonhole candidates at radius 7 (pre-r9 shuffle),
+    // raw band rows (r9 scan volume), and verified pairs — uncached for
+    // the same reason as d9
     locally {
       val hashes = multimodal.Multimodal.perceptualHashes(spark, dir).cache()
-      val cand = multimodal.Multimodal.mediaBandCandidates(hashes, 7).cache()
-      time("m6_candidates") { cand.count() }
+      def cand = multimodal.Multimodal.mediaBandCandidates(hashes, 7)
+      time("m6_band_rows") { cand.count() }
+      time("m6_candidates") {
+        cand.select(col("id_a"), col("id_b")).distinct().count()
+      }
       time("m6_pairs") {
         cand.withColumn("hamming",
             bit_count(col("ha").bitwiseXOR(col("hb"))))
-          .filter(col("hamming") <= 7).count()
+          .filter(col("hamming") <= 7)
+          .select(col("id_a"), col("id_b")).distinct().count()
       }
-      cand.unpersist(); hashes.unpersist()
+      hashes.unpersist()
     }
 
     println("[soakdiag-json] " + out.map { case (k, v) => s""""$k":$v""" }

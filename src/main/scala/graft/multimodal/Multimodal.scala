@@ -654,18 +654,27 @@ object Multimodal {
     * replayable width the oracle contract pins.
     */
   def mediaNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    // verify BEFORE collapsing band multiplicity (r9): at radius 7 the 8
+    // bands are only 6–7 bits wide, so the band join's raw collision
+    // volume is enormous relative to true pairs (167M rows → 196k pairs
+    // at the 10× soak) — the codegen'd bit_count costs ~nothing per row,
+    // while `.distinct()` is a full shuffle of whatever it is fed.
+    // Filtering first shrinks that shuffle by ~three orders of
+    // magnitude; the result is identical (hamming is pair-determined).
     mediaBandCandidates(hashes, maxHamming)
       .withColumn("hamming",
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
 
   /** Shared m5/m6 candidate stage: the pigeonhole band self-join over a
-    * (doc_id, phash) frame — distinct candidate pairs carrying both
-    * signatures for the Hamming verify [[mediaNearDupPairs]] applies.
-    * `private[graft]` so [[graft.SoakDiag]] can count candidates at soak
-    * scale without duplicating the band layout.
+    * (doc_id, phash) frame — RAW band matches (multiplicity up to the
+    * band count), each carrying both signatures so the Hamming verify
+    * needs no join; callers filter first, THEN collapse multiplicity
+    * (see [[mediaNearDupPairs]]). `private[graft]` so [[graft.SoakDiag]]
+    * can count candidates at soak scale without duplicating the layout.
     */
   private[graft] def mediaBandCandidates(hashes: DataFrame,
                                          maxHamming: Int): DataFrame = {
@@ -684,7 +693,6 @@ object Multimodal {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.phash").as("ha"), col("b.phash").as("hb"))
-      .distinct()
   }
 
   /** m6: media dedup clusters — [[mediaNearDupPairs]] at radius 7 (~13% of

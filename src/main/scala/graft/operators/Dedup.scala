@@ -1396,20 +1396,30 @@ object Dedup {
                           maxHamming: Int = 3,
                           release: Boolean = true): DataFrame = {
     val sigs = simhashSignatures(spark, dir).cache()
+    // verify BEFORE collapsing band multiplicity (r9): the Hamming check
+    // is a codegen'd bit_count on columns the band rows already carry —
+    // ~free per row — while `.distinct()` is a full shuffle of the band
+    // join's output. Filtering first shrinks that shuffle from the raw
+    // collision volume (47.7M rows at the 10× soak) to the verified
+    // near-dups (329k), two orders of magnitude; the result set is
+    // identical because hamming is a function of the pair.
     val result = simhashCandidates(sigs)
       .withColumn("hamming",
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
     if (release) materializeAndRelease(result, sigs) else result
   }
 
   /** Shared d9 candidate stage: the 13-bit-band LSH self-join over a
-    * simhash-signatures frame, distinct candidate pairs carrying both
-    * signatures (`sh_a`, `sh_b`) for the Hamming verify the caller
-    * applies. `private[graft]` so [[graft.SoakDiag]] can count
-    * candidates at soak scale without duplicating the band layout.
+    * simhash-signatures frame — RAW band matches (multiplicity up to the
+    * band count), each carrying both signatures (`sh_a`, `sh_b`) so the
+    * caller's Hamming verify needs no join; callers filter first, THEN
+    * collapse multiplicity (see [[simhashNearDupPairs]]).
+    * `private[graft]` so [[graft.SoakDiag]] can count candidates at soak
+    * scale without duplicating the band layout.
     */
   private[graft] def simhashCandidates(sigs: DataFrame): DataFrame = {
     val bandBits = SimHashBits / 4 // 13-bit bands
@@ -1424,7 +1434,6 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
   }
 
   /** Hamming distance between two 64-bit signatures (for tests/probing). */
