@@ -220,6 +220,15 @@ object SparkEntry {
     "q57_funnel"              -> Extended.funnel _,
     "s14_recall_curve"        -> ((s: SparkSession, d: String) => Similarity.recallCurve(s, d)),
     "st8_disorder_audit"      -> ((s: SparkSession, d: String) => Events.disorderAudit(s, d)),
+    // batch 16 (round 9): the quality damage curve (d24's sweep pattern
+    // for the curation cut), cluster-size distribution, SCD2 interval
+    // reconstruction, and the level-crossing audio screen
+    "t33_quality_sweep"       -> ((s: SparkSession, d: String) =>
+                                   TextAnalysis.qualityThresholdSweep(s, d)),
+    "d25_cluster_sizes"       -> ((s: SparkSession, d: String) =>
+                                   Dedup.clusterSizeDistribution(s, d)),
+    "q58_scd2_intervals"      -> Extended.scd2Intervals _,
+    "m14_level_crossings"     -> Multimodal.audioLevelCrossings _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -2886,6 +2895,77 @@ object SparkEntry {
           ${graft.streaming.Events.DisorderGraceSeconds} * 1000000) AS BIGINT) AS n_late,
         CAST(max(late_us) AS BIGINT) AS max_lateness_us
       FROM r GROUP BY user_id ORDER BY user_id""",
+
+    // t33: the d24 grid-left-join shape over the t1 quality score; grid
+    // values and the 4dp score binding interpolate from the Scala side.
+    "t33_quality_sweep" -> s"""
+      WITH t1 AS ($TextStatsOracleSql),
+      tot AS (SELECT count(*) AS nd, coalesce(sum(n_tokens), 0) AS nt FROM t1),
+      ks AS (SELECT unnest([${graft.operators.TextAnalysis.QualitySweep.mkString(", ")}])
+               AS threshold),
+      k AS (
+        SELECT ks.threshold,
+          count(t1.doc_id) AS n_docs_kept,
+          coalesce(sum(t1.n_tokens), 0) AS n_tokens_kept
+        FROM ks LEFT JOIN t1 ON t1.quality_score >= ks.threshold
+        GROUP BY ks.threshold)
+      SELECT k.threshold AS threshold,
+        CAST(n_docs_kept AS BIGINT) AS n_docs_kept,
+        CAST(n_tokens_kept AS BIGINT) AS n_tokens_kept,
+        round(CAST(n_docs_kept AS DOUBLE) / tot.nd + 0.000000001, 6) AS doc_kept_frac,
+        round(CAST(n_tokens_kept AS DOUBLE) / tot.nt + 0.000000001, 6) AS token_kept_frac
+      FROM k CROSS JOIN tot ORDER BY threshold""",
+
+    // d25: d6's cluster CTEs, then two size-grouped rollups.
+    "d25_cluster_sizes" -> s"""
+      $NearDupClustersCtes,
+      cl AS (SELECT doc AS doc_id, min(other) AS cluster_root
+             FROM reach GROUP BY doc),
+      cs AS (SELECT cluster_root, CAST(count(*) AS BIGINT) AS cluster_size
+             FROM cl GROUP BY 1)
+      SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+      FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
+
+    // q58: identical (ts, event_id) arrival order in both engines; the
+    // repeat-collapse filter and the episode lead are the same two
+    // windows.
+    "q58_scd2_intervals" -> """
+      WITH l AS (
+        SELECT user_id, event_id, ts, event_type,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev_type
+        FROM events),
+      ep AS (
+        SELECT user_id, event_id, ts, event_type FROM l
+        WHERE prev_type IS NULL OR prev_type <> event_type),
+      iv AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS valid_to
+        FROM ep)
+      SELECT user_id, state, valid_from, valid_to,
+        valid_to IS NULL AS is_current
+      FROM iv ORDER BY user_id, valid_from""",
+
+    // m14: the m10 byte decode, then pairwise level comparisons — level
+    // and flag rate interpolate from the Scala constants.
+    "m14_level_crossings" -> s"""
+      WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+      b AS (SELECT doc_id, ${RollingHashBytesSql("h")} AS bytes FROM hx),
+      c AS (SELECT doc_id, CAST(len(bytes) AS BIGINT) AS n_samples,
+              CAST(coalesce(len(list_filter(range(2, len(bytes) + 1),
+                i -> (bytes[i] < ${graft.expressions.PcmLevelCrossings.CrossLevel})
+                  <> (bytes[i - 1] < ${graft.expressions.PcmLevelCrossings.CrossLevel}))), 0)
+                AS BIGINT) AS n_crossings
+            FROM b),
+      f AS (SELECT doc_id, n_samples, n_crossings,
+              round(CAST(n_crossings AS DOUBLE) / greatest(n_samples - 1, 1)
+                + 0.000000001, 6) AS crossing_rate
+            FROM c)
+      SELECT doc_id, n_samples, n_crossings, crossing_rate,
+        crossing_rate > ${graft.multimodal.Multimodal.HighFreqRate} AS high_freq
+      FROM f ORDER BY doc_id""",
   )
 
   /** The s2/s6/s7 dynamic-bucket LSH candidate CTEs: `lb` replays

@@ -758,6 +758,42 @@ object Multimodal {
     * the 6dp+nudge round pins the fraction (and therefore the boundary
     * verdict) across engines.
     */
+  /** m14's flag level: a payload whose level-crossing RATE (crossings per
+    * consecutive-sample pair) exceeds this is high-frequency-suspect —
+    * noise/fricative-dominated in real audio, staccato punctuation-dense
+    * text in the stand-in corpus. Splits the fixture distribution
+    * (measured min 0.35 / median 0.49) so both verdicts occur.
+    * Interpolated into the twin.
+    */
+  val HighFreqRate = 0.48
+
+  /** m14: level-crossing (zero-crossing-class) audio screen — per
+    * payload, the [[graft.expressions.PcmLevelCrossings]] count at the
+    * registered reference level, the rate per consecutive-sample pair,
+    * and the high-frequency verdict at [[HighFreqRate]]. The cheapest
+    * spectral proxy in audio curation (speech low, noise high) — routes
+    * payloads before any FFT is paid, next to m7's energy profile and
+    * m10's clipping audit.
+    *
+    * Scale shape: one codegen'd integer fold per row, shuffle-free; the
+    * 6dp+nudge round pins the rate (and so the boundary verdict) across
+    * engines.
+    */
+  def audioLevelCrossings(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.PcmLevelCrossings.register(spark)
+    Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_samples"),
+        expr("pcm_level_crossings(payload)").cast("long").as("n_crossings"))
+      .select(col("doc_id"), col("n_samples"), col("n_crossings"),
+        round(col("n_crossings").cast("double") /
+          greatest(col("n_samples") - 1, lit(1L)) + 1e-9, 6)
+          .as("crossing_rate"))
+      .withColumn("high_freq", col("crossing_rate") > HighFreqRate)
+      .orderBy(col("doc_id"))
+  }
+
   def audioClipping(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.PcmClipCount.register(spark)
     Tables.documentsParallel(spark, dir)

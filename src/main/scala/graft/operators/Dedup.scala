@@ -278,6 +278,31 @@ object Dedup {
     materializeAndRelease(result, pairs)
   }
 
+  /** d25: near-dup cluster-size distribution — the "how duplicated is
+    * this corpus" summary a curation review reads before trusting d7's
+    * survivor pass: one row per observed cluster size with the number of
+    * clusters and documents at that size. Web crawls are Zipfian here
+    * (many pairs, a fat tail of template families); a spike at a large
+    * size is the signature of boilerplate chaining (see d22 for the
+    * per-cluster forensics). Singleton documents never enter the pair
+    * graph, so sizes start at 2 — the size-1 row would be |corpus| minus
+    * covered docs, derivable from d23's totals.
+    *
+    * Scale shape: rides the SAME d3 pair scan + connected components d6
+    * uses; past the cluster labels it is two key-grouped aggregations on
+    * cluster-count-sized data — nothing touches the corpus again.
+    */
+  def clusterSizeDistribution(spark: SparkSession, dir: String,
+                              threshold: Double = 0.8): DataFrame =
+    nearDupClusters(spark, dir, threshold)
+      .groupBy(col("cluster_root"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).cast("long").as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** After this many one-hop rounds without convergence, each further round
     * ALSO pointer-jumps (root := root-of-root), doubling the propagated
     * distance per round — total rounds O([[PointerJumpAfter]] + log

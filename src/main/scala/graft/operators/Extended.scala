@@ -925,4 +925,36 @@ object Extended {
         round(col("n_purchased").cast("double") / col("n_viewers") + 1e-9, 6))
       .orderBy(col("day"))
   }
+
+  /** q58: SCD2 validity intervals from a change-event stream — the
+    * slowly-changing-dimension reconstruction every warehouse load runs:
+    * treating each user's event_type as their current state, collapse
+    * consecutive repeats and emit one row per state EPISODE with
+    * `[valid_from, valid_to)` and an `is_current` flag (open interval =
+    * NULL valid_to), so a point-in-time join can ask "what state was
+    * user u in at time t". Determinism: arrival order within a user is
+    * `(ts, event_id)` — event_id breaks same-instant ties identically in
+    * both engines.
+    *
+    * Scale shape: two windows, both PARTITIONED by user (the st8/q55
+    * bound — a partition never outgrows one user's event count) and on
+    * the SAME partitioning key, so the second window reuses the first's
+    * exchange; the repeat-collapse filter runs between them map-side. No
+    * global sort, no self-join against the event table.
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
 }

@@ -1298,4 +1298,57 @@ object TextAnalysis {
     if (release) { val out = result.localCheckpoint(); tf.unpersist(); out }
     else result
   }
+
+  /** The t33 sweep grid — the candidate quality cuts a curation pass is
+    * tuned over; includes t13's production rule value 0.3. Interpolated
+    * into the DuckDB twin.
+    */
+  val QualitySweep: Seq[Double] = Seq(0.3, 0.4, 0.5, 0.6, 0.7)
+
+  /** t33: quality-threshold sensitivity sweep — the curation counterpart
+    * of d24's dedup damage curve: before committing a corpus to the
+    * quality cut t13 applies at 0.3, how many documents — and, the number
+    * that actually prices a pretraining run, how many TOKENS — survive
+    * each candidate threshold? One row per grid value: docs kept, tokens
+    * kept, both as corpus fractions.
+    *
+    * Scale shape: ONE t1 stats scan; the whole grid is a single grouped
+    * pass (the d24 r9 fold applied from birth): each doc fans out to the
+    * grid values its 4dp-rounded quality score clears (≤ |grid| rows),
+    * one groupBy computes every grid row, and a left join from the
+    * literal grid frame restores thresholds nothing clears — zero corpus
+    * passes per extra threshold. Comparisons bind on t1's published
+    * 4dp rounding, pinning grid-boundary docs across engines.
+    */
+  def qualityThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val stats = textStats(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val totals = stats
+      .agg(count(lit(1)).cast("long").as("nd"),
+        coalesce(sum(col("n_tokens")), lit(0L)).cast("long").as("nt"))
+      .collect()(0)
+    val (nDocs, nTokens) = (totals.getLong(0), totals.getLong(1))
+    val counts = stats
+      .select(explode(filter(array(QualitySweep.map(lit): _*),
+          t => col("quality_score") >= t)).as("threshold"),
+        col("n_tokens"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).cast("long").as("n_docs_kept"),
+        sum(col("n_tokens")).cast("long").as("n_tokens_kept"))
+    import spark.implicits._
+    QualitySweep.toDF("threshold")
+      .join(counts, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+      .withColumn("doc_kept_frac",
+        // empty-corpus guard: a 0-doc sweep's kept fraction is zero by
+        // definition, never NaN (the d24/s14 grid-report contract)
+        if (nDocs == 0) lit(0.0)
+        else round(col("n_docs_kept").cast("double") / nDocs + 1e-9, 6))
+      .withColumn("token_kept_frac",
+        if (nTokens == 0) lit(0.0)
+        else round(col("n_tokens_kept").cast("double") / nTokens + 1e-9, 6))
+      .orderBy(col("threshold"))
+  }
 }

@@ -171,6 +171,20 @@ class EmptyInputSpec extends AnyFunSuite {
     }
   }
 
+  test("batch-16 operators behave on an empty corpus") {
+    // t33 is a grid report (the d24/s14 contract): one row per grid
+    // value, all zero, never a NaN
+    val sweep = graft.operators.TextAnalysis.qualityThresholdSweep(spark, emptyDir).collect()
+    assert(sweep.length == graft.operators.TextAnalysis.QualitySweep.length)
+    sweep.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L &&
+        r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0)
+    }
+    assert(graft.operators.Dedup.clusterSizeDistribution(spark, emptyDir).count() == 0)
+    assert(graft.operators.Extended.scd2Intervals(spark, emptyDir).count() == 0)
+    assert(graft.multimodal.Multimodal.audioLevelCrossings(spark, emptyDir).count() == 0)
+  }
+
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {
     // a global aggregate over zero rows still emits one row — pinned so the
     // contract is explicit, not accidental
