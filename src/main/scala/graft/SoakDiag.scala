@@ -84,19 +84,24 @@ object SoakDiag {
       v.unpersist(); caches.foreach(_.unpersist())
     }
 
-    // d9: distinct band candidates (what the pre-r9 pipeline shuffled),
-    // raw band-join rows (what the r9 filter-first pipeline scans), and
-    // Hamming-verified pairs. No caching: the raw volume is the hazard
-    // being measured, so each count re-runs the (cheap) band join.
+    // d9: band-join output volume priced in CLOSED FORM (Σ per-bucket
+    // C(s,2) — exactly what the equi-join emits, at O(n) cost), then the
+    // verified pairs through the r9 filter-first pipeline. The distinct
+    // candidate count (what the PRE-r9 pipeline shuffled) is not
+    // materialized here: at band-saturated scales it alone is a
+    // multi-hundred-second distinct — the very cost the r9 reorder
+    // removed — and the sf1/sf3 measurements already anchor that column.
     locally {
       val sigs = operators.Dedup.simhashSignatures(spark, dir).cache()
-      def cand = operators.Dedup.simhashCandidates(sigs)
-      time("d9_band_rows") { cand.count() }
-      time("d9_candidates") {
-        cand.select(col("id_a"), col("id_b")).distinct().count()
+      time("d9_band_rows") {
+        operators.Dedup.simhashBands(sigs)
+          .groupBy(col("band"), col("bkey")).count()
+          .agg(sum(col("count") * (col("count") - 1) / 2)).collect()(0)
+          .get(0) match { case null => 0L; case v => v.toString.toLong }
       }
       time("d9_pairs") {
-        cand.withColumn("hamming",
+        operators.Dedup.simhashCandidates(sigs)
+          .withColumn("hamming",
             bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
           .filter(col("hamming") <= 3)
           .select(col("id_a"), col("id_b")).distinct().count()
@@ -115,18 +120,21 @@ object SoakDiag {
       time("d21_shared_windows") { Option(span.get(1)).fold(0L)(_.toString.toLong) }
     }
 
-    // m6: distinct pigeonhole candidates at radius 7 (pre-r9 shuffle),
-    // raw band rows (r9 scan volume), and verified pairs — uncached for
-    // the same reason as d9
+    // m6: same scheme as d9 — closed-form band volume + filter-first
+    // pairs (at radius 7 the 6-7-bit bands saturate, so the volume is
+    // ~n²/8 and materializing a distinct over it is exactly the pre-r9
+    // cost the reorder removed)
     locally {
       val hashes = multimodal.Multimodal.perceptualHashes(spark, dir).cache()
-      def cand = multimodal.Multimodal.mediaBandCandidates(hashes, 7)
-      time("m6_band_rows") { cand.count() }
-      time("m6_candidates") {
-        cand.select(col("id_a"), col("id_b")).distinct().count()
+      time("m6_band_rows") {
+        multimodal.Multimodal.mediaBands(hashes, 7)
+          .groupBy(col("band"), col("bkey")).count()
+          .agg(sum(col("count") * (col("count") - 1) / 2)).collect()(0)
+          .get(0) match { case null => 0L; case v => v.toString.toLong }
       }
       time("m6_pairs") {
-        cand.withColumn("hamming",
+        multimodal.Multimodal.mediaBandCandidates(hashes, 7)
+          .withColumn("hamming",
             bit_count(col("ha").bitwiseXOR(col("hb"))))
           .filter(col("hamming") <= 7)
           .select(col("id_a"), col("id_b")).distinct().count()

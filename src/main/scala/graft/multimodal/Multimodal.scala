@@ -678,6 +678,22 @@ object Multimodal {
     */
   private[graft] def mediaBandCandidates(hashes: DataFrame,
                                          maxHamming: Int): DataFrame = {
+    val bands = mediaBands(hashes, maxHamming)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+  }
+
+  /** The m5/m6 band layout alone — `(doc_id, phash, band, bkey)`, one
+    * row per (doc, band). `private[graft]` so [[graft.SoakDiag]] can
+    * price the band join's output in closed form (Σ per-bucket C(s,2))
+    * without materializing it.
+    */
+  private[graft] def mediaBands(hashes: DataFrame,
+                                maxHamming: Int): DataFrame = {
     val nBits = graft.expressions.BlockMeanHash.Bits
     val nBands = maxHamming + 1
     val bandExprs = (0 until nBands).map { j =>
@@ -685,14 +701,8 @@ object Multimodal {
       val width = (j + 1) * nBits / nBands - start
       expr(s"shiftright(phash, $start) & ${(1L << width) - 1}")
     }
-    val bands = hashes.select(col("doc_id"), col("phash"),
-        posexplode(array(bandExprs: _*)).as(Seq("band", "bkey")))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.phash").as("ha"), col("b.phash").as("hb"))
+    hashes.select(col("doc_id"), col("phash"),
+      posexplode(array(bandExprs: _*)).as(Seq("band", "bkey")))
   }
 
   /** m6: media dedup clusters — [[mediaNearDupPairs]] at radius 7 (~13% of

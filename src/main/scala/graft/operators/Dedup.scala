@@ -1447,18 +1447,27 @@ object Dedup {
     * scale without duplicating the band layout.
     */
   private[graft] def simhashCandidates(sigs: DataFrame): DataFrame = {
-    val bandBits = SimHashBits / 4 // 13-bit bands
-    val bands = sigs.select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .select(col("doc_id"), col("simhash"), col("band"),
-        expr(s"shiftright(simhash, band * $bandBits) & ${(1L << bandBits) - 1}")
-          .as("bkey"))
+    val bands = simhashBands(sigs)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+  }
+
+  /** The d9 band layout alone — `(doc_id, simhash, band, bkey)`, one row
+    * per (doc, band). `private[graft]` so [[graft.SoakDiag]] can price
+    * the band join's output in closed form (Σ per-bucket C(s,2)) without
+    * materializing it.
+    */
+  private[graft] def simhashBands(sigs: DataFrame): DataFrame = {
+    val bandBits = SimHashBits / 4 // 13-bit bands
+    sigs.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band"),
+        expr(s"shiftright(simhash, band * $bandBits) & ${(1L << bandBits) - 1}")
+          .as("bkey"))
   }
 
   /** Hamming distance between two 64-bit signatures (for tests/probing). */
