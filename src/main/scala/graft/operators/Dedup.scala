@@ -154,9 +154,9 @@ object Dedup {
         // exactly, missed). 1e-9 is orders above the float error
         // (~1e-11 at n = 10^6) and orders below any genuine fractional
         // part of (1-τ)·n.
-        explode(slice(transform(col("ordered"), e => e.getField("s")), lit(1),
+        posexplode(slice(transform(col("ordered"), e => e.getField("s")), lit(1),
           (size(col("ordered")).cast("double") * (1.0 - threshold) + 1e-9)
-            .cast("int") + 1)).as("s"))
+            .cast("int") + 1)).as(Seq("i", "s")))
       .cache()
 
     // length filter (AllPairs): j >= τ forces |A∩B| >= τ·max(|A|,|B|) and
@@ -165,13 +165,40 @@ object Dedup {
     // the epsilon mirrors the prefix-length nudge: n·τ computes a hair
     // ABOVE the exact product (0.8 rounds up in binary), which would
     // wrongly prune |B| = τ·|A| exactly — the max-jaccard-equals-τ pairs
+    //
+    // POSITIONAL filter (PPJoin, r9 — d17's `:500-525` argument applied
+    // to the symmetric join): a shingle matched at 0-based positions
+    // (i, j) of the two rare-first-sorted prefixes bounds the overlap
+    // from above by min(n_a − i, n_b − j), because the sort order is the
+    // one global (df, s) order so every further common shingle sits
+    // AFTER the match in BOTH lists. j >= τ requires overlap >=
+    // ⌈τ·(n_a+n_b)/(1+τ)⌉, and for a TRUE pair the pair's EARLIEST
+    // common shingle is provably inside both prefixes (overlap >= minOv
+    // forces it within the first n − minOv + 1 positions of each side,
+    // and minOv >= τ·n on both sides via the length filter, so
+    // n − minOv <= (1−τ)·n < prefix length) — keeping pairs whose best
+    // observed bound clears the requirement drops NO true pair. What it
+    // drops is the boilerplate explosion: matches on common shingles sit
+    // near the END of both prefixes, their bound collapses, and the pair
+    // dies here as one aggregated row instead of shipping two shingle
+    // arrays into the verify join. The ε inside the ceil mirrors d17's:
+    // τ/(1+τ)·(n_a+n_b) lands within float error of an exact integer
+    // precisely at jaccard == τ pairs, and the raw ceil would then
+    // over-require by 1.
+    val minOv = ceil((col("a.n") + col("b.n")).cast("double")
+      * (threshold / (1.0 + threshold)) - 1e-9)
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           col("b.n").cast("double") >= col("a.n") * threshold - 1e-9 &&
           col("a.n").cast("double") >= col("b.n") * threshold - 1e-9)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        least(col("a.n") - col("a.i"), col("b.n") - col("b.i")).as("bound"),
+        minOv.as("min_ov"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("bound")).as("best_bound"), first(col("min_ov")).as("min_ov"))
+      .filter(col("best_bound") >= col("min_ov"))
+      .select(col("id_a"), col("id_b"))
     (docs, prefix, candidates)
   }
 
