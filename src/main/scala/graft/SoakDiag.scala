@@ -40,8 +40,16 @@ object SoakDiag {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_DIAG_ONLY: comma-separated metric-name prefixes — run
+    // only the matching sections (resume a partial sweep without
+    // re-paying the completed ones)
+    val only = sys.env.get("SPARK_GRAFT_DIAG_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def wanted(prefix: String): Boolean =
+      only.forall(_.exists(prefix.startsWith))
+
     val out = scala.collection.mutable.LinkedHashMap[String, Long]()
-    def time(name: String)(f: => Long): Unit = {
+    def time(name: String)(f: => Long): Unit = if (wanted(name)) {
       val t0 = System.nanoTime()
       val n = f
       out(name) = n
@@ -74,14 +82,17 @@ object SoakDiag {
     }
 
     // d17/d19: candidates AFTER the positional filter (the verify join's
-    // input — the number the r8 232.8 s wall is judged by), then output
+    // input — the number the r8 232.8 s wall is judged by), then output.
+    // Two recomputing passes, NOT a shared cache: the verify frame
+    // carries both shingle arrays, so caching it at 100× is ~160 GB of
+    // disk — the exact spill the registered query avoids (measured: the
+    // cached variant died disk-full at sf10).
     locally {
       val (verified, caches) =
         operators.Dedup.containmentVerified(spark, dir, 0.8)
-      val v = verified.cache()
-      time("d17_candidates") { v.count() }
-      time("d17_pairs") { v.filter(col("containment") >= 0.8).count() }
-      v.unpersist(); caches.foreach(_.unpersist())
+      time("d17_candidates") { verified.count() }
+      time("d17_pairs") { verified.filter(col("containment") >= 0.8).count() }
+      caches.foreach(_.unpersist())
     }
 
     // d9: band-join output volume priced in CLOSED FORM (Σ per-bucket
@@ -96,8 +107,8 @@ object SoakDiag {
       time("d9_band_rows") {
         operators.Dedup.simhashBands(sigs)
           .groupBy(col("band"), col("bkey")).count()
-          .agg(sum(col("count") * (col("count") - 1) / 2)).collect()(0)
-          .get(0) match { case null => 0L; case v => v.toString.toLong }
+          .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+          .collect()(0).get(0) match { case null => 0L; case v => v.toString.toLong }
       }
       time("d9_pairs") {
         operators.Dedup.simhashCandidates(sigs)
@@ -112,7 +123,7 @@ object SoakDiag {
     // d21: no pair set exists — the cost drivers are total window-hash
     // rows (the shuffle into the (min,max)-owner reduction) and the
     // shared-window rows that flow into the per-doc islands window
-    locally {
+    if (wanted("d21")) {
       val span = operators.Dedup.longestSharedSpan(spark, dir)
         .agg(sum(col("n_windows")).as("w"), sum(col("n_shared")).as("s"))
         .collect()(0)
@@ -129,8 +140,8 @@ object SoakDiag {
       time("m6_band_rows") {
         multimodal.Multimodal.mediaBands(hashes, 7)
           .groupBy(col("band"), col("bkey")).count()
-          .agg(sum(col("count") * (col("count") - 1) / 2)).collect()(0)
-          .get(0) match { case null => 0L; case v => v.toString.toLong }
+          .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+          .collect()(0).get(0) match { case null => 0L; case v => v.toString.toLong }
       }
       time("m6_pairs") {
         multimodal.Multimodal.mediaBandCandidates(hashes, 7)
