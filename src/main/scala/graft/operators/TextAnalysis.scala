@@ -1321,8 +1321,11 @@ object TextAnalysis {
     * 4dp rounding, pinning grid-boundary docs across engines.
     */
   def qualityThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the corpus-priced tokenize+score scan runs ONCE, shared by
+    // the totals scalar and the grid pass (the t32/coverageCurve pattern)
     val stats = textStats(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .cache()
     val totals = stats
       .agg(count(lit(1)).cast("long").as("nd"),
         coalesce(sum(col("n_tokens")), lit(0L)).cast("long").as("nt"))
@@ -1336,7 +1339,7 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_docs_kept"),
         sum(col("n_tokens")).cast("long").as("n_tokens_kept"))
     import spark.implicits._
-    QualitySweep.toDF("threshold")
+    val grid = QualitySweep.toDF("threshold")
       .join(counts, Seq("threshold"), "left")
       .select(col("threshold"),
         coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
@@ -1350,5 +1353,8 @@ object TextAnalysis {
         if (nTokens == 0) lit(0.0)
         else round(col("n_tokens_kept").cast("double") / nTokens + 1e-9, 6))
       .orderBy(col("threshold"))
+    val out = grid.localCheckpoint()
+    stats.unpersist()
+    out
   }
 }

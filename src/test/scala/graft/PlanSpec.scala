@@ -281,6 +281,31 @@ class PlanSpec extends AnyFunSuite {
       s"d5 fell back to a quadratic join:\n$p")
   }
 
+  test("q58 SCD2: both per-user windows ride one clustering exchange") {
+    val plan = initialPlan(Extended.scd2Intervals(spark, sf))
+    def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case _: ShuffleExchangeExec => 1
+        case a: AdaptiveSparkPlanExec => countShuffles(a.inputPlan)
+      }.sum
+    // one exchange clusters by user_id (the lag AND the post-filter lead
+    // windows both consume it), one for the final orderBy — a third
+    // would mean the repeat-collapse filter broke the co-partitioning
+    assert(countShuffles(plan) <= 2, s"expected <=2 shuffles:\n$plan")
+  }
+
+  test("m14 level crossings: map-side fold, no shuffle before the ordered output") {
+    val plan = initialPlan(
+      graft.multimodal.Multimodal.audioLevelCrossings(spark, sf))
+    def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case _: ShuffleExchangeExec => 1
+        case a: AdaptiveSparkPlanExec => countShuffles(a.inputPlan)
+      }.sum
+    // documentsParallel's repartition + the final orderBy range exchange
+    assert(countShuffles(plan) <= 2, s"expected <=2 shuffles:\n$plan")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     val df = Relational.revenueByNation(spark, sf)
     df.collect() // materialize THIS queryExecution so AQE finalizes in-place
