@@ -229,6 +229,8 @@ object SparkEntry {
                                    Dedup.clusterSizeDistribution(s, d)),
     "q58_scd2_intervals"      -> Extended.scd2Intervals _,
     "m14_level_crossings"     -> Multimodal.audioLevelCrossings _,
+    "q59_locf_impute"         -> Extended.lastObservationCarriedForward _,
+    "st9_funnel_stages"       -> Events.funnelStagesStateful _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -2966,6 +2968,43 @@ object SparkEntry {
       SELECT doc_id, n_samples, n_crossings, crossing_rate,
         crossing_rate > ${graft.multimodal.Multimodal.HighFreqRate} AS high_freq
       FROM f ORDER BY doc_id""",
+
+    // q59: IGNORE NULLS running last_value over the identical
+    // (ts, event_id) arrival order; the carried value is untouched
+    // (no arithmetic), so it is bit-identical across engines.
+    "q59_locf_impute" -> """
+      WITH e AS (
+        SELECT user_id, event_id, event_type, ts,
+          CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+        FROM events),
+      f AS (
+        SELECT user_id, event_id, event_type,
+          last_value(purchase_value IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+        FROM e)
+      SELECT user_id, event_id, last_purchase_value,
+        event_type <> 'purchase' AND last_purchase_value IS NOT NULL AS imputed
+      FROM f ORDER BY user_id, event_id""",
+
+    // st9: the q57 CTE chain at per-(user, day) granularity — the same
+    // strict min-timestamp stage logic the state machine replays.
+    "st9_funnel_stages" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, ts, CAST(ts AS DATE) AS day FROM events),
+      v AS (SELECT user_id, day, min(ts) AS t_view FROM ev
+            WHERE event_type = 'view' GROUP BY 1, 2),
+      c AS (SELECT e.user_id, e.day, min(e.ts) AS t_click
+            FROM ev e JOIN v USING (user_id, day)
+            WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1, 2),
+      p AS (SELECT e.user_id, e.day, min(e.ts) AS t_purchase
+            FROM ev e JOIN c USING (user_id, day)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1, 2)
+      SELECT v.user_id, v.day,
+        c.t_click IS NOT NULL AS clicked,
+        p.t_purchase IS NOT NULL AS purchased
+      FROM v LEFT JOIN c USING (user_id, day) LEFT JOIN p USING (user_id, day)
+      ORDER BY user_id, day""",
   )
 
   /** The s2/s6/s7 dynamic-bucket LSH candidate CTEs: `lb` replays

@@ -957,4 +957,37 @@ object Extended {
         col("valid_to").isNull.as("is_current"))
       .orderBy(col("user_id"), col("valid_from"))
   }
+
+  /** q59: last-observation-carried-forward imputation — the gap-fill
+    * every feature pipeline runs before training on sparse signals: a
+    * user's `value` is only meaningful on `purchase` events, and every
+    * other event carries the user's LAST purchase value forward (NULL
+    * until their first purchase), plus an `imputed` flag so downstream
+    * consumers can distinguish observed from filled. No arithmetic
+    * touches the carried value, so it is bit-identical across engines.
+    *
+    * Scale shape: one per-user window (`last(..., ignoreNulls)` over an
+    * unbounded-preceding ROWS frame — Spark evaluates it as a running
+    * aggregate, one pass per partition, not a per-row rescan), the
+    * q58/st8 partition bound; arrival order is the deterministic
+    * (ts, event_id).
+    */
+  def lastObservationCarriedForward(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        col("value"))
+      .withColumn("purchase_value",
+        when(col("event_type") === "purchase", col("value")))
+      .withColumn("last_purchase_value",
+        last(col("purchase_value"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"),
+        col("last_purchase_value"),
+        (col("event_type") =!= "purchase" &&
+          col("last_purchase_value").isNotNull).as("imputed"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
 }

@@ -584,6 +584,76 @@ object Events {
       }
   }
 
+  case class FunnelEvent(user_id: Long, day: java.sql.Date,
+                         us: Long, event_id: Long, event_type: String)
+  /** st9 per-(user, day) funnel state — earliest qualifying stage times
+    * in integer µs, -1 = stage not reached.
+    */
+  case class FunnelState(viewUs: Long, clickUs: Long, purchaseUs: Long)
+  case class FunnelStageRow(user_id: Long, day: java.sql.Date,
+                            clicked: Boolean, purchased: Boolean)
+
+  /** st9: per-(user, day) strict funnel stages via EXPLICIT state — the
+    * `flatMapGroupsWithState` form of q57's view→click→purchase chain: a
+    * state machine holds the earliest view, the earliest click strictly
+    * after it, and the earliest purchase strictly after that, advancing
+    * over arrivals in (event time, event_id) order. This is the shape a
+    * LIVE funnel runs as (q57's three min-aggregation joins need the
+    * whole day's data; the state machine needs O(1) per key and emits as
+    * the day progresses) — registered in batch where it is
+    * oracle-checkable against q57's own CTE chain, and exercised over a
+    * real `readStream` in StreamingSpec. Semantics note, proven by the
+    * shared oracle: first-qualifying-in-order equals q57's
+    * min-timestamp-with-strict-inequality chaining.
+    *
+    * Scale shape: state is partitioned by (user, day) across executors —
+    * 12 bytes per live key, the day bound making state naturally
+    * expirable (a production stream adds an event-time timeout at the
+    * day boundary + watermark, st1-st7's configuration).
+    */
+  def funnelStagesStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    funnelStagesOf(
+      Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+        .as[FunnelEvent])
+      .toDF()
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** The st9 state machine on any typed event source (batch or stream —
+    * StreamingSpec drives it through `readStream`).
+    */
+  private[graft] def funnelStagesOf(
+      ev: Dataset[FunnelEvent]): Dataset[FunnelStageRow] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(e => (e.user_id, e.day))
+      .flatMapGroupsWithState[FunnelState, FunnelStageRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((uid, day), events, state) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          // within-batch arrivals sort by (event time, event_id); state
+          // carries across batches (replay within the watermark, the
+          // sessionizeStateful precedent)
+          events.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" if s.viewUs < 0 =>
+                s = s.copy(viewUs = e.us)
+              case "click" if s.clickUs < 0 && s.viewUs >= 0 && e.us > s.viewUs =>
+                s = s.copy(clickUs = e.us)
+              case "purchase" if s.purchaseUs < 0 && s.clickUs >= 0 && e.us > s.clickUs =>
+                s = s.copy(purchaseUs = e.us)
+              case _ =>
+            }
+          }
+          state.update(s)
+          if (s.viewUs >= 0)
+            Iterator(FunnelStageRow(uid, day, s.clickUs >= 0, s.purchaseUs >= 0))
+          else Iterator.empty
+      }
+  }
+
   /** The st7 dimension: user → nation name via customer, with a `'none'`
     * fallback for users outside the customer table — shared by the batch
     * query and its streaming twin so both join the identical mapping.

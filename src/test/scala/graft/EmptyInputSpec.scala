@@ -183,6 +183,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.operators.Dedup.clusterSizeDistribution(spark, emptyDir).count() == 0)
     assert(graft.operators.Extended.scd2Intervals(spark, emptyDir).count() == 0)
     assert(graft.multimodal.Multimodal.audioLevelCrossings(spark, emptyDir).count() == 0)
+    assert(graft.operators.Extended.lastObservationCarriedForward(spark, emptyDir).count() == 0)
+    assert(graft.streaming.Events.funnelStagesStateful(spark, emptyDir).count() == 0)
   }
 
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {

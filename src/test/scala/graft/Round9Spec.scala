@@ -89,6 +89,32 @@ class Round9Spec extends AnyFunSuite {
     assert(got(4L) == ((2L, 1L, 1.0, true)), s"za: ${got(4L)}")
   }
 
+  test("q59 LOCF carries exactly the last purchase value forward") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def ts(m: Long) = java.sql.Timestamp.from(t0.plusSeconds(m * 60))
+    // user 1: view (nothing yet), purchase 5.0, click (carries 5.0),
+    // purchase 7.5, view (carries 7.5); user 2: never purchases
+    val rows = Seq(
+      (1L, ts(0), 1L, "view", 9.9), (2L, ts(1), 1L, "purchase", 5.0),
+      (3L, ts(2), 1L, "click", 1.1), (4L, ts(3), 1L, "purchase", 7.5),
+      (5L, ts(4), 1L, "view", 2.2), (6L, ts(0), 2L, "click", 3.3))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q59").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Extended.lastObservationCarriedForward(spark, dir)
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((None, false)), s"pre-purchase view: ${got(1L)}")
+    assert(got(2L) == ((Some(5.0), false)), "the purchase itself is observed, not imputed")
+    assert(got(3L) == ((Some(5.0), true)))
+    assert(got(4L) == ((Some(7.5), false)))
+    assert(got(5L) == ((Some(7.5), true)))
+    assert(got(6L) == ((None, false)), "no purchase ever -> stays null, not imputed")
+  }
+
   test("d9/m6 filter-first pairs equal a distinct-first recount") {
     // the r9 reorder must not change the result set — recount d9's pairs
     // through the pre-r9 shape (distinct before the Hamming verify)

@@ -565,6 +565,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("st9: stateful funnel over a real readStream equals the batch form and q57's rollup") {
+    import org.apache.spark.sql.functions._
+    val batch = Events.funnelStagesStateful(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1)) -> (r.getBoolean(2), r.getBoolean(3))).toMap
+    val spark2 = spark
+    import spark2.implicits._
+    val stream = Events.eventsStream(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      .as[Events.FunnelEvent]
+    val q = Events.funnelStagesOf(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st9_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM st9_out").collect()
+        .map(r => (r.getLong(0), r.getDate(1)) -> (r.getBoolean(2), r.getBoolean(3))).toMap
+      assert(streamed == batch,
+        s"streamed=${streamed.size} batch=${batch.size} diff=${(streamed.toSet diff batch.toSet).take(3)}")
+      // and the stage report rolls up to exactly q57's daily funnel
+      val rollup = batch.groupBy(_._1._2).map { case (day, rows) =>
+        day -> ((rows.size.toLong, rows.count(_._2._1).toLong, rows.count(_._2._2).toLong))
+      }
+      val q57 = graft.operators.Extended.funnel(spark, sf).collect()
+        .map(r => r.getDate(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(rollup == q57, s"stage rollup disagrees with q57: ${rollup.size} vs ${q57.size}")
+    } finally q.stop()
+  }
+
   test("file stream discovers newly-landed files incrementally") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
