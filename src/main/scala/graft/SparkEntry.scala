@@ -231,6 +231,8 @@ object SparkEntry {
     "m14_level_crossings"     -> Multimodal.audioLevelCrossings _,
     "q59_locf_impute"         -> Extended.lastObservationCarriedForward _,
     "st9_funnel_stages"       -> Events.funnelStagesStateful _,
+    "s15_quant_impact"        -> ((s: SparkSession, d: String) =>
+                                   Similarity.quantizationImpact(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -3005,6 +3007,52 @@ object SparkEntry {
         p.t_purchase IS NOT NULL AS purchased
       FROM v LEFT JOIN c USING (user_id, day) LEFT JOIN p USING (user_id, day)
       ORDER BY user_id, day""",
+
+    // s15: the s13 candidate/cosine CTEs (one cosine spelling), plus the
+    // s4 grid replay ranked at 6dp — the same pre-rank rounding the
+    // engine applies, so the int8 pick is pinned across engines.
+    "s15_quant_impact" -> (IndexQualityCtesSql + s""",
+      trc AS (
+        SELECT query_id, neighbor_id AS true_nn, cos AS true_cos_raw FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM pc) WHERE rnk = 1),
+      u2 AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding FROM e),
+      x2 AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM u2),
+      d2 AS (SELECT i, round(min(x), 6) AS lo, round(max(x), 6) AS hi FROM x2 GROUP BY 1),
+      rq AS (
+        SELECT vec_id, x2.i,
+          CASE WHEN hi = lo THEN lo
+               ELSE lo + round((x2.x - lo) / (hi - lo) * 255.0, 0) / 255.0 * (hi - lo)
+          END AS r
+        FROM x2 JOIN d2 ON x2.i = d2.i),
+      ru AS (
+        SELECT allc.query_id, allc.neighbor_id, q.i, q.r AS qr, n.r AS nr
+        FROM allc
+        JOIN rq q ON q.vec_id = allc.query_id
+        JOIN rq n ON n.vec_id = allc.neighbor_id AND n.i = q.i),
+      rs AS (
+        SELECT query_id, neighbor_id,
+          sum(qr * nr) AS dot, sum(qr * qr) AS na, sum(nr * nr) AS nb
+        FROM ru GROUP BY 1, 2),
+      rc AS (SELECT query_id, neighbor_id,
+               round(dot / (sqrt(na) * sqrt(nb)), 6) AS qcos FROM rs),
+      ipick AS (
+        SELECT query_id, neighbor_id AS int8_nn FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY qcos DESC, neighbor_id) AS rnk
+          FROM rc) WHERE rnk = 1),
+      pickc AS (
+        SELECT ip.query_id, ip.int8_nn, pc.cos AS pick_cos_raw
+        FROM ipick ip JOIN pc ON pc.query_id = ip.query_id
+          AND pc.neighbor_id = ip.int8_nn)
+      SELECT t.query_id, t.true_nn, p.int8_nn,
+        t.true_nn = p.int8_nn AS agree,
+        round(t.true_cos_raw, 4) AS true_cos,
+        round(p.pick_cos_raw, 4) AS int8_pick_cos,
+        round(round(t.true_cos_raw, 4) - round(p.pick_cos_raw, 4)
+          + 0.000000001, 4) AS regret
+      FROM trc t JOIN pickc p USING (query_id) ORDER BY query_id"""),
   )
 
   /** The s2/s6/s7 dynamic-bucket LSH candidate CTEs: `lb` replays

@@ -987,4 +987,63 @@ object Similarity {
         round(avg(col("b")) + 1e-9, 4).as("mean_nearest_other"))
       .orderBy(col("label"))
   }
+
+  /** s15: quantization-impact audit — the decision report for serving on
+    * int8 codes instead of float vectors: per query, the float-exact
+    * nearest neighbor (s1's multi-index truth), the neighbor the SAME
+    * candidate set picks when ranked on int8-RECONSTRUCTED cosines (s4's
+    * codec), whether they agree, and the REGRET — how much float cosine
+    * the user loses when the quantized ranking picks differently (0 when
+    * they agree; ≥ 0 always, because the true pick maximizes float
+    * cosine over the shared candidate set and rounding is monotone).
+    * s13/s14 audit the INDEX's recall; this audits the CODEC's ranking
+    * fidelity — the two independent dials of a serving stack.
+    *
+    * Scale shape: one candidate generation (LSH ∪ IVF, the s1 stack)
+    * shared by both rankings; the int8 ranking rounds to 6dp BEFORE the
+    * rank (the s7 coarse-stage convention, so ~1e-15 float-sum noise
+    * cannot flip a near-tie across engines); everything after the two
+    * rank-1 cuts is queries-sized.
+    */
+  def quantizationImpact(spark: SparkSession, dir: String,
+                         k: Int = TopK): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    val cand = lshCandidates(raw)
+      .union(ivfCandidates(raw, autoCells = true))
+      .distinct().cache()
+    val truth = exactRerank(cand, raw, k)
+      .filter(col("rnk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("true_nn"),
+        col("cos_sim").as("true_cos"))
+    val recon = int8ReconCodes(raw)
+    val queriesRecon = recon.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("rv").as("qr"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    val int8Pick = cand
+      .join(recon.select(col("vec_id").as("neighbor_id"), col("rv").as("nr")),
+        "neighbor_id")
+      .join(broadcast(queriesRecon), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(expr("array_cosine(qr, nr)"), 6).as("qcos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("int8_nn"))
+    val queriesExact = raw.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val pickCos = int8Pick
+      .join(raw.select(col("vec_id").as("int8_nn"), col("embedding").as("ne")),
+        "int8_nn")
+      .join(broadcast(queriesExact), "query_id")
+      .select(col("query_id"), col("int8_nn"),
+        round(expr("array_cosine(qe, ne)"), 4).as("int8_pick_cos"))
+    val result = truth.join(pickCos, "query_id")
+      .select(col("query_id"), col("true_nn"), col("int8_nn"),
+        (col("true_nn") === col("int8_nn")).as("agree"),
+        col("true_cos"), col("int8_pick_cos"),
+        round(col("true_cos") - col("int8_pick_cos") + 1e-9, 4).as("regret"))
+      .orderBy(col("query_id"))
+    graft.operators.Dedup.materializeAndRelease(result, cand)
+  }
 }

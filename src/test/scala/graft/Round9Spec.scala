@@ -35,6 +35,25 @@ class Round9Spec extends AnyFunSuite {
       (2L, "purchase", ts(0), None, true)), s"intervals: ${got.toSeq}")
   }
 
+  test("q58 intervals tile each user's timeline: contiguous, alternating, one open") {
+    val rows = graft.operators.Extended.scd2Intervals(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (uid, eps) =>
+      // scd2Intervals emits per-user episodes ordered by valid_from
+      val sorted = eps.sortBy(_._3.getTime)
+      // exactly one open (current) interval, and it is the last
+      assert(sorted.count(_._5) == 1 && sorted.last._5, s"user $uid open-interval")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"user $uid gap: ${a._4} -> ${b._3}")
+          assert(a._2 != b._2, s"user $uid consecutive episodes share state ${a._2}")
+        case _ =>
+      }
+    }
+  }
+
   test("t33 grid is monotone and consistent with the t1 score distribution") {
     val sweep = graft.operators.TextAnalysis.qualityThresholdSweep(spark, sf)
       .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
@@ -113,6 +132,23 @@ class Round9Spec extends AnyFunSuite {
     assert(got(4L) == ((Some(7.5), false)))
     assert(got(5L) == ((Some(7.5), true)))
     assert(got(6L) == ((None, false)), "no purchase ever -> stays null, not imputed")
+  }
+
+  test("s15 regret is the one-sided price of the int8 pick") {
+    val rows = graft.operators.Similarity.quantizationImpact(spark, sf)
+      .collect().map(r => (r.getBoolean(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (agree, trueCos, pickCos, regret) =>
+      // the true pick maximizes float cosine over the SHARED candidate
+      // set and rounding is monotone, so regret can never go negative
+      assert(regret >= 0.0, s"negative regret: $regret")
+      if (agree) assert(regret == 0.0 && trueCos == pickCos,
+        "agreement must mean zero regret")
+    }
+    // one row per query vector (vec_id % 50 == 0)
+    val nQueries = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(rows.length == nQueries)
   }
 
   test("d9/m6 filter-first pairs equal a distinct-first recount") {
