@@ -233,6 +233,7 @@ object SparkEntry {
     "st9_funnel_stages"       -> Events.funnelStagesStateful _,
     "s15_quant_impact"        -> ((s: SparkSession, d: String) =>
                                    Similarity.quantizationImpact(s, d)),
+    "q60_error_context"       -> Extended.errorContext _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -3011,6 +3012,35 @@ object SparkEntry {
     // s15: the s13 candidate/cosine CTEs (one cosine spelling), plus the
     // s4 grid replay ranked at 6dp — the same pre-rank rounding the
     // engine applies, so the int8 pick is pinned across engines.
+    // q60: q58's interval CTEs over the non-error stream, then DuckDB's
+    // native ASOF for the point-in-time pick (tie-free: per-user event
+    // times are strictly increasing in this corpus).
+    "q60_error_context" -> """
+      WITH a AS (
+        SELECT user_id, event_id, ts, event_type FROM events
+        WHERE event_type <> 'error'),
+      l AS (
+        SELECT user_id, ts, event_type,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev_type
+        FROM a),
+      iv AS (
+        SELECT user_id AS i_user, event_type AS state, ts AS valid_from
+        FROM l WHERE prev_type IS NULL OR prev_type <> event_type),
+      err AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        WHERE event_type = 'error'),
+      j AS (
+        SELECT err.user_id, iv.state, err.ts, iv.valid_from
+        FROM err ASOF LEFT JOIN iv
+          ON err.user_id = iv.i_user AND err.ts >= iv.valid_from)
+      SELECT coalesce(state, 'none') AS context,
+        CAST(count(*) AS BIGINT) AS n_errors,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        round(avg((epoch_us(ts) - epoch_us(valid_from)) // 1000000)
+          + 0.000000001, 4) AS avg_secs_in_state
+      FROM j GROUP BY 1 ORDER BY context""",
+
     "s15_quant_impact" -> (IndexQualityCtesSql + s""",
       trc AS (
         SELECT query_id, neighbor_id AS true_nn, cos AS true_cos_raw FROM (

@@ -942,11 +942,18 @@ object Extended {
     * exchange; the repeat-collapse filter runs between them map-side. No
     * global sort, no self-join against the event table.
     */
-  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame =
+    scd2IntervalsOf(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("valid_from"))
+
+  /** The q58 interval construction on any events frame — shared with
+    * q60, which rebuilds intervals over the non-error activity stream.
+    */
+  private[graft] def scd2IntervalsOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
       .filter(col("prev_type").isNull ||
@@ -955,7 +962,36 @@ object Extended {
       .select(col("user_id"), col("event_type").as("state"),
         col("ts").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
-      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  /** q60: error-context point-in-time lookup — q58's reconstruction put
+    to its canonical use: rebuild the state intervals over the NON-error
+    activity stream, then as-of join every error event to the state it
+    interrupted ("errors by the activity they occurred in", the
+    diagnostic rollup an on-call reads before blaming a feature). Errors
+    before any activity land in the `'none'` context (left-outer as-of).
+    Uses the custom [[graft.plans.AsOfJoin]] physical operator (q20/q40/
+    q45's machinery): one co-partitioning exchange per side, linear
+    merge, no range self-join. Tie-safety: per-user event times are
+    strictly increasing in this corpus (verified at every SF), so no two
+    intervals share a `valid_from` and the as-of pick is deterministic
+    in both engines.
+    */
+  def errorContext(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val intervals = scd2IntervalsOf(ev.filter(col("event_type") =!= "error"))
+      .select(col("user_id").as("i_user"), col("state"), col("valid_from"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.AsOfJoin.asof(spark, errors, intervals,
+        col("user_id"), col("i_user"), col("ts"), col("valid_from"))
+      .groupBy(coalesce(col("state"), lit("none")).as("context"))
+      .agg(count(lit(1)).cast("long").as("n_errors"),
+        countDistinct(col("user_id")).cast("long").as("n_users"),
+        round(avg(expr(
+          "(unix_micros(ts) - unix_micros(valid_from)) div 1000000")) + 1e-9, 4)
+          .as("avg_secs_in_state"))
+      .orderBy(col("context"))
   }
 
   /** q59: last-observation-carried-forward imputation — the gap-fill

@@ -186,6 +186,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.operators.Extended.lastObservationCarriedForward(spark, emptyDir).count() == 0)
     assert(graft.streaming.Events.funnelStagesStateful(spark, emptyDir).count() == 0)
     assert(graft.operators.Similarity.quantizationImpact(spark, emptyDir).count() == 0)
+    assert(graft.operators.Extended.errorContext(spark, emptyDir).count() == 0)
   }
 
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {

@@ -134,6 +134,30 @@ class Round9Spec extends AnyFunSuite {
     assert(got(6L) == ((None, false)), "no purchase ever -> stays null, not imputed")
   }
 
+  test("q60 attributes errors to the interrupted activity; pre-activity errors to none") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def ts(m: Long) = java.sql.Timestamp.from(t0.plusSeconds(m * 60))
+    // user 1: error before any activity ('none'), view, error in view
+    // (120 s in), click, two errors in click (60 s and 120 s in)
+    val rows = Seq(
+      (1L, ts(0), 1L, "error"), (2L, ts(1), 1L, "view"),
+      (3L, ts(3), 1L, "error"), (4L, ts(5), 1L, "click"),
+      (5L, ts(6), 1L, "error"), (6L, ts(7), 1L, "error"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q60").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Extended.errorContext(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("none") == ((1L, 1L, None)), s"pre-activity: ${got.get("none")}")
+    assert(got("view") == ((1L, 1L, Some(120.0))), s"view context: ${got.get("view")}")
+    assert(got("click") == ((2L, 1L, Some(90.0))), s"click context: ${got.get("click")}")
+    assert(got.size == 3)
+  }
+
   test("s15 regret is the one-sided price of the int8 pick") {
     val rows = graft.operators.Similarity.quantizationImpact(spark, sf)
       .collect().map(r => (r.getBoolean(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
