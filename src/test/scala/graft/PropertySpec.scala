@@ -143,6 +143,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("d2 prefix+positional filter equals naive all-pairs at every threshold") {
+    // the r6 float bug and the r9 positional filter both live exactly at
+    // the threshold boundary; random small-vocabulary corpora (12-word
+    // vocab forces heavy shingle overlap, the adversarial regime for the
+    // filters) must agree with the naive join at several τ, including
+    // the registered 0.8 and the d24 grid floor 0.7
+    val overlapDocGen: Gen[String] =
+      Gen.chooseNum(3, 20).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    forAll(Gen.listOfN(10, overlapDocGen), n = 6) { texts =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop_d2").toString
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("src"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      Seq(0.5, 0.7, 0.8).foreach { t =>
+        val fast = graft.operators.Dedup.ngramJaccardPairs(spark, dir, t)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val naive = graft.operators.Dedup.ngramJaccardPairsNaive(spark, dir, t)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(fast == naive,
+          s"τ=$t: fast-only=${(fast diff naive).take(3)} naive-only=${(naive diff fast).take(3)}")
+      }
+    }
+  }
+
   test("sessionizer: events within the gap never split a session") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     forAll(Gen.listOfN(10, Gen.chooseNum(1L, 1700L))) { gaps =>
