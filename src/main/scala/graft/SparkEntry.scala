@@ -234,6 +234,7 @@ object SparkEntry {
     "s15_quant_impact"        -> ((s: SparkSession, d: String) =>
                                    Similarity.quantizationImpact(s, d)),
     "q60_error_context"       -> Extended.errorContext _,
+    "d26_auto_config"         -> Dedup.autoConfigReport _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -3012,6 +3013,29 @@ object SparkEntry {
     // s15: the s13 candidate/cosine CTEs (one cosine spelling), plus the
     // s4 grid replay ranked at 6dp — the same pre-rank rounding the
     // engine applies, so the int8 pick is pinned across engines.
+    // d26: each derivation replayed from the same corpus counts;
+    // floor(x + 0.5) spells math.round (SQL round differs on negative
+    // halves).
+    "d26_auto_config" -> """
+      WITH ne AS (SELECT count(*) AS n, count(DISTINCT label) AS nl FROM embeddings)
+      SELECT * FROM (
+        SELECT 'd5_emb_band_bits' AS param, CAST(n AS BIGINT) AS input_n,
+          greatest(3, CAST(floor(log2(CAST(greatest(n, 1) AS DOUBLE) / 60.0) + 0.5)
+            AS BIGINT)) AS derived_value
+        FROM ne
+        UNION ALL
+        SELECT 's2_lsh_bucket_bits', CAST(n AS BIGINT),
+          least(30, greatest(8,
+            CAST(floor(log2(CAST(greatest(n, 1) AS DOUBLE) / 60.0) + 0.5) AS BIGINT)))
+        FROM ne
+        UNION ALL
+        SELECT 's3_ivf_sub_bits', CAST(n AS BIGINT),
+          CASE WHEN n <= 0 THEN 0
+               ELSE greatest(0, CAST(floor(log2(sqrt(CAST(n AS DOUBLE)) / 2.0
+                 / greatest(nl, 1)) + 0.5) AS BIGINT)) END
+        FROM ne)
+      ORDER BY param""",
+
     // q60: q58's interval CTEs over the non-error stream, then DuckDB's
     // native ASOF for the point-in-time pick (tie-free: per-user event
     // times are strictly increasing in this corpus).

@@ -330,6 +330,36 @@ object Dedup {
         (col("cluster_size") * col("n_clusters")).cast("long").as("n_docs"))
       .orderBy(col("cluster_size"))
 
+  /** d26: the auto-sizing configuration report — every sizing parameter
+    * the registered surface derives from corpus statistics, with the
+    * statistic it was derived from: d5's hyperplane band bits
+    * ([[deriveBandBits]]), the s2-family LSH bucket bits
+    * ([[graft.operators.Similarity.deriveLshBits]]), and s3/d14's IVF
+    * sub-bucket bits ([[graft.operators.Similarity.deriveSubBits]]).
+    * This is the "what would this corpus be configured as" answer an
+    * operator reads before a run — and the twin replays each formula
+    * from the same counts, so drift between the derivations and their
+    * documentation is caught by the correctness gate itself, alongside
+    * the gate-scale coupling tests. Empty corpus → each parameter's
+    * documented floor (3 / 8 / 0), never an error.
+    *
+    * Cross-engine note: `math.round` is floor(x + 0.5) (half toward +∞)
+    * while SQL `round` is half away from zero — they differ on negative
+    * halves, so the twin spells the derivations with floor(x + 0.5).
+    */
+  def autoConfigReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Tables.embeddings(spark, dir)
+      .agg(count(lit(1)), countDistinct(col("label"))).collect()(0)
+    val (nEmb, nLab) = (stats.getLong(0), stats.getLong(1))
+    Seq(
+      ("d5_emb_band_bits", nEmb, deriveBandBits(nEmb.max(1L)).toLong),
+      ("s2_lsh_bucket_bits", nEmb, Similarity.deriveLshBits(nEmb).toLong),
+      ("s3_ivf_sub_bits", nEmb, Similarity.deriveSubBits(nEmb, nLab).toLong))
+      .toDF("param", "input_n", "derived_value")
+      .orderBy(col("param"))
+  }
+
   /** After this many one-hop rounds without convergence, each further round
     * ALSO pointer-jumps (root := root-of-root), doubling the propagated
     * distance per round — total rounds O([[PointerJumpAfter]] + log
