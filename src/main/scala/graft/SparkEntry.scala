@@ -235,6 +235,8 @@ object SparkEntry {
                                    Similarity.quantizationImpact(s, d)),
     "q60_error_context"       -> Extended.errorContext _,
     "d26_auto_config"         -> Dedup.autoConfigReport _,
+    "d27_incremental_containment" -> ((s: SparkSession, d: String) =>
+                                   Dedup.incrementalContainmentDedup(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -804,6 +806,7 @@ object SparkEntry {
     "d6_neardup_clusters" -> NearDupClustersSql,
     "d17_containment_dedup" -> ContainmentPairsSql,
     "d18_quality_survivors" -> QualitySurvivorsSql,
+    "d27_incremental_containment" -> IncrementalContainmentSql,
 
     "q25_bloom_prefilter" -> """
       WITH urgent AS (
@@ -3497,6 +3500,25 @@ object SparkEntry {
         JOIN cnt cb ON id_b = cb.doc_id)
       SELECT id_a, id_b, round(containment, 4) AS containment
       FROM c WHERE containment >= 0.8 ORDER BY id_a, id_b"""
+
+  /** d27: d17's exact-containment contract restricted to
+    * batch(odd)×corpus(even) pairs — the prefix/positional machinery is
+    * recall-exact, so the twin states the semantics directly.
+    */
+  private val IncrementalContainmentSql: String = ShingleCtesSql + """,
+      pairs AS (
+        SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s
+        WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        GROUP BY 1, 2),
+      c AS (
+        SELECT batch_id, corpus_id,
+          CAST(shared AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE) AS containment
+        FROM pairs
+        JOIN cnt ca ON batch_id = ca.doc_id
+        JOIN cnt cb ON corpus_id = cb.doc_id)
+      SELECT batch_id, corpus_id, round(containment, 4) AS containment
+      FROM c WHERE containment >= 0.8 ORDER BY batch_id, corpus_id"""
 
   /** d11: the same exact-Jaccard contract restricted to
     * batch(odd)×corpus(even) pairs — LSH banding is recall machinery,

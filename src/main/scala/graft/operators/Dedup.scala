@@ -555,6 +555,74 @@ object Dedup {
     if (release) materializeAndRelease(out, caches: _*) else out
   }
 
+  /** d27: INCREMENTAL containment dedup — d17's asymmetric prefix join
+    * in d11's production ingest shape: an arriving batch (odd doc_ids
+    * stand in) is checked for near-SUBSET duplication against the corpus
+    * (even), and corpus×corpus pairs are NEVER formed — each candidate
+    * join keeps one side batch-bounded, so per-batch cost is
+    * O(batch + collisions) at any corpus size. Because containment is
+    * asymmetric (either side may be the pair's smaller set), the probe
+    * runs BOTH ways: prefix(batch) ⋈ shingles(corpus) catches batch docs
+    * buried inside corpus pages, prefix(corpus) ⋈ shingles(batch)
+    * catches corpus docs buried inside new arrivals — in production the
+    * corpus prefix/shingle frames are the persisted index
+    * ([[persistCorpusBandIndex]]'s layout family) and the df order is
+    * read from it. Same positional filter, verify, threshold and ε pins
+    * as d17; output is (batch_id, corpus_id) oriented like d11.
+    */
+  def incrementalContainmentDedup(spark: SparkSession, dir: String,
+                                  threshold: Double = 0.8,
+                                  release: Boolean = true): DataFrame = {
+    val docs = docShingles(spark, dir).cache()
+    val ds = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfreq = ds.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ordered = ds.join(dfreq, "s")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
+      .select(col("doc_id"), size(col("ordered")).as("n"),
+        transform(col("ordered"), e => e.getField("s")).as("shs"))
+      .cache()
+    val prefix = ordered.select(col("doc_id"), col("n"),
+      posexplode(slice(col("shs"), lit(1),
+        (col("n") - ceil(col("n").cast("double") * threshold - 1e-9) + 1)
+          .cast("int"))).as(Seq("i", "s")))
+    val full = ordered.select(col("doc_id"), col("n"),
+      posexplode(col("shs")).as(Seq("j", "s")))
+    def batchSide(df: DataFrame) = df.filter(col("doc_id") % 2 =!= 0)
+    def corpusSide(df: DataFrame) = df.filter(col("doc_id") % 2 === 0)
+    val minOv = ceil(col("a.n").cast("double") * threshold - 1e-9)
+    def cross(pref: DataFrame, fl: DataFrame): DataFrame =
+      pref.as("a").join(fl.as("b"),
+          col("a.s") === col("b.s") &&
+            (col("a.n") < col("b.n") ||
+              (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))))
+        .select(col("a.doc_id").as("id_s"), col("b.doc_id").as("id_l"),
+          least(col("a.n") - col("a.i"), col("b.n") - col("b.j")).as("bound"),
+          minOv.as("min_ov"))
+    val candidates = cross(batchSide(prefix), corpusSide(full))
+      .unionAll(cross(corpusSide(prefix), batchSide(full)))
+      .groupBy(col("id_s"), col("id_l"))
+      .agg(max(col("bound")).as("best_bound"), first(col("min_ov")).as("min_ov"))
+      .filter(col("best_bound") >= col("min_ov"))
+      .select(col("id_s"), col("id_l"))
+    val result = candidates
+      .join(docs.select(col("doc_id").as("id_s"), col("sh").as("sh_s")), "id_s")
+      .join(docs.select(col("doc_id").as("id_l"), col("sh").as("sh_l")), "id_l")
+      .withColumn("shared", size(array_intersect(col("sh_s"), col("sh_l"))))
+      .withColumn("containment",
+        col("shared").cast("double") /
+          least(size(col("sh_s")), size(col("sh_l"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(
+        when(col("id_s") % 2 =!= 0, col("id_s")).otherwise(col("id_l"))
+          .as("batch_id"),
+        when(col("id_s") % 2 === 0, col("id_s")).otherwise(col("id_l"))
+          .as("corpus_id"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+    if (release) materializeAndRelease(result, docs, ordered) else result
+  }
+
   /** Shared d17/d19 candidate generation + exact verification. Returns
     * every candidate pair with BOTH raw metrics (`containment`,
     * `jaccard`) plus the caches to release; callers filter/shape. The

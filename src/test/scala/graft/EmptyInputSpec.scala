@@ -187,6 +187,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.streaming.Events.funnelStagesStateful(spark, emptyDir).count() == 0)
     assert(graft.operators.Similarity.quantizationImpact(spark, emptyDir).count() == 0)
     assert(graft.operators.Extended.errorContext(spark, emptyDir).count() == 0)
+    assert(graft.operators.Dedup.incrementalContainmentDedup(spark, emptyDir).count() == 0)
     // d26 is a config report: each parameter lands on its documented
     // floor for an empty corpus, never an error
     val cfg = graft.operators.Dedup.autoConfigReport(spark, emptyDir).collect()

@@ -158,6 +158,21 @@ class Round9Spec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("d27 equals d17's pairs restricted to the batch×corpus boundary") {
+    // the incremental cross-side machinery must find EXACTLY the pairs
+    // the full self-join finds across the odd/even split — no corpus-
+    // side pair lost by running the asymmetric probe both ways
+    val full = graft.operators.Dedup.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 2 == 0) != (b % 2 == 0) }
+      .map { case (a, b, c) =>
+        (if (a % 2 != 0) a else b, if (a % 2 == 0) a else b, c) }.toSet
+    val incr = graft.operators.Dedup.incrementalContainmentDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr == full && incr.nonEmpty,
+      s"incr=${incr.size} full-cross=${full.size} diff=${(incr diff full).take(3)}")
+  }
+
   test("s15 regret is the one-sided price of the int8 pick") {
     val rows = graft.operators.Similarity.quantizationImpact(spark, sf)
       .collect().map(r => (r.getBoolean(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
