@@ -1016,7 +1016,10 @@ object Similarity {
       .filter(col("rnk") === 1)
       .select(col("query_id"), col("neighbor_id").as("true_nn"),
         col("cos_sim").as("true_cos"))
-    val recon = int8ReconCodes(raw)
+    // cached: evaluated twice (query-side filter + neighbor join), and each
+    // evaluation would repeat the corpus-wide int8Grid posexplode aggregation
+    // and the encode pass
+    val recon = int8ReconCodes(raw).cache()
     val queriesRecon = recon.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("rv").as("qr"))
     val w = Window.partitionBy(col("query_id"))
@@ -1044,6 +1047,6 @@ object Similarity {
         col("true_cos"), col("int8_pick_cos"),
         round(col("true_cos") - col("int8_pick_cos") + 1e-9, 4).as("regret"))
       .orderBy(col("query_id"))
-    graft.operators.Dedup.materializeAndRelease(result, cand)
+    graft.operators.Dedup.materializeAndRelease(result, cand, recon)
   }
 }

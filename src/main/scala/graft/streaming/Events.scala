@@ -586,10 +586,22 @@ object Events {
 
   case class FunnelEvent(user_id: Long, day: java.sql.Date,
                          us: Long, event_id: Long, event_type: String)
-  /** st9 per-(user, day) funnel state — earliest qualifying stage times
-    * in integer µs, -1 = stage not reached.
+  /** [[FunnelEvent]] plus the raw event-time timestamp — the watermark
+    * column the timeout-armed streaming form ([[funnelStagesExpiringOf]])
+    * declares; the batch-registered form keys on integer µs only.
     */
-  case class FunnelState(viewUs: Long, clickUs: Long, purchaseUs: Long)
+  case class FunnelEventTs(user_id: Long, day: java.sql.Date,
+                           us: Long, event_id: Long, event_type: String,
+                           ts: java.sql.Timestamp)
+  /** st9 per-(user, day) funnel state — earliest qualifying stage times
+    * in integer µs, -1 = stage not reached. `emitted` is the stage code
+    * (view=1 | clicked=2 | purchased=4) of the LAST row emitted for this
+    * key, so a micro-batch that does not advance the funnel emits nothing
+    * (an append sink sees each stage upgrade exactly once, not a
+    * duplicate row per touching batch).
+    */
+  case class FunnelState(viewUs: Long, clickUs: Long, purchaseUs: Long,
+                         emitted: Int)
   case class FunnelStageRow(user_id: Long, day: java.sql.Date,
                             clicked: Boolean, purchased: Boolean)
 
@@ -622,8 +634,40 @@ object Events {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** The shared st9 fold: advance a [[FunnelState]] over one batch's
+    * arrivals in (event time, event_id) order — the single spelling both
+    * the NoTimeout and the timeout-armed forms apply, so the machine
+    * cannot drift between them.
+    */
+  private def foldFunnel(start: FunnelState,
+                         arrivals: Seq[(Long, Long, String)]): FunnelState = {
+    var s = start
+    arrivals.sortBy(a => (a._1, a._2)).foreach { case (us, _, etype) =>
+      etype match {
+        case "view" if s.viewUs < 0 =>
+          s = s.copy(viewUs = us)
+        case "click" if s.clickUs < 0 && s.viewUs >= 0 && us > s.viewUs =>
+          s = s.copy(clickUs = us)
+        case "purchase" if s.purchaseUs < 0 && s.clickUs >= 0 && us > s.clickUs =>
+          s = s.copy(purchaseUs = us)
+        case _ =>
+      }
+    }
+    s
+  }
+
+  /** Stage code of a state — what a row emitted NOW would say. */
+  private def stageCode(s: FunnelState): Int =
+    (if (s.viewUs >= 0) 1 else 0) | (if (s.clickUs >= 0) 2 else 0) |
+      (if (s.purchaseUs >= 0) 4 else 0)
+
   /** The st9 state machine on any typed event source (batch or stream —
-    * StreamingSpec drives it through `readStream`).
+    * StreamingSpec drives it through `readStream`). Emission is
+    * CHANGE-driven: a row goes out only when this batch advanced the
+    * funnel past what was last emitted, so an append sink receives each
+    * (user, day) stage upgrade exactly once (at most 3 rows per key ever)
+    * instead of one row per touching micro-batch. Batch mode degenerates
+    * to the old behavior — all events arrive in one call, one row out.
     */
   private[graft] def funnelStagesOf(
       ev: Dataset[FunnelEvent]): Dataset[FunnelStageRow] = {
@@ -632,25 +676,65 @@ object Events {
       .flatMapGroupsWithState[FunnelState, FunnelStageRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case ((uid, day), events, state) =>
-          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-          // within-batch arrivals sort by (event time, event_id); state
-          // carries across batches (replay within the watermark, the
-          // sessionizeStateful precedent)
-          events.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
-            e.event_type match {
-              case "view" if s.viewUs < 0 =>
-                s = s.copy(viewUs = e.us)
-              case "click" if s.clickUs < 0 && s.viewUs >= 0 && e.us > s.viewUs =>
-                s = s.copy(clickUs = e.us)
-              case "purchase" if s.purchaseUs < 0 && s.clickUs >= 0 && e.us > s.clickUs =>
-                s = s.copy(purchaseUs = e.us)
-              case _ =>
-            }
-          }
-          state.update(s)
-          if (s.viewUs >= 0)
+          val prev = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, 0))
+          // state carries across batches (replay within the watermark,
+          // the sessionizeStateful precedent)
+          val s = foldFunnel(prev,
+            events.map(e => (e.us, e.event_id, e.event_type)).toSeq)
+          val code = stageCode(s)
+          if (s.viewUs >= 0 && code != prev.emitted) {
+            state.update(s.copy(emitted = code))
             Iterator(FunnelStageRow(uid, day, s.clickUs >= 0, s.purchaseUs >= 0))
-          else Iterator.empty
+          } else {
+            state.update(s)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** st9's PRODUCTION streaming configuration — the same funnel machine
+    * armed with the event-time timeout its scaladoc prescribes: the input
+    * declares a watermark, each live (user, day) key sets its timeout at
+    * the END of its day, and when the watermark passes that boundary the
+    * key's state is REMOVED (proven by state-row counts in StreamingSpec).
+    * Total state is therefore bounded by the keys of the watermark's
+    * trailing day window, not by stream lifetime — the property that lets
+    * this run forever on a firehose. Late events for an expired day are
+    * dropped by the watermark filter before reaching the machine, so an
+    * expired key can never half-resurrect with a fresh empty state.
+    */
+  private[graft] def funnelStagesExpiringOf(
+      ev: Dataset[FunnelEventTs],
+      graceSeconds: Long = 600L): Dataset[FunnelStageRow] = {
+    import ev.sparkSession.implicits._
+    ev.withWatermark("ts", s"$graceSeconds seconds")
+      .groupByKey(e => (e.user_id, e.day))
+      .flatMapGroupsWithState[FunnelState, FunnelStageRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((uid, day), events, state) =>
+          if (state.hasTimedOut) {
+            // the watermark passed this key's day boundary: no further
+            // event can legally arrive (they would be late beyond the
+            // watermark), so the state is complete garbage — drop it
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, 0))
+            val s = foldFunnel(prev,
+              events.map(e => (e.us, e.event_id, e.event_type)).toSeq)
+            val code = stageCode(s)
+            val changed = s.viewUs >= 0 && code != prev.emitted
+            state.update(if (changed) s.copy(emitted = code) else s)
+            // expire when the watermark passes the end of this key's day
+            // (day.getTime is the UTC midnight the generator writes); the
+            // max() guards the engine's timeout > watermark requirement
+            // on the degenerate first-batch-of-a-new-day edge
+            state.setTimeoutTimestamp(
+              math.max(day.getTime + 86400000L, state.getCurrentWatermarkMs + 1))
+            if (changed)
+              Iterator(FunnelStageRow(uid, day, s.clickUs >= 0, s.purchaseUs >= 0))
+            else Iterator.empty
+          }
       }
   }
 

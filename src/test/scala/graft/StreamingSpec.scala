@@ -665,6 +665,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st9 timeout-armed form drops state at the day boundary and emits each upgrade once") {
+    // The production configuration st9's scaladoc prescribes, proven
+    // end-to-end: per-(user, day) state arms an event-time timeout at the
+    // END of its day; once the watermark (grace 600 s) passes that
+    // boundary the key's state row is REMOVED (state-operator numRowsTotal
+    // drops), and the change-driven emission means an append sink sees
+    // each stage upgrade exactly once — never one row per touching batch.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def ts(daySec: Long) = java.sql.Timestamp.from(t0.plusSeconds(daySec))
+    def day(d: Int) = new java.sql.Date(t0.plusSeconds(d * 86400L).toEpochMilli)
+    def ev(uid: Long, d: Int, off: Long, et: String) = {
+      val sec = d * 86400L + off
+      Events.FunnelEventTs(uid, day(d), sec * 1000000L, off, et, ts(sec))
+    }
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Events.FunnelEventTs]
+    val q = Events.funnelStagesExpiringOf(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st9_exp_out").start()
+    try {
+      // batch 1: user 1 opens day 0 with a view -> one row out
+      mem.addData(ev(1L, 0, 100L, "view"))
+      q.processAllAvailable()
+      // batch 2: a click (upgrade -> one row) plus a redundant view (no
+      // further upgrade -> nothing extra)
+      mem.addData(ev(1L, 0, 200L, "click"), ev(1L, 0, 150L, "view"))
+      q.processAllAvailable()
+      val liveAfterDay0 = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .last.stateOperators(0).numRowsTotal
+      assert(liveAfterDay0 == 1L, s"day-0 key live: $liveAfterDay0")
+      // batches 3-4: day-2 activity advances the watermark 2 days past
+      // day 0's end -> (1, day0) times out and its state row is dropped.
+      // The (2, day2) key is created in batch 3's data batch (both keys
+      // coexist at that batch's end), then the watermark-advance no-data
+      // batch fires the timeout — assert the 2 -> 1 transition over the
+      // progress history rather than pinning which batch evicts.
+      mem.addData(ev(2L, 2, 1000L, "view"))
+      q.processAllAvailable()
+      mem.addData(ev(2L, 2, 2000L, "click"))
+      q.processAllAvailable()
+      val totals = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators(0).numRowsTotal).toSeq
+      assert(totals.max == 2L, s"both day keys coexisted before expiry: $totals")
+      assert(totals.last == 1L, s"closed-day state dropped: $totals")
+      val rows = spark.sql("SELECT * FROM st9_exp_out").collect()
+        .map(r => (r.getLong(0), r.getDate(1), r.getBoolean(2), r.getBoolean(3)))
+      assert(rows.length == 4 && rows.toSet == Set(
+        (1L, day(0), false, false), (1L, day(0), true, false),
+        (2L, day(2), false, false), (2L, day(2), true, false)),
+        s"exactly one row per stage upgrade: ${rows.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization agrees with the declarative sessionizer") {
     val declarative = Events.sessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
