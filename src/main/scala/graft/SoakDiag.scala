@@ -50,17 +50,31 @@ object SoakDiag {
 
     val out = scala.collection.mutable.LinkedHashMap[String, Long]()
     def time(name: String)(f: => Long): Unit = if (wanted(name)) {
+      // same hygiene as Bench: drop caches + reap shuffle files between
+      // measurements — but ONLY the caches this block created. The d9/m6
+      // sections deliberately hold a section-level sigs/hashes cache
+      // across their two metrics; a global unpersist here would silently
+      // turn the second metric into a full recompute (a once-unpersisted
+      // RDD never re-caches), overstating its seconds.
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       val n = f
       out(name) = n
       println(f"[soakdiag] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f s  $n%12d")
-      // same hygiene as Bench: drop caches + reap shuffle files between
-      // measurements so counts time against clean storage
       scala.util.Try {
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => !before.contains(id) }
+          .values.foreach(_.unpersist(true))
         System.gc()
       }
       ()
+    }
+    /** A count computed as a by-product of an already-timed block — logged
+      * and ledgered without a misleading ~0 s timing of its own.
+      */
+    def untimed(name: String, n: Long): Unit = if (wanted(name)) {
+      out(name) = n
+      println(f"[soakdiag] $name%-24s       (untimed)  $n%12d")
     }
 
     time("n_docs") {
@@ -95,6 +109,19 @@ object SoakDiag {
       caches.foreach(_.unpersist())
     }
 
+    // d27: the batch(odd)×corpus(even) asymmetric-containment probe —
+    // cross-BOUNDARY candidates surviving the positional filter (the
+    // verify join's input, summed over both probe directions) and the
+    // verified pairs at τ=0.8. First-class counts so d27's soak wall is
+    // adjudicated per-pair like d17's, not by proxy.
+    locally {
+      val (verified, caches) =
+        operators.Dedup.incrementalContainmentVerified(spark, dir, 0.8)
+      time("d27_candidates") { verified.count() }
+      time("d27_pairs") { verified.filter(col("containment") >= 0.8).count() }
+      caches.foreach(_.unpersist())
+    }
+
     // d9: band-join output volume priced in CLOSED FORM (Σ per-bucket
     // C(s,2) — exactly what the equi-join emits, at O(n) cost), then the
     // verified pairs through the r9 filter-first pipeline. The distinct
@@ -122,13 +149,20 @@ object SoakDiag {
 
     // d21: no pair set exists — the cost drivers are total window-hash
     // rows (the shuffle into the (min,max)-owner reduction) and the
-    // shared-window rows that flow into the per-doc islands window
+    // shared-window rows that flow into the per-doc islands window. ONE
+    // timed block runs the whole aggregation (the expensive part); the
+    // second count is a by-product of the same collect, ledgered untimed
+    // rather than wearing a fake ~0 s of its own.
     if (wanted("d21")) {
-      val span = operators.Dedup.longestSharedSpan(spark, dir)
-        .agg(sum(col("n_windows")).as("w"), sum(col("n_shared")).as("s"))
-        .collect()(0)
-      time("d21_windows") { Option(span.get(0)).fold(0L)(_.toString.toLong) }
-      time("d21_shared_windows") { Option(span.get(1)).fold(0L)(_.toString.toLong) }
+      var shared = 0L
+      time("d21_windows") {
+        val span = operators.Dedup.longestSharedSpan(spark, dir)
+          .agg(sum(col("n_windows")).as("w"), sum(col("n_shared")).as("s"))
+          .collect()(0)
+        shared = Option(span.get(1)).fold(0L)(_.toString.toLong)
+        Option(span.get(0)).fold(0L)(_.toString.toLong)
+      }
+      untimed("d21_shared_windows", shared)
     }
 
     // m6: same scheme as d9 — closed-form band volume + filter-first

@@ -573,6 +573,30 @@ object Dedup {
   def incrementalContainmentDedup(spark: SparkSession, dir: String,
                                   threshold: Double = 0.8,
                                   release: Boolean = true): DataFrame = {
+    val (verified, caches) =
+      incrementalContainmentVerified(spark, dir, threshold)
+    val result = verified
+      .filter(col("containment") >= threshold)
+      .select(
+        when(col("id_s") % 2 =!= 0, col("id_s")).otherwise(col("id_l"))
+          .as("batch_id"),
+        when(col("id_s") % 2 === 0, col("id_s")).otherwise(col("id_l"))
+          .as("corpus_id"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+    if (release) materializeAndRelease(result, caches: _*) else result
+  }
+
+  /** d27's candidate generation + exact verification, exposed like
+    * [[containmentVerified]] so [[graft.SoakDiag]] can count the
+    * cross-boundary candidates (the verify join's input) and the verified
+    * pairs at soak scale without duplicating the probe. Returns every
+    * surviving candidate with its raw `containment` plus the caches to
+    * release; [[incrementalContainmentDedup]] filters and shapes.
+    */
+  private[graft] def incrementalContainmentVerified(
+      spark: SparkSession, dir: String,
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val docs = docShingles(spark, dir).cache()
     val ds = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val dfreq = ds.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -605,22 +629,14 @@ object Dedup {
       .agg(max(col("bound")).as("best_bound"), first(col("min_ov")).as("min_ov"))
       .filter(col("best_bound") >= col("min_ov"))
       .select(col("id_s"), col("id_l"))
-    val result = candidates
+    val verified = candidates
       .join(docs.select(col("doc_id").as("id_s"), col("sh").as("sh_s")), "id_s")
       .join(docs.select(col("doc_id").as("id_l"), col("sh").as("sh_l")), "id_l")
       .withColumn("shared", size(array_intersect(col("sh_s"), col("sh_l"))))
       .withColumn("containment",
         col("shared").cast("double") /
           least(size(col("sh_s")), size(col("sh_l"))).cast("double"))
-      .filter(col("containment") >= threshold)
-      .select(
-        when(col("id_s") % 2 =!= 0, col("id_s")).otherwise(col("id_l"))
-          .as("batch_id"),
-        when(col("id_s") % 2 === 0, col("id_s")).otherwise(col("id_l"))
-          .as("corpus_id"),
-        round(col("containment"), 4).as("containment"))
-      .orderBy(col("batch_id"), col("corpus_id"))
-    if (release) materializeAndRelease(result, docs, ordered) else result
+    (verified, Seq(docs, ordered))
   }
 
   /** Shared d17/d19 candidate generation + exact verification. Returns

@@ -237,6 +237,39 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.containmentPairs(spark, dir).count() == 0)
   }
 
+  test("d2 positional filter bounds the candidate count on a boilerplate corpus") {
+    // The symmetric-join twin of the d17 pin above, for the r9-ported
+    // PPJoin positional bound in ngramCandidates: 40 docs of 5 unique +
+    // 25 shared (boilerplate) shingles. Every pair shares the 2
+    // boilerplate shingles that land in BOTH prefixes (prefix length
+    // ⌊0.2·30⌋+1 = 7 covers rare-first positions 0–6; uniques fill 0–4),
+    // so the pre-positional candidate join admits all C(40,2) = 780
+    // pairs — but the earliest common match sits at positions (5, 5),
+    // bounding the overlap by min(30−5, 30−5) = 25 < ⌈0.8/1.8·60⌉ = 27,
+    // so every boilerplate pair must die in the aggregated candidate
+    // stage (true jaccard is 25/35 ≈ 0.714 < τ, far from the answer).
+    // Docs 500/501 are exact duplicates — the control pair whose match
+    // at positions (0, 0) bounds 30 ≥ 27 and must survive. Pinned by
+    // candidate COUNT so a regression of the positional filter is caught
+    // here, not by a sf10 soak re-run.
+    val shared = (0 until 27).map(i => s"c$i")
+    val docs = (0 until 40).map { k =>
+      (k + 1L, ((0 until 5).map(j => s"u${k}x$j") ++ shared).mkString(" "))
+    }
+    val dupText = ((0 until 5).map(j => s"dupx$j") ++ shared).mkString(" ")
+    val dir = writeDocs("graft_d2_positional",
+      docs ++ Seq((500L, dupText), (501L, dupText)))
+    val (dsh, prefix, candidates) = Dedup.ngramCandidates(spark, dir, 0.8)
+    val nCand = candidates.count()
+    dsh.unpersist(true); prefix.unpersist(true)
+    assert(nCand == 1, s"positional filter regressed: $nCand candidate pairs " +
+      "reached the verify join (the unfiltered prefix join admits 861; only " +
+      "the exact-duplicate control pair may survive)")
+    val out = Dedup.ngramJaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((500L, 501L, 1.0)), s"registered output: ${out.toSeq}")
+  }
+
   test("d17 containment catches the near-subset pair Jaccard structurally misses") {
     // the dominant web-crawl duplication mode: the same 22-token article
     // syndicated inside a 62-token boilerplate wrapper. All 20 of the
