@@ -129,18 +129,33 @@ object SoakDiag {
     // materialized here: at band-saturated scales it alone is a
     // multi-hundred-second distinct — the very cost the r9 reorder
     // removed — and the sf1/sf3 measurements already anchor that column.
-    locally {
-      val sigs = operators.Dedup.simhashSignatures(spark, dir).cache()
+    // r10: the REGISTERED form derives its band width from the corpus
+    // count (deriveExtraBandBits), so this prices the layout the query
+    // actually runs — extra bits ledgered alongside.
+    if (wanted("d9")) {
+      val e = operators.Dedup.deriveExtraBandBits(
+        sources.Tables.documentsParallel(spark, dir).count().max(1L))
+      untimed("d9_extra_bits", e)
+      val sigs =
+        (if (e == 0) operators.Dedup.simhashSignatures(spark, dir)
+         else operators.Dedup.simhashSignaturesWide(spark, dir, e)).cache()
       time("d9_band_rows") {
-        operators.Dedup.simhashBands(sigs)
+        (if (e == 0) operators.Dedup.simhashBands(sigs)
+         else operators.Dedup.simhashBandsWide(sigs, e))
           .groupBy(col("band"), col("bkey")).count()
           .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
           .collect()(0).get(0) match { case null => 0L; case v => v.toString.toLong }
       }
       time("d9_pairs") {
-        operators.Dedup.simhashCandidates(sigs)
-          .withColumn("hamming",
-            bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        (if (e == 0)
+           operators.Dedup.simhashCandidates(sigs)
+             .withColumn("hamming",
+               bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+         else
+           operators.Dedup.simhashCandidatesWide(sigs, e)
+             .withColumn("hamming",
+               bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) +
+                 bit_count(col("sh2_a").bitwiseXOR(col("sh2_b")))))
           .filter(col("hamming") <= 3)
           .select(col("id_a"), col("id_b")).distinct().count()
       }
@@ -166,22 +181,33 @@ object SoakDiag {
     }
 
     // m6: same scheme as d9 — closed-form band volume + filter-first
-    // pairs (at radius 7 the 6-7-bit bands saturate, so the volume is
-    // ~n²/8 and materializing a distinct over it is exactly the pre-r9
-    // cost the reorder removed)
-    locally {
-      val hashes = multimodal.Multimodal.perceptualHashes(spark, dir).cache()
+    // pairs (at radius 7 the base 6-7-bit bands saturate, so the volume
+    // is ~n²/8 and materializing a distinct over it is exactly the
+    // pre-r9 cost the reorder removed). r10: priced at the registered
+    // form's derived width, like d9.
+    if (wanted("m6")) {
+      val e = math.min(multimodal.Multimodal.MediaExtraBitsCap,
+        operators.Dedup.deriveExtraBandBits(
+          sources.Tables.documentsParallel(spark, dir).count().max(1L)))
+      untimed("m6_extra_bits", e)
+      val hashes =
+        (if (e == 0) multimodal.Multimodal.perceptualHashes(spark, dir)
+         else multimodal.Multimodal.perceptualHashesWide(spark, dir)).cache()
       time("m6_band_rows") {
-        multimodal.Multimodal.mediaBands(hashes, 7)
+        (if (e == 0) multimodal.Multimodal.mediaBands(hashes, 7)
+         else multimodal.Multimodal.mediaBandsWide(hashes, 7, e))
           .groupBy(col("band"), col("bkey")).count()
           .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
           .collect()(0).get(0) match { case null => 0L; case v => v.toString.toLong }
       }
       time("m6_pairs") {
-        multimodal.Multimodal.mediaBandCandidates(hashes, 7)
-          .withColumn("hamming",
-            bit_count(col("ha").bitwiseXOR(col("hb"))))
-          .filter(col("hamming") <= 7)
+        (if (e == 0)
+           multimodal.Multimodal.mediaBandCandidates(hashes, 7)
+             .withColumn("hamming",
+               bit_count(col("ha").bitwiseXOR(col("hb"))))
+             .filter(col("hamming") <= 7)
+         else
+           multimodal.Multimodal.mediaNearDupPairsWide(hashes, 7, e))
           .select(col("id_a"), col("id_b")).distinct().count()
       }
       hashes.unpersist()

@@ -48,7 +48,7 @@ object SparkEntry {
     "d2_ngram_jaccard"        -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "d3_minhash_lsh"          -> ((s: SparkSession, d: String) => Dedup.minhashLshPairs(s, d)),
     "d4_simhash"              -> Dedup.simhashSignatures _,
-    "d9_simhash_pairs"        -> ((s: SparkSession, d: String) => Dedup.simhashNearDupPairs(s, d)),
+    "d9_simhash_pairs"        -> ((s: SparkSession, d: String) => Dedup.simhashNearDupPairsAuto(s, d)),
     "t10_lang_confusion"      -> TextAnalysis.langConfusionMatrix _,
     // every sizing parameter in the registry derives from corpus
     // statistics (r6): d5/d13 banding from the corpus count, s3/s5/d14
@@ -156,7 +156,7 @@ object SparkEntry {
     // and media clusters over perceptual fingerprints
     "d17_containment_dedup"   -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "d18_quality_survivors"   -> ((s: SparkSession, d: String) => Dedup.qualitySurvivors(s, d)),
-    "m6_media_dedup_clusters" -> ((s: SparkSession, d: String) => Multimodal.mediaDedupClusters(s, d)),
+    "m6_media_dedup_clusters" -> ((s: SparkSession, d: String) => Multimodal.mediaDedupClustersAuto(s, d)),
     "t23_dsir_weights"        -> ((s: SparkSession, d: String) => TextAnalysis.dsirWeights(s, d)),
     "t24_ccnet_cut"           -> ((s: SparkSession, d: String) => TextAnalysis.ccnetPerplexityCut(s, d)),
     // batch 8 extensions (round 6): the pre-model rule battery, diversified
@@ -3036,7 +3036,24 @@ object SparkEntry {
           CASE WHEN n <= 0 THEN 0
                ELSE greatest(0, CAST(floor(log2(sqrt(CAST(n AS DOUBLE)) / 2.0
                  / greatest(nl, 1)) + 0.5) AS BIGINT)) END
-        FROM ne)
+        FROM ne
+        UNION ALL
+        -- d9/m6 extra band bits: ceil(log2 n) spelled in INTEGERS (count
+        -- of powers of two below n — float log2 misrounds at exact
+        -- powers), minus the 13-bit key unit, floored at 0; d9 caps at
+        -- 13 (the second hash52's slot width), m6 at 6 (its minimum
+        -- chunk slot width)
+        SELECT 'd9_simhash_extra_band_bits', CAST(nd.n AS BIGINT),
+          least(13, greatest(0,
+            (SELECT CAST(count(*) AS BIGINT) FROM range(0, 63) t(i)
+             WHERE (CAST(1 AS BIGINT) << CAST(i AS INT)) < nd.n) - 13))
+        FROM (SELECT greatest(count(*), 1) AS n FROM documents) nd
+        UNION ALL
+        SELECT 'm6_phash_extra_band_bits', CAST(nd.n AS BIGINT),
+          least(6, greatest(0,
+            (SELECT CAST(count(*) AS BIGINT) FROM range(0, 63) t(i)
+             WHERE (CAST(1 AS BIGINT) << CAST(i AS INT)) < nd.n) - 13))
+        FROM (SELECT greatest(count(*), 1) AS n FROM documents) nd)
       ORDER BY param""",
 
     // q60: q58's interval CTEs over the non-error stream, then DuckDB's

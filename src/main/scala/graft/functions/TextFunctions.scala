@@ -97,6 +97,16 @@ object TextFunctions {
   def hash52(c: Column): Column =
     conv(substring(md5(c), 1, 13), 16, 10).cast("long")
 
+  /** The SECOND independent 52-bit hash from the same md5 — hex chars
+    * 14–26, disjoint from [[hash52]]'s 1–13. The wide-signature operators
+    * (d9/m6 band widening beyond the 13-bit key unit) draw their extra
+    * majority-vote bits from here, so one md5 per token funds up to 104
+    * signature bits. Same DuckDB convention as hash52
+    * (`('0x' || substr(md5(x), 14, 13))::BIGINT`) if a twin ever needs it.
+    */
+  def hash52b(c: Column): Column =
+    conv(substring(md5(c), 14, 13), 16, 10).cast("long")
+
   /** The DuckDB twin of [[hash52]] over SQL expression `e`. */
   def hash52Sql(e: String): String =
     s"('0x' || substr(md5($e), 1, 13))::BIGINT"

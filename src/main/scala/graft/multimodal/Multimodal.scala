@@ -648,10 +648,12 @@ object Multimodal {
     * frame so real image fingerprints ([[pixelPerceptualHashes]]) ride the
     * same operator. Scale note: band COUNT is fixed by the radius (that is
     * the algorithm), so per-band bucket occupancy grows with the corpus —
-    * at 100 TB you widen the signature (e.g. 4×64-bit block hashes →
-    * 32-bit bands at radius 7), which this operator takes as-is since the
-    * banding derives from `BlockMeanHash.Bits`; 52 bits is the DuckDB-
-    * replayable width the oracle contract pins.
+    * once it outgrows the 52-bit base key space the signature WIDENS:
+    * [[mediaDedupClustersAuto]] derives the extra per-chunk key bits from
+    * the corpus count ([[graft.operators.Dedup.deriveExtraBandBits]]) and
+    * funds them with the block-gradient hash ([[mediaNearDupPairsWide]]).
+    * This base form is the derivation's `extra = 0` case — the 52-bit
+    * DuckDB-replayable width the oracle contract pins at gate scales.
     */
   def mediaNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
     // verify BEFORE collapsing band multiplicity (r9): at radius 7 the 8
@@ -705,6 +707,94 @@ object Multimodal {
       posexplode(array(bandExprs: _*)).as(Seq("band", "bkey")))
   }
 
+  /** [[perceptualHashes]] plus the block-GRADIENT hash
+    * ([[graft.expressions.BlockGradientHash]], the 1-D dHash) of the same
+    * payload — the second 52-bit fingerprint that funds the extra
+    * band-key bits when the corpus outgrows the base key space. Still
+    * map-side only: two codegen'd expressions per row.
+    */
+  private[graft] def perceptualHashesWide(spark: SparkSession,
+                                          dir: String): DataFrame = {
+    graft.expressions.BlockMeanHash.register(spark)
+    graft.expressions.BlockGradientHash.register(spark)
+    Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        expr("block_mean_hash(payload)").as("phash"),
+        expr("block_gradient_hash(payload)").as("ghash"))
+  }
+
+  /** The wide m5/m6 band layout: chunk j keeps its base 6–7 aHash bits
+    * (the ⌊j·52/B⌋ boundaries of [[mediaBands]]) and gains `extraBits`
+    * gradient-hash bits from the SAME slot of `ghash`, packed as
+    * `base | (extra << 7)`. The B chunks stay disjoint over the combined
+    * 52 + B·extraBits-bit signature, so pigeonhole recall at the radius
+    * is exact, unchanged.
+    */
+  private[graft] def mediaBandsWide(hashes: DataFrame, maxHamming: Int,
+                                    extraBits: Int): DataFrame = {
+    val nBits = graft.expressions.BlockMeanHash.Bits
+    val nBands = maxHamming + 1
+    val bandExprs = (0 until nBands).map { j =>
+      val start = j * nBits / nBands
+      val width = (j + 1) * nBits / nBands - start
+      expr(s"(shiftright(phash, $start) & ${(1L << width) - 1})" +
+        s" + (shiftright(ghash, $start) & ${(1L << extraBits) - 1}) * 128")
+    }
+    hashes.select(col("doc_id"), col("phash"), col("ghash"),
+      posexplode(array(bandExprs: _*)).as(Seq("band", "bkey")))
+  }
+
+  /** The live gradient-signature bits at (`maxHamming`, `extraBits`) —
+    * the low `extraBits` of each chunk's slot; the verify Hamming counts
+    * ghash xor under this mask so only signature bits participate.
+    */
+  private[graft] def gradientMask(maxHamming: Int, extraBits: Int): Long = {
+    val nBits = graft.expressions.BlockMeanHash.Bits
+    val nBands = maxHamming + 1
+    (0 until nBands).map { j =>
+      ((1L << extraBits) - 1) << (j * nBits / nBands)
+    }.reduce(_ | _)
+  }
+
+  /** Wide twin of [[mediaBandCandidates]]: raw band matches carrying both
+    * hash pairs for the join-free verify.
+    */
+  private[graft] def mediaBandCandidatesWide(hashes: DataFrame,
+                                             maxHamming: Int,
+                                             extraBits: Int): DataFrame = {
+    val bands = mediaBandsWide(hashes, maxHamming, extraBits)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"),
+        col("a.ghash").as("ga"), col("b.ghash").as("gb"))
+  }
+
+  /** Wide twin of [[mediaNearDupPairs]]: same filter-first pipeline, with
+    * the Hamming verify over the combined 52 + B·extraBits-bit signature
+    * (aHash bits + masked gradient bits). The radius stays ABSOLUTE —
+    * the [[graft.operators.Dedup.deriveExtraBandBits]] contract: widening
+    * separates random band ties without admitting any pair the narrow
+    * signature rejected.
+    */
+  private[graft] def mediaNearDupPairsWide(hashes: DataFrame,
+                                           maxHamming: Int,
+                                           extraBits: Int): DataFrame = {
+    val gmask = gradientMask(maxHamming, extraBits)
+    mediaBandCandidatesWide(hashes, maxHamming, extraBits)
+      .withColumn("hamming",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("ga").bitwiseXOR(col("gb")).bitwiseAND(lit(gmask))))
+          .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** m6: media dedup clusters — [[mediaNearDupPairs]] at radius 7 (~13% of
     * the signature, the conventional pHash near-dup threshold) fed into
     * the SAME connected-components machinery d6 uses for text
@@ -723,6 +813,44 @@ object Multimodal {
       .withColumnRenamed("root", "cluster_root")
       .orderBy(col("doc_id"))
     graft.operators.Dedup.materializeAndRelease(result, pairs)
+  }
+
+  /** m6's cap on [[graft.operators.Dedup.deriveExtraBandBits]]: the
+    * gradient hash contributes at most the MINIMUM chunk slot width
+    * (⌊52/8⌋ = 6 bits at radius 7) so every chunk's extra bits stay
+    * inside its own disjoint slot.
+    */
+  val MediaExtraBitsCap = 6
+
+  /** m6's REGISTERED form: [[mediaDedupClusters]] with the band width
+    * derived from the corpus count — the same
+    * [[graft.operators.Dedup.deriveExtraBandBits]] constant d9 rides
+    * (one shared derivation for both signature-banded operators), capped
+    * at [[MediaExtraBitsCap]]. `extra = 0` at every corpus up to 8192
+    * docs (the gate and the sf0.1 off-gate sweep) keeps the 52-bit aHash
+    * pipeline and its static DuckDB oracle bit-for-bit; at the 500k-doc
+    * 100× soak `extra = 6` widens each 6–7-bit chunk key to 12–13 bits —
+    * a 2⁶ = 64× cut in expected random band collisions against the
+    * measured 21.6B-row saturation. Wide-form correctness is property-
+    * tested against the brute-force combined-signature join in
+    * Round10Spec.
+    */
+  def mediaDedupClustersAuto(spark: SparkSession, dir: String,
+                             maxHamming: Int = 7): DataFrame = {
+    val e = math.min(MediaExtraBitsCap,
+      graft.operators.Dedup.deriveExtraBandBits(
+        Tables.documentsParallel(spark, dir).count().max(1L)))
+    if (e == 0) mediaDedupClusters(spark, dir, maxHamming)
+    else {
+      val pairs =
+        mediaNearDupPairsWide(perceptualHashesWide(spark, dir), maxHamming, e)
+          .select(col("id_a"), col("id_b")).cache()
+      val result = graft.operators.Dedup.connectedComponents(pairs)
+        .withColumnRenamed("node", "doc_id")
+        .withColumnRenamed("root", "cluster_root")
+        .orderBy(col("doc_id"))
+      graft.operators.Dedup.materializeAndRelease(result, pairs)
+    }
   }
 
   /** m10's flag level: a payload whose clip fraction exceeds this is

@@ -352,10 +352,16 @@ object Dedup {
     val stats = Tables.embeddings(spark, dir)
       .agg(count(lit(1)), countDistinct(col("label"))).collect()(0)
     val (nEmb, nLab) = (stats.getLong(0), stats.getLong(1))
+    val nDocs = Tables.documentsParallel(spark, dir).count().max(1L)
     Seq(
       ("d5_emb_band_bits", nEmb, deriveBandBits(nEmb.max(1L)).toLong),
       ("s2_lsh_bucket_bits", nEmb, Similarity.deriveLshBits(nEmb).toLong),
-      ("s3_ivf_sub_bits", nEmb, Similarity.deriveSubBits(nEmb, nLab).toLong))
+      ("s3_ivf_sub_bits", nEmb, Similarity.deriveSubBits(nEmb, nLab).toLong),
+      ("d9_simhash_extra_band_bits", nDocs,
+        deriveExtraBandBits(nDocs).toLong),
+      ("m6_phash_extra_band_bits", nDocs,
+        math.min(graft.multimodal.Multimodal.MediaExtraBitsCap,
+          deriveExtraBandBits(nDocs)).toLong))
       .toDF("param", "input_n", "derived_value")
       .orderBy(col("param"))
   }
@@ -1556,7 +1562,10 @@ object Dedup {
     * (pigeonhole), so the candidate join is 4 equi-joins on 13-bit keys —
     * linear like MinHash-LSH banding, and unlike it the pigeonhole
     * guarantee makes recall EXACT for d <= bands-1. Candidates are then
-    * verified with the true hamming distance.
+    * verified with the true hamming distance. This base form is
+    * [[simhashNearDupPairsAuto]]'s `extra = 0` case — the registered form
+    * widens the signature ([[deriveExtraBandBits]]) once the corpus
+    * outgrows the 13-bit key space.
     */
   def simhashNearDupPairs(spark: SparkSession, dir: String,
                           maxHamming: Int = 3,
@@ -1614,6 +1623,147 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures (for tests/probing). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     bit_count(a.bitwiseXOR(b))
+
+  /** The band-key unit: one [[graft.functions.TextFunctions.hash52]] slot
+    * of 13 bits — the base band width of every pigeonhole-banded signature
+    * here (d9's 4×13, m6's 8×6/7 within the same 52-bit budget).
+    */
+  val BandKeyUnitBits = 13
+
+  /** THE shared d9/m6 width derivation — extra signature bits per band
+    * beyond the 52-bit base, from one corpus statistic: the smallest
+    * `e ≥ 0` with `2^(13+e) ≥ n`, capped at 13 (the second hash52's slot
+    * width). Rationale: a pigeonhole band join's collision volume is
+    * Σ per-bucket C(s,2) ≈ n²/2^(bandBits+1) per band under uniform keys,
+    * so once the corpus outgrows the key space (n > 2^13 for d9;
+    * measured at the 100× soak: 3.06B/21.6B band rows for d9/m6) the
+    * volume term turns super-linear — the exact failure the repo's r3
+    * rule names ("a fixed setting that is correct at gate scale IS the
+    * scale bug"). Growing the key with ⌈log₂ n⌉ keeps expected bucket
+    * occupancy ≤ 1 however large the corpus. Band COUNT is fixed by the
+    * radius (that is the pigeonhole algorithm), so the extra key bits
+    * come from WIDENING the signature — more majority-vote bits from the
+    * second md5 half (d9) / a second perceptual hash (m6) — while the
+    * Hamming radius stays ABSOLUTE (Manku et al., "Detecting
+    * Near-Duplicates for Web Crawling", WWW'07: 64-bit simhash, k = 3,
+    * 8B pages): widening raises per-pair precision at a fixed bit
+    * tolerance; it never admits a random pair the narrow signature
+    * rejected. At the gate scales the derivation is 0 (n ≤ 8192 at
+    * sf0.01 AND sf0.1), so the registered queries keep their static
+    * 52-bit DuckDB oracles — the d13/d14 auto-seam convention — while
+    * the d26 report replays this formula cross-engine from the same
+    * corpus count.
+    */
+  def deriveExtraBandBits(n: Long): Int = {
+    // ceil(log2 n) spelled in integers (floats misround at exact powers
+    // of two); the DuckDB twin counts powers below n the same way
+    val ceilLog2 =
+      if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.max(0, math.min(BandKeyUnitBits, ceilLog2 - BandKeyUnitBits))
+  }
+
+  /** d9's wide signatures: `(doc_id, simhash, simhash2)` — `simhash` is
+    * [[simhashSignatures]]' 52-bit majority vote over hash52, bit-identical
+    * to d4's; `simhash2` carries `extraBits` FURTHER majority-vote bits
+    * per 13-bit slot (bit 13j+i set from bit 13j+i of
+    * [[graft.functions.TextFunctions.hash52b]], the second md5 half, for
+    * i < extraBits; all other bits zero). One scan + one groupBy computes
+    * all 52 + 4·extraBits bit-sums as a single wide codegen'd aggregate —
+    * widening costs map-side sums, never another shuffle.
+    */
+  private[graft] def simhashSignaturesWide(spark: SparkSession, dir: String,
+                                           extraBits: Int): DataFrame = {
+    require(extraBits >= 1 && extraBits <= BandKeyUnitBits,
+      s"extraBits must be in [1, $BandKeyUnitBits], got $extraBits")
+    val tok = Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("h", hash52(col("t")))
+      .withColumn("h2", hash52b(col("t")))
+    val bitPos2 = (0 until 4).flatMap(j =>
+      (0 until extraBits).map(i => BandKeyUnitBits * j + i))
+    val bitSums =
+      (0 until SimHashBits).map(i =>
+        sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i")) ++
+      bitPos2.map(i =>
+        sum(shiftright(col("h2"), i).bitwiseAND(lit(1L))).as(s"c$i")) :+
+      count(lit(1)).as("n")
+    val g = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until SimHashBits).map(i =>
+      when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val sim2 = bitPos2.map(i =>
+      when(col(s"c$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    g.select(col("doc_id"), sim.as("simhash"), sim2.as("simhash2"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The wide d9 band layout: band j's key is its 13 base bits from
+    * `simhash` plus its `extraBits` extra bits from `simhash2`, packed as
+    * `base | (extra << 13)` — 4 disjoint chunks of `13 + extraBits`
+    * signature bits, so the pigeonhole guarantee (hamming ≤ 3 over the
+    * FULL 52+4e-bit signature → some chunk agrees exactly) holds
+    * unchanged.
+    */
+  private[graft] def simhashBandsWide(sigs: DataFrame,
+                                      extraBits: Int): DataFrame =
+    sigs.select(col("doc_id"), col("simhash"), col("simhash2"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("simhash"), col("simhash2"), col("band"),
+        (expr(s"shiftright(simhash, band * $BandKeyUnitBits)" +
+            s" & ${(1L << BandKeyUnitBits) - 1}") +
+          expr(s"(shiftright(simhash2, band * $BandKeyUnitBits)" +
+            s" & ${(1L << extraBits) - 1}) * ${1L << BandKeyUnitBits}"))
+          .as("bkey"))
+
+  /** Wide twin of [[simhashCandidates]] — raw band matches carrying BOTH
+    * signature halves of both sides, so the caller's verify is two
+    * codegen'd bit_counts with no further join.
+    */
+  private[graft] def simhashCandidatesWide(sigs: DataFrame,
+                                           extraBits: Int): DataFrame = {
+    val bands = simhashBandsWide(sigs, extraBits)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"),
+        col("a.simhash2").as("sh2_a"), col("b.simhash2").as("sh2_b"))
+  }
+
+  /** d9's REGISTERED form: [[simhashNearDupPairs]] with the band width
+    * derived from the corpus count ([[deriveExtraBandBits]] — the d13/d14
+    * auto seam applied to the last pinned sizing parameter in the
+    * registered surface). `extra = 0` (every corpus up to 8192 docs: the
+    * gate AND the sf0.1 off-gate sweep) is literally the 52-bit pipeline,
+    * so the static DuckDB oracle keeps hash-checking it; beyond that the
+    * signature widens to 52 + 4·extra bits and the band keys to
+    * 13 + extra — at the 500k-doc 100× soak extra = 6, shrinking the
+    * band join's expected random-collision volume 2⁶ = 64×. The Hamming
+    * radius stays absolute (3 bits) per the WWW'07 simhash convention;
+    * the wide form is property-tested against the brute-force wide-
+    * signature join in Round10Spec.
+    */
+  def simhashNearDupPairsAuto(spark: SparkSession, dir: String,
+                              maxHamming: Int = 3): DataFrame = {
+    val e = deriveExtraBandBits(
+      Tables.documentsParallel(spark, dir).count().max(1L))
+    if (e == 0) simhashNearDupPairs(spark, dir, maxHamming)
+    else {
+      val sigs = simhashSignaturesWide(spark, dir, e).cache()
+      // filter-before-distinct, exactly like the base form (r9)
+      val result = simhashCandidatesWide(sigs, e)
+        .withColumn("hamming",
+          (bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) +
+            bit_count(col("sh2_a").bitwiseXOR(col("sh2_b")))).cast("long"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .distinct()
+        .orderBy(col("id_a"), col("id_b"))
+      materializeAndRelease(result, sigs)
+    }
+  }
 
   /** Banded sign-LSH layout for d5: `EmbBands` bands of `EmbBandBits`
     * random-hyperplane sign bits each (24 hyperplanes total). A pair is a

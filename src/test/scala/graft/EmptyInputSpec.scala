@@ -188,12 +188,17 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.operators.Similarity.quantizationImpact(spark, emptyDir).count() == 0)
     assert(graft.operators.Extended.errorContext(spark, emptyDir).count() == 0)
     assert(graft.operators.Dedup.incrementalContainmentDedup(spark, emptyDir).count() == 0)
+    // the r10 auto-width registered forms: empty corpus derives extra = 0
+    // and lands on the base pipeline
+    assert(graft.operators.Dedup.simhashNearDupPairsAuto(spark, emptyDir).count() == 0)
+    assert(graft.multimodal.Multimodal.mediaDedupClustersAuto(spark, emptyDir).count() == 0)
     // d26 is a config report: each parameter lands on its documented
     // floor for an empty corpus, never an error
     val cfg = graft.operators.Dedup.autoConfigReport(spark, emptyDir).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(cfg == Map("d5_emb_band_bits" -> 3L, "s2_lsh_bucket_bits" -> 8L,
-      "s3_ivf_sub_bits" -> 0L), s"floors: $cfg")
+      "s3_ivf_sub_bits" -> 0L, "d9_simhash_extra_band_bits" -> 0L,
+      "m6_phash_extra_band_bits" -> 0L), s"floors: $cfg")
   }
 
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {
