@@ -237,6 +237,8 @@ object SparkEntry {
     "d26_auto_config"         -> Dedup.autoConfigReport _,
     "d27_incremental_containment" -> ((s: SparkSession, d: String) =>
                                    Dedup.incrementalContainmentDedup(s, d)),
+    "d28_incremental_containment_indexed" -> ((s: SparkSession, d: String) =>
+                                   Dedup.incrementalContainmentIndexed(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -807,6 +809,10 @@ object SparkEntry {
     "d17_containment_dedup" -> ContainmentPairsSql,
     "d18_quality_survivors" -> QualitySurvivorsSql,
     "d27_incremental_containment" -> IncrementalContainmentSql,
+    // d28: identical contract to d27 — the index changes WHERE the corpus
+    // frames come from (bucketed tables, frozen corpus-df order), never
+    // which pairs clear the exact containment verify
+    "d28_incremental_containment_indexed" -> IncrementalContainmentSql,
 
     "q25_bloom_prefilter" -> """
       WITH urgent AS (

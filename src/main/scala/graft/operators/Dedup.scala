@@ -645,6 +645,157 @@ object Dedup {
     (verified, Seq(docs, ordered))
   }
 
+  /** Persist the corpus CONTAINMENT index — d27's corpus-side frames as
+    * bucketed tables, the [[persistCorpusBandIndex]] layout family
+    * applied to the asymmetric-containment probe (the production shape
+    * d27's scaladoc names):
+    *
+    *   - `<prefix>_cdocs`  `(doc_id, sh)`      bucketed by `doc_id` — the
+    *     verify join's corpus side
+    *   - `<prefix>_cdf`    `(s, df)`           bucketed by `s` — the
+    *     rare-first ORDER, frozen at index-build time
+    *   - `<prefix>_cfull`  `(doc_id, n, j, s)` bucketed by `s` — every
+    *     corpus shingle at its 0-based position in that order
+    *
+    * The df order is computed over the CORPUS ONLY (a production index
+    * cannot know future batches); a batch shingle unseen in the corpus
+    * takes df 0 — rarer than everything indexed, the right prior for an
+    * unseen n-gram. The prefix theorem and the PPJoin positional bound
+    * require only that ONE total order be applied consistently to both
+    * sides, so the probe's output is IDENTICAL to d27's (whose order uses
+    * combined df): both emit exactly the pairs whose verified containment
+    * clears τ (asserted in Round10Spec). No corpus prefix table exists:
+    * the prefix is the `j < n − ⌈τ·n⌉ + 1` filter on `_cfull`, so one
+    * table serves both probe directions at ANY τ.
+    */
+  def persistContainmentIndex(spark: SparkSession, dir: String,
+                              prefix: String = "containment_index",
+                              buckets: Int = 32,
+                              corpusFilter: org.apache.spark.sql.Column =
+                                col("doc_id") % 2 === 0): Unit = {
+    Seq(s"${prefix}_cdocs", s"${prefix}_cdf", s"${prefix}_cfull").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+    docShingles(spark, dir).filter(corpusFilter)
+      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable(s"${prefix}_cdocs")
+    // df and positions derive from the JUST-WRITTEN shingle table — one
+    // corpus shingle pass total, reading bucketed files
+    val ds = spark.table(s"${prefix}_cdocs")
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    ds.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .write.bucketBy(buckets, "s").sortBy("s")
+      .mode("overwrite").saveAsTable(s"${prefix}_cdf")
+    ds.join(spark.table(s"${prefix}_cdf"), "s")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
+      .select(col("doc_id"), size(col("ordered")).as("n"),
+        posexplode(transform(col("ordered"), e => e.getField("s")))
+          .as(Seq("j", "s")))
+      .write.bucketBy(buckets, "s").sortBy("s")
+      .mode("overwrite").saveAsTable(s"${prefix}_cfull")
+  }
+
+  /** d27 against the persisted index: identical output contract to
+    * [[incrementalContainmentDedup]] (same DuckDB oracle), but the corpus
+    * never re-shingles — both probe directions read `_cfull`'s bucketed
+    * files (candidate joins key on `s`, the bucket key, so the corpus
+    * side of each needs NO exchange), the verify join's corpus side reads
+    * `_cdocs` bucketed by its own join key, and the batch adopts the
+    * index's frozen rare-first order through one bucketed lookup join
+    * against `_cdf`. Per-batch cost is the batch's own shuffles only,
+    * however many billions of corpus rows sit behind the index — the d12
+    * discipline applied to containment.
+    */
+  def incrementalContainmentFromIndex(spark: SparkSession, dir: String,
+                                      prefix: String = "containment_index",
+                                      threshold: Double = 0.8,
+                                      release: Boolean = true): DataFrame = {
+    val cdocs = spark.table(s"${prefix}_cdocs")
+    val cdf = spark.table(s"${prefix}_cdf")
+    val cfull = spark.table(s"${prefix}_cfull")
+    val batch = docShingles(spark, dir)
+      .filter(col("doc_id") % 2 =!= 0).cache()
+    // batch side adopts the index's order: corpus df via lookup, df 0
+    // (rarest) for shingles the corpus has never seen
+    val bordered = batch.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(cdf, Seq("s"), "left")
+      .na.fill(0L, Seq("df"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
+      .select(col("doc_id"), size(col("ordered")).as("n"),
+        transform(col("ordered"), e => e.getField("s")).as("shs"))
+      .cache()
+    // prefix length n − ⌈τ·n⌉ + 1 with the d17/d27 ε pins
+    val bprefix = bordered.select(col("doc_id"), col("n"),
+      posexplode(slice(col("shs"), lit(1),
+        (col("n") - ceil(col("n").cast("double") * threshold - 1e-9) + 1)
+          .cast("int"))).as(Seq("i", "s")))
+    val bfull = bordered.select(col("doc_id"), col("n"),
+      posexplode(col("shs")).as(Seq("j", "s")))
+    val cprefix = cfull
+      .filter(col("j") <
+        (col("n") - ceil(col("n").cast("double") * threshold - 1e-9) + 1))
+      .select(col("doc_id"), col("n"), col("j").as("i"), col("s"))
+    val minOv = ceil(col("a.n").cast("double") * threshold - 1e-9)
+    def cross(pref: DataFrame, fl: DataFrame): DataFrame =
+      pref.as("a").join(fl.as("b"),
+          col("a.s") === col("b.s") &&
+            (col("a.n") < col("b.n") ||
+              (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))))
+        .select(col("a.doc_id").as("id_s"), col("b.doc_id").as("id_l"),
+          least(col("a.n") - col("a.i"), col("b.n") - col("b.j")).as("bound"),
+          minOv.as("min_ov"))
+    val candidates = cross(bprefix, cfull)
+      .unionAll(cross(cprefix, bfull))
+      .groupBy(col("id_s"), col("id_l"))
+      .agg(max(col("bound")).as("best_bound"), first(col("min_ov")).as("min_ov"))
+      .filter(col("best_bound") >= col("min_ov"))
+      .select(col("id_s"), col("id_l"))
+    // verify split by side parity so the corpus shingle arrays come from
+    // the doc_id-bucketed table (a unioned frame would forfeit bucketing)
+    def verify(c: DataFrame, sSide: DataFrame, lSide: DataFrame): DataFrame =
+      c.join(sSide.select(col("doc_id").as("id_s"), col("sh").as("sh_s")), "id_s")
+        .join(lSide.select(col("doc_id").as("id_l"), col("sh").as("sh_l")), "id_l")
+    val result =
+      verify(candidates.filter(col("id_s") % 2 =!= 0), batch, cdocs)
+        .unionAll(verify(candidates.filter(col("id_s") % 2 === 0), cdocs, batch))
+        .withColumn("shared", size(array_intersect(col("sh_s"), col("sh_l"))))
+        .withColumn("containment",
+          col("shared").cast("double") /
+            least(size(col("sh_s")), size(col("sh_l"))).cast("double"))
+        .filter(col("containment") >= threshold)
+        .select(
+          when(col("id_s") % 2 =!= 0, col("id_s")).otherwise(col("id_l"))
+            .as("batch_id"),
+          when(col("id_s") % 2 === 0, col("id_s")).otherwise(col("id_l"))
+            .as("corpus_id"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy(col("batch_id"), col("corpus_id"))
+    if (release) materializeAndRelease(result, batch, bordered) else result
+  }
+
+  /** d28: the production-shape spelling of d27 — identical output
+    * contract (batch(odd)×corpus(even) verified containment matches,
+    * same oracle), with the corpus side persisted once per session as the
+    * bucketed containment index ([[persistContainmentIndex]]) and every
+    * probe paying batch-side cost only: no corpus re-shingling, no
+    * corpus-side exchange in any of the three joins. The d12 precedent
+    * applied to the asymmetric-containment probe.
+    */
+  def incrementalContainmentIndexed(spark: SparkSession, dir: String,
+                                    threshold: Double = 0.8,
+                                    release: Boolean = true): DataFrame = {
+    val prefix = s"graft_d28_idx_${dir.hashCode & Int.MaxValue}"
+    if (builtIndexes.add(s"${spark.sparkContext.applicationId}:$prefix"))
+      persistContainmentIndex(spark, dir, prefix)
+    incrementalContainmentFromIndex(spark, dir, prefix, threshold, release)
+  }
+
   /** Shared d17/d19 candidate generation + exact verification. Returns
     * every candidate pair with BOTH raw metrics (`containment`,
     * `jaccard`) plus the caches to release; callers filter/shape. The

@@ -124,6 +124,21 @@ class Round10Spec extends AnyFunSuite {
     assert(d <= 2, s"one-byte edit moved $d gradient bits")
   }
 
+  test("d28 probe from the persisted containment index equals d27 exactly") {
+    // the index freezes the rare-first order at CORPUS-only df (batch
+    // shingles unseen in the corpus take df 0) while d27 orders by
+    // combined df — a different total order, the SAME verified pair set:
+    // the prefix theorem and positional bound hold for any one order
+    // applied consistently, and the output is the exact-containment
+    // verify, which no candidate order can change
+    val d27 = Dedup.incrementalContainmentDedup(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val d28 = Dedup.incrementalContainmentIndexed(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(d28 == d27 && d28.nonEmpty,
+      s"d28=${d28.size} d27=${d27.size} diff=${(d28 diff d27).take(3)}")
+  }
+
   test("d26 reports the d9/m6 width derivations from the corpus count") {
     val rows = Dedup.autoConfigReport(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap

@@ -110,6 +110,60 @@ class StorageLayoutSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("persisted containment index: probe is exchange-free on the corpus side, output equals d27") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    Seq("containment_index_cdocs", "containment_index_cdf",
+        "containment_index_cfull").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    }
+    graft.operators.Dedup.persistContainmentIndex(spark, sf, buckets = 8)
+
+    def scansOf(p: SparkPlan, substr: String): Seq[FileSourceScanExec] =
+      p.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(substr)) => Seq(s)
+        case a: AdaptiveSparkPlanExec => scansOf(a.inputPlan, substr)
+      }.flatten
+
+    // force the shuffle-join path (a broadcast would trivially pass)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = graft.operators.Dedup
+        .incrementalContainmentFromIndex(spark, sf, release = false)
+      val plan = probe.queryExecution.executedPlan
+      assert(scansOf(plan, "containment_index_cfull").nonEmpty,
+        s"cfull table not scanned:\n$plan")
+      assert(scansOf(plan, "containment_index_cdocs").nonEmpty,
+        "cdocs table not scanned")
+      // (the _cdf order-lookup scan sits INSIDE the cached batch-order
+      // subtree — an InMemoryRelation's child plan is not part of this
+      // operator tree, so it cannot be collect()ed here; the two scans
+      // asserted above are the ones the exchange-free claim is about)
+      // every sort-merge-join subtree that reads an index table must be
+      // exchange-free — the bucketed layout IS its distribution; only
+      // the batch side may shuffle
+      def joins(p: SparkPlan): Seq[SortMergeJoinExec] = p.collect {
+        case j: SortMergeJoinExec => Seq(j)
+        case a: AdaptiveSparkPlanExec => joins(a.inputPlan)
+      }.flatten
+      val corpusSides = joins(plan).flatMap(j => Seq(j.left, j.right))
+        .filter(side => scansOf(side, "containment_index").nonEmpty)
+      assert(corpusSides.nonEmpty, s"no join hangs off the index tables:\n$plan")
+      corpusSides.foreach { side =>
+        assert(countShuffles(side) == 0,
+          s"corpus side of a containment probe join shuffles:\n$side")
+      }
+      val fromIndex = probe.collect().map(_.toSeq).toSet
+      val recomputed = graft.operators.Dedup
+        .incrementalContainmentDedup(spark, sf).collect().map(_.toSeq).toSet
+      assert(fromIndex == recomputed, "index probe diverged from d27")
+      assert(fromIndex.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("corpus index retraction: tables rewritten minus ids, probe output = filtered d11, still bucketed") {
     import org.apache.spark.sql.functions.col
     // fresh index under its own prefix so test order cannot matter
