@@ -109,6 +109,35 @@ object SoakDiag {
       caches.foreach(_.unpersist())
     }
 
+    // d28: the per-BATCH cost asymmetry the persisted containment index
+    // buys. At the registered fixture the batch is HALF the corpus, so
+    // batch-side work dominates and d28 ≈ d27 in the bench; the index's
+    // value is the scaling in BATCH size at a FIXED corpus — measured
+    // here with a 0.5% batch slice: the d27 recompute still pays the
+    // full corpus shingle+df+sort (O(corpus) per batch, any batch), the
+    // d28 probe pays only the slice's own work against pre-shuffled
+    // files. Index build runs untimed (production builds once per corpus
+    // rebuild and amortizes it over every batch).
+    if (wanted("d28")) {
+      val prefix = s"graft_diag_d28_${dir.hashCode & Int.MaxValue}"
+      operators.Dedup.persistContainmentIndex(spark, dir, prefix)
+      val small = col("doc_id") % 200 === 1
+      time("d28_probe_halfbatch") {
+        operators.Dedup
+          .incrementalContainmentFromIndex(spark, dir, prefix).count()
+      }
+      time("d28_probe_smallbatch") {
+        operators.Dedup.incrementalContainmentFromIndex(
+          spark, dir, prefix, batchFilter = small).count()
+      }
+      // named under the d28 prefix so DIAG_ONLY=d28 runs the whole
+      // comparison (wanted() matches metric-name prefixes)
+      time("d28_vs_d27recompute_smallbatch") {
+        operators.Dedup.incrementalContainmentDedup(
+          spark, dir, batchFilter = small).count()
+      }
+    }
+
     // d27: the batch(odd)×corpus(even) asymmetric-containment probe —
     // cross-BOUNDARY candidates surviving the positional filter (the
     // verify join's input, summed over both probe directions) and the

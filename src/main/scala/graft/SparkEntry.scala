@@ -239,6 +239,8 @@ object SparkEntry {
                                    Dedup.incrementalContainmentDedup(s, d)),
     "d28_incremental_containment_indexed" -> ((s: SparkSession, d: String) =>
                                    Dedup.incrementalContainmentIndexed(s, d)),
+    "d29_band_occupancy"      -> Dedup.bandOccupancyAudit _,
+    "m15_gradient_hash"       -> Multimodal.gradientHashes _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -813,6 +815,51 @@ object SparkEntry {
     // frames come from (bucketed tables, frozen corpus-df order), never
     // which pairs clear the exact containment verify
     "d28_incremental_containment_indexed" -> IncrementalContainmentSql,
+
+    // d29: the 13-bit band layout replayed from the d4 signature oracle
+    // (at gate scale the derived extra width is 0 — pinned by d26 and
+    // the Round10Spec coupling test); Σ C(s,2) in integer division
+    "d29_band_occupancy" -> s"""
+      WITH sig AS ($SimHashOracleSql),
+      bd AS (SELECT unnest(range(0, 4)) AS band),
+      bands AS (
+        SELECT s.doc_id, bd.band,
+          (s.simhash >> CAST(13 * bd.band AS INT)) & 8191 AS bkey
+        FROM sig s CROSS JOIN bd),
+      occ AS (SELECT band, bkey, count(*) AS c FROM bands GROUP BY 1, 2)
+      SELECT CAST(band AS BIGINT) AS band,
+        CAST(count(*) AS BIGINT) AS n_buckets,
+        CAST(max(c) AS BIGINT) AS max_occupancy,
+        CAST(sum(c * (c - 1) // 2) AS BIGINT) AS collision_rows
+      FROM occ GROUP BY 1 ORDER BY 1""",
+
+    // m15: the 53-block gradient hash replayed with the same integer
+    // cross-multiplication as the Scala expression (s_{j+1}·len_j >
+    // s_j·len_{j+1}) — no float division on either engine
+    "m15_gradient_hash" -> s"""
+      WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+      b AS (
+        SELECT doc_id,
+          list_transform(range(1, length(h) // 2 + 1),
+            i -> ('0x' || substr(h, CAST(2 * i - 1 AS INT), 2))::BIGINT) AS bytes
+        FROM hx),
+      t AS (SELECT doc_id, bytes, len(bytes) AS L FROM b),
+      gbits AS (
+        SELECT doc_id, L,
+          CAST(list_sum(list_transform(range(0, 52), j ->
+            CASE WHEN CAST(coalesce(list_sum(list_slice(bytes,
+                          (j + 1) * L // 53 + 1, (j + 2) * L // 53)), 0)
+                       AS BIGINT)
+                      * ((j + 1) * L // 53 - j * L // 53)
+                    > CAST(coalesce(list_sum(list_slice(bytes,
+                          j * L // 53 + 1, (j + 1) * L // 53)), 0)
+                       AS BIGINT)
+                      * ((j + 2) * L // 53 - (j + 1) * L // 53)
+                 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS ghash
+        FROM t)
+      SELECT doc_id, CAST(L AS BIGINT) AS byte_len,
+        coalesce(ghash, 0) AS ghash
+      FROM gbits ORDER BY doc_id""",
 
     "q25_bloom_prefilter" -> """
       WITH urgent AS (

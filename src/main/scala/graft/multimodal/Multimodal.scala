@@ -707,6 +707,29 @@ object Multimodal {
       posexplode(array(bandExprs: _*)).as(Seq("band", "bkey")))
   }
 
+  /** m15: block-GRADIENT perceptual fingerprints — the dHash companion
+    * report to m5: the 52-bit [[graft.expressions.BlockGradientHash]] of
+    * every payload (bit j = does block j+1's mean exceed block j's, over
+    * 53 equal blocks). Registered in its own right for two reasons: it is
+    * the second dedup signal an image-curation pass keeps next to the
+    * aHash (the two respond to different perturbations — global-level
+    * shifts flip aHash bits, local re-shading flips gradient bits), and
+    * it pins the m6 wide path's SECOND signature cross-engine: the DuckDB
+    * twin replays the 53-block integer cross-multiplication bit-for-bit,
+    * so the hash the derived-width banding rides is itself oracle-gated
+    * at gate scale. Map-side only, like m5: one codegen'd expression per
+    * row, no shuffle except the presentation sort.
+    */
+  def gradientHashes(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.BlockGradientHash.register(spark)
+    Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("byte_len"),
+        expr("block_gradient_hash(payload)").as("ghash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[perceptualHashes]] plus the block-GRADIENT hash
     * ([[graft.expressions.BlockGradientHash]], the 1-D dHash) of the same
     * payload — the second 52-bit fingerprint that funds the extra

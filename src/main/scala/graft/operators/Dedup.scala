@@ -576,11 +576,20 @@ object Dedup {
     * read from it. Same positional filter, verify, threshold and ε pins
     * as d17; output is (batch_id, corpus_id) oriented like d11.
     */
+  /** @param batchFilter which documents form the arriving batch (must
+    *        select a subset of the ODD ids so the parity-based output
+    *        orientation holds). Default: the full odd half — the
+    *        test-parity split shared with d11/d28; [[graft.SoakDiag]]
+    *        passes a 0.5% slice to price the per-batch cost asymmetry
+    *        between this recompute form and d28's index probe.
+    */
   def incrementalContainmentDedup(spark: SparkSession, dir: String,
                                   threshold: Double = 0.8,
-                                  release: Boolean = true): DataFrame = {
+                                  release: Boolean = true,
+                                  batchFilter: org.apache.spark.sql.Column =
+                                    col("doc_id") % 2 =!= 0): DataFrame = {
     val (verified, caches) =
-      incrementalContainmentVerified(spark, dir, threshold)
+      incrementalContainmentVerified(spark, dir, threshold, batchFilter)
     val result = verified
       .filter(col("containment") >= threshold)
       .select(
@@ -602,7 +611,9 @@ object Dedup {
     */
   private[graft] def incrementalContainmentVerified(
       spark: SparkSession, dir: String,
-      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+      threshold: Double,
+      batchFilter: org.apache.spark.sql.Column =
+        col("doc_id") % 2 =!= 0): (DataFrame, Seq[DataFrame]) = {
     val docs = docShingles(spark, dir).cache()
     val ds = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val dfreq = ds.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -618,7 +629,7 @@ object Dedup {
           .cast("int"))).as(Seq("i", "s")))
     val full = ordered.select(col("doc_id"), col("n"),
       posexplode(col("shs")).as(Seq("j", "s")))
-    def batchSide(df: DataFrame) = df.filter(col("doc_id") % 2 =!= 0)
+    def batchSide(df: DataFrame) = df.filter(batchFilter)
     def corpusSide(df: DataFrame) = df.filter(col("doc_id") % 2 === 0)
     val minOv = ceil(col("a.n").cast("double") * threshold - 1e-9)
     def cross(pref: DataFrame, fl: DataFrame): DataFrame =
@@ -714,12 +725,13 @@ object Dedup {
   def incrementalContainmentFromIndex(spark: SparkSession, dir: String,
                                       prefix: String = "containment_index",
                                       threshold: Double = 0.8,
-                                      release: Boolean = true): DataFrame = {
+                                      release: Boolean = true,
+                                      batchFilter: org.apache.spark.sql.Column =
+                                        col("doc_id") % 2 =!= 0): DataFrame = {
     val cdocs = spark.table(s"${prefix}_cdocs")
     val cdf = spark.table(s"${prefix}_cdf")
     val cfull = spark.table(s"${prefix}_cfull")
-    val batch = docShingles(spark, dir)
-      .filter(col("doc_id") % 2 =!= 0).cache()
+    val batch = docShingles(spark, dir).filter(batchFilter).cache()
     // batch side adopts the index's order: corpus df via lookup, df 0
     // (rarest) for shingles the corpus has never seen
     val bordered = batch.select(col("doc_id"), explode(col("sh")).as("s"))
@@ -1881,6 +1893,38 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"),
         col("a.simhash2").as("sh2_a"), col("b.simhash2").as("sh2_b"))
+  }
+
+  /** d29: band-occupancy audit — per simhash band at the DERIVED width
+    * ([[deriveExtraBandBits]]): how many buckets are occupied, the
+    * largest bucket, and the closed-form band-join collision volume
+    * Σ per-bucket C(s,2) — exactly the row count the d9 candidate
+    * equi-join emits, priced at O(n). This is the observability face of
+    * the width derivation: the saturation diagnosis [[graft.SoakDiag]]
+    * runs at soak scale, registered as an oracle-gated query (the d24/
+    * d26/t33 report pattern), so an operator can SEE whether the corpus
+    * is width-bound (occupancy falls as keys widen) or pair-structure-
+    * bound (big buckets are identical-signature replica clusters that
+    * any exact-recall banding must enumerate) before paying for d9. At
+    * gate scales the derivation is 0 and the DuckDB twin replays the
+    * 13-bit layout bit-for-bit.
+    */
+  def bandOccupancyAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = deriveExtraBandBits(
+      Tables.documentsParallel(spark, dir).count().max(1L))
+    val bands =
+      if (e == 0) simhashBands(simhashSignatures(spark, dir))
+      else simhashBandsWide(simhashSignaturesWide(spark, dir, e), e)
+    bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        max(col("c")).cast("long").as("max_occupancy"),
+        sum((col("c") * (col("c") - 1) / 2).cast("long")).cast("long")
+          .as("collision_rows"))
+      .select(col("band").cast("long").as("band"), col("n_buckets"),
+        col("max_occupancy"), col("collision_rows"))
+      .orderBy(col("band"))
   }
 
   /** d9's REGISTERED form: [[simhashNearDupPairs]] with the band width

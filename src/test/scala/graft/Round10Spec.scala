@@ -139,6 +139,42 @@ class Round10Spec extends AnyFunSuite {
       s"d28=${d28.size} d27=${d27.size} diff=${(d28 diff d27).take(3)}")
   }
 
+  test("d29 collision_rows is exactly the d9 band join's output volume") {
+    // the audit's closed-form Σ C(s,2) must equal what the candidate
+    // equi-join actually emits — the invariant that makes d29 a
+    // trustworthy price tag for d9 (and SoakDiag's pricing correct)
+    val audit = Dedup.bandOccupancyAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(audit.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L), "one row per band")
+    val sigs = Dedup.simhashSignatures(spark, sf).cache()
+    try {
+      val emitted = Dedup.simhashCandidates(sigs).count()
+      assert(audit.map(_._4).sum == emitted,
+        s"closed form ${audit.map(_._4).sum} != emitted $emitted")
+    } finally { sigs.unpersist(); () }
+    val n = graft.sources.Tables.documentsParallel(spark, sf).count()
+    audit.foreach { case (band, buckets, maxOcc, _) =>
+      assert(buckets <= (1L << 13) && buckets <= n, s"band $band buckets")
+      assert(maxOcc >= 1L && maxOcc <= n, s"band $band occupancy")
+    }
+  }
+
+  test("m15 gradient hash matches the local expression evaluation per doc") {
+    val spark2 = spark
+    import spark2.implicits._
+    val got = Multimodal.gradientHashes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val texts = graft.sources.Tables.documentsParallel(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    got.foreach { case (id, len, gh) =>
+      val bytes = texts(id).getBytes("UTF-8")
+      assert(len == bytes.length, s"doc $id byte_len")
+      assert(gh == graft.expressions.BlockGradientHash.hashBytes(bytes),
+        s"doc $id ghash diverges from the local fold")
+    }
+  }
+
   test("d26 reports the d9/m6 width derivations from the corpus count") {
     val rows = Dedup.autoConfigReport(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
