@@ -139,6 +139,21 @@ class Round10Spec extends AnyFunSuite {
       s"d28=${d28.size} d27=${d27.size} diff=${(d28 diff d27).take(3)}")
   }
 
+  test("the wide d9/m6 candidate joins stay equi-joins (no cartesian/BNLJ)") {
+    // the whole point of banding is an equi-join on (band, bkey); the
+    // wide layout must not regress that — only the key got wider
+    val sPlan = Dedup.simhashCandidatesWide(
+      Dedup.simhashSignaturesWide(spark, sf, 3), 3)
+      .queryExecution.executedPlan.toString
+    val mPlan = Multimodal.mediaBandCandidatesWide(
+      Multimodal.perceptualHashesWide(spark, sf), 7, 3)
+      .queryExecution.executedPlan.toString
+    for ((p, n) <- Seq((sPlan, "d9"), (mPlan, "m6")))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$n wide candidates degenerated:\n${p.take(800)}")
+  }
+
   test("d29 collision_rows is exactly the d9 band join's output volume") {
     // the audit's closed-form Σ C(s,2) must equal what the candidate
     // equi-join actually emits — the invariant that makes d29 a
