@@ -45,8 +45,11 @@ object SoakDiag {
     // re-paying the completed ones)
     val only = sys.env.get("SPARK_GRAFT_DIAG_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    def wanted(prefix: String): Boolean =
-      only.forall(_.exists(prefix.startsWith))
+    // boundary-anchored prefix match: ONLY=d2 selects d2_candidates_t08
+    // but not d21/d24/d28 (r10 ADVICE — the bare-prefix match made a
+    // d2-only resume silently re-run d28's side-effecting index build)
+    def wanted(name: String): Boolean =
+      only.forall(_.exists(p => name == p || name.startsWith(p + "_")))
 
     val out = scala.collection.mutable.LinkedHashMap[String, Long]()
     def time(name: String)(f: => Long): Unit = if (wanted(name)) {
@@ -116,11 +119,18 @@ object SoakDiag {
     // here with a 0.5% batch slice: the d27 recompute still pays the
     // full corpus shingle+df+sort (O(corpus) per batch, any batch), the
     // d28 probe pays only the slice's own work against pre-shuffled
-    // files. Index build runs untimed (production builds once per corpus
-    // rebuild and amortizes it over every batch).
+    // files. The index BUILD gets its own timed row (r10 verdict #5):
+    // production pays it once per corpus rebuild and amortizes it over
+    // every batch, and the amortization argument deserves its number
+    // next to the probe asymmetry — the metric is _cfull's row count
+    // (one per corpus shingle position, the table the build exists to
+    // pre-shuffle).
     if (wanted("d28")) {
       val prefix = s"graft_diag_d28_${dir.hashCode & Int.MaxValue}"
-      operators.Dedup.persistContainmentIndex(spark, dir, prefix)
+      time("d28_index_build") {
+        operators.Dedup.persistContainmentIndex(spark, dir, prefix)
+        spark.table(s"${prefix}_cfull").count()
+      }
       val small = col("doc_id") % 200 === 1
       time("d28_probe_halfbatch") {
         operators.Dedup
@@ -131,10 +141,19 @@ object SoakDiag {
           spark, dir, prefix, batchFilter = small).count()
       }
       // named under the d28 prefix so DIAG_ONLY=d28 runs the whole
-      // comparison (wanted() matches metric-name prefixes)
+      // comparison (wanted() matches on the d28_ boundary)
       time("d28_vs_d27recompute_smallbatch") {
         operators.Dedup.incrementalContainmentDedup(
           spark, dir, batchFilter = small).count()
+      }
+      // drop the three bucketed diag tables — _cfull is shingle-scale,
+      // and a soak host's effective disk is ~76 GB (r10 ADVICE)
+      Seq(s"${prefix}_cdocs", s"${prefix}_cdf", s"${prefix}_cfull").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
       }
     }
 

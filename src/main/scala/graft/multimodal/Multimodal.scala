@@ -756,6 +756,11 @@ object Multimodal {
     */
   private[graft] def mediaBandsWide(hashes: DataFrame, maxHamming: Int,
                                     extraBits: Int): DataFrame = {
+    // past the cap a chunk's gradient slot would overlap its neighbor's,
+    // silently voiding the pigeonhole exact-recall guarantee — refuse
+    // loudly (deriveExtraBandBits alone can return up to 13)
+    require(extraBits >= 1 && extraBits <= MediaExtraBitsCap,
+      s"extraBits must be in [1, $MediaExtraBitsCap], got $extraBits")
     val nBits = graft.expressions.BlockMeanHash.Bits
     val nBands = maxHamming + 1
     val bandExprs = (0 until nBands).map { j =>

@@ -728,6 +728,23 @@ object Dedup {
                                       release: Boolean = true,
                                       batchFilter: org.apache.spark.sql.Column =
                                         col("doc_id") % 2 =!= 0): DataFrame = {
+    val (result, caches) = incrementalContainmentFromIndexVerified(
+      spark, dir, prefix, threshold, batchFilter)
+    if (release) materializeAndRelease(result, caches: _*) else result
+  }
+
+  /** [[incrementalContainmentFromIndex]] with the internal batch-side
+    * caches returned to the caller — the [[incrementalContainmentVerified]]
+    * convention, so a `release = false` caller (plan-inspection specs,
+    * [[graft.SoakDiag]]) can unpersist them instead of leaking two cached
+    * frames for the session.
+    */
+  private[graft] def incrementalContainmentFromIndexVerified(
+      spark: SparkSession, dir: String,
+      prefix: String = "containment_index",
+      threshold: Double = 0.8,
+      batchFilter: org.apache.spark.sql.Column =
+        col("doc_id") % 2 =!= 0): (DataFrame, Seq[DataFrame]) = {
     val cdocs = spark.table(s"${prefix}_cdocs")
     val cdf = spark.table(s"${prefix}_cdf")
     val cfull = spark.table(s"${prefix}_cfull")
@@ -788,7 +805,7 @@ object Dedup {
             .as("corpus_id"),
           round(col("containment"), 4).as("containment"))
         .orderBy(col("batch_id"), col("corpus_id"))
-    if (release) materializeAndRelease(result, batch, bordered) else result
+    (result, Seq(batch, bordered))
   }
 
   /** d28: the production-shape spelling of d27 — identical output

@@ -131,8 +131,8 @@ class StorageLayoutSpec extends AnyFunSuite {
     // force the shuffle-join path (a broadcast would trivially pass)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val probe = graft.operators.Dedup
-        .incrementalContainmentFromIndex(spark, sf, release = false)
+      val (probe, probeCaches) = graft.operators.Dedup
+        .incrementalContainmentFromIndexVerified(spark, sf)
       val plan = probe.queryExecution.executedPlan
       assert(scansOf(plan, "containment_index_cfull").nonEmpty,
         s"cfull table not scanned:\n$plan")
@@ -161,6 +161,7 @@ class StorageLayoutSpec extends AnyFunSuite {
         .incrementalContainmentDedup(spark, sf).collect().map(_.toSeq).toSet
       assert(fromIndex == recomputed, "index probe diverged from d27")
       assert(fromIndex.nonEmpty)
+      probeCaches.foreach(_.unpersist())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
