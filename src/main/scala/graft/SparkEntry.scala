@@ -241,6 +241,8 @@ object SparkEntry {
                                    Dedup.incrementalContainmentIndexed(s, d)),
     "d29_band_occupancy"      -> Dedup.bandOccupancyAudit _,
     "m15_gradient_hash"       -> Multimodal.gradientHashes _,
+    "m16_media_band_occupancy" -> ((s: SparkSession, d: String) =>
+      Multimodal.mediaBandOccupancyAudit(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -1991,6 +1993,26 @@ object SparkEntry {
         SELECT r.doc, e.dst FROM reach r JOIN e ON r.other = e.src)
       SELECT doc AS doc_id, min(other) AS cluster_root
       FROM reach GROUP BY doc ORDER BY doc_id""",
+
+    // m16: the 8-chunk radius-7 band layout replayed from the m5 phash
+    // oracle (at gate scale the derived extra width is 0 — pinned by d26
+    // and the Round10Spec coupling test); chunk j spans bits
+    // ⌊52j/8⌋..⌊52(j+1)/8⌋, Σ C(s,2) in integer division
+    "m16_media_band_occupancy" -> s"""
+      WITH $PhashCteBody,
+      bd AS (SELECT unnest(range(0, 8)) AS band),
+      bands AS (
+        SELECT b.doc_id, bd.band,
+          (b.phash >> CAST((bd.band * 52) // 8 AS INT)) &
+            ((1::BIGINT << CAST(((bd.band + 1) * 52) // 8
+                                - (bd.band * 52) // 8 AS INT)) - 1) AS bkey
+        FROM bits b CROSS JOIN bd),
+      occ AS (SELECT band, bkey, count(*) AS c FROM bands GROUP BY 1, 2)
+      SELECT CAST(band AS BIGINT) AS band,
+        CAST(count(*) AS BIGINT) AS n_buckets,
+        CAST(max(c) AS BIGINT) AS max_occupancy,
+        CAST(sum(c * (c - 1) // 2) AS BIGINT) AS collision_rows
+      FROM occ GROUP BY 1 ORDER BY 1""",
 
     // t21: the DuckDB twin ranks with a plain global window (oracle-side
     // single partitions are fine); ranks are identical to the broadcast-

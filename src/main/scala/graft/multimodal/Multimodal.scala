@@ -881,6 +881,42 @@ object Multimodal {
     }
   }
 
+  /** m16: media band-occupancy audit — d29's observability face applied
+    * to m6's pigeonhole chunks: per pHash band at the DERIVED capped
+    * width ([[graft.operators.Dedup.deriveExtraBandBits]] ∧
+    * [[MediaExtraBitsCap]]), the occupied-bucket count, the largest
+    * bucket, and the closed-form band-join collision volume Σ per-bucket
+    * C(s,2) — exactly the row count [[mediaBandCandidates]]' equi-join
+    * emits (the 21.6B-row term the r9 sf10 soak measured before the
+    * width derivation), priced at O(n) without materializing the join.
+    * The media bands needed their own audit because their geometry
+    * differs from d9's everywhere it matters: 8 chunks of 6–7 bits (not
+    * 4 × 13), radius 7 (not 3), and a 6-bit cap on the widening — so a
+    * media corpus saturates at ~2^6-× smaller scales and the cap binds
+    * where d9's never does. At gate scales the derivation is 0 and the
+    * DuckDB twin replays the 52-bit 8-chunk layout bit-for-bit;
+    * equality with the real join's volume is asserted in Round11Spec.
+    */
+  def mediaBandOccupancyAudit(spark: SparkSession, dir: String,
+                              maxHamming: Int = 7): DataFrame = {
+    val e = math.min(MediaExtraBitsCap,
+      graft.operators.Dedup.deriveExtraBandBits(
+        Tables.documentsParallel(spark, dir).count().max(1L)))
+    val bands =
+      if (e == 0) mediaBands(perceptualHashes(spark, dir), maxHamming)
+      else mediaBandsWide(perceptualHashesWide(spark, dir), maxHamming, e)
+    bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        max(col("c")).cast("long").as("max_occupancy"),
+        sum((col("c") * (col("c") - 1) / 2).cast("long")).cast("long")
+          .as("collision_rows"))
+      .select(col("band").cast("long").as("band"), col("n_buckets"),
+        col("max_occupancy"), col("collision_rows"))
+      .orderBy(col("band"))
+  }
+
   /** m10's flag level: a payload whose clip fraction exceeds this is
     * marked clipped — interpolated into the DuckDB twin.
     */

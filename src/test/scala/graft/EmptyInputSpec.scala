@@ -197,6 +197,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.operators.Dedup.incrementalContainmentIndexed(spark, emptyDir).count() == 0)
     assert(graft.operators.Dedup.bandOccupancyAudit(spark, emptyDir).count() == 0)
     assert(graft.multimodal.Multimodal.gradientHashes(spark, emptyDir).count() == 0)
+    assert(graft.multimodal.Multimodal
+      .mediaBandOccupancyAudit(spark, emptyDir).count() == 0)
     // d26 is a config report: each parameter lands on its documented
     // floor for an empty corpus, never an error
     val cfg = graft.operators.Dedup.autoConfigReport(spark, emptyDir).collect()
