@@ -261,6 +261,99 @@ object SoakDiag {
       hashes.unpersist()
     }
 
+    // m6cap: the MediaExtraBitsCap boundary priced in closed form — a
+    // SYNTHETIC uniform-hash corpus (deterministic hash52/hash52b of the
+    // doc id: no perceptual structure, every tie is random) at the capped
+    // width e = 6, straddling the ~2^19-doc boundary where the derivation
+    // first wants 7 bits the gradient hash cannot give. The 2^19 → 2^20
+    // ratio is the number the boundary wears: ~4× (C(n,2) quadrupling
+    // against a key space that can no longer widen) instead of the ~2×
+    // a one-bit widening would restore — the gap a third perceptual hash
+    // would fund (the m6 scaladoc's dial). Corpus-independent, so run it
+    // under DIAG_ONLY=m6cap on any one dir.
+    if (wanted("m6cap")) {
+      def syntheticVolume(n: Long): Long =
+        multimodal.Multimodal.mediaBandsWide(
+            spark.range(n).select(col("id").as("doc_id"),
+              graft.functions.TextFunctions.hash52(col("id").cast("string"))
+                .as("phash"),
+              graft.functions.TextFunctions.hash52b(col("id").cast("string"))
+                .as("ghash")),
+            7, multimodal.Multimodal.MediaExtraBitsCap)
+          .groupBy(col("band"), col("bkey")).count()
+          .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+          .collect()(0).get(0) match { case null => 0L; case v => v.toString.toLong }
+      time("m6cap_volume_2p19") { syntheticVolume(1L << 19) }
+      time("m6cap_volume_2p20") { syntheticVolume(1L << 20) }
+    }
+
+    // st9: the timeout-armed funnel machine driven over the REAL events
+    // corpus through a file-source readStream — the st8-to-watermark
+    // methodology applied to STATE SIZE (r10 verdict #7). The corpus
+    // parquet is not time-ordered, and an unordered file stream would
+    // advance the watermark to ~max after one batch and drop everything
+    // later as late (a vacuously tiny state) — so the section stages a
+    // range-partitioned ts-sorted copy (the arrival shape a production
+    // firehose actually has) and streams it one file per micro-batch.
+    // The claim under test: peak state rows are bounded by the keys of
+    // the watermark's trailing day window (~the busiest adjacent days,
+    // ledgered alongside), NOT by the stream-lifetime (user, day) key
+    // count — the property that lets st9 run forever on a firehose.
+    if (wanted("st9")) {
+      val sp = spark; import sp.implicits._
+      val staged = s"/tmp/graft_soak_st9_${dir.hashCode & Int.MaxValue}"
+      val ev = sources.Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val nFiles = 64
+      ev.repartitionByRange(nFiles, col("ts")).sortWithinPartitions(col("ts"))
+        .write.mode("overwrite").parquet(s"$staged/events.parquet")
+      val perDay = ev.groupBy(to_date(col("ts")).as("d"))
+        .agg(countDistinct(col("user_id")).as("k"))
+        .orderBy(col("d")).collect().map(_.getLong(1))
+      untimed("st9_total_user_days",
+        ev.select(col("user_id"), to_date(col("ts"))).distinct().count())
+      untimed("st9_max_day_keys", perDay.max)
+      untimed("st9_max_adjacent_day_keys",
+        if (perDay.length < 2) perDay.max
+        else perDay.sliding(2).map(_.sum).max)
+      val emitted = new java.util.concurrent.atomic.LongAdder
+      var peakState = 0L
+      var nBatches = 0L
+      time("st9_stream_wall") {
+        val schema = spark.read.parquet(s"$staged/events.parquet").schema
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$staged/events.parquet")
+        val ds = src.select(col("user_id"), to_date(col("ts")).as("day"),
+            unix_micros(col("ts")).as("us"), col("event_id"),
+            col("event_type"), col("ts"))
+          .as[streaming.Events.FunnelEventTs]
+        val q = streaming.Events.funnelStagesExpiringOf(ds)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$staged/ckpt")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[streaming.Events.FunnelStageRow],
+             _: Long) => emitted.add(b.count())
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val progressed = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        peakState =
+          if (progressed.isEmpty) 0L
+          else progressed.map(_.stateOperators(0).numRowsTotal).max
+        nBatches = q.recentProgress.length.toLong
+        emitted.sum()
+      }
+      untimed("st9_peak_state_rows", peakState)
+      untimed("st9_batches", nBatches)
+      // the staged copy + checkpoint are soak-host disk — remove
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(staged))
+    }
+
     println("[soakdiag-json] " + out.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"dir":"$dir",""", ",", "}"))
     spark.stop()

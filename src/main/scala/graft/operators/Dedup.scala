@@ -711,6 +711,84 @@ object Dedup {
       .mode("overwrite").saveAsTable(s"${prefix}_cfull")
   }
 
+  /** Fold an accepted batch into the persisted containment index — the
+    * d11/d12 lifecycle applied to d28: a production incremental pipeline
+    * admits batch survivors into the corpus, and without an append every
+    * corpus change would force a full index rebuild.
+    *
+    * df-order policy: FROZEN at build time. `_cdf` is not a live
+    * statistic — it is the DEFINITION of the index's total shingle order
+    * (df asc, shingle), immutable after build: appended docs adopt it
+    * through the same left-join-default-0 lookup every batch probe uses
+    * (a shingle unseen at build is df 0, rarer than everything indexed),
+    * so built rows, appended rows, and probing batches all sort by ONE
+    * consistent total order. The prefix theorem and the PPJoin positional
+    * bound need exactly that and nothing more (the Round10Spec argument:
+    * any ONE consistent order preserves the verified pair set), so the
+    * post-append probe's output is IDENTICAL to a fresh rebuild's even
+    * though a rebuild re-derives df over the larger corpus — different
+    * candidate sets, same exact-verify survivors (asserted in
+    * StorageLayoutSpec). What freezing trades away is only prefix
+    * SELECTIVITY drift: as the corpus grows, build-time df ranks the
+    * rare-shingle prefix less precisely and the candidate set can widen;
+    * the remedy is a periodic rebuild, not a refreshed order — refreshing
+    * df on append would reposition every `_cfull` row, O(index) per
+    * batch, the exact cost the index exists to avoid.
+    *
+    * Mechanics: appended rows land as NEW bucket files under the same
+    * bucket spec (`saveAsTable` append refuses a mismatched spec), so
+    * every probe join stays exchange-free on the corpus side; `buckets`
+    * must match the build. Re-appending an id the index already holds
+    * would silently double its shingles — refused up front.
+    */
+  def appendToContainmentIndex(spark: SparkSession, dir: String,
+                               appendFilter: org.apache.spark.sql.Column,
+                               prefix: String = "containment_index",
+                               buckets: Int = 32): Unit = {
+    val add = docShingles(spark, dir).filter(appendFilter).cache()
+    try {
+      val dup = add.select(col("doc_id"))
+        .join(spark.table(s"${prefix}_cdocs").select(col("doc_id")), "doc_id")
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"doc_id ${dup.head.getLong(0)} is already indexed in ${prefix}_cdocs")
+      add.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .mode("append").saveAsTable(s"${prefix}_cdocs")
+      add.select(col("doc_id"), explode(col("sh")).as("s"))
+        .join(spark.table(s"${prefix}_cdf"), Seq("s"), "left")
+        .na.fill(0L, Seq("df"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
+        .select(col("doc_id"), size(col("ordered")).as("n"),
+          posexplode(transform(col("ordered"), e => e.getField("s")))
+            .as(Seq("j", "s")))
+        .write.bucketBy(buckets, "s").sortBy("s")
+        .mode("append").saveAsTable(s"${prefix}_cfull")
+    } finally { add.unpersist(); () }
+  }
+
+  /** Retract documents from the persisted containment index — the
+    * [[retractFromCorpusIndex]] discipline (stage durably under a tmp
+    * name, verify the row count, swap) applied to `_cdocs` and `_cfull`.
+    * `_cdf` is untouched: it is the frozen order DEFINITION, not corpus
+    * state ([[appendToContainmentIndex]]), and any one consistent order
+    * preserves the surviving pair set — so a post-retract probe equals a
+    * probe against an index rebuilt without the ids (asserted in
+    * StorageLayoutSpec), at O(index-rewrite) instead of
+    * O(corpus-reshingle + sort).
+    */
+  def retractFromContainmentIndex(spark: SparkSession, ids: Seq[Long],
+                                  prefix: String = "containment_index",
+                                  buckets: Int = 32): Unit = {
+    require(ids.nonEmpty, "retraction requires at least one doc_id")
+    val idsDf = spark.createDataset(ids)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("doc_id")
+    stagedRewriteMinusIds(spark, idsDf, s"${prefix}_cdocs",
+      _.write.bucketBy(buckets, "doc_id").sortBy("doc_id"))
+    stagedRewriteMinusIds(spark, idsDf, s"${prefix}_cfull",
+      _.write.bucketBy(buckets, "s").sortBy("s"))
+  }
+
   /** d27 against the persisted index: identical output contract to
     * [[incrementalContainmentDedup]] (same DuckDB oracle), but the corpus
     * never re-shingles — both probe directions read `_cfull`'s bucketed
@@ -1155,48 +1233,56 @@ object Dedup {
     require(ids.nonEmpty, "retraction requires at least one doc_id")
     val idsDf = spark.createDataset(ids)(org.apache.spark.sql.Encoders.scalaLong)
       .toDF("doc_id")
-    def deleteLoc(t: String): Unit = {
+    stagedRewriteMinusIds(spark, idsDf, s"${prefix}_shingles",
+      _.write.bucketBy(buckets, "doc_id").sortBy("doc_id"))
+    stagedRewriteMinusIds(spark, idsDf, s"${prefix}_bands",
+      _.write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey"))
+  }
+
+  /** One table's verified staged rewrite minus a retracted id set — the
+    * shared machinery of [[retractFromCorpusIndex]] and
+    * [[retractFromContainmentIndex]]. `writerFor` supplies the table's
+    * bucket spec so the rewritten table keeps its exchange-free layout.
+    */
+  private def stagedRewriteMinusIds(
+      spark: SparkSession, idsDf: DataFrame, t: String,
+      writerFor: DataFrame =>
+        org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
+    def deleteLoc(name: String): Unit = {
       val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+        spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(loc, true)
     }
-    Seq(s"${prefix}_shingles", s"${prefix}_bands").foreach { t =>
-      val tmp = s"${t}__retract"
-      // recovery: a crash between the DROP and the RENAME below leaves the
-      // canonical name missing and the staged table holding the only copy
-      // — promote it before anything else (the retraction it carries was
-      // verified before the crash). Sweep the canonical data directory
-      // first: a crash after DROP TABLE but mid-directory-delete leaves
-      // orphan files at warehouse/t that the managed rename would collide
-      // with (or silently merge stale rows into).
-      if (!spark.catalog.tableExists(t) && spark.catalog.tableExists(tmp)) {
-        deleteLoc(t)
-        spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$t`")
-      }
-      // stale staging from an earlier crash BEFORE its verify — discard
-      spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
-      deleteLoc(tmp)
-      // stage the filtered table DURABLY under the tmp name while the
-      // original stays live (the write reads from it), verify the row
-      // count, then swap — the verified-write-then-rename discipline of
-      // the sink paths, applied to catalog tables
-      val kept = spark.table(t).join(broadcast(idsDf), Seq("doc_id"), "left_anti")
-      val writer =
-        if (t.endsWith("_shingles"))
-          kept.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
-        else
-          kept.write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
-      writer.mode("overwrite").saveAsTable(tmp)
-      val expected = spark.table(t)
-        .join(broadcast(idsDf), Seq("doc_id"), "left_anti").count()
-      val written = spark.table(tmp).count()
-      require(written == expected,
-        s"staged $tmp has $written rows, expected $expected; $t untouched")
-      spark.sql(s"DROP TABLE `$t`")
-      deleteLoc(t) // managed drop removes the dir; sweep orphans defensively
+    val tmp = s"${t}__retract"
+    // recovery: a crash between the DROP and the RENAME below leaves the
+    // canonical name missing and the staged table holding the only copy
+    // — promote it before anything else (the retraction it carries was
+    // verified before the crash). Sweep the canonical data directory
+    // first: a crash after DROP TABLE but mid-directory-delete leaves
+    // orphan files at warehouse/t that the managed rename would collide
+    // with (or silently merge stale rows into).
+    if (!spark.catalog.tableExists(t) && spark.catalog.tableExists(tmp)) {
+      deleteLoc(t)
       spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$t`")
     }
+    // stale staging from an earlier crash BEFORE its verify — discard
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    deleteLoc(tmp)
+    // stage the filtered table DURABLY under the tmp name while the
+    // original stays live (the write reads from it), verify the row
+    // count, then swap — the verified-write-then-rename discipline of
+    // the sink paths, applied to catalog tables
+    val kept = spark.table(t).join(broadcast(idsDf), Seq("doc_id"), "left_anti")
+    writerFor(kept).mode("overwrite").saveAsTable(tmp)
+    val expected = spark.table(t)
+      .join(broadcast(idsDf), Seq("doc_id"), "left_anti").count()
+    val written = spark.table(tmp).count()
+    require(written == expected,
+      s"staged $tmp has $written rows, expected $expected; $t untouched")
+    spark.sql(s"DROP TABLE `$t`")
+    deleteLoc(t) // managed drop removes the dir; sweep orphans defensively
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$t`")
   }
 
   /** d11 against the persisted index: identical contract and output to

@@ -240,4 +240,134 @@ class StorageLayoutSpec extends AnyFunSuite {
       scan.get.partitionFilters, Nil).length
     assert(nParts == 1, s"expected 1 pruned partition, scanned $nParts")
   }
+
+  private def dropIndexTables(prefix: String, sufs: Seq[String]): Unit =
+    sufs.foreach { suf =>
+      val t = s"$prefix$suf"
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val dir = new java.io.File(s"spark-warehouse/${t.toLowerCase}")
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    }
+  private val CSufs = Seq("_cdocs", "_cdf", "_cfull")
+  private def containmentProbe(prefix: String): Set[(Long, Long, Double)] =
+    graft.operators.Dedup
+      .incrementalContainmentFromIndex(spark, sf, prefix)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("containment index append: frozen-order fold, probe equals a fresh rebuild, still bucketed") {
+    dropIndexTables("capp_idx", CSufs)
+    dropIndexTables("capp_ref", CSufs)
+    // reference: a fresh index over the FULL even corpus, and its probe
+    graft.operators.Dedup.persistContainmentIndex(spark, sf,
+      prefix = "capp_ref", buckets = 8)
+    val rebuilt = containmentProbe("capp_ref")
+    assert(rebuilt.nonEmpty)
+    // split the even corpus at the median PARTICIPATING corpus id, so the
+    // appended half provably carries pairs (a vacuous append would let
+    // this test pass on an untouched index)
+    val corpusIds = rebuilt.map(_._2).toSeq.sorted
+    val k = corpusIds(corpusIds.length / 2)
+    graft.operators.Dedup.persistContainmentIndex(spark, sf,
+      prefix = "capp_idx", buckets = 8,
+      corpusFilter = col("doc_id") % 2 === 0 && col("doc_id") < k)
+    val before = containmentProbe("capp_idx")
+    assert(before != rebuilt, s"no reference pair has corpus_id >= $k")
+    graft.operators.Dedup.appendToContainmentIndex(spark, sf,
+      appendFilter = col("doc_id") % 2 === 0 && col("doc_id") >= k,
+      prefix = "capp_idx", buckets = 8)
+    // the frozen-order fold finds exactly the fresh rebuild's pairs, even
+    // though the rebuild re-derived df over the full corpus (any ONE
+    // consistent total order preserves the exact-verify survivors)
+    assert(containmentProbe("capp_idx") == rebuilt,
+      "post-append probe diverged from the rebuilt-index probe")
+    // re-appending an indexed id is refused, not silently doubled
+    val dup = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.appendToContainmentIndex(spark, sf,
+        appendFilter = col("doc_id") % 2 === 0 && col("doc_id") >= k,
+        prefix = "capp_idx", buckets = 8)
+    }
+    assert(dup.getMessage.contains("already indexed"))
+    // the appended table files keep the bucket spec: the probe's corpus
+    // sides stay exchange-free under a forced shuffle join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (probe, caches) = graft.operators.Dedup
+        .incrementalContainmentFromIndexVerified(spark, sf, "capp_idx")
+      val plan = probe.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("capp_idx")) => Seq(s)
+        case a: AdaptiveSparkPlanExec => scansOf(a.inputPlan)
+      }.flatten
+      def joins(p: SparkPlan): Seq[SortMergeJoinExec] = p.collect {
+        case j: SortMergeJoinExec => Seq(j)
+        case a: AdaptiveSparkPlanExec => joins(a.inputPlan)
+      }.flatten
+      val corpusSides = joins(plan).flatMap(j => Seq(j.left, j.right))
+        .filter(side => scansOf(side).nonEmpty)
+      assert(corpusSides.nonEmpty, s"no join hangs off the appended index:\n$plan")
+      corpusSides.foreach(side => assert(countShuffles(side) == 0,
+        s"appended corpus side shuffles:\n$side"))
+      caches.foreach(_.unpersist())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("containment index retraction: _cdf stays frozen, probe equals a rebuild without the ids, still bucketed") {
+    dropIndexTables("cret_idx", CSufs)
+    dropIndexTables("cret_ref", CSufs)
+    graft.operators.Dedup.persistContainmentIndex(spark, sf,
+      prefix = "cret_idx", buckets = 8)
+    val baseline = containmentProbe("cret_idx")
+    assert(baseline.nonEmpty)
+    val victims = baseline.map(_._2).toSeq.sorted.take(2)
+    val cdfBefore = spark.table("cret_idx_cdf").count()
+    graft.operators.Dedup.retractFromContainmentIndex(spark, victims,
+      prefix = "cret_idx", buckets = 8)
+    // corpus tables no longer hold the ids; the order definition is intact
+    victims.foreach { v =>
+      assert(spark.table("cret_idx_cdocs")
+        .filter(col("doc_id") === v).isEmpty, s"cdocs still holds $v")
+      assert(spark.table("cret_idx_cfull")
+        .filter(col("doc_id") === v).isEmpty, s"cfull still holds $v")
+    }
+    assert(spark.table("cret_idx_cdf").count() == cdfBefore,
+      "_cdf must stay frozen through a retraction")
+    val after = containmentProbe("cret_idx")
+    // under the frozen order, retraction removes exactly the victims' pairs
+    assert(after == baseline.filterNot(p => victims.contains(p._2)),
+      "post-retract probe diverged from the filtered baseline")
+    // and equals a fresh index built WITHOUT the ids (whose df order
+    // differs — same exact-verify survivors)
+    graft.operators.Dedup.persistContainmentIndex(spark, sf,
+      prefix = "cret_ref", buckets = 8,
+      corpusFilter = col("doc_id") % 2 === 0 && !col("doc_id").isin(victims: _*))
+    assert(after == containmentProbe("cret_ref"),
+      "post-retract probe diverged from the rebuilt-without-ids probe")
+    // rewritten tables keep the bucket spec
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (probe, caches) = graft.operators.Dedup
+        .incrementalContainmentFromIndexVerified(spark, sf, "cret_idx")
+      val plan = probe.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("cret_idx")) => Seq(s)
+        case a: AdaptiveSparkPlanExec => scansOf(a.inputPlan)
+      }.flatten
+      def joins(p: SparkPlan): Seq[SortMergeJoinExec] = p.collect {
+        case j: SortMergeJoinExec => Seq(j)
+        case a: AdaptiveSparkPlanExec => joins(a.inputPlan)
+      }.flatten
+      val corpusSides = joins(plan).flatMap(j => Seq(j.left, j.right))
+        .filter(side => scansOf(side).nonEmpty)
+      assert(corpusSides.nonEmpty, s"no join hangs off the rewritten index:\n$plan")
+      corpusSides.foreach(side => assert(countShuffles(side) == 0,
+        s"rewritten corpus side shuffles:\n$side"))
+      caches.foreach(_.unpersist())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
 }
