@@ -234,16 +234,19 @@ object SoakDiag {
     // pre-r9 cost the reorder removed). r10: priced at the registered
     // form's derived width, like d9.
     if (wanted("m6")) {
-      val e = math.min(multimodal.Multimodal.MediaExtraBitsCap,
+      val cap = multimodal.Multimodal.MediaExtraBitsCap
+      val e = math.min(multimodal.Multimodal.MediaExtraBitsCap2,
         operators.Dedup.deriveExtraBandBits(
           sources.Tables.documentsParallel(spark, dir).count().max(1L)))
       untimed("m6_extra_bits", e)
       val hashes =
         (if (e == 0) multimodal.Multimodal.perceptualHashes(spark, dir)
-         else multimodal.Multimodal.perceptualHashesWide(spark, dir)).cache()
+         else if (e <= cap) multimodal.Multimodal.perceptualHashesWide(spark, dir)
+         else multimodal.Multimodal.perceptualHashesWide2(spark, dir)).cache()
       time("m6_band_rows") {
         (if (e == 0) multimodal.Multimodal.mediaBands(hashes, 7)
-         else multimodal.Multimodal.mediaBandsWide(hashes, 7, e))
+         else if (e <= cap) multimodal.Multimodal.mediaBandsWide(hashes, 7, e)
+         else multimodal.Multimodal.mediaBandsWide2(hashes, 7, e))
           .groupBy(col("band"), col("bkey")).count()
           .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
           .collect()(0).get(0) match { case null => 0L; case v => v.toString.toLong }
@@ -254,37 +257,47 @@ object SoakDiag {
              .withColumn("hamming",
                bit_count(col("ha").bitwiseXOR(col("hb"))))
              .filter(col("hamming") <= 7)
+         else if (e <= cap)
+           multimodal.Multimodal.mediaNearDupPairsWide(hashes, 7, e)
          else
-           multimodal.Multimodal.mediaNearDupPairsWide(hashes, 7, e))
+           multimodal.Multimodal.mediaNearDupPairsWide2(hashes, 7, e))
           .select(col("id_a"), col("id_b")).distinct().count()
       }
       hashes.unpersist()
     }
 
-    // m6cap: the MediaExtraBitsCap boundary priced in closed form — a
-    // SYNTHETIC uniform-hash corpus (deterministic hash52/hash52b of the
-    // doc id: no perceptual structure, every tie is random) at the capped
-    // width e = 6, straddling the ~2^19-doc boundary where the derivation
-    // first wants 7 bits the gradient hash cannot give. The 2^19 → 2^20
-    // ratio is the number the boundary wears: ~4× (C(n,2) quadrupling
-    // against a key space that can no longer widen) instead of the ~2×
-    // a one-bit widening would restore — the gap a third perceptual hash
-    // would fund (the m6 scaladoc's dial). Corpus-independent, so run it
-    // under DIAG_ONLY=m6cap on any one dir.
+    // m6cap: the gradient-slot boundary priced in closed form — a
+    // SYNTHETIC uniform-hash corpus (deterministic hash52 variants of the
+    // doc id: no perceptual structure, every tie is random) straddling
+    // the ~2^19-doc boundary where the derivation first wants a 7th bit
+    // the gradient hash cannot give. Three rows tell the story: at 2^19
+    // the 6-bit width is exact; at 2^20 FROZEN at 6 bits the volume
+    // ~quadruples (C(n,2) doubling twice against a fixed key space);
+    // FUNDED at 7 bits by the curvature hash (wide2, r11) it halves back
+    // — the ~2×-per-bit relief the funding dial buys, measured. Corpus-
+    // independent, so run under DIAG_ONLY=m6cap on any one dir.
     if (wanted("m6cap")) {
-      def syntheticVolume(n: Long): Long =
-        multimodal.Multimodal.mediaBandsWide(
-            spark.range(n).select(col("id").as("doc_id"),
-              graft.functions.TextFunctions.hash52(col("id").cast("string"))
-                .as("phash"),
-              graft.functions.TextFunctions.hash52b(col("id").cast("string"))
-                .as("ghash")),
-            7, multimodal.Multimodal.MediaExtraBitsCap)
-          .groupBy(col("band"), col("bkey")).count()
+      def synthetic(n: Long) =
+        spark.range(n).select(col("id").as("doc_id"),
+          graft.functions.TextFunctions.hash52(col("id").cast("string"))
+            .as("phash"),
+          graft.functions.TextFunctions.hash52b(col("id").cast("string"))
+            .as("ghash"),
+          graft.functions.TextFunctions.hash52(
+            concat(col("id").cast("string"), lit("c"))).as("chash"))
+      def volume(bands: org.apache.spark.sql.DataFrame): Long =
+        bands.groupBy(col("band"), col("bkey")).count()
           .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
           .collect()(0).get(0) match { case null => 0L; case v => v.toString.toLong }
-      time("m6cap_volume_2p19") { syntheticVolume(1L << 19) }
-      time("m6cap_volume_2p20") { syntheticVolume(1L << 20) }
+      time("m6cap_volume_2p19") {
+        volume(multimodal.Multimodal.mediaBandsWide(synthetic(1L << 19), 7, 6))
+      }
+      time("m6cap_volume_2p20_frozen6") {
+        volume(multimodal.Multimodal.mediaBandsWide(synthetic(1L << 20), 7, 6))
+      }
+      time("m6cap_volume_2p20_funded7") {
+        volume(multimodal.Multimodal.mediaBandsWide2(synthetic(1L << 20), 7, 7))
+      }
     }
 
     // st9: the timeout-armed funnel machine driven over the REAL events

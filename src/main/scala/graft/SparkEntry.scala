@@ -243,6 +243,7 @@ object SparkEntry {
     "m15_gradient_hash"       -> Multimodal.gradientHashes _,
     "m16_media_band_occupancy" -> ((s: SparkSession, d: String) =>
       Multimodal.mediaBandOccupancyAudit(s, d)),
+    "m17_curvature_hash"      -> Multimodal.curvatureHashes _,
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -862,6 +863,41 @@ object SparkEntry {
       SELECT doc_id, CAST(L AS BIGINT) AS byte_len,
         coalesce(ghash, 0) AS ghash
       FROM gbits ORDER BY doc_id""",
+
+    // m17: the 54-block curvature hash replayed with the division-free
+    // triple cross-multiplication (s_{j+2}·l_{j+1}·l_j + s_j·l_{j+2}·
+    // l_{j+1} > 2·s_{j+1}·l_{j+2}·l_j) — integers on both engines
+    "m17_curvature_hash" -> s"""
+      WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+      b AS (
+        SELECT doc_id,
+          list_transform(range(1, length(h) // 2 + 1),
+            i -> ('0x' || substr(h, CAST(2 * i - 1 AS INT), 2))::BIGINT) AS bytes
+        FROM hx),
+      t AS (SELECT doc_id, bytes, len(bytes) AS L FROM b),
+      cbits AS (
+        SELECT doc_id, L,
+          CAST(list_sum(list_transform(range(0, 52), j ->
+            CASE WHEN CAST(coalesce(list_sum(list_slice(bytes,
+                          (j + 2) * L // 54 + 1, (j + 3) * L // 54)), 0)
+                       AS BIGINT)
+                      * ((j + 2) * L // 54 - (j + 1) * L // 54)
+                      * ((j + 1) * L // 54 - j * L // 54)
+                    + CAST(coalesce(list_sum(list_slice(bytes,
+                          j * L // 54 + 1, (j + 1) * L // 54)), 0)
+                       AS BIGINT)
+                      * ((j + 3) * L // 54 - (j + 2) * L // 54)
+                      * ((j + 2) * L // 54 - (j + 1) * L // 54)
+                    > 2 * CAST(coalesce(list_sum(list_slice(bytes,
+                          (j + 1) * L // 54 + 1, (j + 2) * L // 54)), 0)
+                       AS BIGINT)
+                      * ((j + 3) * L // 54 - (j + 2) * L // 54)
+                      * ((j + 1) * L // 54 - j * L // 54)
+                 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS chash
+        FROM t)
+      SELECT doc_id, CAST(L AS BIGINT) AS byte_len,
+        coalesce(chash, 0) AS chash
+      FROM cbits ORDER BY doc_id""",
 
     "q25_bloom_prefilter" -> """
       WITH urgent AS (
@@ -3116,8 +3152,8 @@ object SparkEntry {
         -- d9/m6 extra band bits: ceil(log2 n) spelled in INTEGERS (count
         -- of powers of two below n — float log2 misrounds at exact
         -- powers), minus the 13-bit key unit, floored at 0; d9 caps at
-        -- 13 (the second hash52's slot width), m6 at 6 (its minimum
-        -- chunk slot width)
+        -- 13 (the second hash52's slot width), m6 at 12 (6 gradient +
+        -- 6 curvature funding bits since r11)
         SELECT 'd9_simhash_extra_band_bits', CAST(nd.n AS BIGINT),
           least(13, greatest(0,
             (SELECT CAST(count(*) AS BIGINT) FROM range(0, 63) t(i)
@@ -3125,7 +3161,7 @@ object SparkEntry {
         FROM (SELECT greatest(count(*), 1) AS n FROM documents) nd
         UNION ALL
         SELECT 'm6_phash_extra_band_bits', CAST(nd.n AS BIGINT),
-          least(6, greatest(0,
+          least(12, greatest(0,
             (SELECT CAST(count(*) AS BIGINT) FROM range(0, 63) t(i)
              WHERE (CAST(1 AS BIGINT) << CAST(i AS INT)) < nd.n) - 13))
         FROM (SELECT greatest(count(*), 1) AS n FROM documents) nd)

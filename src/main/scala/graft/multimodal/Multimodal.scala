@@ -823,6 +823,118 @@ object Multimodal {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** m17: block-CURVATURE perceptual fingerprints — the second-difference
+    * member of the level/slope/curvature family
+    * ([[graft.expressions.BlockCurvatureHash]]): bit j = is the byte-mean
+    * profile locally convex at block j+1, over 54 equal blocks. Registered
+    * in its own right for the same two reasons m15 was: it is the third
+    * dedup signal an image-curation pass keeps (each of the three responds
+    * to a different perturbation class), and it pins the m6 wide2 path's
+    * third signature cross-engine — the DuckDB twin replays the 54-block
+    * triple cross-multiplication bit-for-bit, so the hash that funds the
+    * band keys past [[MediaExtraBitsCap]] is itself oracle-gated at gate
+    * scale. Map-side only: one codegen'd expression per row.
+    */
+  def curvatureHashes(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.BlockCurvatureHash.register(spark)
+    Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("byte_len"),
+        expr("block_curvature_hash(payload)").as("chash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** All three 52-bit fingerprints of the payload — level ([[m5]] aHash),
+    * slope (m15 dHash), curvature (m17): the signature stack
+    * [[mediaBandsWide2]] rides once the corpus outgrows even the
+    * gradient-funded key space. Still map-side only.
+    */
+  private[graft] def perceptualHashesWide2(spark: SparkSession,
+                                           dir: String): DataFrame = {
+    graft.expressions.BlockMeanHash.register(spark)
+    graft.expressions.BlockGradientHash.register(spark)
+    graft.expressions.BlockCurvatureHash.register(spark)
+    Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        expr("block_mean_hash(payload)").as("phash"),
+        expr("block_gradient_hash(payload)").as("ghash"),
+        expr("block_curvature_hash(payload)").as("chash"))
+  }
+
+  /** The THIRD-hash-funded m5/m6 band layout, for derived widths past
+    * [[MediaExtraBitsCap]]: chunk j keeps its base 6–7 aHash bits, the
+    * FULL 6 gradient bits of its slot, and gains `extraBits − 6`
+    * curvature bits from the same slot of `chash`, packed as
+    * `base | (grad << 7) | (curv << 13)`. The B chunks stay disjoint over
+    * the combined 52 + B·extraBits-bit signature, so pigeonhole recall at
+    * the absolute radius is exact, unchanged — the
+    * [[graft.operators.Dedup.deriveExtraBandBits]] contract one dial
+    * deeper. Capped at [[MediaExtraBitsCap2]] (both funding slots
+    * exhausted); a fourth hash (third difference) would extend the
+    * pattern if a media corpus ever outgrows 2^25 docs per chunk-key
+    * space.
+    */
+  private[graft] def mediaBandsWide2(hashes: DataFrame, maxHamming: Int,
+                                     extraBits: Int): DataFrame = {
+    require(extraBits > MediaExtraBitsCap && extraBits <= MediaExtraBitsCap2,
+      s"extraBits must be in (${MediaExtraBitsCap}, $MediaExtraBitsCap2] " +
+        s"for the curvature-funded layout, got $extraBits")
+    val nBits = graft.expressions.BlockMeanHash.Bits
+    val nBands = maxHamming + 1
+    val curvBits = extraBits - MediaExtraBitsCap
+    val bandExprs = (0 until nBands).map { j =>
+      val start = j * nBits / nBands
+      val width = (j + 1) * nBits / nBands - start
+      expr(s"(shiftright(phash, $start) & ${(1L << width) - 1})" +
+        s" + (shiftright(ghash, $start) & ${(1L << MediaExtraBitsCap) - 1}) * 128" +
+        s" + (shiftright(chash, $start) & ${(1L << curvBits) - 1}) * 8192")
+    }
+    hashes.select(col("doc_id"), col("phash"), col("ghash"), col("chash"),
+      posexplode(array(bandExprs: _*)).as(Seq("band", "bkey")))
+  }
+
+  /** Wide2 twin of [[mediaBandCandidates]]: raw band matches carrying all
+    * three hash pairs for the join-free verify.
+    */
+  private[graft] def mediaBandCandidatesWide2(hashes: DataFrame,
+                                              maxHamming: Int,
+                                              extraBits: Int): DataFrame = {
+    val bands = mediaBandsWide2(hashes, maxHamming, extraBits)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"),
+        col("a.ghash").as("ga"), col("b.ghash").as("gb"),
+        col("a.chash").as("ca"), col("b.chash").as("cb"))
+  }
+
+  /** Wide2 twin of [[mediaNearDupPairs]]: filter-first, with the Hamming
+    * verify over the combined 52 + B·extraBits-bit signature (aHash bits
+    * + 6 masked gradient bits + `extraBits − 6` masked curvature bits per
+    * chunk). The radius stays ABSOLUTE — widening separates random band
+    * ties without admitting any pair a narrower signature rejected.
+    */
+  private[graft] def mediaNearDupPairsWide2(hashes: DataFrame,
+                                            maxHamming: Int,
+                                            extraBits: Int): DataFrame = {
+    val gmask = gradientMask(maxHamming, MediaExtraBitsCap)
+    val cmask = gradientMask(maxHamming, extraBits - MediaExtraBitsCap)
+    mediaBandCandidatesWide2(hashes, maxHamming, extraBits)
+      .withColumn("hamming",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("ga").bitwiseXOR(col("gb")).bitwiseAND(lit(gmask))) +
+          bit_count(col("ca").bitwiseXOR(col("cb")).bitwiseAND(lit(cmask))))
+          .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** m6: media dedup clusters — [[mediaNearDupPairs]] at radius 7 (~13% of
     * the signature, the conventional pHash near-dup threshold) fed into
     * the SAME connected-components machinery d6 uses for text
@@ -843,35 +955,52 @@ object Multimodal {
     graft.operators.Dedup.materializeAndRelease(result, pairs)
   }
 
-  /** m6's cap on [[graft.operators.Dedup.deriveExtraBandBits]]: the
-    * gradient hash contributes at most the MINIMUM chunk slot width
-    * (⌊52/8⌋ = 6 bits at radius 7) so every chunk's extra bits stay
-    * inside its own disjoint slot.
+  /** The gradient hash's funding limit on
+    * [[graft.operators.Dedup.deriveExtraBandBits]]: it contributes at
+    * most the MINIMUM chunk slot width (⌊52/8⌋ = 6 bits at radius 7) so
+    * every chunk's extra bits stay inside its own disjoint slot. Since
+    * r11 this is a HANDOFF point, not a hard boundary: derivations past
+    * it draw their 7th–12th bits from the curvature hash
+    * ([[mediaBandsWide2]], capped at [[MediaExtraBitsCap2]]).
     */
   val MediaExtraBitsCap = 6
+
+  /** The combined gradient+curvature funding limit: 6 bits from each of
+    * the two difference hashes — binding only past 2^25 docs (per the
+    * [[graft.operators.Dedup.deriveExtraBandBits]] boundary arithmetic),
+    * where a third difference hash would extend the pattern.
+    */
+  val MediaExtraBitsCap2 = 12
 
   /** m6's REGISTERED form: [[mediaDedupClusters]] with the band width
     * derived from the corpus count — the same
     * [[graft.operators.Dedup.deriveExtraBandBits]] constant d9 rides
     * (one shared derivation for both signature-banded operators), capped
-    * at [[MediaExtraBitsCap]]. `extra = 0` at every corpus up to 8192
+    * at [[MediaExtraBitsCap2]]. `extra = 0` at every corpus up to 8192
     * docs (the gate and the sf0.1 off-gate sweep) keeps the 52-bit aHash
     * pipeline and its static DuckDB oracle bit-for-bit; at the 500k-doc
     * 100× soak `extra = 6` widens each 6–7-bit chunk key to 12–13 bits —
     * a 2⁶ = 64× cut in expected random band collisions against the
-    * measured 21.6B-row saturation. Wide-form correctness is property-
-    * tested against the brute-force combined-signature join in
-    * Round10Spec.
+    * measured 21.6B-row saturation — funded by the gradient hash; past
+    * 2^19 docs the 7th–12th bits come from the curvature hash
+    * ([[mediaBandsWide2]], r11). Wide-form correctness is property-tested
+    * against the brute-force combined-signature joins in Round10Spec
+    * (gradient) and Round11Spec (gradient+curvature).
     */
   def mediaDedupClustersAuto(spark: SparkSession, dir: String,
                              maxHamming: Int = 7): DataFrame = {
-    val e = math.min(MediaExtraBitsCap,
+    val e = math.min(MediaExtraBitsCap2,
       graft.operators.Dedup.deriveExtraBandBits(
         Tables.documentsParallel(spark, dir).count().max(1L)))
     if (e == 0) mediaDedupClusters(spark, dir, maxHamming)
     else {
       val pairs =
-        mediaNearDupPairsWide(perceptualHashesWide(spark, dir), maxHamming, e)
+        (if (e <= MediaExtraBitsCap)
+           mediaNearDupPairsWide(perceptualHashesWide(spark, dir),
+             maxHamming, e)
+         else
+           mediaNearDupPairsWide2(perceptualHashesWide2(spark, dir),
+             maxHamming, e))
           .select(col("id_a"), col("id_b")).cache()
       val result = graft.operators.Dedup.connectedComponents(pairs)
         .withColumnRenamed("node", "doc_id")

@@ -360,7 +360,7 @@ object Dedup {
       ("d9_simhash_extra_band_bits", nDocs,
         deriveExtraBandBits(nDocs).toLong),
       ("m6_phash_extra_band_bits", nDocs,
-        math.min(graft.multimodal.Multimodal.MediaExtraBitsCap,
+        math.min(graft.multimodal.Multimodal.MediaExtraBitsCap2,
           deriveExtraBandBits(nDocs)).toLong))
       .toDF("param", "input_n", "derived_value")
       .orderBy(col("param"))

@@ -199,6 +199,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.multimodal.Multimodal.gradientHashes(spark, emptyDir).count() == 0)
     assert(graft.multimodal.Multimodal
       .mediaBandOccupancyAudit(spark, emptyDir).count() == 0)
+    assert(graft.multimodal.Multimodal.curvatureHashes(spark, emptyDir).count() == 0)
     // d26 is a config report: each parameter lands on its documented
     // floor for an empty corpus, never an error
     val cfg = graft.operators.Dedup.autoConfigReport(spark, emptyDir).collect()

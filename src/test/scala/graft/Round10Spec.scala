@@ -197,7 +197,7 @@ class Round10Spec extends AnyFunSuite {
     assert(rows("d9_simhash_extra_band_bits") ==
       ((n, Dedup.deriveExtraBandBits(n).toLong)))
     assert(rows("m6_phash_extra_band_bits") ==
-      ((n, math.min(Multimodal.MediaExtraBitsCap,
+      ((n, math.min(Multimodal.MediaExtraBitsCap2,
         Dedup.deriveExtraBandBits(n)).toLong)))
     assert(rows("d9_simhash_extra_band_bits")._2 == 0L,
       "gate corpus must sit below the widening threshold")

@@ -36,20 +36,23 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
-  test("MediaExtraBitsCap boundary: binds first past 2^19 docs, and the layout refuses to cross it") {
-    // the cap (6 = the minimum radius-7 chunk slot) leaves the derivation
-    // untouched through 2^19 docs and binds from 2^19 + 1 on — the
-    // boundary the m6 scaladoc names, pinned here in integers the way
-    // Round10Spec pins the oracle-width coupling
+  test("MediaExtraBitsCap boundaries: gradient hands to curvature past 2^19 docs, cap2 past 2^25") {
+    // the gradient slot (6 = the minimum radius-7 chunk width) funds
+    // derivations through 2^19 docs; from 2^19 + 1 the 7th bit comes from
+    // the curvature hash (wide2), through 2^25; cap2 binds beyond — all
+    // pinned in integers the way Round10Spec pins the oracle-width
+    // coupling
     assert(Dedup.deriveExtraBandBits(1L << 19) == 6, "2^19 docs still fit")
     assert(Dedup.deriveExtraBandBits((1L << 19) + 1) == 7,
-      "first doc past the capped key space")
-    assert(math.min(Multimodal.MediaExtraBitsCap,
-      Dedup.deriveExtraBandBits((1L << 19) + 1)) == 6,
-      "the registered form caps at 6")
-    // and the layout itself is a tripwire: an uncapped derivation passed
-    // straight through would overlap adjacent chunks' gradient slots, so
-    // mediaBandsWide refuses rather than silently losing pairs
+      "first doc past the gradient-funded key space")
+    assert(Dedup.deriveExtraBandBits(1L << 25) == 12,
+      "2^25 docs exhaust both funding slots")
+    assert(math.min(Multimodal.MediaExtraBitsCap2,
+      Dedup.deriveExtraBandBits((1L << 25) + 1)) == 12,
+      "the registered form caps at 12")
+    // and each layout is a tripwire at its own boundary: a width passed
+    // into the wrong form would overlap adjacent chunks' slots, so both
+    // refuse rather than silently losing pairs
     val hashes = spark.range(4).select(col("id").as("doc_id"),
       graft.functions.TextFunctions.hash52(col("id").cast("string")).as("phash"),
       graft.functions.TextFunctions.hash52b(col("id").cast("string")).as("ghash"))
@@ -59,15 +62,104 @@ class Round11Spec extends AnyFunSuite {
     assert(e.getMessage.contains("extraBits"))
   }
 
-  test("past the cap, band volume grows quadratically again — the priced boundary") {
+  test("m17 curvature hash matches the local expression evaluation per doc") {
+    val spark2 = spark
+    import spark2.implicits._
+    val got = Multimodal.curvatureHashes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val texts = graft.sources.Tables.documentsParallel(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    got.foreach { case (id, len, ch) =>
+      val bytes = texts(id).getBytes("UTF-8")
+      assert(len == bytes.length, s"doc $id byte_len")
+      assert(ch == graft.expressions.BlockCurvatureHash.hashBytes(bytes),
+        s"doc $id chash diverges from the local fold")
+    }
+  }
+
+  test("curvature hash: constant and linear profiles hash 0, convex profiles set every bit") {
+    // the semantic seam between the three fingerprints: constant payloads
+    // are flat to all three; a LINEAR block-sum profile sets every
+    // gradient bit but NO curvature bit (the second difference is exactly
+    // zero, so the strict > fails); a QUADRATIC profile sets every
+    // curvature bit — each hash answers a different perturbation class,
+    // which is what makes the third one independent funding rather than
+    // redundancy. Payloads are built with EXACT per-block sums (quotient
+    // fill + remainder spread) so the assertions are pure algebra, free
+    // of byte-quantization noise.
+    def blockPayload(blocks: Int, sums: Int => Int): Array[Byte] = {
+      val w = 40
+      val out = new Array[Byte](w * blocks)
+      for (k <- 0 until blocks) {
+        val q = sums(k) / w
+        val r = sums(k) % w
+        for (i <- 0 until w)
+          out(k * w + i) = (if (i < r) q + 1 else q).toByte
+      }
+      out
+    }
+    val const = Array.fill(54 * 40)(7.toByte)
+    assert(graft.expressions.BlockCurvatureHash.hashBytes(const) == 0L)
+    // gradient splits into 53 blocks, curvature into 54 — each gets a
+    // payload sized to its own exact boundaries
+    assert(graft.expressions.BlockGradientHash.hashBytes(
+      blockPayload(53, k => 100 * k)) == (1L << 52) - 1,
+      "strictly increasing sums set every gradient bit")
+    assert(graft.expressions.BlockCurvatureHash.hashBytes(
+      blockPayload(54, k => 100 * k)) == 0L,
+      "a linear profile has exactly zero curvature")
+    assert(graft.expressions.BlockCurvatureHash.hashBytes(
+      blockPayload(54, k => k * k)) == (1L << 52) - 1,
+      "a quadratic profile sets every curvature bit (2nd diff = 2 > 0)")
+  }
+
+  test("m6 wide2 banding equals the brute-force triple-hamming join") {
+    val e = 8 // 6 gradient + 2 curvature bits — the funded region
+    val hashes = Multimodal.perceptualHashesWide2(spark, sf).cache()
+    try {
+      val gmask = Multimodal.gradientMask(7, 6)
+      val cmask = Multimodal.gradientMask(7, e - 6)
+      val banded = Multimodal.mediaNearDupPairsWide2(hashes, 7, e)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val naive = hashes.as("a").join(hashes.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          (bit_count(col("a.phash").bitwiseXOR(col("b.phash"))) +
+            bit_count(col("a.ghash").bitwiseXOR(col("b.ghash"))
+              .bitwiseAND(lit(gmask))) +
+            bit_count(col("a.chash").bitwiseXOR(col("b.chash"))
+              .bitwiseAND(lit(cmask)))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(banded == naive,
+        s"wide2 pigeonhole recall broke: ${banded.size} vs ${naive.size}")
+    } finally { hashes.unpersist(); () }
+  }
+
+  test("wide2 layout refuses widths outside its funded region") {
+    val hashes = spark.range(4).select(col("id").as("doc_id"),
+      graft.functions.TextFunctions.hash52(col("id").cast("string")).as("phash"),
+      graft.functions.TextFunctions.hash52b(col("id").cast("string")).as("ghash"),
+      graft.functions.TextFunctions.hash52(concat(col("id").cast("string"),
+        lit("c"))).as("chash"))
+    for (bad <- Seq(6, 13)) {
+      val e = intercept[IllegalArgumentException] {
+        Multimodal.mediaBandsWide2(hashes, 7, bad)
+      }
+      assert(e.getMessage.contains("extraBits"), s"bad width $bad accepted")
+    }
+  }
+
+  test("past the gradient slot, an UNFUNDED band volume grows quadratically — the priced boundary") {
     // d29's machinery over a SYNTHETIC uniform-hash corpus (hash52/hash52b
     // of the doc id — deterministic, no perceptual structure, so every
-    // collision is a random tie): doubling the corpus past the cap
-    // boundary must ~quadruple the closed-form band volume, because the
-    // key space cannot widen further without the third-hash funding dial
-    // the m6 scaladoc names. Kept at test scale (2^15 → 2^16 docs at the
-    // capped width); graft.SoakDiag's m6cap section prices the real
-    // 2^19/2^20 boundary corpus in the soak ledger.
+    // collision is a random tie): doubling the corpus past the gradient
+    // slot must ~quadruple the closed-form band volume AT THE FROZEN
+    // 6-bit width — the cost curve that motivates the curvature funding
+    // (wide2 restores ~2× per extra bit). Kept at test scale (2^15 →
+    // 2^16 docs); graft.SoakDiag's m6cap section prices the real
+    // 2^19/2^20 boundary corpus, frozen vs funded, in the soak ledger.
     def volumeAt(n: Long): Long =
       Multimodal.mediaBandsWide(
           spark.range(n).select(col("id").as("doc_id"),
