@@ -367,6 +367,81 @@ object SoakDiag {
       rm(new java.io.File(staged))
     }
 
+    // st10: the stream-stream attribution join driven over the REAL
+    // events corpus — st9's state-size methodology applied to the
+    // symmetric-hash JOIN state. Same staging (ts-sorted range-
+    // partitioned copy, one file per micro-batch: the arrival shape of a
+    // production firehose); the claim under test is twofold: (1) the
+    // streamed pair multiset COUNT equals the batch query's at soak
+    // scale, and (2) peak join state is bounded by the arrival
+    // granularity (the trailing micro-batch's click+purchase rows — the
+    // watermark advances once per batch, so eviction lags one file span)
+    // plus the 70-minute match horizon, NOT by the lifetime
+    // click+purchase count.
+    if (wanted("st10")) {
+      val staged = s"/tmp/graft_soak_st10_${dir.hashCode & Int.MaxValue}"
+      val ev = sources.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .filter(col("event_type").isin("click", "purchase"))
+      val nFiles = 64
+      ev.repartitionByRange(nFiles, col("ts")).sortWithinPartitions(col("ts"))
+        .write.mode("overwrite").parquet(s"$staged/events.parquet")
+      untimed("st10_total_cp_events", ev.count())
+      // the busiest 70-minute event-time window (60-min match window +
+      // 10-min watermark): 10-min cells, max sliding 7-cell sum
+      val cells = ev.groupBy((unix_micros(col("ts")) / 600000000L).as("cell"))
+        .count().orderBy(col("cell")).collect().map(_.getLong(1))
+      untimed("st10_max_70min_cp",
+        if (cells.length < 7) cells.sum
+        else cells.sliding(7).map(_.sum).max)
+      // the arrival-granularity floor: the largest single staged file
+      untimed("st10_max_batch_cp",
+        spark.read.parquet(s"$staged/events.parquet")
+          .groupBy(input_file_name()).count()
+          .agg(max(col("count"))).collect()(0).getLong(0))
+      untimed("st10_batch_pairs",
+        streaming.Events.attributedPairs(spark, dir).count())
+      var peakState = 0L
+      var nBatches = 0L
+      time("st10_stream_wall") {
+        val schema = spark.read.parquet(s"$staged/events.parquet").schema
+        def side() = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$staged/events.parquet")
+        val joined = streaming.Events.attributionJoin(
+          side().filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("click_ts"))
+            .withWatermark("click_ts", "10 minutes"),
+          side().filter(col("event_type") === "purchase")
+            .select(col("event_id").as("purchase_id"),
+              col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+            .withWatermark("purchase_ts", "10 minutes"),
+          streaming.Events.AttributionWindowMinutes)
+        val emitted = new java.util.concurrent.atomic.LongAdder
+        val q = joined.writeStream.outputMode("append")
+          .option("checkpointLocation", s"$staged/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            emitted.add(b.count())
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val progressed = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        peakState =
+          if (progressed.isEmpty) 0L
+          else progressed.map(_.stateOperators(0).numRowsTotal).max
+        nBatches = q.recentProgress.length.toLong
+        emitted.sum()
+      }
+      untimed("st10_peak_state_rows", peakState)
+      untimed("st10_batches", nBatches)
+      def rm10(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm10)
+        f.delete(); ()
+      }
+      rm10(new java.io.File(staged))
+    }
+
     println("[soakdiag-json] " + out.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"dir":"$dir",""", ",", "}"))
     spark.stop()

@@ -244,6 +244,8 @@ object SparkEntry {
     "m16_media_band_occupancy" -> ((s: SparkSession, d: String) =>
       Multimodal.mediaBandOccupancyAudit(s, d)),
     "m17_curvature_hash"      -> Multimodal.curvatureHashes _,
+    "st10_attribution"        -> ((s: SparkSession, d: String) =>
+      Events.attributedPairs(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -3123,6 +3125,25 @@ object SparkEntry {
         p.t_purchase IS NOT NULL AS purchased
       FROM v LEFT JOIN c USING (user_id, day) LEFT JOIN p USING (user_id, day)
       ORDER BY user_id, day""",
+
+    // st10: the attribution pair multiset — an equi-join on user with the
+    // interval as a residual predicate; the lag is integer microseconds
+    // (epoch_us both engines) so the twin is exact.
+    "st10_attribution" -> s"""
+      WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events),
+      c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+            FROM e WHERE event_type = 'click'),
+      p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+            FROM e WHERE event_type = 'purchase')
+      SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts, p.purchase_ts,
+        epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS lag_us
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND p.purchase_ts >= c.click_ts
+        AND p.purchase_ts < c.click_ts
+              + INTERVAL ${Events.AttributionWindowMinutes} MINUTE
+      ORDER BY c.click_id, p.purchase_id""",
 
     // s15: the s13 candidate/cosine CTEs (one cosine spelling), plus the
     // s4 grid replay ranked at 6dp — the same pre-rank rounding the

@@ -832,4 +832,103 @@ object Events {
         round(sum(col("value")), 2).as("total_value"))
       .select(col("w.start").as("window_start"), col("nation"),
         col("n_events"), col("total_value"))
+
+  /** st10's attribution horizon: a purchase is credited to every click by
+    * the same user in the preceding hour. Interpolated into the DuckDB
+    * twin, and the dial that bounds BOTH the batch pair volume and the
+    * streaming join's per-side state retention.
+    */
+  val AttributionWindowMinutes = 60L
+
+  /** MemoryStream fixtures for the st10 state-cleanup proof — the join's
+    * two input shapes as named case classes (StreamingSpec).
+    */
+  case class ClickRow(click_id: Long, user_id: Long,
+                      click_ts: java.sql.Timestamp)
+  case class PurchaseRow(purchase_id: Long, p_user_id: Long,
+                         purchase_ts: java.sql.Timestamp)
+
+  /** The shared st10 join: same-user (click, purchase) pairs with the
+    * purchase inside `[click_ts, click_ts + window)`. Factored out so the
+    * batch query, the file-source streaming twin, and the MemoryStream
+    * state-cleanup fixture all run the IDENTICAL join plan — inputs carry
+    * `(click_id, user_id, click_ts)` / `(purchase_id, p_user_id,
+    * purchase_ts)`. An EQUI-join on the user with the interval as a
+    * residual condition: Catalyst plans SMJ/shuffled-hash on `user_id`,
+    * never a cross product (Round11Spec pins it), and in the streaming
+    * case the event-time range against both sides' watermarks is exactly
+    * what lets the symmetric-hash join EVICT state — a click older than
+    * `purchase watermark − window` can never match again.
+    */
+  private[graft] def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                                     windowMinutes: Long): DataFrame =
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") +
+            expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"))
+
+  /** st10: click→purchase attribution pairs — every (click, purchase) of
+    * the same user where the purchase lands within the hour after the
+    * click, with the exact microsecond lag. q29 asks the aggregate
+    * question (how many recent clicks per purchase); this emits the pair
+    * MULTISET itself — the attribution table a marketing pipeline joins
+    * spend against, and precisely the append-mode output contract of
+    * Spark's watermarked STREAM-STREAM inner interval join. The join
+    * shape existed test-only since r4 ([[streamingPurchaseClickJoin]],
+    * verified against a batch pair COUNT); st10 promotes it to a
+    * first-class registered query: the batch form is oracle-gated row by
+    * row against DuckDB, [[streamingAttributedPairs]] runs the same
+    * [[attributionJoin]] over two `readStream` sources with watermarks on
+    * both event-time columns and is asserted equal as an exact row
+    * MULTISET in StreamingSpec, and the state-EVICTION half of the
+    * bounded-state claim — previously prose — is proven on a MemoryStream
+    * pair via state-operator row counts.
+    *
+    * Scale shape: one shuffle on `user_id` per side; pair volume per user
+    * is clicks×purchases WITHIN the window, not across history, and the
+    * streaming form's state is bounded by watermark + window — the
+    * impression-attribution shape that runs forever on a firehose.
+    */
+  def attributedPairs(spark: SparkSession, dir: String,
+                      windowMinutes: Long = AttributionWindowMinutes): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    attributionJoin(
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts")),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts")),
+      windowMinutes)
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  /** [[attributedPairs]]' streaming twin: two file-source streams over the
+    * same events directory (clicks and purchases each get their own
+    * source — each side of a stream-stream join tracks its own watermark),
+    * 10-minute watermarks, append mode. The inner join with the
+    * event-time range condition is the canonical Spark stream-stream join:
+    * each side's state is retained only while the other side's watermark
+    * still admits a match inside the window, then evicted (StreamingSpec
+    * proves the eviction on a MemoryStream pair).
+    */
+  def streamingAttributedPairs(spark: SparkSession, dir: String,
+                               windowMinutes: Long = AttributionWindowMinutes): DataFrame =
+    attributionJoin(
+      eventsStream(spark, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes"),
+      eventsStream(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes"),
+      windowMinutes)
 }

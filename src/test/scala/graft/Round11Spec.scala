@@ -178,4 +178,15 @@ class Round11Spec extends AnyFunSuite {
     assert(v2 > 3 * v1 && v2 < 5 * v1,
       s"volume $v1 -> $v2 is not the ~4x of a saturated fixed-width layout")
   }
+
+  test("st10's interval join rides the user_id equi-key, never a cross product") {
+    // the scale contract of the attribution join: the time range is a
+    // residual predicate on a user_id equi-join (SMJ/shuffled-hash), so
+    // cost is per-user clicks×purchases — not |clicks|×|purchases|
+    val p = graft.streaming.Events.attributedPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"st10 planned a corpus-quadratic join:\n$p")
+  }
 }

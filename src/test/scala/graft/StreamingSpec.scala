@@ -721,6 +721,76 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st10: the stream-stream interval join emits exactly the batch pair multiset") {
+    val batch = Events.attributedPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getLong(5)))
+    assert(batch.nonEmpty, "fixture should produce attribution pairs")
+    // multiset-safe: pair keys are unique (click_id, purchase_id)
+    assert(batch.map(p => (p._2, p._3)).distinct.length == batch.length)
+
+    val q = Events.streamingAttributedPairs(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st10_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM st10_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getTimestamp(3), r.getTimestamp(4), r.getLong(5)))
+      assert(streamed.toSet == batch.toSet && streamed.length == batch.length,
+        s"streamed=${streamed.length} batch=${batch.length} " +
+          s"diff=${(streamed.toSet diff batch.toSet).take(3)}")
+    } finally q.stop()
+  }
+
+  test("st10: join state is evicted once both watermarks pass the attribution window") {
+    // the stream-stream join's scale contract: a click/purchase row lives
+    // in the symmetric-hash state only while the OTHER side's watermark
+    // still admits a match inside the 60-min window — day-old rows are
+    // dropped, so state is bounded by the watermark horizon + window, not
+    // stream lifetime. Proven the st9 way: feed a matching pair, observe
+    // its state rows live; advance both watermarks two days; assert the
+    // state-row total falls back to just the fresh rows.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def ts(sec: Long) = java.sql.Timestamp.from(t0.plusSeconds(sec))
+    val clicks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Events.ClickRow]
+    val purchases = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Events.PurchaseRow]
+    val joined = Events.attributionJoin(
+      clicks.toDF().withWatermark("click_ts", "10 minutes"),
+      purchases.toDF().withWatermark("purchase_ts", "10 minutes"),
+      Events.AttributionWindowMinutes)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("st10_state_out").start()
+    try {
+      // batch 1: a matching pair on user 1 -> one output row, 2 state rows
+      clicks.addData(Events.ClickRow(100L, 1L, ts(0L)))
+      purchases.addData(Events.PurchaseRow(200L, 1L, ts(300L)))
+      q.processAllAvailable()
+      val live = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .last.stateOperators(0).numRowsTotal
+      assert(live == 2L, s"both sides of the day-0 pair held in state: $live")
+      // batch 2: day-2 activity on user 2 advances BOTH watermarks two
+      // days past the window -> user 1's rows can never match again and
+      // are evicted; only the fresh pair's rows remain
+      clicks.addData(Events.ClickRow(101L, 2L, ts(2 * 86400L)))
+      purchases.addData(Events.PurchaseRow(201L, 2L, ts(2 * 86400L + 300L)))
+      q.processAllAvailable()
+      val totals = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators(0).numRowsTotal).toSeq
+      assert(totals.max >= 3L, s"old and new state coexisted pre-eviction: $totals")
+      assert(totals.last == 2L, s"expired pair evicted from join state: $totals")
+      val rows = spark.sql("SELECT click_id, purchase_id, lag_us FROM st10_state_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((100L, 200L, 300000000L), (101L, 201L, 300000000L)),
+        s"exactly the two in-window pairs, exact microsecond lags: $rows")
+    } finally q.stop()
+  }
+
   test("stateful sessionization agrees with the declarative sessionizer") {
     val declarative = Events.sessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
