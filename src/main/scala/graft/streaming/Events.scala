@@ -908,27 +908,39 @@ object Events {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
-  /** [[attributedPairs]]' streaming twin: two file-source streams over the
-    * same events directory (clicks and purchases each get their own
-    * source — each side of a stream-stream join tracks its own watermark),
-    * 10-minute watermarks, append mode. The inner join with the
-    * event-time range condition is the canonical Spark stream-stream join:
-    * each side's state is retained only while the other side's watermark
-    * still admits a match inside the window, then evicted (StreamingSpec
-    * proves the eviction on a MemoryStream pair).
+  /** [[attributedPairs]]' streaming twin: ONE file source, two filtered
+    * branches (the stream self-join shape), each branch watermarking its
+    * own event-time column, append mode. One source is load-bearing, not
+    * style: two INDEPENDENT file sources over the same directory list
+    * files sorted by modification time with nondeterministic tie-breaks,
+    * so under `maxFilesPerTrigger` the sides drift onto DIFFERENT files in
+    * the same micro-batch — and once the watermark (driven by the
+    * furthest-ahead file either side has seen) passes a not-yet-delivered
+    * file's span, that file's matches are unrecoverable: in-batch join
+    * never sees both sides together and the state needed for a cross-batch
+    * match is already evicted. Measured on the sf1 soak corpus staged as
+    * 64 ts-sorted files: the two-source form silently emitted 930 of
+    * 3,710 pairs — exactly the pairs of the files both sources happened to
+    * deliver in the same trigger; the one-source form emits all of them
+    * (SoakDiag's st10 section asserts streamed = batch count at every soak
+    * scale). The inner join with the event-time range condition is the
+    * canonical Spark stream-stream join: each side's state is retained
+    * only while the other side's watermark still admits a match inside
+    * the window, then evicted (StreamingSpec proves the eviction on a
+    * MemoryStream pair).
     */
   def streamingAttributedPairs(spark: SparkSession, dir: String,
-                               windowMinutes: Long = AttributionWindowMinutes): DataFrame =
+                               windowMinutes: Long = AttributionWindowMinutes): DataFrame = {
+    val src = eventsStream(spark, dir)
     attributionJoin(
-      eventsStream(spark, dir)
-        .filter(col("event_type") === "click")
+      src.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"))
         .withWatermark("click_ts", "10 minutes"),
-      eventsStream(spark, dir)
-        .filter(col("event_type") === "purchase")
+      src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"),
           col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
         .withWatermark("purchase_ts", "10 minutes"),
       windowMinutes)
+  }
 }

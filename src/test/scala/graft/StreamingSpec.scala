@@ -743,6 +743,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st10: multi-batch ordered file arrival emits the full pair multiset") {
+    // the regression that found two real hazards at soak scale: (1) two
+    // INDEPENDENT file sources over one directory drift onto different
+    // files per trigger (nondeterministic mtime tie-breaks) and lose
+    // whole files' pairs to the watermark — streamingAttributedPairs
+    // therefore branches ONE source; (2) parallel-written part files have
+    // random mtimes, so a ts-sorted staged corpus still ARRIVES shuffled
+    // unless mtimes are forced ascending (SoakDiag.orderArrival). This
+    // drives the one-source join through 8 genuinely ordered micro-batches
+    // and asserts nothing is lost.
+    import org.apache.spark.sql.functions._
+    val dir = sf
+    val staged = java.nio.file.Files.createTempDirectory("graft_st10_mb").toString
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .filter(col("event_type").isin("click", "purchase"))
+    ev.repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(s"$staged/events.parquet")
+    val parts = new java.io.File(s"$staged/events.parquet").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 1000L) }
+
+    val batch = Events.attributedPairs(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(5))).toSet
+    assert(batch.nonEmpty)
+
+    val schema = spark.read.parquet(s"$staged/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$staged/events.parquet")
+    val joined = Events.attributionJoin(
+      src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes"),
+      src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes"),
+      Events.AttributionWindowMinutes)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("st10_mb_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT click_id, purchase_id, lag_us FROM st10_mb_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(nBatches >= 8, s"expected one micro-batch per staged file, got $nBatches")
+      assert(streamed == batch,
+        s"multi-batch arrival lost pairs: streamed=${streamed.size} batch=${batch.size} " +
+          s"missing=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("st10: join state is evicted once both watermarks pass the attribution window") {
     // the stream-stream join's scale contract: a click/purchase row lives
     // in the symmetric-hash state only while the OTHER side's watermark
