@@ -246,6 +246,8 @@ object SparkEntry {
     "m17_curvature_hash"      -> Multimodal.curvatureHashes _,
     "st10_attribution"        -> ((s: SparkSession, d: String) =>
       Events.attributedPairs(s, d)),
+    "st11_attribution_outer"  -> ((s: SparkSession, d: String) =>
+      Events.attributionOuter(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -3144,6 +3146,25 @@ object SparkEntry {
         AND p.purchase_ts < c.click_ts
               + INTERVAL ${Events.AttributionWindowMinutes} MINUTE
       ORDER BY c.click_id, p.purchase_id""",
+
+    // st11: the left-outer face of st10 — every purchase keeps a row;
+    // organic purchases carry NULL click columns. Null lag stays NULL on
+    // both engines (epoch_us of NULL is NULL).
+    "st11_attribution_outer" -> s"""
+      WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events),
+      c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+            FROM e WHERE event_type = 'click'),
+      p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+            FROM e WHERE event_type = 'purchase')
+      SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id, c.click_ts,
+        epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS lag_us
+      FROM p LEFT JOIN c ON p.user_id = c.user_id
+        AND p.purchase_ts >= c.click_ts
+        AND p.purchase_ts < c.click_ts
+              + INTERVAL ${Events.AttributionWindowMinutes} MINUTE
+      ORDER BY p.purchase_id, c.click_id NULLS FIRST""",
 
     // s15: the s13 candidate/cosine CTEs (one cosine spelling), plus the
     // s4 grid replay ranked at 6dp — the same pre-rank rounding the

@@ -872,6 +872,87 @@ object Events {
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
           .as("lag_us"))
 
+  /** The shared st11 join: [[attributionJoin]]'s LEFT-OUTER complement
+    * with the PURCHASE side preserved — every purchase keeps a row, carrying
+    * its attributing click or nulls if no same-user click preceded it
+    * within the window (the organic-conversion audit: matched rows are
+    * exactly st10's pairs, null rows are the purchases marketing cannot
+    * claim). Same equi-key + interval-residual shape; in the streaming
+    * case this is Spark's OUTER stream-stream join, whose null rows are
+    * emitted only when the click watermark passes the purchase's match
+    * horizon — i.e. when the engine can PROVE no matching click can still
+    * arrive — which is the semantics StreamingSpec pins batch-by-batch.
+    */
+  private[graft] def attributionOuterJoin(purchases: DataFrame,
+                                          clicks: DataFrame,
+                                          windowMinutes: Long): DataFrame =
+    purchases.join(clicks,
+        col("p_user_id") === col("user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") +
+            expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left_outer")
+      .select(col("p_user_id").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"))
+
+  /** st11: attribution coverage — the left-outer face of st10: one row per
+    * (purchase, attributing click) pair plus one null-click row per ORGANIC
+    * purchase (no same-user click in the preceding hour). Batch form is
+    * the oracle-gated registered query; [[streamingAttributionOuter]] runs
+    * the same [[attributionOuterJoin]] as a watermarked stream-stream
+    * LEFT-OUTER join — the semantics st1–st10 don't otherwise exercise:
+    * matched rows emit as soon as both sides have arrived, null rows emit
+    * only once the watermark proves no match can still arrive, and
+    * StreamingSpec pins both the delay (no premature nulls) and the
+    * exactly-once emission per organic purchase.
+    */
+  def attributionOuter(spark: SparkSession, dir: String,
+                       windowMinutes: Long = AttributionWindowMinutes): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    attributionOuterJoin(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts")),
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts")),
+      windowMinutes)
+      .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+  }
+
+  /** [[attributionOuter]]' streaming twin: one branched source (the st10
+    * lesson), watermarks on both event-time columns, LEFT-OUTER join in
+    * append mode. A null row for an organic purchase is emitted by the
+    * state-eviction pass of the micro-batch whose watermark passes the
+    * purchase's match horizon — bounded state AND a completeness
+    * guarantee: every purchase eventually produces exactly one verdict
+    * row (its clicks, or one null row).
+    *
+    * Finite-replay caveat (StreamingSpec pins it): each event-time
+    * column's watermark can never pass its OWN last observation minus the
+    * delay, and the global watermark is the min of the two — so on a
+    * finite stream the trailing ~delay of purchases never receives a
+    * verdict (the watermark dies with the data). On an unbounded firehose
+    * every purchase's verdict arrives within (window + delay) of event
+    * time.
+    */
+  def streamingAttributionOuter(spark: SparkSession, dir: String,
+                                windowMinutes: Long = AttributionWindowMinutes): DataFrame = {
+    val src = eventsStream(spark, dir)
+    attributionOuterJoin(
+      src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes"),
+      src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes"),
+      windowMinutes)
+  }
+
   /** st10: click→purchase attribution pairs — every (click, purchase) of
     * the same user where the purchase lands within the hour after the
     * click, with the exact microsecond lag. q29 asks the aggregate

@@ -158,6 +158,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.operators.Extended.funnel(spark, emptyDir).count() == 0)
     assert(graft.streaming.Events.disorderAudit(spark, emptyDir).count() == 0)
     assert(graft.streaming.Events.attributedPairs(spark, emptyDir).count() == 0)
+    assert(graft.streaming.Events.attributionOuter(spark, emptyDir).count() == 0)
     // d24/s14 are grid REPORTS (the d23 precedent): one row per grid
     // value, all zero, never a crash and never a NaN
     val sweep = graft.operators.Dedup.thresholdSweep(spark, emptyDir).collect()

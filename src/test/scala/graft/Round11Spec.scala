@@ -188,5 +188,10 @@ class Round11Spec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"st10 planned a corpus-quadratic join:\n$p")
+    val po = graft.streaming.Events.attributionOuter(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!po.contains("CartesianProduct") &&
+      !po.contains("BroadcastNestedLoopJoin"),
+      s"st11 planned a corpus-quadratic join:\n$po")
   }
 }

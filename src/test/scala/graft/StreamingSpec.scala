@@ -846,6 +846,123 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st11: outer-join null rows are delayed until the watermark proves no match, then emit once") {
+    // the semantics that distinguish the OUTER stream-stream join: a
+    // matched pair emits as soon as both sides arrive, but an organic
+    // purchase's null row may only emit once the click watermark passes
+    // the purchase's match horizon — emitting earlier would be wrong the
+    // moment a matching click arrived late-but-in-watermark
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def ts(sec: Long) = java.sql.Timestamp.from(t0.plusSeconds(sec))
+    val clicks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Events.ClickRow]
+    val purchases = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Events.PurchaseRow]
+    val joined = Events.attributionOuterJoin(
+      purchases.toDF().withWatermark("purchase_ts", "10 minutes"),
+      clicks.toDF().withWatermark("click_ts", "10 minutes"),
+      Events.AttributionWindowMinutes)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("st11_out").start()
+    try {
+      // batch 1: user 1 matched pair; user 2 purchase with NO click
+      clicks.addData(Events.ClickRow(100L, 1L, ts(0L)))
+      purchases.addData(Events.PurchaseRow(200L, 1L, ts(300L)),
+        Events.PurchaseRow(201L, 2L, ts(400L)))
+      q.processAllAvailable()
+      val early = spark.sql("SELECT purchase_id, click_id FROM st11_out")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      assert(early.toSet == Set((200L, 100L)),
+        s"only the matched pair may emit before the watermark verdict: ${early.mkString(",")}")
+      // batch 2: day-2 activity on BOTH sides (the global watermark is the
+      // MIN across the two event-time columns — a click alone would leave
+      // the purchase watermark at epoch) advances it far past user 2's
+      // match horizon -> its null row emits, exactly once. User 4's day-2
+      // purchase has no verdict yet: its own horizon is still open.
+      clicks.addData(Events.ClickRow(101L, 3L, ts(2 * 86400L)))
+      purchases.addData(Events.PurchaseRow(202L, 4L, ts(2 * 86400L + 100L)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT purchase_id, click_id, lag_us FROM st11_out")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))
+      assert(rows.length == 2 && rows.toSet ==
+        Set((200L, 100L, 300000000L), (201L, -1L, -1L)),
+        s"matched pair once + organic null once: ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("st11: multi-batch file arrival emits all matches and exactly the provable null verdicts") {
+    import org.apache.spark.sql.functions._
+    val dir = sf
+    val staged = java.nio.file.Files.createTempDirectory("graft_st11_mb").toString
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .filter(col("event_type").isin("click", "purchase"))
+    ev.repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(s"$staged/events.parquet")
+    val parts = new java.io.File(s"$staged/events.parquet").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 1000L) }
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1))
+    val batchRows = Events.attributionOuter(spark, dir)
+      .select(col("purchase_id"), col("click_id"), col("purchase_ts")).collect()
+    val batchMatched = batchRows.filter(!_.isNullAt(1)).map(key).toSet
+    val batchNullTs = batchRows.filter(_.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getTimestamp(2)).toMap
+    // the final watermark each column can reach is ITS OWN max minus the
+    // delay, and the global watermark is the min of the two — a purchase
+    // within 10 min of the last purchase can never receive its verdict
+    // on a finite stream (the watermark dies with the data)
+    val wmFloorUs = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type")).agg(max(unix_micros(col("ts"))).as("m"))
+      .agg(min(col("m"))).collect()(0).getLong(0) - 10L * 60000000L
+
+    val schema = spark.read.parquet(s"$staged/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$staged/events.parquet")
+    val joined = Events.attributionOuterJoin(
+      src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes"),
+      src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes"),
+      Events.AttributionWindowMinutes)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("st11_mb_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT purchase_id, click_id FROM st11_mb_out")
+        .collect().map(key)
+      val sMatched = streamed.filter(_._2 >= 0).toSet
+      val sNull = streamed.filter(_._2 < 0).map(_._1).toSet
+      assert(sMatched == batchMatched,
+        s"every match must emit: streamed=${sMatched.size} batch=${batchMatched.size}")
+      assert(sNull.subsetOf(batchNullTs.keySet),
+        s"no spurious organic verdicts: ${(sNull -- batchNullTs.keySet).take(3)}")
+      // every organic purchase whose horizon the final watermark provably
+      // passed must have its verdict (margin: the window + 1 min below
+      // the final reachable watermark)
+      val cutoffUs = wmFloorUs - (Events.AttributionWindowMinutes + 1) * 60000000L
+      val owed = batchNullTs.filter { case (_, t) => t.getTime * 1000L < cutoffUs }.keySet
+      assert(owed.subsetOf(sNull),
+        s"provable organic verdicts missing: ${(owed -- sNull).take(3)} " +
+          s"(owed=${owed.size} emitted=${sNull.size} of ${batchNullTs.size} total)")
+      assert(streamed.length == streamed.distinct.length, "verdicts emit exactly once")
+    } finally q.stop()
+  }
+
   test("stateful sessionization agrees with the declarative sessionizer") {
     val declarative = Events.sessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
