@@ -298,6 +298,48 @@ object SoakDiag {
       time("m6cap_volume_2p20_funded7") {
         volume(multimodal.Multimodal.mediaBandsWide2(synthetic(1L << 20), 7, 7))
       }
+      // ...and the volumes PAID: the full banded near-dup pipeline
+      // (band self-join + combined-signature hamming verify) at the same
+      // 2^20 boundary corpus — random ties never survive the verify, so
+      // the count is ~0 and the wall IS the saturation cost the funding
+      // dial removes
+      time("m6cap_wall_2p20_frozen6") {
+        multimodal.Multimodal
+          .mediaNearDupPairsWide(synthetic(1L << 20), 7, 6).count()
+      }
+      time("m6cap_wall_2p20_funded7") {
+        multimodal.Multimodal
+          .mediaNearDupPairsWide2(synthetic(1L << 20), 7, 7).count()
+      }
+      // one more doubling (2^21, where deriveExtraBandBits wants 8):
+      // frozen volume is 4x the funded, yet the walls barely separate —
+      // the verify is a codegen'd loop INSIDE the band SMJ (no pair
+      // shuffle, ~1e8 candidate probes/s/core on uniform ties), so the
+      // quadratic term is latent until the volume outgrows what that
+      // loop absorbs...
+      time("m6cap_wall_2p21_frozen6") {
+        multimodal.Multimodal
+          .mediaNearDupPairsWide(synthetic(1L << 21), 7, 6).count()
+      }
+      time("m6cap_wall_2p21_funded8") {
+        multimodal.Multimodal
+          .mediaNearDupPairsWide2(synthetic(1L << 21), 7, 8).count()
+      }
+      // ...which it does two doublings later: at 2^23 the frozen width
+      // faces ~68B candidate probes (16x per doubling pair) vs the
+      // funded-10 width's ~4.3B — the wall onset the closed-form rows
+      // predict, and the synthetic corpus still UNDERSTATES the real
+      // cost (uniform ties have no skewed buckets and zero survivors, so
+      // nothing shuffles; the real-corpus m6 soak is where saturation
+      // also pays shuffle and skew: 107.5 s -> 24.1 s, r10)
+      time("m6cap_wall_2p23_frozen6") {
+        multimodal.Multimodal
+          .mediaNearDupPairsWide(synthetic(1L << 23), 7, 6).count()
+      }
+      time("m6cap_wall_2p23_funded10") {
+        multimodal.Multimodal
+          .mediaNearDupPairsWide2(synthetic(1L << 23), 7, 10).count()
+      }
     }
 
     // Staged-copy arrival ordering, shared by the streaming sections: the
