@@ -3206,7 +3206,20 @@ object SparkEntry {
           least(12, greatest(0,
             (SELECT CAST(count(*) AS BIGINT) FROM range(0, 63) t(i)
              WHERE (CAST(1 AS BIGINT) << CAST(i AS INT)) < nd.n) - 13))
-        FROM (SELECT greatest(count(*), 1) AS n FROM documents) nd)
+        FROM (SELECT greatest(count(*), 1) AS n FROM documents) nd
+        UNION ALL
+        -- streaming watermark delay: st8's per-user running-max lateness
+        -- (arrival order = event_id), global max, plus the one-tick
+        -- margin the st8 boundary caveat prescribes
+        SELECT 'st_watermark_delay_us',
+          (SELECT CAST(count(*) AS BIGINT) FROM events),
+          (SELECT coalesce(max(late_us), 0) + 1 FROM (
+             SELECT greatest(
+                 max(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - epoch_us(CAST(ts AS TIMESTAMP)), 0) AS late_us
+             FROM events) lt))
       ORDER BY param""",
 
     // q60: q58's interval CTEs over the non-error stream, then DuckDB's

@@ -340,8 +340,11 @@ object Dedup {
     * operator reads before a run — and the twin replays each formula
     * from the same counts, so drift between the derivations and their
     * documentation is caught by the correctness gate itself, alongside
-    * the gate-scale coupling tests. Empty corpus → each parameter's
-    * documented floor (3 / 8 / 0), never an error.
+    * the gate-scale coupling tests. Since r11 the report also covers the
+    * streaming family's last dial: `st_watermark_delay_us`
+    * ([[graft.streaming.Events.deriveWatermarkDelayUs]] — st8's measured
+    * maximum lateness plus its one-tick margin). Empty corpus → each
+    * parameter's documented floor (3 / 8 / 0 / 1 µs), never an error.
     *
     * Cross-engine note: `math.round` is floor(x + 0.5) (half toward +∞)
     * while SQL `round` is half away from zero — they differ on negative
@@ -361,7 +364,10 @@ object Dedup {
         deriveExtraBandBits(nDocs).toLong),
       ("m6_phash_extra_band_bits", nDocs,
         math.min(graft.multimodal.Multimodal.MediaExtraBitsCap2,
-          deriveExtraBandBits(nDocs)).toLong))
+          deriveExtraBandBits(nDocs)).toLong),
+      ("st_watermark_delay_us",
+        Tables.events(spark, dir).count(),
+        graft.streaming.Events.deriveWatermarkDelayUs(spark, dir)))
       .toDF("param", "input_n", "derived_value")
       .orderBy(col("param"))
   }

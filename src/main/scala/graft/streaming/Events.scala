@@ -780,6 +780,30 @@ object Events {
     */
   val DisorderGraceSeconds = 600L
 
+  /** The watermark delay THIS corpus needs, derived: the global maximum of
+    * st8's per-user running-max lateness plus the one-tick margin the st8
+    * boundary caveat prescribes (the engine's eviction predicate is
+    * `ts <= watermark`, so an arrival late by exactly the observed maximum
+    * needs one more microsecond of grace). This is the streaming family's
+    * last sizing parameter turned into a [[graft.operators.Dedup.autoConfigReport]]
+    * row (`st_watermark_delay_us`, replayed by the DuckDB twin): st8
+    * registers the measurement, this derives the dial, and an operator
+    * reads d26 before pinning a `withWatermark` delay. Empty corpus → the
+    * 1 µs floor, never an error. Same scale shape as st8: one per-user
+    * window, no global ordering.
+    */
+  def deriveWatermarkDelayUs(spark: SparkSession, dir: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("late_us",
+        greatest(max(col("us")).over(w) - col("us"), lit(0L)))
+      .agg(max(col("late_us"))).collect()(0)
+    (if (r.isNullAt(0)) 0L else r.getLong(0)) + 1L
+  }
+
   /** st8: out-of-orderness audit — per user, how disordered the event
     * stream actually is: with arrival order proxied by `event_id` (the
     * generator's monotone sequence), an event is LATE when its event

@@ -208,7 +208,8 @@ class EmptyInputSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(cfg == Map("d5_emb_band_bits" -> 3L, "s2_lsh_bucket_bits" -> 8L,
       "s3_ivf_sub_bits" -> 0L, "d9_simhash_extra_band_bits" -> 0L,
-      "m6_phash_extra_band_bits" -> 0L), s"floors: $cfg")
+      "m6_phash_extra_band_bits" -> 0L,
+      "st_watermark_delay_us" -> 1L), s"floors: $cfg")
   }
 
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {

@@ -194,4 +194,27 @@ class Round11Spec extends AnyFunSuite {
       !po.contains("BroadcastNestedLoopJoin"),
       s"st11 planned a corpus-quadratic join:\n$po")
   }
+
+  test("d26 derives the streaming watermark delay from st8's measured lateness") {
+    // the streaming family's last sizing dial, closed the d26 way: the
+    // report row equals the helper, the helper equals st8's registered
+    // max_lateness + the one-tick margin its boundary caveat prescribes
+    val rows = Dedup.autoConfigReport(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val derived = graft.streaming.Events.deriveWatermarkDelayUs(spark, sf)
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    assert(rows("st_watermark_delay_us") == ((nEvents, derived)))
+    val st8Max = graft.streaming.Events.disorderAudit(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("max_lateness_us")))
+      .collect()(0).getLong(0)
+    assert(derived == st8Max + 1L,
+      s"delay $derived != st8 max lateness $st8Max + 1")
+    // the generator writes events in event-time order, so the honest
+    // derivation is exactly the 1 µs floor — the report's answer is
+    // "this feed is in-order; any positive delay is pure safety margin",
+    // and the twins' pinned 10 minutes is margin, not necessity. A
+    // disordered corpus moves this row; the synthetic-disorder case is
+    // pinned in the st8 drop-equivalence spec.
+    assert(derived == 1L, s"ordered corpus must derive the floor: $derived")
+  }
 }
