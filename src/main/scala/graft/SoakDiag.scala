@@ -508,6 +508,66 @@ object SoakDiag {
       rm10(new java.io.File(staged))
     }
 
+    // st11: the LEFT-OUTER twin over the same staged arrival shape. Two
+    // claims: (1) emitted rows = the batch query's matched rows plus a
+    // null verdict for every organic purchase the final watermark can
+    // prove (all but the trailing ~delay — the watermark dies with the
+    // data on a finite replay, so emitted lands between the provable
+    // floor and the batch total); (2) outer state stays in the same
+    // arrival-granularity envelope as the inner join's.
+    if (wanted("st11")) {
+      val staged = s"/tmp/graft_soak_st11_${dir.hashCode & Int.MaxValue}"
+      val ev = sources.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .filter(col("event_type").isin("click", "purchase"))
+      ev.repartitionByRange(64, col("ts")).sortWithinPartitions(col("ts"))
+        .write.mode("overwrite").parquet(s"$staged/events.parquet")
+      orderArrival(s"$staged/events.parquet")
+      val batchRows = streaming.Events.attributionOuter(spark, dir)
+      untimed("st11_batch_rows", batchRows.count())
+      untimed("st11_batch_organic",
+        batchRows.filter(col("click_id").isNull).count())
+      var peakState = 0L
+      var nBatches = 0L
+      time("st11_outer_stream_wall") {
+        val schema = spark.read.parquet(s"$staged/events.parquet").schema
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$staged/events.parquet")
+        val joined = streaming.Events.attributionOuterJoin(
+          src.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("purchase_id"),
+              col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+            .withWatermark("purchase_ts", "10 minutes"),
+          src.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("click_ts"))
+            .withWatermark("click_ts", "10 minutes"),
+          streaming.Events.AttributionWindowMinutes)
+        val emitted = new java.util.concurrent.atomic.LongAdder
+        val q = joined.writeStream.outputMode("append")
+          .option("checkpointLocation", s"$staged/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            emitted.add(b.count())
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val progressed = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        peakState =
+          if (progressed.isEmpty) 0L
+          else progressed.map(_.stateOperators(0).numRowsTotal).max
+        nBatches = q.recentProgress.length.toLong
+        emitted.sum()
+      }
+      untimed("st11_peak_state_rows", peakState)
+      untimed("st11_batches", nBatches)
+      def rm11(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm11)
+        f.delete(); ()
+      }
+      rm11(new java.io.File(staged))
+    }
+
     println("[soakdiag-json] " + out.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"dir":"$dir",""", ",", "}"))
     spark.stop()
