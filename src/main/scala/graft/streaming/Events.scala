@@ -883,6 +883,14 @@ object Events {
     * case the event-time range against both sides' watermarks is exactly
     * what lets the symmetric-hash join EVICT state — a click older than
     * `purchase watermark − window` can never match again.
+    *
+    * Deployment note (measured, `soakdiag_r11_streaming.log`): the
+    * streaming form's per-batch overhead scales with the state-store
+    * instance count (shuffle partitions × 4 join stores × batches of
+    * commit/snapshot work) — the identical soak run at 8 vs 32 shuffle
+    * partitions took 92.6 s vs 178.4 s with identical output and state.
+    * Size `spark.sql.shuffle.partitions` for a stateful streaming job to
+    * its STATE volume, not its core count.
     */
   private[graft] def attributionJoin(clicks: DataFrame, purchases: DataFrame,
                                      windowMinutes: Long): DataFrame =
