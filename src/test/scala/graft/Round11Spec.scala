@@ -195,6 +195,27 @@ class Round11Spec extends AnyFunSuite {
       s"st11 planned a corpus-quadratic join:\n$po")
   }
 
+  test("the streaming join twins carry both watermarks — bounded state is a plan property") {
+    // the 100 TB hazard this pins: drop either side's withWatermark and
+    // the symmetric-hash join silently stops evicting (state grows with
+    // stream lifetime, no error). Both twins must analyze to plans with
+    // exactly two EventTimeWatermark nodes and a streaming-streaming join.
+    for ((name, df) <- Seq(
+        "st10" -> graft.streaming.Events.streamingAttributedPairs(spark, sf),
+        "st11" -> graft.streaming.Events.streamingAttributionOuter(spark, sf))) {
+      val plan = df.queryExecution.analyzed
+      val wms = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => w
+      }
+      assert(wms.length == 2, s"$name: expected 2 watermark nodes, got ${wms.length}")
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.left.isStreaming && j.right.isStreaming => j
+      }
+      assert(joins.length == 1, s"$name: expected one stream-stream join")
+    }
+  }
+
   test("d26 derives the streaming watermark delay from st8's measured lateness") {
     // the streaming family's last sizing dial, closed the d26 way: the
     // report row equals the helper, the helper equals st8's registered
