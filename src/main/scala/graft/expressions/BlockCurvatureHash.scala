@@ -25,10 +25,14 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   *   s_{j+2}·len_{j+1}·len_j + s_j·len_{j+2}·len_{j+1}
   *     > 2·s_{j+1}·len_{j+2}·len_j
   *
-  * Every term is ≤ 255·(⌈L/54⌉)³·54² ≈ 255·L³/54 — overflow-free in a
-  * signed 64-bit integer for payloads under ~17 MB (document payloads in
-  * this corpus are KB-scale; a production variant for larger media chunks
-  * the payload first, which the m3/m12 frame seam already does). Blocks
+  * With c = ⌈L/54⌉: each product of one block sum (≤ 255·c) and two
+  * block lengths (≤ c each) is ≤ 255·c³, so the two-term LHS sum and the
+  * RHS's 2·s·len·len term each reach 2·255·c³ — under Long.MaxValue
+  * while c ≤ ⌊((2⁶³−1)/510)^⅓⌋ = 262,486, i.e. payloads up to ~14.17 MB
+  * (54·262,486 bytes); call ~13 MB the guaranteed-safe contract
+  * (document payloads in this corpus are KB-scale; a production variant
+  * for larger media chunks the payload first, which the m3/m12 frame
+  * seam already does). Blocks
   * of length zero (L < 54) contribute zero products on both sides, so
   * short payloads degrade to fewer live bits rather than erroring, like
   * the siblings.
