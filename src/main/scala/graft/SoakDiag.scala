@@ -342,6 +342,32 @@ object SoakDiag {
       }
     }
 
+    // d30: frozen-order drift vs APPENDED FRACTION — the containment
+    // index's rebuild-cadence signal at soak scale: freeze the df order
+    // over 1/2, 1/4, 1/8 of the corpus (the remainder plays the appended
+    // docs, adopting the frozen order through the df-0 lookup) and price
+    // the prefix join's candidate volume in closed form against the
+    // fresh-rebuild order. The gap growing as the frozen snapshot ages
+    // is the documented selectivity drift; when it pulls away, rebuild.
+    if (wanted("d30")) {
+      val sh = operators.Dedup.shingleStrings(spark, dir).cache()
+      time("d30_fresh_candidates") {
+        operators.Dedup.driftVolumeUnder(sh,
+          sh.groupBy(col("s")).agg(count(lit(1)).as("df")),
+          0.8, "fresh").collect()(0).getLong(2)
+      }
+      Seq(2, 4, 8).foreach { k =>
+        time(s"d30_frozen_candidates_div$k") {
+          operators.Dedup.driftVolumeUnder(sh,
+            sh.filter(col("doc_id") % k === 0).groupBy(col("s"))
+              .agg(count(lit(1)).as("df")),
+            0.8, "frozen").collect()(0).getLong(2)
+        }
+      }
+      sh.unpersist()
+      ()
+    }
+
     // Staged-copy arrival ordering, shared by the streaming sections: the
     // parallel write lands part files with effectively RANDOM modification
     // times (task-completion order), and the file source delivers files in
@@ -358,6 +384,42 @@ object SoakDiag {
       val base = System.currentTimeMillis()
       parts.zipWithIndex.foreach { case (f, i) =>
         f.setLastModified(base + i * 1000L) }
+    }
+
+    // The watermark delay the STAGED arrival actually needs — the r12
+    // rule that every withWatermark reads a derived dial, applied at the
+    // granularity the file source really has: a row is droppable iff its
+    // event time trails the max of STRICTLY EARLIER files (the watermark
+    // advances between micro-batches, never inside one), so the dial is
+    // the max such lateness + the 1 µs tick. Range-partitioned ts-sorted
+    // staging measures 0 → the 1 µs floor; any staging regression
+    // (the r11 mtime-shuffle trap) would surface here as a huge derived
+    // delay instead of silently dropping rows.
+    def stagedArrivalDelayUs(path: String): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val rows = spark.read.parquet(path)
+        .select(input_file_name().as("f"), unix_micros(col("ts")).as("us"))
+      val fprior = rows.groupBy(col("f")).agg(max(col("us")).as("fmax"))
+        .withColumn("pmax", max(col("fmax")).over(
+          Window.orderBy(col("f"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("f"), col("pmax"))
+      val r = rows.join(broadcast(fprior), Seq("f"))
+        .withColumn("late", greatest(
+          coalesce(col("pmax"), lit(Long.MinValue)) - col("us"), lit(0L)))
+        .agg(max(col("late"))).collect()(0)
+      (if (r.isNullAt(0)) 0L else r.getLong(0)) + 1L
+    }
+
+    // Run a streaming section at ITS OWN derived shuffle-partition count
+    // (the r11 verdict's dial: size spark.sql.shuffle.partitions for a
+    // stateful job to its STATE volume, not its core count), restoring
+    // the session default afterward.
+    def atDerivedPartitions[A](stateRows: Long)(f: Int => A): A = {
+      val p = streaming.Events.deriveStatefulShufflePartitions(stateRows)
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      try f(p)
+      finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }
 
     // st9: the timeout-armed funnel machine driven over the REAL events
@@ -387,36 +449,44 @@ object SoakDiag {
       untimed("st9_total_user_days",
         ev.select(col("user_id"), to_date(col("ts"))).distinct().count())
       untimed("st9_max_day_keys", perDay.max)
-      untimed("st9_max_adjacent_day_keys",
+      val maxAdjacent =
         if (perDay.length < 2) perDay.max
-        else perDay.sliding(2).map(_.sum).max)
+        else perDay.sliding(2).map(_.sum).max
+      untimed("st9_max_adjacent_day_keys", maxAdjacent)
+      val st9DelayUs = stagedArrivalDelayUs(s"$staged/events.parquet")
+      untimed("st9_derived_delay_us", st9DelayUs)
       val emitted = new java.util.concurrent.atomic.LongAdder
       var peakState = 0L
       var nBatches = 0L
-      time("st9_stream_wall") {
-        val schema = spark.read.parquet(s"$staged/events.parquet").schema
-        val src = spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$staged/events.parquet")
-        val ds = src.select(col("user_id"), to_date(col("ts")).as("day"),
-            unix_micros(col("ts")).as("us"), col("event_id"),
-            col("event_type"), col("ts"))
-          .as[streaming.Events.FunnelEventTs]
-        val q = streaming.Events.funnelStagesExpiringOf(ds)
-          .writeStream.outputMode("append")
-          .option("checkpointLocation", s"$staged/ckpt")
-          .foreachBatch {
-            (b: org.apache.spark.sql.Dataset[streaming.Events.FunnelStageRow],
-             _: Long) => emitted.add(b.count())
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        val progressed = q.recentProgress.filter(_.stateOperators.nonEmpty)
-        peakState =
-          if (progressed.isEmpty) 0L
-          else progressed.map(_.stateOperators(0).numRowsTotal).max
-        nBatches = q.recentProgress.length.toLong
-        emitted.sum()
+      // state = live (user, day) keys, bounded by the adjacent-day key
+      // count — that measured bound is the derivation's state-rows input
+      atDerivedPartitions(maxAdjacent) { p =>
+        untimed("st9_derived_partitions", p)
+        time("st9_stream_wall") {
+          val schema = spark.read.parquet(s"$staged/events.parquet").schema
+          val src = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$staged/events.parquet")
+          val ds = src.select(col("user_id"), to_date(col("ts")).as("day"),
+              unix_micros(col("ts")).as("us"), col("event_id"),
+              col("event_type"), col("ts"))
+            .as[streaming.Events.FunnelEventTs]
+          val q = streaming.Events.funnelStagesExpiringOf(ds, st9DelayUs)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$staged/ckpt")
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[streaming.Events.FunnelStageRow],
+               _: Long) => emitted.add(b.count())
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val progressed = q.recentProgress.filter(_.stateOperators.nonEmpty)
+          peakState =
+            if (progressed.isEmpty) 0L
+            else progressed.map(_.stateOperators(0).numRowsTotal).max
+          nBatches = q.recentProgress.length.toLong
+          emitted.sum()
+        }
       }
       untimed("st9_peak_state_rows", peakState)
       untimed("st9_batches", nBatches)
@@ -463,41 +533,49 @@ object SoakDiag {
           .agg(max(col("count"))).collect()(0).getLong(0))
       untimed("st10_batch_pairs",
         streaming.Events.attributedPairs(spark, dir).count())
+      val st10DelayUs = stagedArrivalDelayUs(s"$staged/events.parquet")
+      untimed("st10_derived_delay_us", st10DelayUs)
+      val horizonRows = streaming.Events.attributionStateHorizonRows(spark, dir)
+      untimed("st10_horizon_rows", horizonRows)
       var peakState = 0L
       var nBatches = 0L
-      time("st10_stream_wall") {
-        val schema = spark.read.parquet(s"$staged/events.parquet").schema
-        // ONE source, two filtered branches — two independent sources
-        // drift onto different files per trigger (nondeterministic
-        // mtime tie-breaks) and lose whole files' pairs to the watermark;
-        // see the streamingAttributedPairs scaladoc for the measurement
-        val src = spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$staged/events.parquet")
-        val joined = streaming.Events.attributionJoin(
-          src.filter(col("event_type") === "click")
-            .select(col("event_id").as("click_id"), col("user_id"),
-              col("ts").as("click_ts"))
-            .withWatermark("click_ts", "10 minutes"),
-          src.filter(col("event_type") === "purchase")
-            .select(col("event_id").as("purchase_id"),
-              col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
-            .withWatermark("purchase_ts", "10 minutes"),
-          streaming.Events.AttributionWindowMinutes)
-        val emitted = new java.util.concurrent.atomic.LongAdder
-        val q = joined.writeStream.outputMode("append")
-          .option("checkpointLocation", s"$staged/ckpt")
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            emitted.add(b.count())
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        val progressed = q.recentProgress.filter(_.stateOperators.nonEmpty)
-        peakState =
-          if (progressed.isEmpty) 0L
-          else progressed.map(_.stateOperators(0).numRowsTotal).max
-        nBatches = q.recentProgress.length.toLong
-        emitted.sum()
+      atDerivedPartitions(horizonRows) { p =>
+        untimed("st10_derived_partitions", p)
+        time("st10_stream_wall") {
+          val schema = spark.read.parquet(s"$staged/events.parquet").schema
+          // ONE source, two filtered branches — two independent sources
+          // drift onto different files per trigger (nondeterministic
+          // mtime tie-breaks) and lose whole files' pairs to the watermark;
+          // see the streamingAttributedPairs scaladoc for the measurement
+          val src = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$staged/events.parquet")
+          val d = streaming.Events.watermarkDelayString(st10DelayUs)
+          val joined = streaming.Events.attributionJoin(
+            src.filter(col("event_type") === "click")
+              .select(col("event_id").as("click_id"), col("user_id"),
+                col("ts").as("click_ts"))
+              .withWatermark("click_ts", d),
+            src.filter(col("event_type") === "purchase")
+              .select(col("event_id").as("purchase_id"),
+                col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+              .withWatermark("purchase_ts", d),
+            streaming.Events.AttributionWindowMinutes)
+          val emitted = new java.util.concurrent.atomic.LongAdder
+          val q = joined.writeStream.outputMode("append")
+            .option("checkpointLocation", s"$staged/ckpt")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              emitted.add(b.count())
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val progressed = q.recentProgress.filter(_.stateOperators.nonEmpty)
+          peakState =
+            if (progressed.isEmpty) 0L
+            else progressed.map(_.stateOperators(0).numRowsTotal).max
+          nBatches = q.recentProgress.length.toLong
+          emitted.sum()
+        }
       }
       untimed("st10_peak_state_rows", peakState)
       untimed("st10_batches", nBatches)
@@ -527,37 +605,68 @@ object SoakDiag {
       untimed("st11_batch_rows", batchRows.count())
       untimed("st11_batch_organic",
         batchRows.filter(col("click_id").isNull).count())
+      val st11DelayUs = stagedArrivalDelayUs(s"$staged/events.parquet")
+      // the r12 DRAIN: one sentinel click+purchase file (reserved
+      // user_id, filtered after the watermark nodes) staged as the LAST
+      // arrival closes the finite replay's watermark horizon — streamed
+      // verdicts below must equal batch rows EXACTLY, not "all but the
+      // trailing ~delay" (the r11 caveat this removes)
+      locally {
+        val stagedDir = new java.io.File(s"$staged/events.parquet")
+        def partsNow() = stagedDir.listFiles()
+          .filter(_.getName.startsWith("part-"))
+        val before = partsNow().map(_.getName).toSet
+        val schema0 = spark.read.parquet(s"$staged/events.parquet").schema
+        val maxTsUs = ev.agg(max(unix_micros(col("ts"))))
+          .collect()(0).getLong(0)
+        streaming.Events.drainSentinelEvents(spark, schema0, maxTsUs,
+            streaming.Events.AttributionWindowMinutes, st11DelayUs)
+          .coalesce(1).write.mode("append").parquet(s"$staged/events.parquet")
+        // the staged corpus carries orderArrival's future mtimes, so the
+        // fresh drain file is NOT automatically newest — pin it last
+        val after = partsNow()
+        val lastStaged = after.filter(f => before(f.getName))
+          .map(_.lastModified).max
+        after.filterNot(f => before(f.getName))
+          .foreach(_.setLastModified(lastStaged + 60000L))
+        ()
+      }
+      val horizonRows11 = streaming.Events.attributionStateHorizonRows(spark, dir)
       var peakState = 0L
       var nBatches = 0L
-      time("st11_outer_stream_wall") {
-        val schema = spark.read.parquet(s"$staged/events.parquet").schema
-        val src = spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$staged/events.parquet")
-        val joined = streaming.Events.attributionOuterJoin(
-          src.filter(col("event_type") === "purchase")
-            .select(col("event_id").as("purchase_id"),
-              col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
-            .withWatermark("purchase_ts", "10 minutes"),
-          src.filter(col("event_type") === "click")
-            .select(col("event_id").as("click_id"), col("user_id"),
-              col("ts").as("click_ts"))
-            .withWatermark("click_ts", "10 minutes"),
-          streaming.Events.AttributionWindowMinutes)
-        val emitted = new java.util.concurrent.atomic.LongAdder
-        val q = joined.writeStream.outputMode("append")
-          .option("checkpointLocation", s"$staged/ckpt")
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            emitted.add(b.count())
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        val progressed = q.recentProgress.filter(_.stateOperators.nonEmpty)
-        peakState =
-          if (progressed.isEmpty) 0L
-          else progressed.map(_.stateOperators(0).numRowsTotal).max
-        nBatches = q.recentProgress.length.toLong
-        emitted.sum()
+      atDerivedPartitions(horizonRows11) { p =>
+        untimed("st11_derived_partitions", p)
+        time("st11_outer_stream_wall") {
+          val schema = spark.read.parquet(s"$staged/events.parquet").schema
+          val src = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$staged/events.parquet")
+          val d = streaming.Events.watermarkDelayString(st11DelayUs)
+          val joined = streaming.Events.attributionOuterJoin(
+            src.filter(col("event_type") === "purchase")
+              .select(col("event_id").as("purchase_id"),
+                col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+              .withWatermark("purchase_ts", d),
+            src.filter(col("event_type") === "click")
+              .select(col("event_id").as("click_id"), col("user_id"),
+                col("ts").as("click_ts"))
+              .withWatermark("click_ts", d),
+            streaming.Events.AttributionWindowMinutes)
+          val emitted = new java.util.concurrent.atomic.LongAdder
+          val q = joined.writeStream.outputMode("append")
+            .option("checkpointLocation", s"$staged/ckpt")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              emitted.add(b.count())
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val progressed = q.recentProgress.filter(_.stateOperators.nonEmpty)
+          peakState =
+            if (progressed.isEmpty) 0L
+            else progressed.map(_.stateOperators(0).numRowsTotal).max
+          nBatches = q.recentProgress.length.toLong
+          emitted.sum()
+        }
       }
       untimed("st11_peak_state_rows", peakState)
       untimed("st11_batches", nBatches)

@@ -248,6 +248,8 @@ object SparkEntry {
       Events.attributedPairs(s, d)),
     "st11_attribution_outer"  -> ((s: SparkSession, d: String) =>
       Events.attributionOuter(s, d)),
+    "d30_order_drift"         -> ((s: SparkSession, d: String) =>
+      Dedup.indexOrderDriftAudit(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -822,6 +824,11 @@ object SparkEntry {
     // frames come from (bucketed tables, frozen corpus-df order), never
     // which pairs clear the exact containment verify
     "d28_incremental_containment_indexed" -> IncrementalContainmentSql,
+    // d30: the shared shingle CTEs, positioned under (df asc, shingle
+    // STRING asc) — the engine's hashed tie-break would diverge — with
+    // the frozen order's df over the even (build) half and unseen
+    // shingles at df 0, exactly the append path's left-join-default-0
+    "d30_order_drift" -> OrderDriftSql,
 
     // d29: the 13-bit band layout replayed from the d4 signature oracle
     // (at gate scale the derived extra width is 0 — pinned by d26 and
@@ -3208,18 +3215,36 @@ object SparkEntry {
              WHERE (CAST(1 AS BIGINT) << CAST(i AS INT)) < nd.n) - 13))
         FROM (SELECT greatest(count(*), 1) AS n FROM documents) nd
         UNION ALL
-        -- streaming watermark delay: st8's per-user running-max lateness
-        -- (arrival order = event_id), global max, plus the one-tick
-        -- margin the st8 boundary caveat prescribes
+        -- streaming watermark delay: the GLOBAL running-max lateness
+        -- under event_id arrival order (Spark's watermark is one value
+        -- across all keys — r12; st8 keeps the per-user form as the
+        -- per-key audit), plus the one-tick margin the st8 boundary
+        -- caveat prescribes. RANGE frame = the engine's tie-determinism
         SELECT 'st_watermark_delay_us',
           (SELECT CAST(count(*) AS BIGINT) FROM events),
           (SELECT coalesce(max(late_us), 0) + 1 FROM (
              SELECT greatest(
                  max(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
-                   PARTITION BY user_id ORDER BY event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   ORDER BY event_id
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  - epoch_us(CAST(ts AS TIMESTAMP)), 0) AS late_us
-             FROM events) lt))
+             FROM events) lt)
+        UNION ALL
+        -- stateful shuffle partitions: busiest 70-min (60-min match
+        -- window + 600-s st8 grace) click+purchase horizon, one store
+        -- per 2^16 state rows (the r11-measured instance-overhead
+        -- crossover), clamped to [1, 32]
+        SELECT 'st_shuffle_partitions', h.rows,
+          CAST(least(32, greatest(1, (h.rows + 65535) // 65536)) AS BIGINT)
+        FROM (
+          SELECT CAST(coalesce(max(s), 0) AS BIGINT) AS rows FROM (
+            SELECT sum(c) OVER (
+                ORDER BY cell RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) s
+            FROM (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 600000000 AS cell,
+                    count(*) AS c
+                  FROM events
+                  WHERE event_type IN ('click', 'purchase')
+                  GROUP BY 1) cells) slid) h)
       ORDER BY param""",
 
     // q60: q58's interval CTEs over the non-error stream, then DuckDB's
@@ -3702,6 +3727,50 @@ object SparkEntry {
         JOIN cnt cb ON corpus_id = cb.doc_id)
       SELECT batch_id, corpus_id, round(containment, 4) AS containment
       FROM c WHERE containment >= 0.8 ORDER BY batch_id, corpus_id"""
+
+  /** d30: prefix-filter candidate volume under the frozen (even-half)
+    * vs fresh (whole-corpus) df order — Σ_s prefixCount·fullCount from
+    * per-shingle histograms, the same closed form the Spark side prices
+    * (no pair materialized in either engine).
+    */
+  private val OrderDriftSql: String = ShingleCtesSql + """,
+      dfz AS (SELECT s, count(*) AS df FROM sh WHERE doc_id % 2 = 0 GROUP BY 1),
+      dff AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+      posz AS (
+        SELECT sh.doc_id, sh.s,
+          row_number() OVER (PARTITION BY sh.doc_id
+            ORDER BY coalesce(d.df, 0), sh.s) - 1 AS j,
+          count(*) OVER (PARTITION BY sh.doc_id) AS n
+        FROM sh LEFT JOIN dfz d USING (s)),
+      posf AS (
+        SELECT sh.doc_id, sh.s,
+          row_number() OVER (PARTITION BY sh.doc_id
+            ORDER BY d.df, sh.s) - 1 AS j,
+          count(*) OVER (PARTITION BY sh.doc_id) AS n
+        FROM sh JOIN dff d USING (s)),
+      volz AS (
+        SELECT coalesce(sum(pcnt), 0) AS prefix_rows,
+          coalesce(sum(pcnt * fcnt), 0) AS candidate_rows
+        FROM (SELECT s, count(*) AS fcnt,
+                sum(CASE WHEN j < n - ceil(n * 0.8 - 0.000000001) + 1
+                    THEN 1 ELSE 0 END) AS pcnt
+              FROM posz GROUP BY 1)),
+      volf AS (
+        SELECT coalesce(sum(pcnt), 0) AS prefix_rows,
+          coalesce(sum(pcnt * fcnt), 0) AS candidate_rows
+        FROM (SELECT s, count(*) AS fcnt,
+                sum(CASE WHEN j < n - ceil(n * 0.8 - 0.000000001) + 1
+                    THEN 1 ELSE 0 END) AS pcnt
+              FROM posf GROUP BY 1))
+      SELECT 'frozen_build' AS order_kind,
+        CAST(prefix_rows AS BIGINT) AS prefix_rows,
+        CAST(candidate_rows AS BIGINT) AS candidate_rows
+      FROM volz
+      UNION ALL
+      SELECT 'fresh_rebuild', CAST(prefix_rows AS BIGINT),
+        CAST(candidate_rows AS BIGINT)
+      FROM volf
+      ORDER BY order_kind"""
 
   /** d11: the same exact-Jaccard contract restricted to
     * batch(odd)×corpus(even) pairs — LSH banding is recall machinery,

@@ -1011,13 +1011,15 @@ object Multimodal {
   }
 
   /** m16: media band-occupancy audit — d29's observability face applied
-    * to m6's pigeonhole chunks: per pHash band at the DERIVED capped
-    * width ([[graft.operators.Dedup.deriveExtraBandBits]] ∧
-    * [[MediaExtraBitsCap]]), the occupied-bucket count, the largest
-    * bucket, and the closed-form band-join collision volume Σ per-bucket
-    * C(s,2) — exactly the row count [[mediaBandCandidates]]' equi-join
-    * emits (the 21.6B-row term the r9 sf10 soak measured before the
-    * width derivation), priced at O(n) without materializing the join.
+    * to m6's pigeonhole chunks: per pHash band at the DERIVED width under
+    * m6's OWN layout escalation ([[graft.operators.Dedup.deriveExtraBandBits]]
+    * ∧ [[MediaExtraBitsCap2]], gradient-funded to 6, curvature-funded
+    * past it — the [[mediaDedupClustersAuto]] branch mirrored), the
+    * occupied-bucket count, the largest bucket, and the closed-form
+    * band-join collision volume Σ per-bucket C(s,2) — exactly the row
+    * count the band equi-join m6 runs at that scale emits (the 21.6B-row
+    * term the r9 sf10 soak measured before the width derivation), priced
+    * at O(n) without materializing the join.
     * The media bands needed their own audit because their geometry
     * differs from d9's everywhere it matters: 8 chunks of 6–7 bits (not
     * 4 × 13), radius 7 (not 3), and a 6-bit cap on the widening — so a
@@ -1028,12 +1030,30 @@ object Multimodal {
     */
   def mediaBandOccupancyAudit(spark: SparkSession, dir: String,
                               maxHamming: Int = 7): DataFrame = {
-    val e = math.min(MediaExtraBitsCap,
+    // the SAME width + layout escalation the registered m6 runs
+    // (mediaDedupClustersAuto): gradient-funded wide up to
+    // MediaExtraBitsCap, curvature-funded wide2 past it — so
+    // collision_rows prices the band join m6 actually executes at every
+    // scale, not the gradient-capped layout (r11 ADVICE: the audit
+    // previously capped at 6 while m6 escalated to 12 past 2^19 docs)
+    val e = math.min(MediaExtraBitsCap2,
       graft.operators.Dedup.deriveExtraBandBits(
         Tables.documentsParallel(spark, dir).count().max(1L)))
     val bands =
       if (e == 0) mediaBands(perceptualHashes(spark, dir), maxHamming)
-      else mediaBandsWide(perceptualHashesWide(spark, dir), maxHamming, e)
+      else if (e <= MediaExtraBitsCap)
+        mediaBandsWide(perceptualHashesWide(spark, dir), maxHamming, e)
+      else mediaBandsWide2(perceptualHashesWide2(spark, dir), maxHamming, e)
+    bandOccupancyOf(bands)
+  }
+
+  /** The m16 aggregation over any band layout `(band, bkey)` — factored
+    * so the audit's closed-form Σ C(s,2) can be pinned equal to the real
+    * band join's row count at FORCED widths in tests (the narrow layout
+    * in Round11Spec, the wide2 escalation in Round12Spec), not only at
+    * the corpus-derived width.
+    */
+  private[graft] def bandOccupancyOf(bands: DataFrame): DataFrame =
     bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("band"))
@@ -1044,7 +1064,6 @@ object Multimodal {
       .select(col("band").cast("long").as("band"), col("n_buckets"),
         col("max_occupancy"), col("collision_rows"))
       .orderBy(col("band"))
-  }
 
   /** m10's flag level: a payload whose clip fraction exceeds this is
     * marked clipped — interpolated into the DuckDB twin.

@@ -90,7 +90,7 @@ object Dedup {
       .select(col("doc_id"),
         transform(col("sh_str"), s => xxhash64(s)).as("sh"))
 
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOf(Tables.documentsParallel(spark, dir))
 
   /** d2: exact n-gram Jaccard near-dup pairs (j >= threshold), via
@@ -341,10 +341,15 @@ object Dedup {
     * from the same counts, so drift between the derivations and their
     * documentation is caught by the correctness gate itself, alongside
     * the gate-scale coupling tests. Since r11 the report also covers the
-    * streaming family's last dial: `st_watermark_delay_us`
-    * ([[graft.streaming.Events.deriveWatermarkDelayUs]] — st8's measured
-    * maximum lateness plus its one-tick margin). Empty corpus → each
-    * parameter's documented floor (3 / 8 / 0 / 1 µs), never an error.
+    * streaming family's dials: `st_watermark_delay_us`
+    * ([[graft.streaming.Events.deriveWatermarkDelayUs]] — the GLOBAL
+    * maximum lateness under event_id arrival plus its one-tick margin,
+    * r12) and `st_shuffle_partitions`
+    * ([[graft.streaming.Events.deriveStatefulShufflePartitions]] over the
+    * busiest 70-minute click+purchase horizon — the state-volume
+    * partition sizing the r11 st10 control measured, r12). Empty corpus →
+    * each parameter's documented floor (3 / 8 / 0 / 1 µs / 1 partition),
+    * never an error.
     *
     * Cross-engine note: `math.round` is floor(x + 0.5) (half toward +∞)
     * while SQL `round` is half away from zero — they differ on negative
@@ -367,7 +372,11 @@ object Dedup {
           deriveExtraBandBits(nDocs)).toLong),
       ("st_watermark_delay_us",
         Tables.events(spark, dir).count(),
-        graft.streaming.Events.deriveWatermarkDelayUs(spark, dir)))
+        graft.streaming.Events.deriveWatermarkDelayUs(spark, dir)), {
+        val h = graft.streaming.Events.attributionStateHorizonRows(spark, dir)
+        ("st_shuffle_partitions", h,
+          graft.streaming.Events.deriveStatefulShufflePartitions(h).toLong)
+      })
       .toDF("param", "input_n", "derived_value")
       .orderBy(col("param"))
   }
@@ -746,6 +755,20 @@ object Dedup {
     * every probe join stays exchange-free on the corpus side; `buckets`
     * must match the build. Re-appending an id the index already holds
     * would silently double its shingles — refused up front.
+    *
+    * Crash discipline (r11 ADVICE): the two appends cannot be one atomic
+    * commit, so the write ORDER makes `_cdocs` the commit marker —
+    * `_cfull` lands first, `_cdocs` second. A crash in the window leaves
+    * ids with `_cfull` rows but no `_cdocs` registration; their candidate
+    * pairs then drop at the verify join (same silent-miss class either
+    * order has), but because the duplicate guard keys on the COMMIT
+    * marker, the retry is not refused — and before re-appending, any
+    * incoming id found half-applied has its `_cfull` residue retracted
+    * (the d11/d12 staged rewrite, `_cdf` untouched), so the retry heals
+    * the index instead of doubling shingles. Proven in Round12Spec by
+    * killing an append between the writes and retrying. The reverse
+    * order is strictly worse: the guard would see the registered id and
+    * permanently refuse the repair.
     */
   def appendToContainmentIndex(spark: SparkSession, dir: String,
                                appendFilter: org.apache.spark.sql.Column,
@@ -753,25 +776,46 @@ object Dedup {
                                buckets: Int = 32): Unit = {
     val add = docShingles(spark, dir).filter(appendFilter).cache()
     try {
-      val dup = add.select(col("doc_id"))
+      val addIds = add.select(col("doc_id"))
+      val dup = addIds
         .join(spark.table(s"${prefix}_cdocs").select(col("doc_id")), "doc_id")
         .limit(1).collect()
       require(dup.isEmpty,
         s"doc_id ${dup.head.getLong(0)} is already indexed in ${prefix}_cdocs")
+      // crash recovery: incoming ids already holding _cfull rows are the
+      // residue of an append that died between the two writes — retract
+      // them so the retry starts clean (one broadcast-filtered scan of
+      // _cfull to detect; the rewrite itself only runs on a real retry)
+      val orphans = spark.table(s"${prefix}_cfull").select(col("doc_id"))
+        .join(broadcast(addIds), "doc_id").limit(1).collect()
+      if (orphans.nonEmpty)
+        stagedRewriteMinusIds(spark, addIds, s"${prefix}_cfull",
+          _.write.bucketBy(buckets, "s").sortBy("s"))
+      appendShinglesToCfull(spark, add, prefix, buckets)
       add.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
         .mode("append").saveAsTable(s"${prefix}_cdocs")
-      add.select(col("doc_id"), explode(col("sh")).as("s"))
-        .join(spark.table(s"${prefix}_cdf"), Seq("s"), "left")
-        .na.fill(0L, Seq("df"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
-        .select(col("doc_id"), size(col("ordered")).as("n"),
-          posexplode(transform(col("ordered"), e => e.getField("s")))
-            .as(Seq("j", "s")))
-        .write.bucketBy(buckets, "s").sortBy("s")
-        .mode("append").saveAsTable(s"${prefix}_cfull")
     } finally { add.unpersist(); () }
   }
+
+  /** The `_cfull` half of [[appendToContainmentIndex]] — the batch's
+    * shingles positioned under the frozen `_cdf` order and appended to
+    * the bucketed table. Factored out so Round12Spec can simulate the
+    * crash window (this write landed, the `_cdocs` commit marker did
+    * not) and prove the retry heals it.
+    */
+  private[graft] def appendShinglesToCfull(spark: SparkSession,
+                                           add: DataFrame, prefix: String,
+                                           buckets: Int): Unit =
+    add.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(spark.table(s"${prefix}_cdf"), Seq("s"), "left")
+      .na.fill(0L, Seq("df"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
+      .select(col("doc_id"), size(col("ordered")).as("n"),
+        posexplode(transform(col("ordered"), e => e.getField("s")))
+          .as(Seq("j", "s")))
+      .write.bucketBy(buckets, "s").sortBy("s")
+      .mode("append").saveAsTable(s"${prefix}_cfull")
 
   /** Retract documents from the persisted containment index — the
     * [[retractFromCorpusIndex]] discipline (stage durably under a tmp
@@ -2035,6 +2079,93 @@ object Dedup {
         col("max_occupancy"), col("collision_rows"))
       .orderBy(col("band"))
   }
+
+  /** d30: frozen-order drift audit — the WHEN for the containment
+    * index's rebuild cadence. [[appendToContainmentIndex]]'s documented
+    * trade is prefix-SELECTIVITY drift: `_cdf` freezes the rare-first
+    * shingle order at build time, appended docs adopt it, correctness is
+    * provably unaffected (any one consistent total order keeps the
+    * verified pair set) — but as the corpus grows past the build
+    * snapshot, build-time df ranks the prefix less precisely and the
+    * candidate set can WIDEN. This audit prices that widening in closed
+    * form (the d29/m16 pattern applied to the index lifecycle): over the
+    * CURRENT corpus, the prefix-filter join's equi-key match volume
+    * Σ_s prefixCount(s)·fullCount(s) under (a) the order a build over
+    * `buildFilter` would have frozen (unseen shingles at df 0, exactly
+    * the append path's lookup) and (b) the order a fresh rebuild would
+    * derive — two corpus passes over per-shingle histograms, no pair is
+    * ever materialized (Round12Spec pins the closed form equal to the
+    * real prefix-equi-join's row count). `prefix_rows` is identical in
+    * both rows by construction (prefix LENGTH per doc depends only on
+    * its shingle count — the order moves which shingles fill it, not how
+    * many), so any candidate_rows gap is pure selectivity drift; the
+    * registered fixture freezes over the even half (the d27/d28 corpus)
+    * with the odd half appended, and SoakDiag's d30 section sweeps the
+    * appended fraction at soak scale — when the frozen row pulls away
+    * from the fresh row, that is the rebuild signal.
+    *
+    * Cross-engine determinism: the order is (df asc, shingle STRING asc)
+    * — the hashed shingles the probe pipelines sort by would tie-break
+    * differently in DuckDB, and prefix MEMBERSHIP (unlike the verified
+    * pair set) does depend on tie order.
+    */
+  def indexOrderDriftAudit(spark: SparkSession, dir: String,
+                           threshold: Double = 0.8,
+                           buildFilter: org.apache.spark.sql.Column =
+                             col("doc_id") % 2 === 0): DataFrame = {
+    val sh = shingleStrings(spark, dir).cache()
+    val frozen = driftVolumeUnder(sh,
+      sh.filter(buildFilter).groupBy(col("s")).agg(count(lit(1)).as("df")),
+      threshold, "frozen_build")
+    val fresh = driftVolumeUnder(sh,
+      sh.groupBy(col("s")).agg(count(lit(1)).as("df")),
+      threshold, "fresh_rebuild")
+    materializeAndRelease(
+      frozen.unionAll(fresh).orderBy(col("order_kind")), sh)
+  }
+
+  /** Distinct (doc_id, shingle STRING) pairs — d30's unhashed spelling
+    * of [[docShingles]] (see the determinism note there).
+    */
+  private[graft] def shingleStrings(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesOfTokens(col("toks"))).as("s"))
+
+  /** Each shingle occurrence positioned under the total order (df asc,
+    * s asc) that `dfT` induces — unseen shingles at df 0, the append
+    * path's lookup. One per-doc window pass; partitions are bounded by a
+    * document's shingle count.
+    */
+  private[graft] def driftPositions(sh: DataFrame, dfT: DataFrame,
+                                    threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    sh.join(dfT, Seq("s"), "left").na.fill(0L, Seq("df"))
+      .select(col("doc_id"), col("s"),
+        (row_number().over(w) - 1).as("j"),
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))
+      .withColumn("in_prefix",
+        col("j") < (col("n") -
+          ceil(col("n").cast("double") * threshold - 1e-9) + 1))
+  }
+
+  /** The d30 closed form under one order: per-shingle prefix/full
+    * occurrence histograms, then Σ pcnt·fcnt. Empty corpus → one row of
+    * zeros (the report floor, never an error).
+    */
+  private[graft] def driftVolumeUnder(sh: DataFrame, dfT: DataFrame,
+                                      threshold: Double,
+                                      kind: String): DataFrame =
+    driftPositions(sh, dfT, threshold)
+      .select(col("s"), col("in_prefix").cast("long").as("p"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("fcnt"), sum(col("p")).as("pcnt"))
+      .agg(coalesce(sum(col("pcnt")), lit(0L)).cast("long").as("prefix_rows"),
+        coalesce(sum(col("pcnt") * col("fcnt")), lit(0L)).cast("long")
+          .as("candidate_rows"))
+      .select(lit(kind).as("order_kind"), col("prefix_rows"),
+        col("candidate_rows"))
 
   /** d9's REGISTERED form: [[simhashNearDupPairs]] with the band width
     * derived from the corpus count ([[deriveExtraBandBits]] — the d13/d14

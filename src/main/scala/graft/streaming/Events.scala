@@ -428,27 +428,41 @@ object Events {
       .orderBy(col("event_type"))
   }
 
-  /** The streaming twin of [[windowedCounts]]: parquet file source, 10-min
-    * watermark, append mode. Drive with `.writeStream.format("memory")` +
-    * `processAllAvailable()` in tests.
+  /** The streaming twin of [[windowedCounts]]: parquet file source,
+    * watermark at the DERIVED corpus delay ([[deriveWatermarkDelayUs]] —
+    * the d26 dial, not a pinned literal; r11 verdict #2), append mode.
+    * Drive with `.writeStream.format("memory")` + `processAllAvailable()`
+    * in tests.
     */
-  def streamingWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
+  def streamingWindowedCounts(spark: SparkSession, dir: String,
+                              delayUs: Option[Long] = None): DataFrame = {
     eventsStream(spark, dir)
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts",
+        watermarkDelayString(delayUs.getOrElse(deriveWatermarkDelayUs(spark, dir))))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
   }
 
-  /** Streaming deduplication — the streaming face of the dedup family:
-    * drop repeated (user_id, event_type) pairs, keeping state only for the
-    * watermark horizon (bounded state at 100 TB/day; plain streaming
-    * dropDuplicates would grow state forever).
+  /** st6's dedup-state horizon: how STALE an upstream at-least-once
+    * replay can be and still be recognized as a duplicate. Unlike the
+    * other twins' watermark delays this is not corpus-disorder sizing
+    * (d26's dial) but a pipeline contract — the retry window of the
+    * producer — so it stays a named semantic constant rather than a
+    * derived value.
     */
-  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+  val DedupReplayHorizon = "2 hours"
+
+  /** Streaming deduplication — the streaming face of the dedup family:
+    * drop repeated (user_id, event_type) pairs, keeping state only for
+    * the [[DedupReplayHorizon]] (bounded state at 100 TB/day; plain
+    * streaming dropDuplicates would grow state forever).
+    */
+  def streamingDedup(spark: SparkSession, dir: String,
+                     horizon: String = DedupReplayHorizon): DataFrame = {
     eventsStream(spark, dir)
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("ts"))
   }
@@ -480,14 +494,17 @@ object Events {
     * unbounded 100 TB/day feed. Verified in StreamingSpec against the
     * batch theta-join pair count.
     */
-  def streamingPurchaseClickJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamingPurchaseClickJoin(spark: SparkSession, dir: String,
+                                 delayUs: Option[Long] = None): DataFrame = {
+    val d = watermarkDelayString(
+      delayUs.getOrElse(deriveWatermarkDelayUs(spark, dir)))
     val src = eventsStream(spark, dir)
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id").as("pu"), col("ts").as("pts"))
-      .withWatermark("pts", "1 hour")
+      .withWatermark("pts", d)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("ts").as("cts"))
-      .withWatermark("cts", "1 hour")
+      .withWatermark("cts", d)
     purchases.join(clicks,
       expr("pu = cu AND cts >= pts - INTERVAL 30 MINUTES AND cts < pts"))
       .select(col("event_id"), col("pu").as("user_id"), col("pts"), col("cts"))
@@ -694,9 +711,12 @@ object Events {
 
   /** st9's PRODUCTION streaming configuration — the same funnel machine
     * armed with the event-time timeout its scaladoc prescribes: the input
-    * declares a watermark, each live (user, day) key sets its timeout at
-    * the END of its day, and when the watermark passes that boundary the
-    * key's state is REMOVED (proven by state-row counts in StreamingSpec).
+    * declares a watermark at a caller-supplied delay (no pinned literal —
+    * production callers pass the derived d26 dial, as SoakDiag's st9
+    * section does; fixtures pass their own), each live (user, day) key
+    * sets its timeout at the END of its day, and when the watermark
+    * passes that boundary the key's state is REMOVED (proven by
+    * state-row counts in StreamingSpec).
     * Total state is therefore bounded by the keys of the watermark's
     * trailing day window, not by stream lifetime — the property that lets
     * this run forever on a firehose. Late events for an expired day are
@@ -705,9 +725,9 @@ object Events {
     */
   private[graft] def funnelStagesExpiringOf(
       ev: Dataset[FunnelEventTs],
-      graceSeconds: Long = 600L): Dataset[FunnelStageRow] = {
+      delayUs: Long): Dataset[FunnelStageRow] = {
     import ev.sparkSession.implicits._
-    ev.withWatermark("ts", s"$graceSeconds seconds")
+    ev.withWatermark("ts", watermarkDelayString(delayUs))
       .groupByKey(e => (e.user_id, e.day))
       .flatMapGroupsWithState[FunnelState, FunnelStageRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -780,29 +800,144 @@ object Events {
     */
   val DisorderGraceSeconds = 600L
 
-  /** The watermark delay THIS corpus needs, derived: the global maximum of
-    * st8's per-user running-max lateness plus the one-tick margin the st8
-    * boundary caveat prescribes (the engine's eviction predicate is
-    * `ts <= watermark`, so an arrival late by exactly the observed maximum
-    * needs one more microsecond of grace). This is the streaming family's
-    * last sizing parameter turned into a [[graft.operators.Dedup.autoConfigReport]]
-    * row (`st_watermark_delay_us`, replayed by the DuckDB twin): st8
-    * registers the measurement, this derives the dial, and an operator
-    * reads d26 before pinning a `withWatermark` delay. Empty corpus → the
-    * 1 µs floor, never an error. Same scale shape as st8: one per-user
-    * window, no global ordering.
+  /** The watermark delay THIS corpus needs, derived: the maximum GLOBAL
+    * running-max lateness under event_id arrival order, plus the one-tick
+    * margin the st8 boundary caveat prescribes (the engine's eviction
+    * predicate is `ts <= watermark`, so an arrival late by exactly the
+    * observed maximum needs one more microsecond of grace). GLOBAL, not
+    * per-user (r11 ADVICE): Spark's watermark is one value across all
+    * keys — an event whose timestamp trails ANOTHER user's earlier
+    * arrival is dropped even when its own user's stream is in order — so
+    * the per-user form st8 reports (kept there as the per-KEY disorder
+    * audit) under-sizes any corpus with cross-user disorder; only the
+    * global maximum guarantees zero drops (proven on a synthetic
+    * cross-user-disordered stream in Round12Spec). This is the streaming
+    * family's sizing dial as a [[graft.operators.Dedup.autoConfigReport]]
+    * row (`st_watermark_delay_us`, replayed by the DuckDB twin): the
+    * streaming twins read it before pinning a `withWatermark` delay
+    * (quantized by [[watermarkDelayString]]). Empty corpus → the 1 µs
+    * floor, never an error.
     */
-  def deriveWatermarkDelayUs(spark: SparkSession, dir: String): Long = {
+  def deriveWatermarkDelayUs(spark: SparkSession, dir: String): Long =
+    maxGlobalLatenessUs(
+      Tables.events(spark, dir)
+        .select(col("event_id").as("arr"), unix_micros(col("ts")).as("us"))) + 1L
+
+  /** Chunk budget for [[maxGlobalLatenessUs]]' two-level running max —
+    * both levels stay bounded: per-chunk window partitions hold ~n/4096
+    * rows, the chunk-summary prefix max sees at most 4097 rows.
+    */
+  private val LatenessChunks = 4096L
+
+  /** Maximum global lateness of a stream: over rows `(arr, us)` (LONG
+    * arrival order, LONG event-time µs), the largest value of
+    * `max(us | arr' <= arr) − us`. This is what a single global
+    * watermark actually measures — the one number that, as a delay,
+    * admits every row of a replay in `arr` order.
+    *
+    * Determinism: RANGE frames (not ROWS), so rows tied on `arr` all see
+    * the same running max regardless of physical order — the DuckDB twin
+    * replays the same RANGE spelling bit-for-bit. Scale shape: a naive
+    * global running max is one unbounded sort partition; instead the
+    * domain splits into ≤[[LatenessChunks]] arrival ranges — per-chunk
+    * running max (bounded window partitions), per-chunk max rolled into
+    * an exclusive prefix max over the tiny summary, broadcast back —
+    * two distributed passes, no global sort. Empty input → 0.
+    */
+  private[graft] def maxGlobalLatenessUs(ev: DataFrame): Long = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val r = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-      .withColumn("late_us",
-        greatest(max(col("us")).over(w) - col("us"), lit(0L)))
+    val mm = ev.agg(min(col("arr")), max(col("arr"))).collect()(0)
+    if (mm.isNullAt(0)) return 0L
+    val lo = mm.getLong(0)
+    val span = (mm.getLong(1) - lo) / LatenessChunks + 1L
+    val chunked = ev.withColumn("chunk",
+      ((col("arr") - lit(lo)) / lit(span)).cast("long"))
+    val wIn = Window.partitionBy(col("chunk")).orderBy(col("arr"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrior = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val priorMax = chunked.groupBy(col("chunk"))
+      .agg(max(col("us")).as("cmax"))
+      .withColumn("pmax", max(col("cmax")).over(wPrior))
+      .select(col("chunk"), col("pmax"))
+    val r = chunked
+      .withColumn("inmax", max(col("us")).over(wIn))
+      .join(broadcast(priorMax), Seq("chunk"))
+      .withColumn("late_us", greatest(
+        greatest(col("inmax"), coalesce(col("pmax"), lit(Long.MinValue)))
+          - col("us"), lit(0L)))
       .agg(max(col("late_us"))).collect()(0)
-    (if (r.isNullAt(0)) 0L else r.getLong(0)) + 1L
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
+
+  /** One state-store partition per this many expected state rows — the
+    * crossover measured by the r11 st10 control: the identical sf1 soak
+    * at 8 vs 32 shuffle partitions took 92.6 vs 178.4 s with identical
+    * output and state, pricing each store INSTANCE at
+    * (178.4−92.6)/((32−8)·64 batches) ≈ 56 ms of per-batch
+    * commit/snapshot overhead, while per-state-row join work is µs-scale
+    * — so a store only earns its instance overhead above ~5·10⁴ rows.
+    * Rounded to 2¹⁶. Below the crossover fewer partitions are strictly
+    * faster; above it the derivation scales partitions linearly with
+    * state volume, which is the r11 verdict's dial: size
+    * `spark.sql.shuffle.partitions` for a stateful job to its STATE
+    * volume, not its core count.
+    */
+  val StateRowsPerPartition = 65536L
+
+  /** Shuffle partitions a stateful streaming job should run at, derived
+    * from its expected state rows — a [[graft.operators.Dedup.autoConfigReport]]
+    * row (`st_shuffle_partitions`, replayed by the DuckDB twin) fed by
+    * [[attributionStateHorizonRows]]; SoakDiag's st10/st11 sections run
+    * AT this setting. Clamped to [1, maxPartitions] (the session's
+    * parallelism — more stores than cores is pure instance overhead).
+    */
+  def deriveStatefulShufflePartitions(stateRows: Long,
+                                      maxPartitions: Int = 32): Int =
+    math.min(maxPartitions.toLong,
+      math.max(1L, (stateRows + StateRowsPerPartition - 1L)
+        / StateRowsPerPartition)).toInt
+
+  /** Expected stream-stream join state rows for the st10/st11 attribution
+    * pair, from corpus statistics alone: the busiest
+    * (match window + st8 grace) = 70-minute event-time window of
+    * click+purchase rows — the event-time bound on what the symmetric
+    * hash join must retain (each side's rows live until the other side's
+    * watermark passes their match horizon). Arrival granularity can
+    * raise the real peak above this floor (eviction lags one micro-batch;
+    * SoakDiag measures actual peaks alongside), but the horizon count is
+    * the corpus-derivable sizing input. Spelled as 10-minute cells + a
+    * sliding 7-cell max so the DuckDB twin replays it exactly; the
+    * single-partition window runs over cell COUNTS, bounded by the
+    * corpus time span (4.3k cells per month), never by event volume.
+    */
+  private[graft] def attributionStateHorizonRows(spark: SparkSession,
+                                                 dir: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(expr("unix_micros(ts) div 600000000").as("cell"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("cell")).rangeBetween(-6, 0)
+    val r = cells.withColumn("s", sum(col("c")).over(w))
+      .agg(max(col("s"))).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** The µs dial as a `withWatermark` argument — quantized UP to the
+    * engine's actual granularity: Spark converts the delay to whole
+    * MILLISECONDS and tracks max event time in milliseconds, so a
+    * µs-precise delay passed verbatim would round down and re-open the
+    * st8 boundary (`ts <= watermark` drops the exact-boundary arrival).
+    * Ceil to ms plus one guard ms = the one-tick margin at the engine's
+    * real tick.
+    */
+  private[graft] def watermarkDelayMs(delayUs: Long): Long =
+    (delayUs + 999L) / 1000L + 1L
+
+  /** See [[watermarkDelayMs]]. */
+  private[graft] def watermarkDelayString(delayUs: Long): String =
+    s"${watermarkDelayMs(delayUs)} milliseconds"
 
   /** st8: out-of-orderness audit — per user, how disordered the event
     * stream actually is: with arrival order proxied by `event_id` (the
@@ -845,11 +980,15 @@ object Events {
       .orderBy(col("user_id"))
   }
 
-  /** [[enrichedWindowCounts]]' streaming twin (StreamingSpec). */
-  def streamingEnrichedCounts(spark: SparkSession, dir: String): DataFrame =
+  /** [[enrichedWindowCounts]]' streaming twin (StreamingSpec), at the
+    * derived d26 watermark delay.
+    */
+  def streamingEnrichedCounts(spark: SparkSession, dir: String,
+                              delayUs: Option[Long] = None): DataFrame =
     eventsStream(spark, dir)
       .join(broadcast(userNationDim(spark, dir)), Seq("user_id"), "left")
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts",
+        watermarkDelayString(delayUs.getOrElse(deriveWatermarkDelayUs(spark, dir))))
       .groupBy(window(col("ts"), "1 hour").as("w"),
         coalesce(col("nation"), lit("none")).as("nation"))
       .agg(count(lit(1)).cast("long").as("n_events"),
@@ -968,20 +1107,25 @@ object Events {
     * finite stream the trailing ~delay of purchases never receives a
     * verdict (the watermark dies with the data). On an unbounded firehose
     * every purchase's verdict arrives within (window + delay) of event
-    * time.
+    * time; a finite BACKFILL closes the horizon by appending
+    * [[drainSentinelEvents]] as its last arrival, after which streamed
+    * verdicts equal the batch query exactly.
     */
   def streamingAttributionOuter(spark: SparkSession, dir: String,
-                                windowMinutes: Long = AttributionWindowMinutes): DataFrame = {
+                                windowMinutes: Long = AttributionWindowMinutes,
+                                delayUs: Option[Long] = None): DataFrame = {
+    val d = watermarkDelayString(
+      delayUs.getOrElse(deriveWatermarkDelayUs(spark, dir)))
     val src = eventsStream(spark, dir)
     attributionOuterJoin(
       src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"),
           col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
-        .withWatermark("purchase_ts", "10 minutes"),
+        .withWatermark("purchase_ts", d),
       src.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"))
-        .withWatermark("click_ts", "10 minutes"),
+        .withWatermark("click_ts", d),
       windowMinutes)
   }
 
@@ -1043,17 +1187,87 @@ object Events {
     * MemoryStream pair).
     */
   def streamingAttributedPairs(spark: SparkSession, dir: String,
-                               windowMinutes: Long = AttributionWindowMinutes): DataFrame = {
+                               windowMinutes: Long = AttributionWindowMinutes,
+                               delayUs: Option[Long] = None): DataFrame = {
+    val d = watermarkDelayString(
+      delayUs.getOrElse(deriveWatermarkDelayUs(spark, dir)))
     val src = eventsStream(spark, dir)
     attributionJoin(
       src.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"))
-        .withWatermark("click_ts", "10 minutes"),
+        .withWatermark("click_ts", d),
       src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"),
           col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
-        .withWatermark("purchase_ts", "10 minutes"),
+        .withWatermark("purchase_ts", d),
       windowMinutes)
+  }
+
+  /** Reserved user id of the finite-replay DRAIN sentinels — negative,
+    * so it can never equi-join the generator's (or any production) key
+    * space. The sentinels are NOT filtered out of the twins: a `user_id`
+    * filter placed between `withWatermark` and the join gets pushed BELOW
+    * the watermark node into the parquet scan by Catalyst
+    * (PushPredicateThroughNonJoin moves any predicate that doesn't
+    * reference the event-time column), which prunes the sentinels before
+    * they can advance the watermark — measured exactly so in r12: the
+    * drain file committed as its own micro-batch with numInputRows = 0
+    * and the two trailing verdicts never emitted. Instead the sentinels
+    * are invisible by CONSTRUCTION ([[drainSentinelEvents]]).
+    */
+  val DrainUserId = -1L
+
+  /** The finite-replay drain (r11 verdict #4): on an unbounded firehose
+    * every purchase's outer-join verdict arrives within (window + delay)
+    * of event time, but a finite replay's watermark dies with the data —
+    * each event-time column's watermark can never pass its own last
+    * observation minus the delay, so the trailing ~delay of purchases
+    * never hears "no click is coming." A backfill is finite ON PURPOSE,
+    * and owes every purchase its verdict; this closes the horizon the
+    * streaming-native way: one sentinel click + one sentinel purchase on
+    * the reserved [[DrainUserId]], timestamped past the last real
+    * event's match horizon, appended as the replay's final arrival. Both
+    * event-time watermarks observe the sentinels, so the global
+    * watermark sweeps past every real purchase's horizon and every owed
+    * null verdict emits exactly once. No sentinel row can reach the sink
+    * — by construction, not by filter (see [[DrainUserId]] for why a
+    * filter is unsound):
+    *
+    *   - the sentinel PURCHASE is stamped `maxTs + window + delay + 1 s`
+    *     and the sentinel CLICK one second LATER, so the attribution
+    *     predicate `purchase_ts >= click_ts` fails between them and
+    *     their reserved user id equi-joins no real row — neither join
+    *     emits a sentinel match;
+    *   - the sentinel purchase is its column's maximum, and a watermark
+    *     can never pass its own column's max minus the delay, so the
+    *     outer join can never evict-and-emit it as an organic row. It
+    *     retires as one permanent state row when the query stops.
+    *
+    * Emitted rows therefore equal the batch query's EXACTLY
+    * (StreamingSpec pins it, including sentinel absence; SoakDiag's st11
+    * section asserts it at soak scale).
+    *
+    * `schema` is the staged replay's file schema — the sentinels carry
+    * the four live columns and null elsewhere, so the frame appends to
+    * the staging directory as one more (last-mtime) file.
+    */
+  def drainSentinelEvents(spark: SparkSession,
+                          schema: org.apache.spark.sql.types.StructType,
+                          maxTsUs: Long, windowMinutes: Long,
+                          delayUs: Long): DataFrame = {
+    val drainUs = maxTsUs + windowMinutes * 60000000L + delayUs + 1000000L
+    val base = spark.range(2).select(
+      (col("id") - 2L).as("event_id"),
+      lit(DrainUserId).as("user_id"),
+      when(col("id") === 0L, "click").otherwise("purchase").as("event_type"),
+      // click at drainUs + 1 s, purchase at drainUs — purchase strictly
+      // BEFORE click, so the pair can never satisfy purchase_ts >= click_ts
+      timestamp_micros(lit(drainUs) + (lit(1L) - col("id")) * 1000000L).as("ts"))
+    val live = Set("event_id", "user_id", "event_type", "ts")
+    base.select(schema.fields.map { f =>
+      if (live(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
   }
 }

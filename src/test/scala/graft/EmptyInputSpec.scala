@@ -209,7 +209,13 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(cfg == Map("d5_emb_band_bits" -> 3L, "s2_lsh_bucket_bits" -> 8L,
       "s3_ivf_sub_bits" -> 0L, "d9_simhash_extra_band_bits" -> 0L,
       "m6_phash_extra_band_bits" -> 0L,
-      "st_watermark_delay_us" -> 1L), s"floors: $cfg")
+      "st_watermark_delay_us" -> 1L,
+      "st_shuffle_partitions" -> 1L), s"floors: $cfg")
+    // d30 is a report too: two rows of zero volumes on an empty corpus
+    val drift = graft.operators.Dedup.indexOrderDriftAudit(spark, emptyDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(drift.toSeq == Seq(("fresh_rebuild", 0L, 0L),
+      ("frozen_build", 0L, 0L)), s"d30 empty: ${drift.toSeq}")
   }
 
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {

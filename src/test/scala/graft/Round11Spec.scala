@@ -217,9 +217,12 @@ class Round11Spec extends AnyFunSuite {
   }
 
   test("d26 derives the streaming watermark delay from st8's measured lateness") {
-    // the streaming family's last sizing dial, closed the d26 way: the
-    // report row equals the helper, the helper equals st8's registered
-    // max_lateness + the one-tick margin its boundary caveat prescribes
+    // the streaming family's sizing dial, closed the d26 way: the report
+    // row equals the helper. Since r12 the helper measures GLOBAL
+    // lateness (≥ st8's per-user max — Spark's watermark is one value
+    // across keys; Round12Spec pins the cross-user-disorder gap); on
+    // this in-order corpus the two coincide, so the st8 coupling below
+    // still holds exactly
     val rows = Dedup.autoConfigReport(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val derived = graft.streaming.Events.deriveWatermarkDelayUs(spark, sf)

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.multimodal.Multimodal
+import graft.streaming.Events
+
+/** Round-12 additions: the GLOBAL watermark-delay derivation (r11 ADVICE
+  * — Spark's watermark is one value across all keys), the stateful
+  * shuffle-partition dial (r11 verdict #1), the d30 frozen-order drift
+  * audit, the containment-index append crash-window repair, and the m16
+  * audit's wide2 escalation.
+  */
+class Round12Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("cross-user disorder: only the GLOBAL derivation sizes a safe watermark") {
+    // the r11 ADVICE scenario made executable: each user's own stream is
+    // perfectly ordered (st8's per-user audit reports zero lateness), but
+    // user 2's event ARRIVES after user 1's much-later event times — a
+    // per-user-derived delay (the 1 µs floor) lets the single global
+    // engine watermark drop it; the global derivation measures the
+    // cross-user trail and admits every row
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def ts(off: Long) = java.sql.Timestamp.from(t0.plusSeconds(off))
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_disorder").toString
+    Seq((1L, ts(1000L), 1L), (2L, ts(1100L), 1L), (3L, ts(1200L), 1L),
+        (4L, ts(0L), 2L))
+      .toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // st8 (per-user) sees a fully ordered corpus; the global derivation
+    // sees the 1200 s cross-user trail
+    val st8Max = Events.disorderAudit(spark, dir)
+      .agg(max(c("max_lateness_us"))).collect()(0).getLong(0)
+    assert(st8Max == 0L, "every per-user stream is in order")
+    val derived = Events.deriveWatermarkDelayUs(spark, dir)
+    assert(derived == 1200L * 1000000L + 1L,
+      s"global derivation must measure the cross-user trail: $derived")
+
+    // replay one arrival per micro-batch (arrival order = event_id, the
+    // derivation's proxy) through a real watermark + stateful op: the
+    // per-user-floor delay drops user 2's event, the derived delay
+    // admits all four
+    for ((delayUs, expDrops) <- Seq(1L -> 1L, derived -> 0L)) {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      val q = mem.toDF().toDF("event_id", "ts")
+        .withWatermark("ts", Events.watermarkDelayString(delayUs))
+        .dropDuplicates("event_id")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"r12_disorder_$delayUs").start()
+      try {
+        Seq(1000L, 1100L, 1200L, 0L).zipWithIndex.foreach { case (off, i) =>
+          mem.addData((i + 1L, ts(off)))
+          q.processAllAvailable()
+        }
+        val survived = spark.sql(s"SELECT count(*) FROM r12_disorder_$delayUs")
+          .collect()(0).getLong(0)
+        assert(4L - survived == expDrops,
+          s"delay $delayUs µs: dropped ${4 - survived}, expected $expDrops")
+      } finally q.stop()
+    }
+  }
+
+  test("maxGlobalLatenessUs: the chunked two-level form equals the naive global running max") {
+    val spark2 = spark
+    import spark2.implicits._
+    // arrival domain wide enough to exercise many chunks, with ties
+    val rng = new scala.util.Random(12)
+    val rows = (0 until 2000).map { i =>
+      (rng.nextInt(10000000).toLong / 3L * 3L, rng.nextInt(1000000).toLong)
+    }
+    val naive = {
+      // max over rows of (max us among arr' <= arr) - us  (RANGE ties)
+      val byArr = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq.sortBy(_._1)
+      var run = Long.MinValue
+      val runMax = byArr.map { case (a, m) => run = math.max(run, m); a -> run }.toMap
+      rows.map { case (a, u) => math.max(runMax(a) - u, 0L) }.max
+    }
+    val got = Events.maxGlobalLatenessUs(rows.toDF("arr", "us"))
+    assert(got == naive, s"chunked $got != naive $naive")
+  }
+
+  test("watermarkDelayString quantizes the µs dial to the engine's real millisecond tick") {
+    assert(Events.watermarkDelayMs(1L) == 2L)     // the 1 µs floor -> 2 ms
+    assert(Events.watermarkDelayMs(1000L) == 2L)  // exactly 1 ms -> 2 ms
+    assert(Events.watermarkDelayMs(1001L) == 3L)  // ceil + guard
+    assert(Events.watermarkDelayString(1L) == "2 milliseconds")
+  }
+
+  test("d26 derives the stateful shuffle-partition dial from the attribution state horizon") {
+    val rows = Dedup.autoConfigReport(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val h = Events.attributionStateHorizonRows(spark, sf)
+    assert(rows("st_shuffle_partitions") ==
+      ((h, Events.deriveStatefulShufflePartitions(h).toLong)),
+      s"report row ${rows("st_shuffle_partitions")} != derivation over $h")
+    // the dial's shape: one store per 2^16 state rows, clamped [1, 32]
+    assert(Events.deriveStatefulShufflePartitions(0L) == 1)
+    assert(Events.deriveStatefulShufflePartitions(65536L) == 1)
+    assert(Events.deriveStatefulShufflePartitions(65537L) == 2)
+    assert(Events.deriveStatefulShufflePartitions(1L << 21) == 32)
+    assert(Events.deriveStatefulShufflePartitions(1000000000000L) == 32)
+    // tiny state at every observable scale -> the floor: the r11 control
+    // measured that fewer stores are strictly faster until ~2^16 rows
+    assert(rows("st_shuffle_partitions")._2 == 1L,
+      "gate-scale state sits far below the crossover")
+  }
+
+  test("d30 closed form equals the real prefix-equi-join volume, and prefix_rows is order-invariant") {
+    val audit = Dedup.indexOrderDriftAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(audit.keySet == Set("frozen_build", "fresh_rebuild"))
+    assert(audit("frozen_build")._1 == audit("fresh_rebuild")._1,
+      "prefix LENGTH per doc depends only on its shingle count")
+    // the d29/m16 contract: the histogram product IS the join's row count
+    val sh = Dedup.shingleStrings(spark, sf).cache()
+    try {
+      val dfz = sh.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val pos = Dedup.driftPositions(sh, dfz, 0.8).cache()
+      try {
+        val real = pos.filter(col("in_prefix")).select(col("s")).as("a")
+          .join(pos.select(col("s")).as("b"), col("a.s") === col("b.s"))
+          .count()
+        assert(real == audit("frozen_build")._2,
+          s"closed form ${audit("frozen_build")._2} != emitted $real")
+      } finally { pos.unpersist(); () }
+    } finally { sh.unpersist(); () }
+  }
+
+  test("containment-index append: a crash between the writes is healed by the retry") {
+    val prefix = "r12_crash_index"
+    val freshPrefix = "r12_crash_fresh"
+    // build over a QUARTER of the docs so the append (another even
+    // quarter) is a real index change; batch probes stay odd
+    Dedup.persistContainmentIndex(spark, sf, prefix,
+      corpusFilter = col("doc_id") % 4 === 0)
+    // simulate the crash window: the _cfull half landed, the _cdocs
+    // commit marker did not
+    val add = Dedup.docShingles(spark, sf).filter(col("doc_id") % 4 === 2)
+    Dedup.appendShinglesToCfull(spark, add, prefix, 32)
+    // the retry must not be refused (the guard keys on the commit
+    // marker) and must heal the residue instead of doubling shingles
+    Dedup.appendToContainmentIndex(spark, sf, col("doc_id") % 4 === 2, prefix)
+    // post-repair probe == a probe against a fresh build over the same
+    // corpus (the StorageLayoutSpec equivalence, re-proven post-crash)
+    Dedup.persistContainmentIndex(spark, sf, freshPrefix,
+      corpusFilter = col("doc_id") % 2 === 0)
+    def probe(p: String) =
+      Dedup.incrementalContainmentFromIndex(spark, sf, p).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val healed = probe(prefix)
+    assert(healed.nonEmpty && healed == probe(freshPrefix),
+      "healed index must probe identically to a fresh rebuild")
+    // a COMPLETE append is still refused — the duplicate guard survives
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendToContainmentIndex(spark, sf, col("doc_id") % 4 === 2, prefix)
+    }
+    assert(e.getMessage.contains("already indexed"))
+  }
+
+  test("m16 audit escalates to the wide2 layout past the gradient cap — Σ C(s,2) still prices the real join") {
+    // the r11 ADVICE fix: past 2^19 docs m6 runs the curvature-funded
+    // wide2 bands, so the audit must price THAT join — pinned at a
+    // forced wide2 width the way Round11Spec pins the narrow layout
+    val e = 8
+    val hashes = Multimodal.perceptualHashesWide2(spark, sf).cache()
+    try {
+      val audit = Multimodal
+        .bandOccupancyOf(Multimodal.mediaBandsWide2(hashes, 7, e))
+        .collect().map(r => (r.getLong(0), r.getLong(3)))
+      assert(audit.map(_._1).toSeq == (0L until 8L).toSeq)
+      val emitted = Multimodal.mediaBandCandidatesWide2(hashes, 7, e).count()
+      assert(audit.map(_._2).sum == emitted,
+        s"closed form ${audit.map(_._2).sum} != emitted $emitted")
+    } finally { hashes.unpersist(); () }
+  }
+}

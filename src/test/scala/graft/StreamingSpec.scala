@@ -684,7 +684,7 @@ class StreamingSpec extends AnyFunSuite {
     }
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[Events.FunnelEventTs]
-    val q = Events.funnelStagesExpiringOf(mem.toDS())
+    val q = Events.funnelStagesExpiringOf(mem.toDS(), 600L * 1000000L)
       .writeStream.outputMode("append")
       .format("memory").queryName("st9_exp_out").start()
     try {
@@ -774,15 +774,18 @@ class StreamingSpec extends AnyFunSuite {
     val schema = spark.read.parquet(s"$staged/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$staged/events.parquet")
+    // the derived d26 dial (1 µs on this in-order corpus, ms-quantized),
+    // not a pinned literal — the r12 rule the twins follow
+    val d = Events.watermarkDelayString(Events.deriveWatermarkDelayUs(spark, dir))
     val joined = Events.attributionJoin(
       src.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"))
-        .withWatermark("click_ts", "10 minutes"),
+        .withWatermark("click_ts", d),
       src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"),
           col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
-        .withWatermark("purchase_ts", "10 minutes"),
+        .withWatermark("purchase_ts", d),
       Events.AttributionWindowMinutes)
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName("st10_mb_out").start()
@@ -919,12 +922,16 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getTimestamp(2)).toMap
     // the final watermark each column can reach is ITS OWN max minus the
     // delay, and the global watermark is the min of the two — a purchase
-    // within 10 min of the last purchase can never receive its verdict
-    // on a finite stream (the watermark dies with the data)
+    // within ~delay of the last purchase can never receive its verdict
+    // on a finite stream without a drain (the watermark dies with the
+    // data; the drain test below is the completion path)
+    val delayUs = Events.deriveWatermarkDelayUs(spark, dir)
+    val d = Events.watermarkDelayString(delayUs)
     val wmFloorUs = graft.sources.Tables.events(spark, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .groupBy(col("event_type")).agg(max(unix_micros(col("ts"))).as("m"))
-      .agg(min(col("m"))).collect()(0).getLong(0) - 10L * 60000000L
+      .agg(min(col("m"))).collect()(0).getLong(0) -
+      Events.watermarkDelayMs(delayUs) * 1000L
 
     val schema = spark.read.parquet(s"$staged/events.parquet").schema
     val src = spark.readStream.schema(schema)
@@ -933,11 +940,11 @@ class StreamingSpec extends AnyFunSuite {
       src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"),
           col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
-        .withWatermark("purchase_ts", "10 minutes"),
+        .withWatermark("purchase_ts", d),
       src.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"))
-        .withWatermark("click_ts", "10 minutes"),
+        .withWatermark("click_ts", d),
       Events.AttributionWindowMinutes)
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName("st11_mb_out").start()
@@ -960,6 +967,82 @@ class StreamingSpec extends AnyFunSuite {
         s"provable organic verdicts missing: ${(owed -- sNull).take(3)} " +
           s"(owed=${owed.size} emitted=${sNull.size} of ${batchNullTs.size} total)")
       assert(streamed.length == streamed.distinct.length, "verdicts emit exactly once")
+    } finally q.stop()
+  }
+
+  test("st11 drain: a sentinel final arrival closes the horizon — streamed verdicts equal batch exactly") {
+    // the r12 completion path for finite backfills: the multi-batch test
+    // above pins the caveat (trailing purchases lack verdicts when the
+    // watermark dies with the data); this stages the SAME ordered replay
+    // plus Events.drainSentinelEvents as the last arrival and asserts the
+    // caveat is GONE — every purchase gets its verdict, exactly once, and
+    // the sentinels never reach the sink
+    import org.apache.spark.sql.functions._
+    val dir = sf
+    val staged = java.nio.file.Files.createTempDirectory("graft_st11_drain").toString
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .filter(col("event_type").isin("click", "purchase"))
+    ev.repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(s"$staged/events.parquet")
+    val parts = new java.io.File(s"$staged/events.parquet").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 1000L) }
+    // derive BEFORE staging the drain — the sentinels are not corpus
+    val delayUs = Events.deriveWatermarkDelayUs(spark, dir)
+    val before = parts.map(_.getName).toSet
+    val schema0 = spark.read.parquet(s"$staged/events.parquet").schema
+    val maxTsUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    Events.drainSentinelEvents(spark, schema0, maxTsUs,
+        Events.AttributionWindowMinutes, delayUs)
+      .coalesce(1).write.mode("append").parquet(s"$staged/events.parquet")
+    new java.io.File(s"$staged/events.parquet").listFiles()
+      .filter(f => f.getName.startsWith("part-") && !before(f.getName))
+      .foreach(_.setLastModified(base + parts.length * 1000L + 60000L))
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1))
+    val batch = Events.attributionOuter(spark, dir)
+      .select(col("purchase_id"), col("click_id")).collect().map(key)
+
+    // the REGISTERED twin over the staged replay (NO sentinel filters —
+    // a user_id filter would be pushed below the watermark node into the
+    // scan and neuter the drain; sentinels are invisible by
+    // construction, see drainSentinelEvents), multi-batch via the same
+    // one-source construction SoakDiag drives
+    val schema = spark.read.parquet(s"$staged/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$staged/events.parquet")
+    val d = Events.watermarkDelayString(delayUs)
+    val joined = Events.attributionOuterJoin(
+      src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", d),
+      src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", d),
+      Events.AttributionWindowMinutes)
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$staged/ckpt")
+      .format("memory").queryName("st11_drain_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT purchase_id, click_id, user_id FROM st11_drain_out").collect()
+      assert(!streamed.exists(_.getLong(2) == Events.DrainUserId),
+        "sentinel rows must never reach the sink")
+      val streamedKeys = streamed.map(key)
+      assert(streamedKeys.length == streamedKeys.distinct.length,
+        "verdicts emit exactly once")
+      assert(streamedKeys.toSet == batch.toSet &&
+        streamedKeys.length == batch.length,
+        s"drained replay must equal the batch query exactly: " +
+          s"streamed=${streamedKeys.length} batch=${batch.length} " +
+          s"missing=${(batch.toSet -- streamedKeys.toSet).take(3)}")
     } finally q.stop()
   }
 
