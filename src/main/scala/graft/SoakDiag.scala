@@ -404,9 +404,11 @@ object SoakDiag {
           Window.orderBy(col("f"))
             .rowsBetween(Window.unboundedPreceding, -1)))
         .select(col("f"), col("pmax"))
+      // first file has no prior -> pmax null; subtract BEFORE coalescing
+      // so the null propagates (MinValue - us would overflow under ANSI)
       val r = rows.join(broadcast(fprior), Seq("f"))
-        .withColumn("late", greatest(
-          coalesce(col("pmax"), lit(Long.MinValue)) - col("us"), lit(0L)))
+        .withColumn("late",
+          greatest(coalesce(col("pmax") - col("us"), lit(0L)), lit(0L)))
         .agg(max(col("late"))).collect()(0)
       (if (r.isNullAt(0)) 0L else r.getLong(0)) + 1L
     }
