@@ -388,41 +388,23 @@ object SoakDiag {
 
     // The watermark delay the STAGED arrival actually needs — the r12
     // rule that every withWatermark reads a derived dial, applied at the
-    // granularity the file source really has: a row is droppable iff its
-    // event time trails the max of STRICTLY EARLIER files (the watermark
-    // advances between micro-batches, never inside one), so the dial is
-    // the max such lateness + the 1 µs tick. Range-partitioned ts-sorted
-    // staging measures 0 → the 1 µs floor; any staging regression
-    // (the r11 mtime-shuffle trap) would surface here as a huge derived
-    // delay instead of silently dropping rows.
-    def stagedArrivalDelayUs(path: String): Long = {
-      import org.apache.spark.sql.expressions.Window
-      val rows = spark.read.parquet(path)
-        .select(input_file_name().as("f"), unix_micros(col("ts")).as("us"))
-      val fprior = rows.groupBy(col("f")).agg(max(col("us")).as("fmax"))
-        .withColumn("pmax", max(col("fmax")).over(
-          Window.orderBy(col("f"))
-            .rowsBetween(Window.unboundedPreceding, -1)))
-        .select(col("f"), col("pmax"))
-      // first file has no prior -> pmax null; subtract BEFORE coalescing
-      // so the null propagates (MinValue - us would overflow under ANSI)
-      val r = rows.join(broadcast(fprior), Seq("f"))
-        .withColumn("late",
-          greatest(coalesce(col("pmax") - col("us"), lit(0L)), lit(0L)))
-        .agg(max(col("late"))).collect()(0)
-      (if (r.isNullAt(0)) 0L else r.getLong(0)) + 1L
-    }
+    // granularity the file source really has (the library's own
+    // file-arrival derivation, so the path production callers use is
+    // the one being soaked). Range-partitioned ts-sorted staging
+    // measures 0 → the 1 µs floor; any staging regression (the r11
+    // mtime-shuffle trap) would surface here as a huge derived delay
+    // instead of silently dropping rows.
+    def stagedArrivalDelayUs(stagedDir: String): Long =
+      streaming.Events.deriveFileArrivalDelayUs(spark, stagedDir)
 
     // Run a streaming section at ITS OWN derived shuffle-partition count
     // (the r11 verdict's dial: size spark.sql.shuffle.partitions for a
-    // stateful job to its STATE volume, not its core count), restoring
-    // the session default afterward.
-    def atDerivedPartitions[A](stateRows: Long)(f: Int => A): A = {
-      val p = streaming.Events.deriveStatefulShufflePartitions(stateRows)
-      spark.conf.set("spark.sql.shuffle.partitions", p)
-      try f(p)
-      finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
-    }
+    // stateful job to its STATE volume, not its core count) through the
+    // library's own wrapper, so the path production callers use is the
+    // one being soaked.
+    def atDerivedPartitions[A](stateRows: Long)(f: Int => A): A =
+      streaming.Events.withDerivedStatefulPartitions(
+        spark, dir, Some(stateRows))(f)
 
     // st9: the timeout-armed funnel machine driven over the REAL events
     // corpus through a file-source readStream — the st8-to-watermark
@@ -455,7 +437,7 @@ object SoakDiag {
         if (perDay.length < 2) perDay.max
         else perDay.sliding(2).map(_.sum).max
       untimed("st9_max_adjacent_day_keys", maxAdjacent)
-      val st9DelayUs = stagedArrivalDelayUs(s"$staged/events.parquet")
+      val st9DelayUs = stagedArrivalDelayUs(staged)
       untimed("st9_derived_delay_us", st9DelayUs)
       val emitted = new java.util.concurrent.atomic.LongAdder
       var peakState = 0L
@@ -535,7 +517,7 @@ object SoakDiag {
           .agg(max(col("count"))).collect()(0).getLong(0))
       untimed("st10_batch_pairs",
         streaming.Events.attributedPairs(spark, dir).count())
-      val st10DelayUs = stagedArrivalDelayUs(s"$staged/events.parquet")
+      val st10DelayUs = stagedArrivalDelayUs(staged)
       untimed("st10_derived_delay_us", st10DelayUs)
       val horizonRows = streaming.Events.attributionStateHorizonRows(spark, dir)
       untimed("st10_horizon_rows", horizonRows)
@@ -607,7 +589,7 @@ object SoakDiag {
       untimed("st11_batch_rows", batchRows.count())
       untimed("st11_batch_organic",
         batchRows.filter(col("click_id").isNull).count())
-      val st11DelayUs = stagedArrivalDelayUs(s"$staged/events.parquet")
+      val st11DelayUs = stagedArrivalDelayUs(staged)
       // the r12 DRAIN: one sentinel click+purchase file (reserved
       // user_id, filtered after the watermark nodes) staged as the LAST
       // arrival closes the finite replay's watermark horizon — streamed

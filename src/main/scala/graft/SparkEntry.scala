@@ -3233,13 +3233,15 @@ object SparkEntry {
         -- stateful shuffle partitions: busiest 70-min (60-min match
         -- window + 600-s st8 grace) click+purchase horizon, one store
         -- per 2^16 state rows (the r11-measured instance-overhead
-        -- crossover), clamped to [1, 32]
+        -- crossover), clamped to [1, 32]. 8 aligned cells (7 PRECEDING),
+        -- not 7: any 70-min interval intersects at most 8 aligned
+        -- 10-min cells, so the aligned max is a covering upper bound
         SELECT 'st_shuffle_partitions', h.rows,
           CAST(least(32, greatest(1, (h.rows + 65535) // 65536)) AS BIGINT)
         FROM (
           SELECT CAST(coalesce(max(s), 0) AS BIGINT) AS rows FROM (
             SELECT sum(c) OVER (
-                ORDER BY cell RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) s
+                ORDER BY cell RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) s
             FROM (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 600000000 AS cell,
                     count(*) AS c
                   FROM events

@@ -762,13 +762,16 @@ object Dedup {
     * ids with `_cfull` rows but no `_cdocs` registration; their candidate
     * pairs then drop at the verify join (same silent-miss class either
     * order has), but because the duplicate guard keys on the COMMIT
-    * marker, the retry is not refused — and before re-appending, any
-    * incoming id found half-applied has its `_cfull` residue retracted
-    * (the d11/d12 staged rewrite, `_cdf` untouched), so the retry heals
-    * the index instead of doubling shingles. Proven in Round12Spec by
-    * killing an append between the writes and retrying. The reverse
-    * order is strictly worse: the guard would see the registered id and
-    * permanently refuse the repair.
+    * marker, the retry is not refused — and EVERY append first retracts
+    * ALL unregistered `_cfull` residue (one `_cfull ∖ _cdocs` anti-join,
+    * then the d11/d12 staged rewrite with `_cdf` untouched), so any
+    * later append heals a crashed one even when the crashed batch is
+    * never retried — orphan rows cannot silently widen the probe's
+    * candidate set forever. Proven in Round12Spec by killing an append
+    * between the writes, then healing via BOTH an identical retry and an
+    * unrelated later append. The reverse order is strictly worse: the
+    * guard would see the registered id and permanently refuse the
+    * repair.
     */
   def appendToContainmentIndex(spark: SparkSession, dir: String,
                                appendFilter: org.apache.spark.sql.Column,
@@ -782,14 +785,19 @@ object Dedup {
         .limit(1).collect()
       require(dup.isEmpty,
         s"doc_id ${dup.head.getLong(0)} is already indexed in ${prefix}_cdocs")
-      // crash recovery: incoming ids already holding _cfull rows are the
-      // residue of an append that died between the two writes — retract
-      // them so the retry starts clean (one broadcast-filtered scan of
-      // _cfull to detect; the rewrite itself only runs on a real retry)
-      val orphans = spark.table(s"${prefix}_cfull").select(col("doc_id"))
-        .join(broadcast(addIds), "doc_id").limit(1).collect()
-      if (orphans.nonEmpty)
-        stagedRewriteMinusIds(spark, addIds, s"${prefix}_cfull",
+      // crash recovery: _cfull doc_ids with no _cdocs registration are
+      // the residue of an append that died between the two writes —
+      // ANY append heals ALL residue (keying the heal on the incoming
+      // batch alone would leave a crashed-and-never-retried batch's
+      // orphans in _cfull forever, silently widening every probe's
+      // candidate set). One anti-join over _cfull's doc_id column per
+      // append; the rewrite itself only runs when residue exists.
+      val orphanIds = spark.table(s"${prefix}_cfull").select(col("doc_id"))
+        .distinct()
+        .join(spark.table(s"${prefix}_cdocs").select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      if (orphanIds.limit(1).collect().nonEmpty)
+        stagedRewriteMinusIds(spark, orphanIds, s"${prefix}_cfull",
           _.write.bucketBy(buckets, "s").sortBy("s"))
       appendShinglesToCfull(spark, add, prefix, buckets)
       add.write.bucketBy(buckets, "doc_id").sortBy("doc_id")

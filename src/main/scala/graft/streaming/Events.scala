@@ -429,16 +429,16 @@ object Events {
   }
 
   /** The streaming twin of [[windowedCounts]]: parquet file source,
-    * watermark at the DERIVED corpus delay ([[deriveWatermarkDelayUs]] —
-    * the d26 dial, not a pinned literal; r11 verdict #2), append mode.
-    * Drive with `.writeStream.format("memory")` + `processAllAvailable()`
-    * in tests.
+    * watermark at the DERIVED delay ([[twinDelayUs]] — the d26 corpus
+    * dial ∨ the file source's own arrival-granularity dial, not a pinned
+    * literal; r11 verdict #2), append mode. Drive with
+    * `.writeStream.format("memory")` + `processAllAvailable()` in tests.
     */
   def streamingWindowedCounts(spark: SparkSession, dir: String,
                               delayUs: Option[Long] = None): DataFrame = {
     eventsStream(spark, dir)
       .withWatermark("ts",
-        watermarkDelayString(delayUs.getOrElse(deriveWatermarkDelayUs(spark, dir))))
+        watermarkDelayString(delayUs.getOrElse(twinDelayUs(spark, dir))))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
@@ -497,7 +497,7 @@ object Events {
   def streamingPurchaseClickJoin(spark: SparkSession, dir: String,
                                  delayUs: Option[Long] = None): DataFrame = {
     val d = watermarkDelayString(
-      delayUs.getOrElse(deriveWatermarkDelayUs(spark, dir)))
+      delayUs.getOrElse(twinDelayUs(spark, dir)))
     val src = eventsStream(spark, dir)
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id").as("pu"), col("ts").as("pts"))
@@ -815,8 +815,11 @@ object Events {
     * family's sizing dial as a [[graft.operators.Dedup.autoConfigReport]]
     * row (`st_watermark_delay_us`, replayed by the DuckDB twin): the
     * streaming twins read it before pinning a `withWatermark` delay
-    * (quantized by [[watermarkDelayString]]). Empty corpus → the 1 µs
-    * floor, never an error.
+    * (∨ [[deriveFileArrivalDelayUs]] via [[twinDelayUs]] — the corpus
+    * contract says when an EVENT may trail; the file dial says how a
+    * file-source REPLAY actually delivers — and quantize via
+    * [[watermarkDelayString]]). Empty corpus → the 1 µs floor, never an
+    * error.
     */
   def deriveWatermarkDelayUs(spark: SparkSession, dir: String): Long =
     maxGlobalLatenessUs(
@@ -898,6 +901,30 @@ object Events {
       math.max(1L, (stateRows + StateRowsPerPartition - 1L)
         / StateRowsPerPartition)).toInt
 
+  /** The dial as library surface: run `f` with
+    * `spark.sql.shuffle.partitions` set to the derived stateful count
+    * (from the attribution state horizon when `stateRows` is not given —
+    * the st10/st11 sizing input; pass an operator's own expected state
+    * rows otherwise, e.g. st9's adjacent-day key bound), restoring the
+    * session's previous value afterward. `shuffle.partitions` is the
+    * session conf that fixes a streaming query's state-store partition
+    * count at its FIRST run (it is then pinned in the checkpoint), so
+    * production callers wrap query construction + start in this.
+    * SoakDiag's streaming sections run through the same discipline; the
+    * measured payoff at soak sf1–sf10 is 3–4× wall on the stream-stream
+    * joins at identical output and state.
+    */
+  def withDerivedStatefulPartitions[A](spark: SparkSession, dir: String,
+                                       stateRows: Option[Long] = None)
+                                      (f: Int => A): A = {
+    val rows = stateRows.getOrElse(attributionStateHorizonRows(spark, dir))
+    val p = deriveStatefulShufflePartitions(rows)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", p)
+    try f(p)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Expected stream-stream join state rows for the st10/st11 attribution
     * pair, from corpus statistics alone: the busiest
     * (match window + st8 grace) = 70-minute event-time window of
@@ -907,7 +934,15 @@ object Events {
     * raise the real peak above this floor (eviction lags one micro-batch;
     * SoakDiag measures actual peaks alongside), but the horizon count is
     * the corpus-derivable sizing input. Spelled as 10-minute cells + a
-    * sliding 7-cell max so the DuckDB twin replays it exactly; the
+    * sliding 8-cell max so the DuckDB twin replays it exactly — 8, not
+    * 7, because any 70-minute interval intersects at most ⌈70/10⌉+1 = 8
+    * ALIGNED cells, so the aligned max is a covering upper bound of the
+    * true sliding-window max (7 aligned cells can miss a straddling
+    * window's boundary cell and undercount — a sizing input must err
+    * high). Assumes the derived watermark delay stays within the
+    * 10-minute st8 grace the horizon budgets; a corpus whose derived
+    * delay exceeds it should size with
+    * [[withDerivedStatefulPartitions]]' explicit `stateRows`. The
     * single-partition window runs over cell COUNTS, bounded by the
     * corpus time span (4.3k cells per month), never by event volume.
     */
@@ -918,7 +953,7 @@ object Events {
       .filter(col("event_type").isin("click", "purchase"))
       .groupBy(expr("unix_micros(ts) div 600000000").as("cell"))
       .agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("cell")).rangeBetween(-6, 0)
+    val w = Window.orderBy(col("cell")).rangeBetween(-7, 0)
     val r = cells.withColumn("s", sum(col("c")).over(w))
       .agg(max(col("s"))).collect()(0)
     if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -938,6 +973,56 @@ object Events {
   /** See [[watermarkDelayMs]]. */
   private[graft] def watermarkDelayString(delayUs: Long): String =
     s"${watermarkDelayMs(delayUs)} milliseconds"
+
+  /** The watermark delay a FILE-SOURCE replay of this directory needs:
+    * the file stream source delivers whole files in MODIFICATION-TIME
+    * order with a nondeterministic tie-break, and the watermark only
+    * advances between micro-batches — so a row is droppable iff its
+    * event time trails the max event time of files the source may
+    * deliver strictly earlier. This is a DIFFERENT granularity from
+    * [[deriveWatermarkDelayUs]]'s corpus contract (event_id arrival
+    * order): a parallel-written directory lands part files with
+    * effectively random mtimes, and an event-id-in-order corpus can
+    * still arrive file-shuffled — under the corpus dial alone, whole
+    * files' rows would silently drop as late (the r11 two-source
+    * measurement lost 75% of pairs to exactly this class). Ties are
+    * priced conservatively: every other file with mtime ≤ ours counts
+    * as possibly-prior. One distributed pass builds per-file event-time
+    * min/max (one row per file); mtime stat + the prior-max fold run on
+    * the driver over that file list. Single file or empty → the 1 µs
+    * floor. The streaming twins take the MAX of both dials
+    * ([[twinDelayUs]]); SoakDiag's staged replays measure 0 here by
+    * construction (`orderArrival`), so any staging regression surfaces
+    * as a huge derived delay instead of silent row loss.
+    */
+  def deriveFileArrivalDelayUs(spark: SparkSession, dir: String): Long = {
+    val perFile = Tables.events(spark, dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(unix_micros(col("ts"))).as("fmin"),
+        max(unix_micros(col("ts"))).as("fmax"))
+      .collect()
+    if (perFile.length <= 1) return 1L
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val files = perFile.map { r =>
+      val p = new org.apache.hadoop.fs.Path(r.getString(0))
+      (p.getFileSystem(hconf).getFileStatus(p).getModificationTime,
+        r.getLong(1), r.getLong(2))
+    }
+    // quadratic over the FILE count (one replay's part files — thousands
+    // at most), driver-side; rows never leave the one-per-file aggregate
+    val worst = files.iterator.map { g =>
+      val prior = files.filter(f => !(f eq g) && f._1 <= g._1)
+      if (prior.isEmpty) 0L else math.max(prior.map(_._3).max - g._2, 0L)
+    }.max
+    worst + 1L
+  }
+
+  /** The delay the twins pin: the corpus disorder contract AND the file
+    * source's arrival granularity, whichever is larger.
+    */
+  private[graft] def twinDelayUs(spark: SparkSession, dir: String): Long =
+    math.max(deriveWatermarkDelayUs(spark, dir),
+      deriveFileArrivalDelayUs(spark, dir))
 
   /** st8: out-of-orderness audit — per user, how disordered the event
     * stream actually is: with arrival order proxied by `event_id` (the
@@ -988,7 +1073,7 @@ object Events {
     eventsStream(spark, dir)
       .join(broadcast(userNationDim(spark, dir)), Seq("user_id"), "left")
       .withWatermark("ts",
-        watermarkDelayString(delayUs.getOrElse(deriveWatermarkDelayUs(spark, dir))))
+        watermarkDelayString(delayUs.getOrElse(twinDelayUs(spark, dir))))
       .groupBy(window(col("ts"), "1 hour").as("w"),
         coalesce(col("nation"), lit("none")).as("nation"))
       .agg(count(lit(1)).cast("long").as("n_events"),
@@ -1115,7 +1200,7 @@ object Events {
                                 windowMinutes: Long = AttributionWindowMinutes,
                                 delayUs: Option[Long] = None): DataFrame = {
     val d = watermarkDelayString(
-      delayUs.getOrElse(deriveWatermarkDelayUs(spark, dir)))
+      delayUs.getOrElse(twinDelayUs(spark, dir)))
     val src = eventsStream(spark, dir)
     attributionOuterJoin(
       src.filter(col("event_type") === "purchase")
@@ -1190,7 +1275,7 @@ object Events {
                                windowMinutes: Long = AttributionWindowMinutes,
                                delayUs: Option[Long] = None): DataFrame = {
     val d = watermarkDelayString(
-      delayUs.getOrElse(deriveWatermarkDelayUs(spark, dir)))
+      delayUs.getOrElse(twinDelayUs(spark, dir)))
     val src = eventsStream(spark, dir)
     attributionJoin(
       src.filter(col("event_type") === "click")

@@ -120,6 +120,15 @@ class FiguresSpec extends AnyFunSuite {
       fakeBench).isEmpty, "top-8 members swapping ranks is box weather")
   }
 
+  test("an artifact top-three query missing from the listed five still fails") {
+    // qa regressed to slowest; the stale README lists the OLD five
+    // (ranks 2-6) — containment alone would pass, the top-three check
+    // catches it
+    assert(checkSlowestFive(
+      fakeFigures(9, 32.2, Seq("qb", "qc", "qd", "qe", "qf")),
+      fakeBench).nonEmpty, "omitting the artifact's slowest is structural drift")
+  }
+
   test("a correctness figure at a stale registry still fails") {
     assert(checkCorrectness(
       fakeFigures(9, 32.2, Seq("qa", "qb", "qc", "qd", "qe"), "8/8"),
@@ -159,8 +168,9 @@ object FiguresSpec {
 
   def checkSlowestFive(figures: String,
                        bench: Map[String, Double]): Option[String] = {
-    val top8 = bench.filter(_._2 >= 0).toSeq.sortBy(-_._2)
-      .take(8).map(_._1).toSet
+    val ranked = bench.filter(_._2 >= 0).toSeq.sortBy(-_._2).map(_._1)
+    val top8 = ranked.take(8).toSet
+    val top3 = ranked.take(3)
     val line = figures.linesIterator.find(_.contains("slowest five"))
       .getOrElse(return Some("no slowest-five line"))
     val listed = """`([a-z0-9_]+)` [\d.]+ s""".r
@@ -169,8 +179,17 @@ object FiguresSpec {
       return Some(s"slowest-five line lists ${listed.size} queries")
     val strays = listed.filterNot(top8.contains)
     if (strays.nonEmpty)
-      Some(s"README slowest-five lists $strays outside the artifact's " +
-        s"top eight ${top8.toSeq.sorted} — regenerate the block")
+      return Some(s"README slowest-five lists $strays outside the " +
+        s"artifact's top eight ${top8.toSeq.sorted} — regenerate the block")
+    // both directions are structural: a listed query outside the top
+    // eight (above), AND an artifact top-three query the list omits — a
+    // newly-slowest query pushing the old five down to ranks 2-6 would
+    // otherwise pass containment while the README misses the one row
+    // that matters most
+    val missed = top3.filterNot(listed.contains)
+    if (missed.nonEmpty)
+      Some(s"artifact top-three $missed missing from README slowest-five " +
+        s"$listed — regenerate the block")
     else None
   }
 

@@ -138,24 +138,29 @@ class Round12Spec extends AnyFunSuite {
     } finally { sh.unpersist(); () }
   }
 
-  test("containment-index append: a crash between the writes is healed by the retry") {
+  test("containment-index append: a crash between the writes is healed by any later append") {
     val prefix = "r12_crash_index"
     val freshPrefix = "r12_crash_fresh"
-    // build over a QUARTER of the docs so the append (another even
-    // quarter) is a real index change; batch probes stay odd
+    // build over an even EIGHTH of the docs so two more even eighths can
+    // play the crashed batch and the unrelated one; batch probes stay odd
     Dedup.persistContainmentIndex(spark, sf, prefix,
-      corpusFilter = col("doc_id") % 4 === 0)
-    // simulate the crash window: the _cfull half landed, the _cdocs
-    // commit marker did not
-    val add = Dedup.docShingles(spark, sf).filter(col("doc_id") % 4 === 2)
-    Dedup.appendShinglesToCfull(spark, add, prefix, 32)
-    // the retry must not be refused (the guard keys on the commit
-    // marker) and must heal the residue instead of doubling shingles
-    Dedup.appendToContainmentIndex(spark, sf, col("doc_id") % 4 === 2, prefix)
+      corpusFilter = col("doc_id") % 8 === 0)
+    // simulate the crash window: batch A's _cfull half landed, the
+    // _cdocs commit marker did not
+    val addA = Dedup.docShingles(spark, sf).filter(col("doc_id") % 8 === 2)
+    Dedup.appendShinglesToCfull(spark, addA, prefix, 32)
+    // an UNRELATED later append must heal A's residue (the heal keys on
+    // _cfull \ _cdocs globally, not on the incoming batch — a crashed
+    // batch that is never retried must not leave orphans forever)
+    Dedup.appendToContainmentIndex(spark, sf, col("doc_id") % 8 === 4, prefix)
+    // A itself can then re-append cleanly (never registered, residue gone)
+    Dedup.appendToContainmentIndex(spark, sf, col("doc_id") % 8 === 2, prefix)
     // post-repair probe == a probe against a fresh build over the same
     // corpus (the StorageLayoutSpec equivalence, re-proven post-crash)
     Dedup.persistContainmentIndex(spark, sf, freshPrefix,
-      corpusFilter = col("doc_id") % 2 === 0)
+      corpusFilter =
+        col("doc_id") % 8 === 0 || col("doc_id") % 8 === 2 ||
+          col("doc_id") % 8 === 4)
     def probe(p: String) =
       Dedup.incrementalContainmentFromIndex(spark, sf, p).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
@@ -164,9 +169,84 @@ class Round12Spec extends AnyFunSuite {
       "healed index must probe identically to a fresh rebuild")
     // a COMPLETE append is still refused — the duplicate guard survives
     val e = intercept[IllegalArgumentException] {
-      Dedup.appendToContainmentIndex(spark, sf, col("doc_id") % 4 === 2, prefix)
+      Dedup.appendToContainmentIndex(spark, sf, col("doc_id") % 8 === 2, prefix)
     }
     assert(e.getMessage.contains("already indexed"))
+  }
+
+  test("file-arrival dial: an mtime-shuffled multi-batch replay loses nothing at the twin delay") {
+    // the r11 trap made a spec: the file source delivers files in MTIME
+    // order, so a parallel-written (mtime-shuffled) corpus arrives
+    // time-travelled even when every file is internally ts-sorted — the
+    // corpus-contract dial alone (event_id order, 1 µs here) would let
+    // the watermark jump to the furthest-ahead file and drop the rest;
+    // deriveFileArrivalDelayUs prices the arrival the source actually
+    // has, and the twins take the max of both dials
+    import org.apache.spark.sql.functions._
+    val staged = java.nio.file.Files.createTempDirectory("graft_r12_mtime").toString
+    graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .repartitionByRange(4, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(s"$staged/events.parquet")
+    val parts = new java.io.File(s"$staged/events.parquet").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis()
+    // REVERSED mtimes: the latest-ts file arrives first
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + (parts.length - 1 - i) * 1000L) }
+    val corpusDial = Events.deriveWatermarkDelayUs(spark, staged)
+    val fileDial = Events.deriveFileArrivalDelayUs(spark, staged)
+    assert(corpusDial == 1L, "event_id order is clean — the corpus dial floors")
+    assert(fileDial > 1000000L,
+      s"the reversed arrival must dominate the dial: $fileDial")
+    assert(Events.twinDelayUs(spark, staged) == fileDial)
+
+    val batch = Events.attributedPairs(spark, staged).count()
+    def replayAt(delayUs: Long): Long = {
+      val d = Events.watermarkDelayString(delayUs)
+      val schema = spark.read.parquet(s"$staged/events.parquet").schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$staged/events.parquet")
+      val joined = Events.attributionJoin(
+        src.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", d),
+        src.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", d),
+        Events.AttributionWindowMinutes)
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(s"r12_mtime_$delayUs").start()
+      try { q.processAllAvailable()
+        spark.sql(s"SELECT count(*) FROM r12_mtime_$delayUs")
+          .collect()(0).getLong(0)
+      } finally q.stop()
+    }
+    assert(replayAt(fileDial) == batch,
+      "at the file-arrival dial the shuffled replay is lossless")
+    assert(replayAt(corpusDial) < batch,
+      "the corpus dial alone under-sizes this arrival — the negative control")
+  }
+
+  test("withDerivedStatefulPartitions sets the dial for the body and restores the session value") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val h = Events.attributionStateHorizonRows(spark, sf)
+    val inside = Events.withDerivedStatefulPartitions(spark, sf) { p =>
+      assert(p == Events.deriveStatefulShufflePartitions(h))
+      spark.conf.get("spark.sql.shuffle.partitions")
+    }
+    assert(inside == Events.deriveStatefulShufflePartitions(h).toString)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prev,
+      "session value must be restored")
+    // restored even when the body throws
+    intercept[RuntimeException] {
+      Events.withDerivedStatefulPartitions(spark, sf, Some(1L << 20)) { _ =>
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prev)
   }
 
   test("m16 audit escalates to the wide2 layout past the gradient cap — Σ C(s,2) still prices the real join") {
