@@ -230,6 +230,40 @@ class Round12Spec extends AnyFunSuite {
       "the corpus dial alone under-sizes this arrival — the negative control")
   }
 
+  test("file-arrival dial prices mtime ties conservatively — either delivery order is covered") {
+    // the source's tie-break is nondeterministic, so two files sharing an
+    // mtime must each count the other as possibly-prior: the dial covers
+    // the worse order (later-ts file first), not the luckier one
+    val spark2 = spark
+    import spark2.implicits._
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def ts(off: Long) = java.sql.Timestamp.from(t0.plusSeconds(off))
+    val staged = java.nio.file.Files.createTempDirectory("graft_r12_tie").toString
+    // file A: events at 0..100 s; file B: events at 3600..3700 s
+    Seq((1L, ts(0L)), (2L, ts(100L))).toDF("event_id", "ts")
+      .coalesce(1).write.parquet(s"$staged/a")
+    Seq((3L, ts(3600L)), (4L, ts(3700L))).toDF("event_id", "ts")
+      .coalesce(1).write.parquet(s"$staged/b")
+    val dir = new java.io.File(s"$staged/events.parquet"); dir.mkdirs()
+    def move(src: String, name: String): java.io.File = {
+      val part = new java.io.File(s"$staged/$src").listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(dir, name)
+      assert(part.renameTo(dst)); dst
+    }
+    val fa = move("a", "part-00000-aaa.snappy.parquet")
+    val fb = move("b", "part-00001-bbb.snappy.parquet")
+    val base = System.currentTimeMillis() / 1000L * 1000L
+    fa.setLastModified(base); fb.setLastModified(base)
+    // worst order is B then A: A's earliest row (0 s) trails B's max
+    // (3700 s) by the full 3700 s
+    assert(Events.deriveFileArrivalDelayUs(spark, staged) ==
+      3700L * 1000000L + 1L)
+    // distinct mtimes with A strictly first: nothing trails, the floor
+    fb.setLastModified(base + 2000L)
+    assert(Events.deriveFileArrivalDelayUs(spark, staged) == 1L)
+  }
+
   test("withDerivedStatefulPartitions sets the dial for the body and restores the session value") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val h = Events.attributionStateHorizonRows(spark, sf)
