@@ -349,7 +349,11 @@ object Dedup {
     * busiest 70-minute click+purchase horizon — the state-volume
     * partition sizing the r11 st10 control measured, r12). Empty corpus →
     * each parameter's documented floor (3 / 8 / 0 / 1 µs / 1 partition),
-    * never an error.
+    * never an error. The one derived dial deliberately NOT a report row
+    * is [[graft.streaming.Events.deriveFileArrivalDelayUs]]: it derives
+    * from DELIVERY state (part-file mtimes), not corpus statistics, so
+    * the DuckDB twin — which replays corpus formulas — cannot observe
+    * its inputs; the twins take the max of both dials at query build.
     *
     * Cross-engine note: `math.round` is floor(x + 0.5) (half toward +∞)
     * while SQL `round` is half away from zero — they differ on negative

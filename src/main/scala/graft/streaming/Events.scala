@@ -1029,9 +1029,10 @@ object Events {
     * generator's monotone sequence), an event is LATE when its event
     * time trails the user's running-max event time by more than
     * [[DisorderGraceSeconds]]. This is the measurement that SIZES a
-    * streaming watermark: st1–st7 all declare `withWatermark(..., 10
-    * minutes)`, and this query is how an operator validates that bound
-    * against the firehose before trusting it (n_late at grace g = the
+    * streaming watermark: the twins pin the derived [[twinDelayUs]]
+    * (since r12; they declared a 10-minute literal before), and this
+    * query is how an operator validates such a bound against the
+    * firehose before trusting it (n_late at grace g = the
     * rows a g-second watermark would drop; max_lateness = the delay that
     * would have lost nothing). The drop equivalence is asserted
     * end-to-end in StreamingSpec against a real `withWatermark` replay,

@@ -216,6 +216,9 @@ class EmptyInputSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(drift.toSeq == Seq(("fresh_rebuild", 0L, 0L),
       ("frozen_build", 0L, 0L)), s"d30 empty: ${drift.toSeq}")
+    // the file-arrival dial (not a report row — delivery state, not
+    // corpus statistics) floors on an empty replay too
+    assert(graft.streaming.Events.deriveFileArrivalDelayUs(spark, emptyDir) == 1L)
   }
 
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {
