@@ -15,10 +15,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * by 3.3 s and re-shuffled sub-second ranks, and an exact assertion
   * turned that noise into a red working tree. So total seconds gets a
   * [[FiguresSpec.TotalTolerance]] (10%) band and the slowest-five check
-  * is set-containment (the five listed must sit inside the artifact's
-  * top eight), which still fails on structural drift (a new expensive
-  * query missing from the list, a removed query still listed) but not on
-  * adjacent ranks swapping under load.
+  * is MAGNITUDE-GATED set-containment (r12 verdict "what's wrong" #1:
+  * plain top-eight containment still flapped when d15 3.00→1.53 s and
+  * d12 2.93→1.12 s between windows — multi-second dedup rows swing up to
+  * [[FiguresSpec.WindowSwing]] (2×) with page cache in BOTH directions,
+  * the same spread the sf10 soak recheck measured on d17). A listed
+  * query is a stray only when it is outside the artifact's top eight AND
+  * its current measurement sits more than one window-swing below the
+  * five-boundary (so it could not re-enter the five in the next window);
+  * a top-three artifact query the list omits is structural only when it
+  * clearly separates (more than one window-swing ABOVE the boundary —
+  * i.e. a genuinely new expensive query, not a band-mate that drifted
+  * up). Structural drift still fails: a removed query still listed has
+  * no measurement at all, and a new 2×+ heavyweight missing from the
+  * list fires the separation check — the negative cases below prove
+  * both, and the r12 README/overwritten-artifact pair that produced the
+  * flap is pinned as a must-pass regression fixture.
   *
   * The `sbt test` count is the one figure a test cannot observe from
   * inside the run (a suite cannot see its siblings' totals), so it stays
@@ -111,22 +123,69 @@ class FiguresSpec extends AnyFunSuite {
       fakeBench).isEmpty, "a 5% total drift is box weather")
   }
 
-  test("a slowest-five entry outside the artifact top eight still fails") {
+  test("a slowest-five entry far outside the band still fails") {
+    // qi = 0.3 s, rank 9, below the noise floor (5th-ranked qe 2.0 s /
+    // 2× swing = 1.0 s) — no window swing puts it back in the five
     assert(checkSlowestFive(
       fakeFigures(9, 32.2, Seq("qa", "qb", "qc", "qd", "qi")),
-      fakeBench).nonEmpty, "qi ranks 9th — listing it is structural drift")
+      fakeBench).nonEmpty, "qi at 0.3 s — listing it is structural drift")
     assert(checkSlowestFive(
       fakeFigures(9, 32.2, Seq("qa", "qb", "qc", "qe", "qf")),
       fakeBench).isEmpty, "top-8 members swapping ranks is box weather")
   }
 
+  test("a listed query that fell out of the top eight but stays within " +
+    "one window-swing of the boundary passes") {
+    // qj = 1.5 s ranks 9th of 10, but 1.5 >= qe(2.0)/2 — one 2× swing
+    // re-seats it, so flagging it would flag box weather (the exact d15
+    // shape that reddened the r12 tree)
+    assert(checkSlowestFive(
+      fakeFigures(10, 33.7, Seq("qa", "qb", "qc", "qd", "qj")),
+      fakeBench + ("qj" -> 1.5)).isEmpty)
+  }
+
+  test("a removed query still listed always fails, regardless of band") {
+    assert(checkSlowestFive(
+      fakeFigures(9, 32.2, Seq("qa", "qb", "qc", "qd", "qzombie")),
+      fakeBench).nonEmpty, "a listed query with no measurement is structural")
+  }
+
   test("an artifact top-three query missing from the listed five still fails") {
-    // qa regressed to slowest; the stale README lists the OLD five
-    // (ranks 2-6) — containment alone would pass, the top-three check
-    // catches it
+    // qa regressed to slowest at 10 s > 2× the 5th-ranked 2.0 s; the
+    // stale README lists the OLD five (ranks 2-6) — containment alone
+    // would pass, the separation check catches it
     assert(checkSlowestFive(
       fakeFigures(9, 32.2, Seq("qb", "qc", "qd", "qe", "qf")),
       fakeBench).nonEmpty, "omitting the artifact's slowest is structural drift")
+    // but a band-mate drifting INTO the top three without separating
+    // (qd = 4.0 s = exactly 2× the 2.0 s boundary, not above it) is
+    // weather, not structure — with qc compressed to 3.9 s the top three
+    // is qa/qb/qd and the listed five omits qd
+    assert(checkSlowestFive(
+      fakeFigures(9, 32.2, Seq("qa", "qb", "qc", "qe", "qf")),
+      fakeBench + ("qc" -> 3.9)).isEmpty,
+      "a non-separated top-three entrant is box weather")
+  }
+
+  test("r12 regression fixture: the committed README vs the driver's " +
+    "post-commit overwrite must pass") {
+    // the exact pair that reddened the r12 working tree: README generated
+    // from the 141.9 s commit artifact (d15 3.00 s, d12 2.93 s in the
+    // five); bench_out.json overwritten by the driver's 133.3 s rerun
+    // where d15 measured 1.53 s (rank 12) and d12 1.12 s (rank ~20) —
+    // both inside one window-swing of the rerun's 5th-ranked 2.04 s
+    val r12Readme =
+      """<!-- FIGURES:BEGIN
+        |- slowest five: `d28_incremental_containment_indexed` 4.38 s, `d18_quality_survivors` 3.86 s, `d15_source_overlap` 3.00 s, `d12_incremental_dedup_indexed` 2.93 s, `s15_quant_impact` 2.55 s.
+        |""".stripMargin
+    val r12Overwrite = Map(
+      "d28_incremental_containment_indexed" -> 3.666, "d18_quality_survivors" -> 2.816,
+      "d25_cluster_sizes" -> 2.195, "s6_pq_ann" -> 2.064, "s15_quant_impact" -> 2.036,
+      "m6_media_dedup_clusters" -> 2.030, "d22_cluster_cohesion" -> 1.982,
+      "t9_repetition" -> 1.942, "t8_tfidf" -> 1.935, "s14_recall_curve" -> 1.902,
+      "d15_source_overlap" -> 1.53, "d12_incremental_dedup_indexed" -> 1.12)
+    assert(checkSlowestFive(r12Readme, r12Overwrite).isEmpty,
+      "the r12 flap pair must be green under the magnitude gate")
   }
 
   test("a correctness figure at a stale registry still fails") {
@@ -146,6 +205,15 @@ object FiguresSpec {
     * slowdown still fails (the count check catches the former exactly).
     */
   val TotalTolerance = 0.10
+
+  /** Cross-window swing factor on multi-second dedup rows, measured three
+    * rounds running: d15 3.00→1.53 s and d12 2.93→1.12 s between the r12
+    * commit and the driver's post-commit rerun, d17 149→279 s in-suite vs
+    * isolated at sf10 (`soak100_recheck_r12.json`) — heavy shuffle rows
+    * move ~2× with page cache in BOTH directions. The slowest-five check
+    * treats anything within one swing of the five-boundary as weather.
+    */
+  val WindowSwing = 2.0
 
   /** None = pass; Some(message) = the check failed with that reason. */
   def checkCountAndTotal(figures: String,
@@ -168,28 +236,43 @@ object FiguresSpec {
 
   def checkSlowestFive(figures: String,
                        bench: Map[String, Double]): Option[String] = {
-    val ranked = bench.filter(_._2 >= 0).toSeq.sortBy(-_._2).map(_._1)
-    val top8 = ranked.take(8).toSet
-    val top3 = ranked.take(3)
+    val ranked = bench.filter(_._2 >= 0).toSeq.sortBy(-_._2)
+    val top8 = ranked.take(8).map(_._1).toSet
+    // the five-boundary: the artifact's 5th-slowest measurement — the
+    // value a query must beat to belong in the listed five *this window*
+    val fifth = if (ranked.size >= 5) ranked(4)._2 else 0.0
     val line = figures.linesIterator.find(_.contains("slowest five"))
       .getOrElse(return Some("no slowest-five line"))
     val listed = """`([a-z0-9_]+)` [\d.]+ s""".r
       .findAllMatchIn(line).map(_.group(1)).toSeq
     if (listed.size != 5)
       return Some(s"slowest-five line lists ${listed.size} queries")
-    val strays = listed.filterNot(top8.contains)
+    // a listed query is a stray only when it is BOTH outside the top
+    // eight AND measured more than one window-swing below the boundary
+    // in the current artifact — i.e. no single 2× swing could put it
+    // back in the five. A query with no measurement at all (removed
+    // from the registry but still listed) is always a stray.
+    val strays = listed.filterNot(q => top8.contains(q) ||
+      bench.get(q).exists(_ >= fifth / WindowSwing))
     if (strays.nonEmpty)
       return Some(s"README slowest-five lists $strays outside the " +
-        s"artifact's top eight ${top8.toSeq.sorted} — regenerate the block")
-    // both directions are structural: a listed query outside the top
-    // eight (above), AND an artifact top-three query the list omits — a
-    // newly-slowest query pushing the old five down to ranks 2-6 would
-    // otherwise pass containment while the README misses the one row
-    // that matters most
-    val missed = top3.filterNot(listed.contains)
+        s"artifact's top eight AND below the noise floor " +
+        f"(${fifth / WindowSwing}%.2f s = 5th-ranked $fifth%.2f s / " +
+        f"$WindowSwing%.0f× swing) — regenerate the block")
+    // both directions are structural: a listed query far outside the
+    // band (above), AND an artifact top-three query the list omits that
+    // CLEARLY separates — more than one window-swing above the boundary
+    // means a genuinely new heavyweight the README misses, while a
+    // band-mate drifting into the top three is the same box weather the
+    // stray gate forgives.
+    val missed = ranked.take(3).collect {
+      case (q, v) if !listed.contains(q) && v > WindowSwing * fifth => q
+    }
     if (missed.nonEmpty)
-      Some(s"artifact top-three $missed missing from README slowest-five " +
-        s"$listed — regenerate the block")
+      Some(s"artifact top-three $missed (each > " +
+        f"${WindowSwing * fifth}%.2f s = $WindowSwing%.0f× the 5th-ranked " +
+        s"measurement) missing from README slowest-five $listed — " +
+        "regenerate the block")
     else None
   }
 
