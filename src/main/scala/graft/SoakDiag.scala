@@ -591,7 +591,9 @@ object SoakDiag {
         batchRows.filter(col("click_id").isNull).count())
       val st11DelayUs = stagedArrivalDelayUs(staged)
       // the r12 DRAIN: one sentinel click+purchase file (reserved
-      // user_id, filtered after the watermark nodes) staged as the LAST
+      // user_id, invisible by construction — see drainSentinelEvents;
+      // an explicit user_id filter would be pushed below the watermark
+      // node by Catalyst and neuter the drain) staged as the LAST
       // arrival closes the finite replay's watermark horizon — streamed
       // verdicts below must equal batch rows EXACTLY, not "all but the
       // trailing ~delay" (the r11 caveat this removes)

@@ -989,11 +989,14 @@ object Events {
     * priced conservatively: every other file with mtime ≤ ours counts
     * as possibly-prior. One distributed pass builds per-file event-time
     * min/max (one row per file); mtime stat + the prior-max fold run on
-    * the driver over that file list. Single file or empty → the 1 µs
-    * floor. The streaming twins take the MAX of both dials
-    * ([[twinDelayUs]]); SoakDiag's staged replays measure 0 here by
-    * construction (`orderArrival`), so any staging regression surfaces
-    * as a huge derived delay instead of silent row loss.
+    * the driver over that file list in O(F log F) ([[fileArrivalWorstUs]]
+    * — the r12 fold was an O(F²) filter-per-file, fine for a staged
+    * replay's thousands of part files but 10¹⁰⁺ driver comparisons at a
+    * 10⁵–10⁶-file backfill). Single file or empty → the 1 µs floor. The
+    * streaming twins take the MAX of both dials ([[twinDelayUs]]);
+    * SoakDiag's staged replays measure 0 here by construction
+    * (`orderArrival`), so any staging regression surfaces as a huge
+    * derived delay instead of silent row loss.
     */
   def deriveFileArrivalDelayUs(spark: SparkSession, dir: String): Long = {
     val perFile = Tables.events(spark, dir)
@@ -1008,13 +1011,55 @@ object Events {
       (p.getFileSystem(hconf).getFileStatus(p).getModificationTime,
         r.getLong(1), r.getLong(2))
     }
-    // quadratic over the FILE count (one replay's part files — thousands
-    // at most), driver-side; rows never leave the one-per-file aggregate
-    val worst = files.iterator.map { g =>
-      val prior = files.filter(f => !(f eq g) && f._1 <= g._1)
-      if (prior.isEmpty) 0L else math.max(prior.map(_._3).max - g._2, 0L)
-    }.max
-    worst + 1L
+    fileArrivalWorstUs(files) + 1L
+  }
+
+  /** The prior-max fold behind [[deriveFileArrivalDelayUs]], factored
+    * pure for direct testing: `files` is `(mtime, fmin, fmax)` per part
+    * file; the result is `max over files g of (max fmax over g's
+    * possibly-prior files − g.fmin)`, floored at 0, where possibly-prior
+    * = strictly earlier mtime OR an mtime tie (the source's tie-break is
+    * nondeterministic, so tie-mates price each other in BOTH directions
+    * — same contract as the r12 quadratic form, which Round13Spec keeps
+    * as the property-test oracle).
+    *
+    * O(F log F): sort by mtime, then one pass carrying the running max
+    * of `fmax` over all strictly-prior mtime groups; within a tie group
+    * each member excludes ITSELF via the group's top-two `fmax` values
+    * (the unique argmax sees the second max; everyone else — including
+    * duplicated maxima — sees the max).
+    */
+  private[graft] def fileArrivalWorstUs(
+      files: Array[(Long, Long, Long)]): Long = {
+    val sorted = files.sortBy(_._1)
+    var worst = 0L
+    var runningMax = Long.MinValue // max fmax over strictly-prior mtimes
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      var m1 = Long.MinValue; var m2 = Long.MinValue; var m1Count = 0
+      var k = i
+      while (k < j) {
+        val f = sorted(k)._3
+        if (f > m1) { m2 = m1; m1 = f; m1Count = 1 }
+        else if (f == m1) m1Count += 1
+        else if (f > m2) m2 = f
+        k += 1
+      }
+      k = i
+      while (k < j) {
+        val g = sorted(k)
+        val tieMax = if (g._3 < m1 || m1Count > 1) m1 else m2
+        val priorMax = math.max(runningMax, tieMax)
+        if (priorMax != Long.MinValue)
+          worst = math.max(worst, math.max(priorMax - g._2, 0L))
+        k += 1
+      }
+      runningMax = math.max(runningMax, m1)
+      i = j
+    }
+    worst
   }
 
   /** The delay the twins pin: the corpus disorder contract AND the file
@@ -1334,6 +1379,19 @@ object Events {
     * (StreamingSpec pins it, including sentinel absence; SoakDiag's st11
     * section asserts it at soak scale).
     *
+    * The second bullet assumes the GLOBAL watermark is the MINIMUM of
+    * the per-column watermarks — Spark's default
+    * (`spark.sql.streaming.multipleWatermarkPolicy=min`), and what the
+    * rest of this argument already relies on (the drain works at all
+    * because the min-combined watermark is held back by BOTH columns
+    * until both sentinels arrive). Under `policy=max` with a derived
+    * delay under 1 s, the global watermark would follow the sentinel
+    * CLICK (`drainUs + 1 s − delay`), pass the sentinel purchase's match
+    * horizon, and the outer join would emit a `user_id = -1`
+    * null-verdict row — breaking the exact-equality-with-batch contract.
+    * The method asserts the session is on min policy rather than
+    * silently producing that row.
+    *
     * `schema` is the staged replay's file schema — the sentinels carry
     * the four live columns and null elsewhere, so the frame appends to
     * the staging directory as one more (last-mtime) file.
@@ -1342,6 +1400,13 @@ object Events {
                           schema: org.apache.spark.sql.types.StructType,
                           maxTsUs: Long, windowMinutes: Long,
                           delayUs: Long): DataFrame = {
+    val policy =
+      spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy", "min")
+    require(policy == "min",
+      s"drainSentinelEvents requires multipleWatermarkPolicy=min (got " +
+        s"'$policy'): under max-combining the global watermark follows " +
+        "the sentinel click past the sentinel purchase's horizon and the " +
+        "outer join emits a sentinel null-verdict row at the sink")
     val drainUs = maxTsUs + windowMinutes * 60000000L + delayUs + 1000000L
     val base = spark.range(2).select(
       (col("id") - 2L).as("event_id"),
