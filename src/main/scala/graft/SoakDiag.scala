@@ -363,6 +363,19 @@ object SoakDiag {
               .agg(count(lit(1)).as("df")),
             0.8, "frozen").collect()(0).getLong(2)
         }
+        // the r13 POLICY consumed at soak scale: the drift ratio (×10⁴,
+        // the registered query's 4-decimal rounding as an integer row)
+        // and the rebuild verdict at Dedup.DriftRebuildRatio — the sweep
+        // is where the verdict visibly flips as the frozen snapshot ages
+        // (r12 numbers: sf1 never flips at 1.19–1.48; sf3 flips at
+        // 7/8-stale 2.01; sf10 at 1/4-stale 2.42)
+        for (fresh <- out.get("d30_fresh_candidates");
+             frozen <- out.get(s"d30_frozen_candidates_div$k")) {
+          val ratio = if (fresh == 0L) 1.0 else frozen.toDouble / fresh
+          untimed(s"d30_drift_ratio_x10000_div$k", math.round(ratio * 10000))
+          untimed(s"d30_rebuild_recommended_div$k",
+            if (ratio >= operators.Dedup.DriftRebuildRatio) 1L else 0L)
+        }
       }
       sh.unpersist()
       ()

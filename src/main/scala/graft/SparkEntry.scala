@@ -3733,7 +3733,10 @@ object SparkEntry {
   /** d30: prefix-filter candidate volume under the frozen (even-half)
     * vs fresh (whole-corpus) df order — Σ_s prefixCount·fullCount from
     * per-shingle histograms, the same closed form the Spark side prices
-    * (no pair materialized in either engine).
+    * (no pair materialized in either engine) — folded into ONE policy
+    * row: both volumes, their ratio, and the rebuild verdict at the
+    * derived 2× threshold (`Dedup.DriftRebuildRatio`). The empty floor
+    * is (0, 0, 0, 1.0, 0) in both engines.
     */
   private val OrderDriftSql: String = ShingleCtesSql + """,
       dfz AS (SELECT s, count(*) AS df FROM sh WHERE doc_id % 2 = 0 GROUP BY 1),
@@ -3764,15 +3767,20 @@ object SparkEntry {
                 sum(CASE WHEN j < n - ceil(n * 0.8 - 0.000000001) + 1
                     THEN 1 ELSE 0 END) AS pcnt
               FROM posf GROUP BY 1))
-      SELECT 'frozen_build' AS order_kind,
-        CAST(prefix_rows AS BIGINT) AS prefix_rows,
-        CAST(candidate_rows AS BIGINT) AS candidate_rows
-      FROM volz
-      UNION ALL
-      SELECT 'fresh_rebuild', CAST(prefix_rows AS BIGINT),
-        CAST(candidate_rows AS BIGINT)
-      FROM volf
-      ORDER BY order_kind"""
+      , ratio AS (
+        SELECT CAST(volf.prefix_rows AS BIGINT) AS prefix_rows,
+          CAST(volz.candidate_rows AS BIGINT) AS frozen_candidate_rows,
+          CAST(volf.candidate_rows AS BIGINT) AS fresh_candidate_rows,
+          CASE WHEN volf.candidate_rows = 0 THEN CAST(1.0 AS DOUBLE)
+               ELSE round(CAST(volz.candidate_rows AS DOUBLE) /
+                          CAST(volf.candidate_rows AS DOUBLE), 4)
+          END AS drift_ratio
+        FROM volz, volf)
+      SELECT prefix_rows, frozen_candidate_rows, fresh_candidate_rows,
+        drift_ratio,
+        CAST(CASE WHEN drift_ratio >= 2.0 THEN 1 ELSE 0 END AS BIGINT)
+          AS rebuild_recommended
+      FROM ratio"""
 
   /** d11: the same exact-Jaccard contract restricted to
     * batch(odd)×corpus(even) pairs — LSH banding is recall machinery,

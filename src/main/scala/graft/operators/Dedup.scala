@@ -2107,14 +2107,24 @@ object Dedup {
     * the append path's lookup) and (b) the order a fresh rebuild would
     * derive — two corpus passes over per-shingle histograms, no pair is
     * ever materialized (Round12Spec pins the closed form equal to the
-    * real prefix-equi-join's row count). `prefix_rows` is identical in
-    * both rows by construction (prefix LENGTH per doc depends only on
-    * its shingle count — the order moves which shingles fill it, not how
-    * many), so any candidate_rows gap is pure selectivity drift; the
-    * registered fixture freezes over the even half (the d27/d28 corpus)
-    * with the odd half appended, and SoakDiag's d30 section sweeps the
-    * appended fraction at soak scale — when the frozen row pulls away
-    * from the fresh row, that is the rebuild signal.
+    * real prefix-equi-join's row count). `prefix_rows` is identical
+    * under both orders by construction (prefix LENGTH per doc depends
+    * only on its shingle count — the order moves which shingles fill it,
+    * not how many; Round12Spec pins the equality), so any
+    * candidate-volume gap is pure selectivity drift.
+    *
+    * r13 (the r12 verdict's missing step): the audit is a POLICY, not
+    * just a signal — one row carrying both volumes, their `drift_ratio`
+    * (frozen/fresh, the factor the frozen order inflates every probe's
+    * candidate work by), and a `rebuild_recommended` verdict at the
+    * derived [[DriftRebuildRatio]] threshold, replayed bit-for-bit by
+    * the DuckDB twin like every other verdict column. The registered
+    * fixture freezes over the even half (the d27/d28 corpus) with the
+    * odd half appended; SoakDiag's d30 section sweeps the appended
+    * fraction × scale and reports the verdict flipping as staleness
+    * grows (measured r12: ratio 1.19→1.48 across staleness at sf1 —
+    * never worth a rebuild — flipping past the threshold at sf3's
+    * 7/8-stale 2.01 and sf10's 2.42/3.76).
     *
     * Cross-engine determinism: the order is (df asc, shingle STRING asc)
     * — the hashed shingles the probe pipelines sort by would tie-break
@@ -2132,9 +2142,37 @@ object Dedup {
     val fresh = driftVolumeUnder(sh,
       sh.groupBy(col("s")).agg(count(lit(1)).as("df")),
       threshold, "fresh_rebuild")
-    materializeAndRelease(
-      frozen.unionAll(fresh).orderBy(col("order_kind")), sh)
+    // two 1-row global aggregates — the cross join is 1×1; the empty
+    // corpus floors to (0, 0, 0, ratio 1.0, no rebuild), never an error
+    val ratio = when(col("fresh_candidate_rows") === 0L, lit(1.0))
+      .otherwise(round(col("frozen_candidate_rows").cast("double") /
+        col("fresh_candidate_rows").cast("double"), 4))
+    val joined = frozen
+      .select(col("prefix_rows"),
+        col("candidate_rows").as("frozen_candidate_rows"))
+      .crossJoin(fresh.select(col("candidate_rows").as("fresh_candidate_rows")))
+      .withColumn("drift_ratio", ratio)
+      .withColumn("rebuild_recommended",
+        (col("drift_ratio") >= DriftRebuildRatio).cast("long"))
+    materializeAndRelease(joined, sh)
   }
+
+  /** d30's rebuild threshold: recommend a rebuild once the frozen
+    * order's candidate volume reaches 2× a fresh rebuild's. Derived from
+    * the d28 ledger's own probe-vs-build pricing rather than picked: a
+    * probe's candidate + verify work scales with candidate volume, so
+    * the frozen order's EXCESS work per probe is ≈ (drift_ratio − 1) ×
+    * probe cost, while a rebuild costs one corpus shingle + df + sort
+    * pass — measured at 0.92× a halfbatch probe at sf1 (23.1 s build vs
+    * 25.1 s probe, the most rebuild-hostile scale in the r12 window) and
+    * ~0.21× at sf3 (14.8 vs 70.3 s). At drift_ratio 2 the excess work of
+    * a SINGLE probe already covers the rebuild even at the sf1 ratio; at
+    * the scales where the index wins at all (past the d28 break-even,
+    * see [[incrementalContainmentFromIndex]]) payback arrives ~5× sooner.
+    * Conservative by design: the policy never recommends a rebuild that
+    * one probe cannot amortize.
+    */
+  val DriftRebuildRatio = 2.0
 
   /** Distinct (doc_id, shingle STRING) pairs — d30's unhashed spelling
     * of [[docShingles]] (see the determinism note there).

@@ -211,11 +211,17 @@ class EmptyInputSpec extends AnyFunSuite {
       "m6_phash_extra_band_bits" -> 0L,
       "st_watermark_delay_us" -> 1L,
       "st_shuffle_partitions" -> 1L), s"floors: $cfg")
-    // d30 is a report too: two rows of zero volumes on an empty corpus
+    // d30 is a report too: zero volumes, ratio 1.0, no rebuild on an
+    // empty corpus — a policy row, never an error
     val drift = graft.operators.Dedup.indexOrderDriftAudit(spark, emptyDir)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    assert(drift.toSeq == Seq(("fresh_rebuild", 0L, 0L),
-      ("frozen_build", 0L, 0L)), s"d30 empty: ${drift.toSeq}")
+      .collect()
+    assert(drift.length == 1)
+    assert((drift(0).getAs[Long]("prefix_rows"),
+      drift(0).getAs[Long]("frozen_candidate_rows"),
+      drift(0).getAs[Long]("fresh_candidate_rows"),
+      drift(0).getAs[Double]("drift_ratio"),
+      drift(0).getAs[Long]("rebuild_recommended")) ==
+      ((0L, 0L, 0L, 1.0, 0L)), s"d30 empty: ${drift(0)}")
     // the file-arrival dial (not a report row — delivery state, not
     // corpus statistics) floors on an empty replay too
     assert(graft.streaming.Events.deriveFileArrivalDelayUs(spark, emptyDir) == 1L)

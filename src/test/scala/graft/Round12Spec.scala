@@ -117,23 +117,28 @@ class Round12Spec extends AnyFunSuite {
   }
 
   test("d30 closed form equals the real prefix-equi-join volume, and prefix_rows is order-invariant") {
-    val audit = Dedup.indexOrderDriftAudit(spark, sf).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    assert(audit.keySet == Set("frozen_build", "fresh_rebuild"))
-    assert(audit("frozen_build")._1 == audit("fresh_rebuild")._1,
-      "prefix LENGTH per doc depends only on its shingle count")
+    val audit = Dedup.indexOrderDriftAudit(spark, sf).collect()(0)
+    val prefixRows = audit.getAs[Long]("prefix_rows")
+    val frozenVol = audit.getAs[Long]("frozen_candidate_rows")
     // the d29/m16 contract: the histogram product IS the join's row count
     val sh = Dedup.shingleStrings(spark, sf).cache()
     try {
       val dfz = sh.filter(col("doc_id") % 2 === 0)
         .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      // order-invariance of prefix_rows (the reshaped d30 emits it once,
+      // from the fresh order): the frozen order's own volume row must
+      // carry the same prefix length
+      val frozenRow = Dedup.driftVolumeUnder(sh,
+        dfz, 0.8, "frozen_build").collect()(0)
+      assert(frozenRow.getAs[Long]("prefix_rows") == prefixRows,
+        "prefix LENGTH per doc depends only on its shingle count")
+      assert(frozenRow.getAs[Long]("candidate_rows") == frozenVol)
       val pos = Dedup.driftPositions(sh, dfz, 0.8).cache()
       try {
         val real = pos.filter(col("in_prefix")).select(col("s")).as("a")
           .join(pos.select(col("s")).as("b"), col("a.s") === col("b.s"))
           .count()
-        assert(real == audit("frozen_build")._2,
-          s"closed form ${audit("frozen_build")._2} != emitted $real")
+        assert(real == frozenVol, s"closed form $frozenVol != emitted $real")
       } finally { pos.unpersist(); () }
     } finally { sh.unpersist(); () }
   }

@@ -62,6 +62,69 @@ class Round13Spec extends AnyFunSuite {
     assert(Events.fileArrivalWorstUs(ordered) == 0L)
   }
 
+  test("d30 emits the rebuild policy: ratio arithmetic, threshold " +
+    "boundary, fully-stale flip") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val row = Dedup.indexOrderDriftAudit(spark, sf).collect()(0)
+    val frozen = row.getAs[Long]("frozen_candidate_rows")
+    val fresh = row.getAs[Long]("fresh_candidate_rows")
+    assert(fresh > 0L && frozen >= fresh,
+      "the frozen order can only widen the candidate set on this fixture")
+    val expect = BigDecimal(frozen.toDouble / fresh)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("drift_ratio") == expect,
+      s"drift_ratio ${row.getAs[Double]("drift_ratio")} != $expect")
+    // boundary contract: >= — a ratio exactly AT the threshold rebuilds
+    assert(row.getAs[Long]("rebuild_recommended") ==
+      (if (expect >= Dedup.DriftRebuildRatio) 1L else 0L))
+    // the fully-stale limit on the REAL gate corpus: every lookup at
+    // df 0, the order collapses to plain string order — drift must be
+    // strictly worse than the even-half fixture's, but at 500 docs it
+    // measures 1.89, honestly BELOW the one-probe-payback threshold
+    // (drift grows with corpus scale: the r12 sweep hits 2.01–3.76 at
+    // sf3/sf10) — so the flip itself is pinned on the contrived corpus
+    // below, where the drift is structural rather than scale-dependent
+    val stale = Dedup.indexOrderDriftAudit(spark, sf,
+      buildFilter = lit(false)).collect()(0)
+    assert(stale.getAs[Double]("drift_ratio") >
+      row.getAs[Double]("drift_ratio"),
+      "a fully-stale order must drift strictly past the half-stale one")
+    assert(stale.getAs[Long]("prefix_rows") == row.getAs[Long]("prefix_rows"),
+      "prefix length is order-invariant even in the fully-stale limit")
+  }
+
+  test("d30 verdict flips to rebuild when the stale order floods the prefix") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    // the drift mechanism in miniature: every doc shares one
+    // alphabetically-FIRST shingle ('aa aa aa') plus six doc-unique
+    // shingles. A fresh order ranks the shared shingle most common →
+    // last → prefixes hold only doc-unique shingles (volume 2N); a
+    // build snapshot that never saw the corpus ranks everything df 0 →
+    // string order → every prefix leads with the shared shingle
+    // (volume N² + N). Ratio (N+1)/2 = 6.5 at N=12: the policy must say
+    // rebuild, and the DuckDB twin replays the same arithmetic on the
+    // registered fixture
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r13_d30").toString
+    val docs = (0 until 12).map { i =>
+      val uniq = (1 to 6).map(j => s"u${('a' + i).toChar}$j").mkString(" ")
+      (i.toLong, s"aa aa aa aa $uniq", "en", "synthetic", 0L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val flip = Dedup.indexOrderDriftAudit(spark, dir,
+      buildFilter = lit(false)).collect()(0)
+    assert(flip.getAs[Long]("fresh_candidate_rows") == 24L,
+      s"fresh volume: $flip")
+    assert(flip.getAs[Long]("frozen_candidate_rows") == 156L,
+      s"frozen volume: $flip")
+    assert(flip.getAs[Double]("drift_ratio") == 6.5)
+    assert(flip.getAs[Long]("rebuild_recommended") == 1L)
+  }
+
   test("drainSentinelEvents refuses a non-min multipleWatermarkPolicy") {
     // r12 ADVICE: under policy=max with a sub-second derived delay the
     // global watermark follows the sentinel click past the sentinel
