@@ -446,9 +446,11 @@ object SoakDiag {
       untimed("st9_total_user_days",
         ev.select(col("user_id"), to_date(col("ts"))).distinct().count())
       untimed("st9_max_day_keys", perDay.max)
-      val maxAdjacent =
-        if (perDay.length < 2) perDay.max
-        else perDay.sliding(2).map(_.sum).max
+      // the state-rows input is the LIBRARY's dial since r13
+      // (Events.funnelStateHorizonKeys, surfaced as d26 row
+      // st9_funnel_partitions) — SoakDiag consumes the replayed row
+      // rather than re-deriving it ad hoc, same convention as st10/st11
+      val maxAdjacent = streaming.Events.funnelStateHorizonKeys(spark, dir)
       untimed("st9_max_adjacent_day_keys", maxAdjacent)
       val st9DelayUs = stagedArrivalDelayUs(staged)
       untimed("st9_derived_delay_us", st9DelayUs)

@@ -3246,7 +3246,23 @@ object SparkEntry {
                     count(*) AS c
                   FROM events
                   WHERE event_type IN ('click', 'purchase')
-                  GROUP BY 1) cells) slid) h)
+                  GROUP BY 1) cells) slid) h
+        UNION ALL
+        -- st9 funnel partitions: busiest calendar-adjacent-2-day
+        -- distinct-user key count (the funnel's live (user, day) state
+        -- bound, measured 0.85-0.86x of actual peak at three soak
+        -- scales), through the same store-per-2^16 clamp. Summing two
+        -- days' distincts errs high on both-day users - sizing must
+        SELECT 'st9_funnel_partitions', k.rows,
+          CAST(least(32, greatest(1, (k.rows + 65535) // 65536)) AS BIGINT)
+        FROM (
+          SELECT CAST(coalesce(max(s), 0) AS BIGINT) AS rows FROM (
+            SELECT sum(k) OVER (
+                ORDER BY dn RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) s
+            FROM (SELECT date_diff('day', DATE '1970-01-01',
+                      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS dn,
+                    count(DISTINCT user_id) AS k
+                  FROM events GROUP BY 1) pd) slid) k)
       ORDER BY param""",
 
     // q60: q58's interval CTEs over the non-error stream, then DuckDB's

@@ -347,9 +347,13 @@ object Dedup {
     * r12) and `st_shuffle_partitions`
     * ([[graft.streaming.Events.deriveStatefulShufflePartitions]] over the
     * busiest 70-minute click+purchase horizon — the state-volume
-    * partition sizing the r11 st10 control measured, r12). Empty corpus →
-    * each parameter's documented floor (3 / 8 / 0 / 1 µs / 1 partition),
-    * never an error. The one derived dial deliberately NOT a report row
+    * partition sizing the r11 st10 control measured, r12), and
+    * `st9_funnel_partitions` (the same clamp over
+    * [[graft.streaming.Events.funnelStateHorizonKeys]] — the funnel's
+    * busiest adjacent-2-day key count, promoted from SoakDiag's ad-hoc
+    * derivation in r13 so every streaming query's sizing input is a
+    * replayed row). Empty corpus → each parameter's documented floor
+    * (3 / 8 / 0 / 1 µs / 1 partition / 1 partition), never an error. The one derived dial deliberately NOT a report row
     * is [[graft.streaming.Events.deriveFileArrivalDelayUs]]: it derives
     * from DELIVERY state (part-file mtimes), not corpus statistics, so
     * the DuckDB twin — which replays corpus formulas — cannot observe
@@ -380,6 +384,10 @@ object Dedup {
         val h = graft.streaming.Events.attributionStateHorizonRows(spark, dir)
         ("st_shuffle_partitions", h,
           graft.streaming.Events.deriveStatefulShufflePartitions(h).toLong)
+      }, {
+        val k = graft.streaming.Events.funnelStateHorizonKeys(spark, dir)
+        ("st9_funnel_partitions", k,
+          graft.streaming.Events.deriveStatefulShufflePartitions(k).toLong)
       })
       .toDF("param", "input_n", "derived_value")
       .orderBy(col("param"))
@@ -861,6 +869,31 @@ object Dedup {
     * against `_cdf`. Per-batch cost is the batch's own shuffles only,
     * however many billions of corpus rows sit behind the index — the d12
     * discipline applied to containment.
+    *
+    * BREAK-EVEN — when NOT to build this index (r12 verdict "what's
+    * wrong" #2): for a SMALL batch, a probe still pays a floor
+    * proportional to the index's `_cfull` scan bytes (both candidate
+    * joins read every corpus bucket file even when the batch matches
+    * almost nothing), while the d27 recompute pays one corpus
+    * shingle+df+sort pass — and below a few million corpus docs the
+    * recompute pass is the CHEAPER of the two. Measured in one r12
+    * window (small-batch = 1/64 of the corpus): probe 8.4 s vs recompute
+    * 4.6 s at sf1 (~50k docs), 22.3 vs 7.8 s at sf3 — the index LOSES
+    * 2–3× per batch there — inverting to 7.1 vs 12.9 s at sf10 (~500k
+    * docs, r10) where the recompute's sort dominates. The crossover
+    * sits where one corpus shingle sort costs more than scanning the
+    * bucketed index: roughly sf5–sf8 on this box (corpus shingle volume
+    * ~10⁸), and it moves UP with batch size — the registered halfbatch
+    * fixture amortizes the scan floor over a batch half the corpus's
+    * size, which is why the gate never sees the inversion. Deploy rule:
+    * build the index when (corpus shingle-sort cost) × (batches between
+    * rebuilds) exceeds (index scan floor) × (batches), i.e. for
+    * long-lived corpora at 10⁶+ docs probed by many small batches; below
+    * that, run [[incrementalContainmentDedup]] per batch and skip the
+    * index lifecycle entirely. The d30 policy
+    * ([[indexOrderDriftAudit]]/[[DriftRebuildRatio]]) prices WHEN to
+    * rebuild an index that already earns its keep; this note prices
+    * WHETHER it earns its keep at all.
     */
   def incrementalContainmentFromIndex(spark: SparkSession, dir: String,
                                       prefix: String = "containment_index",

@@ -959,6 +959,36 @@ object Events {
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
+  /** st9's state-rows input (r12 verdict "next" #6 — promoted from
+    * SoakDiag's ad-hoc derivation to a first-class replayed dial): the
+    * busiest calendar-adjacent-2-day distinct-user key count. The
+    * funnel's state is one row per live (user, day) key, and a key
+    * expires when the watermark passes its day + timeout — so peak state
+    * is bounded by the keys of the watermark's trailing day window
+    * (~the busiest two adjacent days), NOT by the stream-lifetime
+    * (user, day) count. Counting each day's distinct users and summing
+    * adjacent days errs HIGH on users active both days — a sizing input
+    * must err high; the r10–r12 soaks measured actual peaks at
+    * 0.85–0.86× this bound at three scales. One row per calendar day
+    * (~31 for the corpus's span) feeds the single-partition window —
+    * bounded by time span, never event volume — and the DuckDB twin
+    * replays the same per-day counts + 1-day-preceding range sum in the
+    * d26 report.
+    */
+  private[graft] def funnelStateHorizonKeys(spark: SparkSession,
+                                            dir: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val perDay = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(countDistinct(col("user_id")).as("k"))
+      .select(datediff(col("d"), lit("1970-01-01").cast("date")).as("dn"),
+        col("k"))
+    val w = Window.orderBy(col("dn")).rangeBetween(-1, 0)
+    val r = perDay.withColumn("s", sum(col("k")).over(w))
+      .agg(max(col("s"))).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** The µs dial as a `withWatermark` argument — quantized UP to the
     * engine's actual granularity: Spark converts the delay to whole
     * MILLISECONDS and tracks max event time in milliseconds, so a

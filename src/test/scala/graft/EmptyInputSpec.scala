@@ -210,7 +210,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "s3_ivf_sub_bits" -> 0L, "d9_simhash_extra_band_bits" -> 0L,
       "m6_phash_extra_band_bits" -> 0L,
       "st_watermark_delay_us" -> 1L,
-      "st_shuffle_partitions" -> 1L), s"floors: $cfg")
+      "st_shuffle_partitions" -> 1L,
+      "st9_funnel_partitions" -> 1L), s"floors: $cfg")
     // d30 is a report too: zero volumes, ratio 1.0, no rebuild on an
     // empty corpus — a policy row, never an error
     val drift = graft.operators.Dedup.indexOrderDriftAudit(spark, emptyDir)

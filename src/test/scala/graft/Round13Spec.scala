@@ -125,6 +125,31 @@ class Round13Spec extends AnyFunSuite {
     assert(flip.getAs[Long]("rebuild_recommended") == 1L)
   }
 
+  test("d26 carries st9's state-rows dial: the funnel horizon row equals " +
+    "the derivation and the ad-hoc soak form") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val rows = Dedup.autoConfigReport(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val k = Events.funnelStateHorizonKeys(spark, sf)
+    assert(rows("st9_funnel_partitions") ==
+      ((k, Events.deriveStatefulShufflePartitions(k).toLong)),
+      s"report row ${rows("st9_funnel_partitions")} != derivation over $k")
+    // the promoted dial must equal the ad-hoc form SoakDiag used through
+    // r12 (per-day distinct users, max over adjacent-day sums) on a
+    // contiguous-day corpus — the r9-r12 soak anchors (80880 at sf3,
+    // 269600 at sf10, peaks 0.85-0.86x) price exactly this number
+    val perDay = graft.sources.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(countDistinct(col("user_id")).as("c"))
+      .orderBy(col("d")).collect().map(_.getLong(1))
+    val adHoc =
+      if (perDay.length < 2) perDay.max else perDay.sliding(2).map(_.sum).max
+    assert(k == adHoc, s"promoted dial $k != ad-hoc adjacent-day max $adHoc")
+    // gate-scale state sits far below the 2^16 crossover -> the floor
+    assert(rows("st9_funnel_partitions")._2 == 1L)
+  }
+
   test("drainSentinelEvents refuses a non-min multipleWatermarkPolicy") {
     // r12 ADVICE: under policy=max with a sub-second derived delay the
     // global watermark follows the sentinel click past the sentinel
