@@ -711,6 +711,15 @@ object Dedup {
                               buckets: Int = 32,
                               corpusFilter: org.apache.spark.sql.Column =
                                 col("doc_id") % 2 === 0): Unit = {
+    dropIndexTables(spark, prefix)
+    docShingles(spark, dir).filter(corpusFilter)
+      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable(s"${prefix}_cdocs")
+    deriveIndexFromCdocs(spark, prefix, buckets)
+  }
+
+  /** Drop + physically delete the three index tables under `prefix`. */
+  private def dropIndexTables(spark: SparkSession, prefix: String): Unit =
     Seq(s"${prefix}_cdocs", s"${prefix}_cdf", s"${prefix}_cfull").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS `$t`")
       val loc = new org.apache.hadoop.fs.Path(
@@ -718,11 +727,14 @@ object Dedup {
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(loc, true)
     }
-    docShingles(spark, dir).filter(corpusFilter)
-      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .mode("overwrite").saveAsTable(s"${prefix}_cdocs")
-    // df and positions derive from the JUST-WRITTEN shingle table — one
-    // corpus shingle pass total, reading bucketed files
+
+  /** Derive `_cdf` (fresh df order) and `_cfull` (every shingle at its
+    * position under that order) from an already-written `_cdocs` — one
+    * corpus shingle pass total, reading bucketed files. Shared by the
+    * initial build and [[rebuildContainmentIndexTo]].
+    */
+  private def deriveIndexFromCdocs(spark: SparkSession, prefix: String,
+                                   buckets: Int): Unit = {
     val ds = spark.table(s"${prefix}_cdocs")
       .select(col("doc_id"), explode(col("sh")).as("s"))
     ds.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -2175,19 +2187,26 @@ object Dedup {
     val fresh = driftVolumeUnder(sh,
       sh.groupBy(col("s")).agg(count(lit(1)).as("df")),
       threshold, "fresh_rebuild")
-    // two 1-row global aggregates — the cross join is 1×1; the empty
-    // corpus floors to (0, 0, 0, ratio 1.0, no rebuild), never an error
+    materializeAndRelease(rebuildPolicyRow(frozen, fresh), sh)
+  }
+
+  /** Fold a frozen-order and a fresh-order volume row into the d30
+    * policy row. Two 1-row global aggregates — the cross join is 1×1;
+    * the empty corpus floors to (0, 0, 0, ratio 1.0, no rebuild), never
+    * an error.
+    */
+  private[graft] def rebuildPolicyRow(frozen: DataFrame,
+                                      fresh: DataFrame): DataFrame = {
     val ratio = when(col("fresh_candidate_rows") === 0L, lit(1.0))
       .otherwise(round(col("frozen_candidate_rows").cast("double") /
         col("fresh_candidate_rows").cast("double"), 4))
-    val joined = frozen
+    frozen
       .select(col("prefix_rows"),
         col("candidate_rows").as("frozen_candidate_rows"))
       .crossJoin(fresh.select(col("candidate_rows").as("fresh_candidate_rows")))
       .withColumn("drift_ratio", ratio)
       .withColumn("rebuild_recommended",
         (col("drift_ratio") >= DriftRebuildRatio).cast("long"))
-    materializeAndRelease(joined, sh)
   }
 
   /** d30's rebuild threshold: recommend a rebuild once the frozen
@@ -2206,6 +2225,98 @@ object Dedup {
     * one probe cannot amortize.
     */
   val DriftRebuildRatio = 2.0
+
+  /** The d30 policy against a LIVE persisted index — the production-true
+    * form (r13): where [[indexOrderDriftAudit]] re-derives the frozen
+    * order from a `buildFilter` hypothesis (so the DuckDB twin can
+    * replay it over shingle STRINGS), this audit reads the order the
+    * index actually froze. The frozen candidate volume needs NO
+    * recompute at all: `_cfull` already stores every corpus shingle at
+    * its position `j` under the frozen order, so the prefix flag is the
+    * same `j < n − ⌈τ·n⌉ + 1` filter every probe applies — the audit
+    * prices exactly the candidate volume probes pay, orphan crash
+    * residue included (orphans inflate probes until an append heals
+    * them, so counting them is correct, not a bug). The fresh side
+    * re-positions `_cfull`'s rows under a re-derived df — one extra
+    * corpus pass, same closed form. Output is the same one-row policy
+    * shape as d30 ([[rebuildPolicyRow]]).
+    *
+    * Test-verified rather than oracle-gated: the index orders by
+    * (df, xxhash64-shingle) while d30's registered twin orders by
+    * (df, shingle string) — prefix MEMBERSHIP depends on tie order, and
+    * xxhash64 has no DuckDB spelling — so Round13Spec pins both volumes
+    * exactly against [[driftVolumeUnder]] run in the HASHED spelling
+    * instead (same closed form, same tie order as the index).
+    */
+  def containmentIndexDriftAudit(spark: SparkSession,
+                                 threshold: Double = 0.8,
+                                 prefix: String = "containment_index")
+      : DataFrame = {
+    val full = spark.table(s"${prefix}_cfull")
+    val bound = col("n") -
+      ceil(col("n").cast("double") * threshold - 1e-9) + 1
+    val frozen = volumeOfPrefixFlags(
+      full.select(col("s"), (col("j") < bound).cast("long").as("p")),
+      "frozen_live")
+    val fresh = driftVolumeUnder(
+      full.select(col("doc_id"), col("s")),
+      full.groupBy(col("s")).agg(count(lit(1)).as("df")),
+      threshold, "fresh_rebuild")
+    rebuildPolicyRow(frozen, fresh)
+  }
+
+  /** Rebuild the containment index under a NEW prefix from the live
+    * index's own `_cdocs` (the index is self-contained: doc shingle sets
+    * are corpus state, the order is derived) — the ACT step of the d30
+    * policy, blue/green by design: `fromPrefix` is never mutated and
+    * nothing reads `toPrefix` until the caller hands probes over to it,
+    * so a crash mid-rebuild leaves only an unreferenced half-built
+    * target that the next attempt overwrites. That sidesteps the
+    * two-table consistency window an in-place rebuild would open
+    * (`_cdf` and `_cfull` must change together — a probe against a
+    * fresh order with stale positions silently loses candidate pairs,
+    * the one failure class the lifecycle must never admit; append and
+    * retract get away with sequential per-table swaps only because
+    * their half-states degrade to verify-join drops, not wrong orders).
+    * Post-rebuild the new index's drift ratio is 1.0 by construction
+    * and its probe output is IDENTICAL to the old index's (any one
+    * consistent total order preserves the verified pair set — the
+    * Round10Spec theorem; re-pinned post-rebuild in Round13Spec).
+    */
+  def rebuildContainmentIndexTo(spark: SparkSession, fromPrefix: String,
+                                toPrefix: String, buckets: Int = 32): Unit = {
+    require(toPrefix != fromPrefix,
+      "blue/green rebuild requires a distinct target prefix — an " +
+        "in-place rebuild opens a two-table order-consistency window")
+    dropIndexTables(spark, toPrefix)
+    spark.table(s"${fromPrefix}_cdocs")
+      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable(s"${toPrefix}_cdocs")
+    deriveIndexFromCdocs(spark, toPrefix, buckets)
+  }
+
+  /** The policy consumed end-to-end: audit the live index, rebuild to
+    * `toPrefix` iff the drift ratio clears `rebuildRatio`. Returns
+    * whether a rebuild happened (false = `toPrefix` untouched; probes
+    * stay on `fromPrefix` either way until the caller flips).
+    * `rebuildRatio` defaults to the library-derived
+    * [[DriftRebuildRatio]] (one-probe payback); a deployment whose own
+    * probe/build cost ratio differs from the d28 ledger's passes its
+    * own — the audit's `rebuild_recommended` column always reports the
+    * library default, so the override never silently redefines the
+    * registered d30 contract.
+    */
+  def maybeRebuildContainmentIndex(spark: SparkSession, fromPrefix: String,
+                                   toPrefix: String, buckets: Int = 32,
+                                   threshold: Double = 0.8,
+                                   rebuildRatio: Double = DriftRebuildRatio)
+      : Boolean = {
+    val rebuild = containmentIndexDriftAudit(spark, threshold, fromPrefix)
+      .collect()(0).getAs[Double]("drift_ratio") >= rebuildRatio
+    if (rebuild)
+      rebuildContainmentIndexTo(spark, fromPrefix, toPrefix, buckets)
+    rebuild
+  }
 
   /** Distinct (doc_id, shingle STRING) pairs — d30's unhashed spelling
     * of [[docShingles]] (see the determinism note there).
@@ -2240,9 +2351,20 @@ object Dedup {
   private[graft] def driftVolumeUnder(sh: DataFrame, dfT: DataFrame,
                                       threshold: Double,
                                       kind: String): DataFrame =
-    driftPositions(sh, dfT, threshold)
-      .select(col("s"), col("in_prefix").cast("long").as("p"))
-      .groupBy(col("s"))
+    volumeOfPrefixFlags(
+      driftPositions(sh, dfT, threshold)
+        .select(col("s"), col("in_prefix").cast("long").as("p")),
+      kind)
+
+  /** The closed form's aggregation tail over pre-computed prefix flags
+    * `(s, p)` — shared by [[driftVolumeUnder]] (which derives positions
+    * under a hypothetical order) and [[containmentIndexDriftAudit]]
+    * (whose frozen flags come straight from the persisted `_cfull`
+    * positions, no recompute).
+    */
+  private[graft] def volumeOfPrefixFlags(flags: DataFrame,
+                                         kind: String): DataFrame =
+    flags.groupBy(col("s"))
       .agg(count(lit(1)).as("fcnt"), sum(col("p")).as("pcnt"))
       .agg(coalesce(sum(col("pcnt")), lit(0L)).cast("long").as("prefix_rows"),
         coalesce(sum(col("pcnt") * col("fcnt")), lit(0L)).cast("long")

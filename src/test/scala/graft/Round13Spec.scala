@@ -150,6 +150,70 @@ class Round13Spec extends AnyFunSuite {
     assert(rows("st9_funnel_partitions")._2 == 1L)
   }
 
+  test("live-index drift audit equals the hashed closed form; " +
+    "maybeRebuild consumes the policy blue/green") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val prefix = "r13_live_idx"
+    val to = "r13_live_idx_rebuilt"
+    // a drifted live index: built over the even half, odd half appended
+    // (appended docs adopt the frozen order through the df-0 lookup)
+    Dedup.persistContainmentIndex(spark, sf, prefix,
+      corpusFilter = col("doc_id") % 2 === 0)
+    Dedup.appendToContainmentIndex(spark, sf, col("doc_id") % 2 =!= 0, prefix)
+    val audit = Dedup.containmentIndexDriftAudit(spark, 0.8, prefix)
+      .collect()(0)
+    // exact pin against the closed form in the index's OWN tie order
+    // (hashed shingles): the stored _cfull positions must price the
+    // same volumes driftVolumeUnder derives from scratch
+    val sh = Dedup.docShingles(spark, sf)
+      .select(col("doc_id"), explode(col("sh")).as("s")).cache()
+    try {
+      val frozenDf = sh.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val frozen = Dedup.driftVolumeUnder(sh, frozenDf, 0.8, "f").collect()(0)
+      val fresh = Dedup.driftVolumeUnder(sh,
+        sh.groupBy(col("s")).agg(count(lit(1)).as("df")), 0.8, "g")
+        .collect()(0)
+      assert(audit.getAs[Long]("frozen_candidate_rows") ==
+        frozen.getAs[Long]("candidate_rows"),
+        s"frozen: audit $audit vs closed form $frozen")
+      assert(audit.getAs[Long]("fresh_candidate_rows") ==
+        fresh.getAs[Long]("candidate_rows"),
+        s"fresh: audit $audit vs closed form $fresh")
+      assert(audit.getAs[Long]("prefix_rows") ==
+        fresh.getAs[Long]("prefix_rows"))
+    } finally { sh.unpersist(); () }
+    // gate-scale drift is real but below one-probe payback: the default
+    // threshold must NOT rebuild, and the no-op leaves toPrefix absent
+    assert(audit.getAs[Double]("drift_ratio") > 1.0)
+    assert(audit.getAs[Long]("rebuild_recommended") == 0L)
+    assert(!Dedup.maybeRebuildContainmentIndex(spark, prefix, to))
+    assert(!spark.catalog.tableExists(s"${to}_cdocs"))
+    // the ACT branch at a deployment-tuned ratio: the same drifted index
+    // rebuilds blue/green (fromPrefix never mutated)
+    assert(Dedup.maybeRebuildContainmentIndex(spark, prefix, to,
+      rebuildRatio = 1.01))
+    val post = Dedup.containmentIndexDriftAudit(spark, 0.8, to).collect()(0)
+    assert(post.getAs[Double]("drift_ratio") == 1.0 &&
+      post.getAs[Long]("rebuild_recommended") == 0L,
+      s"a just-rebuilt index must audit at exactly 1.0: $post")
+    assert(post.getAs[Long]("prefix_rows") == audit.getAs[Long]("prefix_rows"),
+      "prefix length is order-invariant across the rebuild")
+    assert(post.getAs[Long]("frozen_candidate_rows") ==
+      audit.getAs[Long]("fresh_candidate_rows"),
+      "the rebuilt frozen order IS the old audit's fresh order")
+    // pair-set invariance across the rebuild: any one consistent total
+    // order preserves the verified survivors (the Round10Spec theorem,
+    // re-pinned on the ACT step) — probes against old and new indexes
+    // are identical row multisets
+    def probe(p: String) =
+      Dedup.incrementalContainmentFromIndex(spark, sf, p).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(probe(prefix) == probe(to),
+      "rebuild must not change the verified pair set")
+  }
+
   test("drainSentinelEvents refuses a non-min multipleWatermarkPolicy") {
     // r12 ADVICE: under policy=max with a sub-second derived delay the
     // global watermark follows the sentinel click past the sentinel
