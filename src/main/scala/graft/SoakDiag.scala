@@ -381,6 +381,53 @@ object SoakDiag {
       ()
     }
 
+    // d31: the d30 policy's ACT step at soak scale — build over the even
+    // half, append the odd half (a genuinely drifted live index), run
+    // the LIVE audit (frozen volume straight off _cfull's stored
+    // positions, no recompute), rebuild blue/green, re-audit. The
+    // rebuild wall is the number DriftRebuildRatio's one-probe-payback
+    // derivation prices: it should track d28_index_build (same corpus
+    // pass shape), and the post-rebuild ratio must read exactly 10000
+    // (= 1.0) — a structural check, not a timing.
+    if (wanted("d31")) {
+      val p = "soak_d31_idx"
+      val to = "soak_d31_idx_rebuilt"
+      time("d31_index_build_half") {
+        operators.Dedup.persistContainmentIndex(spark, dir, p,
+          corpusFilter = col("doc_id") % 2 === 0)
+        spark.table(s"${p}_cfull").count()
+      }
+      time("d31_append_other_half") {
+        operators.Dedup.appendToContainmentIndex(spark, dir,
+          col("doc_id") % 2 =!= 0, p)
+        spark.table(s"${p}_cfull").count()
+      }
+      var audit: org.apache.spark.sql.Row = null
+      time("d31_live_audit") {
+        audit = operators.Dedup.containmentIndexDriftAudit(spark, 0.8, p)
+          .collect()(0)
+        audit.getAs[Long]("frozen_candidate_rows")
+      }
+      untimed("d31_fresh_candidates", audit.getAs[Long]("fresh_candidate_rows"))
+      untimed("d31_drift_ratio_x10000",
+        math.round(audit.getAs[Double]("drift_ratio") * 10000))
+      untimed("d31_rebuild_recommended",
+        audit.getAs[Long]("rebuild_recommended"))
+      time("d31_rebuild_wall") {
+        operators.Dedup.rebuildContainmentIndexTo(spark, p, to)
+        spark.table(s"${to}_cfull").count()
+      }
+      var post: org.apache.spark.sql.Row = null
+      time("d31_post_audit") {
+        post = operators.Dedup.containmentIndexDriftAudit(spark, 0.8, to)
+          .collect()(0)
+        post.getAs[Long]("frozen_candidate_rows")
+      }
+      untimed("d31_post_ratio_x10000",
+        math.round(post.getAs[Double]("drift_ratio") * 10000))
+      Seq(p, to).foreach(operators.Dedup.dropIndexTables(spark, _))
+    }
+
     // Staged-copy arrival ordering, shared by the streaming sections: the
     // parallel write lands part files with effectively RANDOM modification
     // times (task-completion order), and the file source delivers files in

@@ -719,7 +719,7 @@ object Dedup {
   }
 
   /** Drop + physically delete the three index tables under `prefix`. */
-  private def dropIndexTables(spark: SparkSession, prefix: String): Unit =
+  private[graft] def dropIndexTables(spark: SparkSession, prefix: String): Unit =
     Seq(s"${prefix}_cdocs", s"${prefix}_cdf", s"${prefix}_cfull").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS `$t`")
       val loc = new org.apache.hadoop.fs.Path(
