@@ -165,6 +165,33 @@ class StorageLayoutSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("live-index drift audit: the frozen side reads _cfull exchange-free") {
+    // the r13 audit's scale claim: pricing what probes pay costs ONE
+    // bucketed scan + per-bucket aggregation — `_cfull` is bucketed by
+    // `s`, so the per-shingle histogram groupBy needs no exchange; only
+    // the final single-row fold may shuffle. (The fresh side re-positions
+    // under a re-derived order — a per-doc window, inherently one
+    // shuffle — so the cheap-observability claim is about the frozen
+    // side, the one a monitoring loop would run continuously.)
+    graft.operators.Dedup.persistContainmentIndex(spark, sf,
+      prefix = "r13_audit_layout", buckets = 8,
+      corpusFilter = col("doc_id") % 2 === 0)
+    val full = spark.table("r13_audit_layout_cfull")
+    val bound = col("n") -
+      ceil(col("n").cast("double") * 0.8 - 1e-9) + 1
+    val frozen = graft.operators.Dedup.volumeOfPrefixFlags(
+      full.select(col("s"), (col("j") < bound).cast("long").as("p")),
+      "frozen_live")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffles = countShuffles(frozen.queryExecution.executedPlan)
+      assert(shuffles <= 1,
+        s"frozen-side audit shuffles beyond the global fold ($shuffles):\n" +
+          frozen.queryExecution.executedPlan)
+      assert(frozen.collect()(0).getAs[Long]("candidate_rows") > 0L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("corpus index retraction: tables rewritten minus ids, probe output = filtered d11, still bucketed") {
     import org.apache.spark.sql.functions.col
     // fresh index under its own prefix so test order cannot matter
