@@ -197,6 +197,17 @@ class EmptyInputSpec extends AnyFunSuite {
     // d28: an empty corpus persists empty index tables and the probe
     // finds nothing — never an error
     assert(graft.operators.Dedup.incrementalContainmentIndexed(spark, emptyDir).count() == 0)
+    // the live audit floors on an empty index too — a monitoring loop
+    // over a not-yet-populated index reads (0,0,0,1.0,0)
+    graft.operators.Dedup.persistContainmentIndex(spark, emptyDir,
+      prefix = "empty_audit_idx")
+    val emptyAudit = graft.operators.Dedup
+      .containmentIndexDriftAudit(spark, 0.8, "empty_audit_idx").collect()(0)
+    assert((emptyAudit.getAs[Long]("frozen_candidate_rows"),
+      emptyAudit.getAs[Long]("fresh_candidate_rows"),
+      emptyAudit.getAs[Double]("drift_ratio"),
+      emptyAudit.getAs[Long]("rebuild_recommended")) == ((0L, 0L, 1.0, 0L)),
+      s"empty live audit: $emptyAudit")
     assert(graft.operators.Dedup.bandOccupancyAudit(spark, emptyDir).count() == 0)
     assert(graft.multimodal.Multimodal.gradientHashes(spark, emptyDir).count() == 0)
     assert(graft.multimodal.Multimodal

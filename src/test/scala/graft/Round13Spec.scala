@@ -214,6 +214,17 @@ class Round13Spec extends AnyFunSuite {
       "rebuild must not change the verified pair set")
   }
 
+  test("DriftRebuildRatio is coupled to the d30 oracle's literal") {
+    import graft.operators.Dedup
+    // the DuckDB twin pins the threshold as `>= 2.0` in SQL text; a
+    // change to the Scala constant without the SQL (or vice versa) would
+    // only surface at the gate when a fixture's ratio lands between the
+    // two values — fail loudly here instead
+    assert(Dedup.DriftRebuildRatio == 2.0)
+    assert(SparkEntry.oracleSql("d30_order_drift").contains(">= 2.0"),
+      "d30's oracle no longer pins the 2.0 threshold — update both sides")
+  }
+
   test("drainSentinelEvents refuses a non-min multipleWatermarkPolicy") {
     // r12 ADVICE: under policy=max with a sub-second derived delay the
     // global watermark follows the sentinel click past the sentinel
