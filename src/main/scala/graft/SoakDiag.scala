@@ -381,17 +381,25 @@ object SoakDiag {
       ()
     }
 
-    // d31: the d30 policy's ACT step at soak scale — build over the even
-    // half, append the odd half (a genuinely drifted live index), run
-    // the LIVE audit (frozen volume straight off _cfull's stored
-    // positions, no recompute), rebuild blue/green, re-audit. The
-    // rebuild wall is the number DriftRebuildRatio's one-probe-payback
-    // derivation prices: it should track d28_index_build (same corpus
-    // pass shape), and the post-rebuild ratio must read exactly 10000
-    // (= 1.0) — a structural check, not a timing.
+    // d31: the d30 policy's ACT step at soak scale, driven through the
+    // SHIPPED lifecycle (pointer + rotate), not hand-composed steps —
+    // build over the even half, append the odd half (a genuinely drifted
+    // live index), flip the pointer to it, then rotate twice:
+    //  - at the library DriftRebuildRatio the half-stale fixture KEEPs
+    //    (drift 1.18-1.39 < 2.0), so the keep wall prices what a
+    //    steady-state deployment pays per policy tick — exactly the LIVE
+    //    audit (frozen volume straight off _cfull's stored positions, no
+    //    recompute).
+    //  - at a hair-trigger 1.1 the same rotate ACTs: audit + blue/green
+    //    rebuild + atomic pointer flip + retire of the old color, the
+    //    full cutover wall. The rebuild inside should undercut
+    //    d28_index_build (it reads the already-shingled _cdocs instead
+    //    of re-tokenizing), and the post-rotate audit — against whatever
+    //    the pointer NOW names — must read exactly 10000 (= 1.0): a
+    //    structural check, not a timing.
     if (wanted("d31")) {
-      val p = "soak_d31_idx"
-      val to = "soak_d31_idx_rebuilt"
+      val alias = "soak_d31"
+      val p = s"${alias}_blue"
       time("d31_index_build_half") {
         operators.Dedup.persistContainmentIndex(spark, dir, p,
           corpusFilter = col("doc_id") % 2 === 0)
@@ -402,6 +410,7 @@ object SoakDiag {
           col("doc_id") % 2 =!= 0, p)
         spark.table(s"${p}_cfull").count()
       }
+      operators.Dedup.flipContainmentIndex(spark, p, alias)
       var audit: org.apache.spark.sql.Row = null
       time("d31_live_audit") {
         audit = operators.Dedup.containmentIndexDriftAudit(spark, 0.8, p)
@@ -413,19 +422,26 @@ object SoakDiag {
         math.round(audit.getAs[Double]("drift_ratio") * 10000))
       untimed("d31_rebuild_recommended",
         audit.getAs[Long]("rebuild_recommended"))
-      time("d31_rebuild_wall") {
-        operators.Dedup.rebuildContainmentIndexTo(spark, p, to)
-        spark.table(s"${to}_cfull").count()
+      time("d31_rotate_keep_wall") {
+        if (operators.Dedup.rotateContainmentIndex(spark, alias)) 1L else 0L
       }
+      time("d31_rotate_act_wall") {
+        if (operators.Dedup.rotateContainmentIndex(spark, alias,
+          rebuildRatio = 1.1)) 1L else 0L
+      }
+      val live = operators.Dedup.currentContainmentPrefix(spark, alias).get
+      untimed("d31_rotated_to_green", if (live == s"${alias}_green") 1L else 0L)
       var post: org.apache.spark.sql.Row = null
       time("d31_post_audit") {
-        post = operators.Dedup.containmentIndexDriftAudit(spark, 0.8, to)
+        post = operators.Dedup.containmentIndexDriftAudit(spark, 0.8, live)
           .collect()(0)
         post.getAs[Long]("frozen_candidate_rows")
       }
       untimed("d31_post_ratio_x10000",
         math.round(post.getAs[Double]("drift_ratio") * 10000))
-      Seq(p, to).foreach(operators.Dedup.dropIndexTables(spark, _))
+      Seq(p, s"${alias}_green")
+        .foreach(operators.Dedup.dropIndexTables(spark, _))
+      operators.Dedup.unlinkContainmentPointer(spark, alias)
     }
 
     // Staged-copy arrival ordering, shared by the streaming sections: the

@@ -2318,6 +2318,153 @@ object Dedup {
     rebuild
   }
 
+  /** The live pointer for `alias` — one file in the session warehouse
+    * whose CONTENT is the prefix probes should read. A pointer file,
+    * not a view or a 1-row table, because the cutover must swap all
+    * three index tables at once: per-table `CREATE OR REPLACE VIEW`
+    * swaps are sequential and reopen the mixed-order window
+    * ([[rebuildContainmentIndexTo]]'s failure class — a fresh `_cdf`
+    * read against stale `_cfull` positions silently loses candidates),
+    * and a table overwrite is drop-then-recreate, a window where the
+    * pointer doesn't exist at all. A single-file rename is atomic on
+    * POSIX and HDFS, so readers see exactly the old prefix or the new
+    * one, never a mix and never an absence. (On S3-class object stores
+    * rename is copy+delete; a deployment there flips via a
+    * conditional-put of the pointer object — same one-pointer contract,
+    * different primitive.)
+    */
+  private def containmentPointerPath(spark: SparkSession, alias: String) =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"${alias.toLowerCase}.ptr")
+
+  /** Point `alias` at `toPrefix` — the blue/green lifecycle's COMMIT
+    * step, and the only mutation probes ever observe: write the pointer
+    * to a temp file, then atomically rename over the live one. Crash
+    * before the rename = flip never happened (probes stay on the old,
+    * still-intact index); after = fully happened. The temp name is
+    * fixed, so the flip is single-writer by contract — the same
+    * one-owner discipline the append path already imposes (concurrent
+    * appends are refused up front); the lifecycle has one driver.
+    */
+  def flipContainmentIndex(spark: SparkSession, toPrefix: String,
+                           alias: String = "containment_index_live"): Unit = {
+    val ptr = containmentPointerPath(spark, alias)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = ptr.suffix(".tmp")
+    val fs = ptr.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(toPrefix.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, conf)
+      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The prefix `alias` currently points at; `None` before the first
+    * flip. Probes resolve this ONCE per probe ([[incrementalContainmentLive]])
+    * so all three table reads inside one probe see one consistent
+    * prefix even if a rotate lands mid-probe.
+    */
+  def currentContainmentPrefix(spark: SparkSession,
+                               alias: String = "containment_index_live")
+      : Option[String] = {
+    val ptr = containmentPointerPath(spark, alias)
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ptr)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(ptr).getLen.toInt)
+      val in = fs.open(ptr)
+      try in.readFully(0L, buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim)
+    }
+  }
+
+  /** Drop + delete a retired index's three tables — the lifecycle's GC
+    * verb, public so a deployment that delays retirement (see
+    * [[rotateContainmentIndex]]'s drain note) can run it once in-flight
+    * probes drain.
+    */
+  def retireContainmentIndex(spark: SparkSession, prefix: String): Unit =
+    dropIndexTables(spark, prefix)
+
+  /** Delete `alias`'s pointer file — decommissioning teardown (the
+    * pointer is a plain warehouse file, so unlike the in-memory catalog
+    * entries it would otherwise outlive the session and point the next
+    * deployment at tables that no longer exist).
+    */
+  def unlinkContainmentPointer(spark: SparkSession,
+                               alias: String = "containment_index_live")
+      : Unit = {
+    val ptr = containmentPointerPath(spark, alias)
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(ptr, false)
+    fs.delete(ptr.suffix(".tmp"), false)
+    ()
+  }
+
+  /** [[incrementalContainmentFromIndex]] against whatever index `alias`
+    * currently points at — the probe spelling a deployment actually
+    * runs once rotation exists, so a rotate never requires re-deploying
+    * probe code. Resolves the pointer exactly once.
+    */
+  def incrementalContainmentLive(spark: SparkSession, dir: String,
+                                 alias: String = "containment_index_live",
+                                 threshold: Double = 0.8,
+                                 release: Boolean = true,
+                                 batchFilter: org.apache.spark.sql.Column =
+                                   col("doc_id") % 2 =!= 0): DataFrame = {
+    val prefix = currentContainmentPrefix(spark, alias).getOrElse(
+      throw new IllegalStateException(
+        s"no live containment index: pointer '$alias' has never been " +
+          "flipped — build one (persistContainmentIndex) and " +
+          "flipContainmentIndex to it"))
+    incrementalContainmentFromIndex(spark, dir, prefix, threshold, release,
+      batchFilter)
+  }
+
+  /** The d30 policy consumed to CUTOVER, not just to rebuild — audit the
+    * live index, and iff drift clears `rebuildRatio`: rebuild into the
+    * idle color, flip the pointer, retire the old color. Returns whether
+    * a rotation happened. The step order makes every crash half-state
+    * heal forward:
+    *
+    *  - during rebuild → pointer untouched, half-built idle color; the
+    *    next acting rotate's rebuild starts by dropping the target.
+    *  - between rebuild and flip → pointer untouched, a complete but
+    *    unreferenced idle color; healed by the unconditional idle-color
+    *    retire at the START of every rotate (the append path's
+    *    heal-on-every-call convention — residue must not wait for a
+    *    retry that may never come).
+    *  - between flip and retire → pointer committed, old color orphaned;
+    *    the next rotate's start-heal targets exactly that color.
+    *
+    * The pointer rename is therefore the lifecycle's single commit
+    * point. Retirement here is immediate, which is sound for the
+    * library's single-driver lifecycle (a probe and a rotate never
+    * overlap); a deployment with concurrent probe sessions flips, lets
+    * in-flight probes drain against the old — still-correct, merely
+    * stale — index, then calls [[retireContainmentIndex]].
+    */
+  def rotateContainmentIndex(spark: SparkSession,
+                             alias: String = "containment_index_live",
+                             buckets: Int = 32, threshold: Double = 0.8,
+                             rebuildRatio: Double = DriftRebuildRatio)
+      : Boolean = {
+    val from = currentContainmentPrefix(spark, alias).getOrElse(
+      throw new IllegalStateException(
+        s"cannot rotate: pointer '$alias' has never been flipped"))
+    val blue = s"${alias}_blue"
+    val to = if (from == blue) s"${alias}_green" else blue
+    dropIndexTables(spark, to) // heal idle-color residue from any crash
+    val act = containmentIndexDriftAudit(spark, threshold, from)
+      .collect()(0).getAs[Double]("drift_ratio") >= rebuildRatio
+    if (act) {
+      rebuildContainmentIndexTo(spark, from, to, buckets)
+      flipContainmentIndex(spark, to, alias)
+      retireContainmentIndex(spark, from)
+    }
+    act
+  }
+
   /** Distinct (doc_id, shingle STRING) pairs — d30's unhashed spelling
     * of [[docShingles]] (see the determinism note there).
     */

@@ -258,4 +258,72 @@ class Round13Spec extends AnyFunSuite {
       }
     }
   }
+
+  test("blue/green cutover: the pointer flip is the lifecycle's commit " +
+    "point; probes follow it; every crash half-state heals forward") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val alias = "r13_rotate"
+    val blue = s"${alias}_blue"
+    val green = s"${alias}_green"
+    def probe() = Dedup.incrementalContainmentLive(spark, sf, alias)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    // the pointer is a warehouse FILE, so it survives JVM restarts (by
+    // design); unlink any previous run's before asserting the cold state
+    Dedup.unlinkContainmentPointer(spark, alias)
+    // before the first flip the live probe refuses, it does not guess
+    assert(Dedup.currentContainmentPrefix(spark, alias).isEmpty)
+    intercept[IllegalStateException] {
+      Dedup.incrementalContainmentLive(spark, sf, alias)
+    }
+    // init: build blue over the even half, flip — the live probe now
+    // equals the explicit-prefix probe verbatim
+    Dedup.persistContainmentIndex(spark, sf, blue,
+      corpusFilter = col("doc_id") % 2 === 0)
+    Dedup.flipContainmentIndex(spark, blue, alias)
+    assert(Dedup.currentContainmentPrefix(spark, alias).contains(blue))
+    val onBlue = probe()
+    assert(onBlue == Dedup.incrementalContainmentFromIndex(spark, sf, blue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq)
+    // an undrifted index must not rotate even at a hair-trigger ratio
+    // above 1.0, and the idle color stays absent
+    assert(!Dedup.rotateContainmentIndex(spark, alias, rebuildRatio = 1.01))
+    assert(!spark.catalog.tableExists(s"${green}_cdocs"))
+    // drift it (append the odd half under the frozen order), then rotate
+    // at a ratio gate-scale drift clears: pointer commits to green, blue
+    // is retired, and the verified pair set is UNCHANGED across the
+    // cutover (the Round10Spec any-one-consistent-order theorem, now
+    // pinned on the full rotate rather than the bare rebuild)
+    Dedup.appendToContainmentIndex(spark, sf, col("doc_id") % 2 =!= 0, blue)
+    val preRotate = probe()
+    assert(Dedup.rotateContainmentIndex(spark, alias, rebuildRatio = 1.01))
+    assert(Dedup.currentContainmentPrefix(spark, alias).contains(green))
+    assert(!spark.catalog.tableExists(s"${blue}_cdocs"),
+      "the old color must be retired after the flip")
+    assert(probe() == preRotate,
+      "rotation must not change the verified pair set")
+    // crash between rebuild and flip: a complete-but-unreferenced idle
+    // color; the NEXT rotate heals it at start even when it declines to
+    // act (a fresh index audits at 1.0 < any ratio)
+    Dedup.rebuildContainmentIndexTo(spark, green, blue)
+    assert(!Dedup.rotateContainmentIndex(spark, alias, rebuildRatio = 1.01))
+    assert(!spark.catalog.tableExists(s"${blue}_cdocs"),
+      "idle-color residue must be healed by the next rotate")
+    assert(Dedup.currentContainmentPrefix(spark, alias).contains(green))
+    // crash between flip and retire: pointer committed, old color
+    // orphaned — simulate by rebuilding to blue and flipping without
+    // retiring; the next rotate's start-heal drops the orphan (green),
+    // and the live probe is already on the committed side throughout
+    Dedup.rebuildContainmentIndexTo(spark, green, blue)
+    Dedup.flipContainmentIndex(spark, blue, alias)
+    assert(probe() == preRotate)
+    assert(!Dedup.rotateContainmentIndex(spark, alias, rebuildRatio = 1.01))
+    assert(!spark.catalog.tableExists(s"${green}_cdocs"),
+      "orphaned old color must be healed by the next rotate")
+    assert(probe() == preRotate)
+    Dedup.retireContainmentIndex(spark, blue)
+    Dedup.unlinkContainmentPointer(spark, alias)
+  }
 }
