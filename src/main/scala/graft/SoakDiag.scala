@@ -444,6 +444,67 @@ object SoakDiag {
       operators.Dedup.unlinkContainmentPointer(spark, alias)
     }
 
+    // s16: the persisted IVF index lifecycle at soak scale — the d28/d31
+    // discipline on the ANN family. probe-vs-s3-recompute names the
+    // index's break-even (what a probe saves is s3's corpus
+    // re-assignment — compute-light at 64-d soak widths, so expect
+    // near-parity walls here; the bytes-read win is the DPP-pinned scan
+    // fraction), and rotate-act prices the full cutover the
+    // IvfDriftRebuildRatio derivation amortizes. The half-built index is
+    // genuinely drifted (odd half appended under the frozen quantizer);
+    // the post-rotate audit must read exactly 10000 (= 1.0).
+    if (wanted("s16")) {
+      val alias = "soak_s16"
+      val p = s"${alias}_blue"
+      time("s16_index_build_half") {
+        operators.Similarity.persistIvfIndex(spark, dir, p,
+          corpusFilter = col("vec_id") % 2 === 0)
+        spark.table(s"${p}_icell").count()
+      }
+      time("s16_append_other_half") {
+        operators.Similarity.appendToIvfIndex(spark, dir,
+          col("vec_id") % 2 =!= 0, p)
+        spark.table(s"${p}_icell").count()
+      }
+      operators.Similarity.flipIvfIndex(spark, p, alias)
+      time("s16_probe_live") {
+        operators.Similarity.annIvfLive(spark, dir, alias).count()
+      }
+      time("s16_s3_recompute") {
+        operators.Similarity.annIvfTopK(spark, dir).count()
+      }
+      var audit: org.apache.spark.sql.Row = null
+      time("s16_live_audit") {
+        audit = operators.Similarity.ivfIndexDriftAudit(spark, p)
+          .collect()(0)
+        audit.getAs[Long]("frozen_candidate_rows")
+      }
+      untimed("s16_fresh_candidates", audit.getAs[Long]("fresh_candidate_rows"))
+      untimed("s16_drift_ratio_x10000",
+        math.round(audit.getAs[Double]("drift_ratio") * 10000))
+      untimed("s16_rebuild_recommended",
+        audit.getAs[Long]("rebuild_recommended"))
+      // force the ACT branch (ratio 0 clears any drift) so the cutover
+      // wall is measured even when the half-stale fixture KEEPs
+      time("s16_rotate_act_wall") {
+        if (operators.Similarity.rotateIvfIndex(spark, alias,
+          rebuildRatio = 0.0)) 1L else 0L
+      }
+      val live = operators.LiveIndexPointer.current(spark, alias).get
+      untimed("s16_rotated_to_green", if (live == s"${alias}_green") 1L else 0L)
+      var post: org.apache.spark.sql.Row = null
+      time("s16_post_audit") {
+        post = operators.Similarity.ivfIndexDriftAudit(spark, live)
+          .collect()(0)
+        post.getAs[Long]("frozen_candidate_rows")
+      }
+      untimed("s16_post_ratio_x10000",
+        math.round(post.getAs[Double]("drift_ratio") * 10000))
+      Seq(p, s"${alias}_green")
+        .foreach(operators.Similarity.dropIvfTables(spark, _))
+      operators.Similarity.unlinkIvfPointer(spark, alias)
+    }
+
     // Staged-copy arrival ordering, shared by the streaming sections: the
     // parallel write lands part files with effectively RANDOM modification
     // times (task-completion order), and the file source delivers files in

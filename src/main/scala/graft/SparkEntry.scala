@@ -62,6 +62,13 @@ object SparkEntry {
     "s1_ann_topk"             -> ((s: SparkSession, d: String) => Similarity.annMultiIndexTopK(s, d)),
     "s2_ann_lsh_topk"         -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "s3_ann_ivf_topk"         -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
+    // s16/s17 (r13): the persisted cell-partitioned IVF index — s3's
+    // probe against stored centroids + assignments (identical output,
+    // same oracle; partition-pruned corpus scan), and the quantizer's
+    // drift audit / rebuild policy (the d30 convention on the second
+    // index family)
+    "s16_ivf_indexed"         -> ((s: SparkSession, d: String) => Similarity.annIvfIndexed(s, d)),
+    "s17_ivf_drift"           -> ((s: SparkSession, d: String) => Similarity.ivfDriftAudit(s, d)),
     // streaming-shaped (batch twins of the Structured Streaming plans)
     "st1_windowed_counts"     -> Events.windowedCounts _,
     "st2_sessionize"          -> Events.sessionize _,
@@ -1605,34 +1612,52 @@ object SparkEntry {
 
     // s3: full IVF replay — 6dp-rounded per-label centroids pin the
     // assignment argmax across engines; candidate scoring mirrors s1.
-    "s3_ann_ivf_topk" -> (IvfAssignAutoCtesSql + s""",
+    "s3_ann_ivf_topk" -> IvfTopKOracleSql,
+
+    // s16: the persisted cell-partitioned index probe — identical
+    // output contract to s3 (same quantizer derivation, same assignment
+    // argmax, same exact-cosine rerank; the index only changes WHERE the
+    // assignment lives), so the oracle is s3's verbatim — the d27/d28
+    // same-oracle precedent applied to ANN.
+    "s16_ivf_indexed" -> IvfTopKOracleSql,
+
+    // s17: the IVF drift audit — candidate volume when every vector is
+    // assigned (and every query probes) under the build-half-frozen
+    // quantizer vs s3's fresh quantizer; the threshold interpolates the
+    // Scala constant so operator and twin cannot desync.
+    "s17_ivf_drift" -> ("WITH e AS (SELECT vec_id, embedding FROM embeddings)," +
+      IvfAssignCtesUnder("", "TRUE") + "," +
+      IvfAssignCtesUnder("f", "vec_id % 2 = 0") + s""",
       prb AS (
         SELECT query_id, cent_id FROM (
           SELECT vec_id AS query_id, cent_id,
             row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS r
           FROM ac WHERE vec_id % 50 = 0) WHERE r <= ${graft.operators.Similarity.IvfNProbe}),
-      cand AS (
-        SELECT p.query_id, a.vec_id AS neighbor_id
+      fprb AS (
+        SELECT query_id, cent_id FROM (
+          SELECT vec_id AS query_id, cent_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS r
+          FROM fac WHERE vec_id % 50 = 0) WHERE r <= ${graft.operators.Similarity.IvfNProbe}),
+      vol AS (
+        SELECT count(*) AS fresh_candidate_rows
         FROM prb p JOIN assigned a ON p.cent_id = a.cent_id
         WHERE a.vec_id <> p.query_id),
-      pairs AS (
-        SELECT c.query_id, c.neighbor_id, q.embedding AS qe, n2.embedding AS ne
-        FROM cand c
-        JOIN e q ON q.vec_id = c.query_id
-        JOIN e n2 ON n2.vec_id = c.neighbor_id),
-      u AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne FROM pairs),
-      s AS (
-        SELECT query_id, neighbor_id,
-          sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
-          sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
-          sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
-        FROM u GROUP BY 1, 2),
-      c AS (SELECT query_id, neighbor_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM s),
-      r AS (
-        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-        FROM c)
-      SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
-      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""),
+      fvol AS (
+        SELECT count(*) AS frozen_candidate_rows
+        FROM fprb p JOIN fassigned a ON p.cent_id = a.cent_id
+        WHERE a.vec_id <> p.query_id),
+      rep AS (
+        SELECT CAST(frozen_candidate_rows AS BIGINT) AS frozen_candidate_rows,
+          CAST(fresh_candidate_rows AS BIGINT) AS fresh_candidate_rows,
+          CASE WHEN fresh_candidate_rows = 0 THEN CAST(1.0 AS DOUBLE)
+               ELSE round(CAST(frozen_candidate_rows AS DOUBLE)
+                 / CAST(fresh_candidate_rows AS DOUBLE), 4) END AS drift_ratio
+        FROM fvol, vol)
+      SELECT frozen_candidate_rows, fresh_candidate_rows, drift_ratio,
+        CAST(CASE WHEN drift_ratio >=
+          ${graft.operators.Similarity.IvfDriftRebuildRatio} THEN 1 ELSE 0 END
+          AS BIGINT) AS rebuild_recommended
+      FROM rep"""),
 
     // t18: identical distributive decomposition H = log2(n) − (Σ c·log2 c)/n,
     // so only the two group-bys (term counts, per-doc rollup) replay.
@@ -3389,42 +3414,85 @@ object SparkEntry {
     * the argmax assignment. Starts its own WITH; exposes `e`
     * (vec_id, embedding), `ac` (vec × centroid cosines), `assigned`.
     */
-  private def IvfAssignAutoCtesSql: String = s"""
-      WITH prm AS (
+  private def IvfAssignAutoCtesSql: String =
+    "WITH e AS (SELECT vec_id, embedding FROM embeddings)," +
+      IvfAssignCtesUnder("", "TRUE")
+
+  /** The full IVF top-k oracle — shared verbatim by s3 (recompute form)
+    * and s16 (persisted-index form): identical output contract.
+    */
+  private def IvfTopKOracleSql: String = IvfAssignAutoCtesSql + s""",
+      prb AS (
+        SELECT query_id, cent_id FROM (
+          SELECT vec_id AS query_id, cent_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS r
+          FROM ac WHERE vec_id % 50 = 0) WHERE r <= ${graft.operators.Similarity.IvfNProbe}),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM prb p JOIN assigned a ON p.cent_id = a.cent_id
+        WHERE a.vec_id <> p.query_id),
+      pairs AS (
+        SELECT c.query_id, c.neighbor_id, q.embedding AS qe, n2.embedding AS ne
+        FROM cand c
+        JOIN e q ON q.vec_id = c.query_id
+        JOIN e n2 ON n2.vec_id = c.neighbor_id),
+      u AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne FROM pairs),
+      s AS (
+        SELECT query_id, neighbor_id,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
+          sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
+        FROM u GROUP BY 1, 2),
+      c AS (SELECT query_id, neighbor_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM s),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM c)
+      SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
+  /** The IVF quantizer + assignment CTEs under a BUILD predicate —
+    * subBits and centroids derive from `buildPred`'s rows only, while
+    * the assignment covers the full corpus (`e`, which the caller's
+    * WITH must declare first). `p` prefixes every CTE name so a query
+    * can hold two quantizers at once (s17 prices frozen vs fresh).
+    * With (`""`, `"TRUE"`) this is exactly the shared
+    * [[IvfAssignAutoCtesSql]] the s1/s3/s16/d14 oracles replay.
+    */
+  private def IvfAssignCtesUnder(p: String, buildPred: String): String = s"""
+      ${p}prm AS (
         SELECT CASE WHEN count(*) <= 0 THEN 0
                ELSE greatest(0, CAST(round(
                  ln(sqrt(CAST(count(*) AS DOUBLE)) / CAST(2 AS DOUBLE)
                     / CAST(greatest(count(DISTINCT label), 1) AS DOUBLE))
                  / ln(2), 0) AS INT)) END AS sb
-        FROM embeddings),
-      cm0 AS (
+        FROM embeddings WHERE $buildPred),
+      ${p}cm0 AS (
         SELECT vec_id, embedding,
           CAST(label AS INT) * (1 << sb)
             + ((${graft.functions.VectorFunctions.hyperplaneBucketDuckSql(
                  "embedding", 64, 16)}) & ((1 << sb) - 1)) AS cell
-        FROM embeddings CROSS JOIN prm),
-      ue AS (SELECT vec_id, cell, unnest(range(1, len(embedding) + 1)) AS i, embedding
-             FROM cm0),
-      cpos AS (
+        FROM embeddings CROSS JOIN ${p}prm WHERE $buildPred),
+      ${p}ue AS (SELECT vec_id, cell, unnest(range(1, len(embedding) + 1)) AS i, embedding
+             FROM ${p}cm0),
+      ${p}cpos AS (
         SELECT cell AS cent_id, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
-        FROM ue GROUP BY 1, 2),
-      cent AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM cpos GROUP BY 1),
-      e AS (SELECT vec_id, embedding FROM embeddings),
-      acu AS (
+        FROM ${p}ue GROUP BY 1, 2),
+      ${p}cent AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM ${p}cpos GROUP BY 1),
+      ${p}acu AS (
         SELECT vec_id, cent_id, unnest(range(1, len(embedding) + 1)) AS i, embedding, cv
-        FROM e CROSS JOIN cent),
-      acs AS (
+        FROM e CROSS JOIN ${p}cent),
+      ${p}acs AS (
         SELECT vec_id, cent_id,
           sum(CAST(embedding[i] AS DOUBLE) * cv[i]) AS dot,
           sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS na,
           sum(cv[i] * cv[i]) AS nb
-        FROM acu GROUP BY 1, 2),
-      ac AS (SELECT vec_id, cent_id, dot / (sqrt(na) * sqrt(nb)) AS cc FROM acs),
-      assigned AS (
+        FROM ${p}acu GROUP BY 1, 2),
+      ${p}ac AS (SELECT vec_id, cent_id, dot / (sqrt(na) * sqrt(nb)) AS cc FROM ${p}acs),
+      ${p}assigned AS (
         SELECT vec_id, cent_id FROM (
           SELECT vec_id, cent_id,
             row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS r
-          FROM ac) WHERE r = 1)"""
+          FROM ${p}ac) WHERE r = 1)"""
 
   /** DuckDB fragment: hex string column `h` → list of UTF-8 byte values
     * (HUGEINT, for overflow-free polynomial accumulation).

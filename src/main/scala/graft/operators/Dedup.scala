@@ -2318,46 +2318,17 @@ object Dedup {
     rebuild
   }
 
-  /** The live pointer for `alias` — one file in the session warehouse
-    * whose CONTENT is the prefix probes should read. A pointer file,
-    * not a view or a 1-row table, because the cutover must swap all
-    * three index tables at once: per-table `CREATE OR REPLACE VIEW`
-    * swaps are sequential and reopen the mixed-order window
-    * ([[rebuildContainmentIndexTo]]'s failure class — a fresh `_cdf`
-    * read against stale `_cfull` positions silently loses candidates),
-    * and a table overwrite is drop-then-recreate, a window where the
-    * pointer doesn't exist at all. A single-file rename is atomic on
-    * POSIX and HDFS, so readers see exactly the old prefix or the new
-    * one, never a mix and never an absence. (On S3-class object stores
-    * rename is copy+delete; a deployment there flips via a
-    * conditional-put of the pointer object — same one-pointer contract,
-    * different primitive.)
-    */
-  private def containmentPointerPath(spark: SparkSession, alias: String) =
-    new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), s"${alias.toLowerCase}.ptr")
-
   /** Point `alias` at `toPrefix` — the blue/green lifecycle's COMMIT
     * step, and the only mutation probes ever observe: write the pointer
-    * to a temp file, then atomically rename over the live one. Crash
-    * before the rename = flip never happened (probes stay on the old,
-    * still-intact index); after = fully happened. The temp name is
-    * fixed, so the flip is single-writer by contract — the same
-    * one-owner discipline the append path already imposes (concurrent
-    * appends are refused up front); the lifecycle has one driver.
+    * to a temp file, then atomically rename over the live one (the
+    * shared [[LiveIndexPointer]] — see its scaladoc for why a pointer
+    * FILE and not a view or 1-row table). Crash before the rename =
+    * flip never happened (probes stay on the old, still-intact index);
+    * after = fully happened.
     */
   def flipContainmentIndex(spark: SparkSession, toPrefix: String,
-                           alias: String = "containment_index_live"): Unit = {
-    val ptr = containmentPointerPath(spark, alias)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val tmp = ptr.suffix(".tmp")
-    val fs = ptr.getFileSystem(conf)
-    val out = fs.create(tmp, true)
-    try out.write(toPrefix.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, conf)
-      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+                           alias: String = "containment_index_live"): Unit =
+    LiveIndexPointer.flip(spark, toPrefix, alias)
 
   /** The prefix `alias` currently points at; `None` before the first
     * flip. Probes resolve this ONCE per probe ([[incrementalContainmentLive]])
@@ -2366,17 +2337,8 @@ object Dedup {
     */
   def currentContainmentPrefix(spark: SparkSession,
                                alias: String = "containment_index_live")
-      : Option[String] = {
-    val ptr = containmentPointerPath(spark, alias)
-    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(ptr)) None
-    else {
-      val buf = new Array[Byte](fs.getFileStatus(ptr).getLen.toInt)
-      val in = fs.open(ptr)
-      try in.readFully(0L, buf) finally in.close()
-      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim)
-    }
-  }
+      : Option[String] =
+    LiveIndexPointer.current(spark, alias)
 
   /** Drop + delete a retired index's three tables — the lifecycle's GC
     * verb, public so a deployment that delays retirement (see
@@ -2386,20 +2348,16 @@ object Dedup {
   def retireContainmentIndex(spark: SparkSession, prefix: String): Unit =
     dropIndexTables(spark, prefix)
 
-  /** Delete `alias`'s pointer file — decommissioning teardown (the
-    * pointer is a plain warehouse file, so unlike the in-memory catalog
-    * entries it would otherwise outlive the session and point the next
-    * deployment at tables that no longer exist).
+  /** Delete `alias`'s pointer file — decommissioning teardown
+    * ([[LiveIndexPointer.unlink]]: the pointer is a plain warehouse
+    * file, so unlike the in-memory catalog entries it would otherwise
+    * outlive the session and point the next deployment at tables that
+    * no longer exist).
     */
   def unlinkContainmentPointer(spark: SparkSession,
                                alias: String = "containment_index_live")
-      : Unit = {
-    val ptr = containmentPointerPath(spark, alias)
-    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(ptr, false)
-    fs.delete(ptr.suffix(".tmp"), false)
-    ()
-  }
+      : Unit =
+    LiveIndexPointer.unlink(spark, alias)
 
   /** [[incrementalContainmentFromIndex]] against whatever index `alias`
     * currently points at — the probe spelling a deployment actually

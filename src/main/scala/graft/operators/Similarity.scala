@@ -442,12 +442,23 @@ object Similarity {
     */
   private[graft] def coarseQuantizer(raw: DataFrame, subBits: Int)
       : (DataFrame, DataFrame) = {
+    val centArr = centArrOf(centroidsOf(raw, subBits))
+    (assignUnderCentArr(
+      raw.select(col("vec_id"), col("embedding")), centArr), centArr)
+  }
+
+  /** The quantizer's centroid rows (cent_id, cv): seed cells are
+    * (label × 2^subBits hyperplane sign-buckets); centroid = 6dp-rounded
+    * per-dimension mean of the seed group (the rounding pins assignments
+    * across engines — see [[annIvfTopK]]). Factored out of
+    * [[coarseQuantizer]] so [[persistIvfIndex]] can STORE the rows.
+    */
+  private[graft] def centroidsOf(raw: DataFrame, subBits: Int): DataFrame = {
     val cell =
       if (subBits == 0) col("label").cast("int")
       else (col("label").cast("int") * (1 << subBits) +
         expr(hyperplaneBucketSql("embedding", 64, subBits)).cast("int"))
-
-    val centroids = raw
+    raw
       .select(cell.as("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))
       .agg(round(avg(col("x")), 6).as("m"))
@@ -456,29 +467,35 @@ object Similarity {
         sort_array(collect_list(struct(col("pos"), col("m")))),
         e => e.getField("m")).as("cv"))
       .select(col("cell").as("cent_id"), col("cv"))
+  }
 
-    // the whole centroid set as ONE row holding an array of (cent_id, cv)
-    // structs: broadcast-joining this single row lets every argmax below
-    // run map-side — the corpus is never shuffled (or windowed) just to
-    // learn its cell. (The previous shape — crossJoin to corpus×ncells
-    // rows + row_number over Window.partitionBy(vec_id) — moved the
-    // expanded rows through an exchange+sort for the identical answer.)
-    val centArr = centroids
+  /** The whole centroid set as ONE row holding an array of (cent_id, cv)
+    * structs: broadcast-joining this single row lets every argmax run
+    * map-side — the corpus is never shuffled (or windowed) just to learn
+    * its cell. (The previous shape — crossJoin to corpus×ncells rows +
+    * row_number over Window.partitionBy(vec_id) — moved the expanded
+    * rows through an exchange+sort for the identical answer.)
+    */
+  private[graft] def centArrOf(centroids: DataFrame): DataFrame =
+    centroids
       .agg(sort_array(collect_list(struct(col("cent_id"), col("cv")))).as("cents"))
 
-    // nearest-centroid assignment: zero-shuffle expression argmax.
-    // array_max of (cc, -cent_id) structs — NOT a sort: the corpus pays
-    // this per row, and sorting the ncells-wide score array per vector
-    // was measured 3× slower than the single max pass at soak scale
+  /** Nearest-centroid assignment of `df` (must carry `embedding`) under
+    * a broadcast 1-row centroid array — every input column is preserved
+    * and `cent_id` appended. Zero-shuffle expression argmax: array_max
+    * of (cc, -cent_id) structs — NOT a sort: the corpus pays this per
+    * row, and sorting the ncells-wide score array per vector was
+    * measured 3× slower than the single max pass at soak scale.
+    */
+  private[graft] def assignUnderCentArr(df: DataFrame,
+                                        centArr: DataFrame): DataFrame = {
     val best = array_max(transform(col("cents"), c =>
       struct(graft.expressions.VectorExpressions
         .arrayCosine(col("embedding"), c.getField("cv")).as("cc"),
         (-c.getField("cent_id")).as("nid"))))
-    val assigned = raw.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centArr))
-      .select(col("vec_id"), col("embedding"),
-        (-best.getField("nid")).cast("int").as("cent_id"))
-    (assigned, centArr)
+    df.crossJoin(broadcast(centArr))
+      .select(df.columns.map(col) :+
+        (-best.getField("nid")).cast("int").as("cent_id"): _*)
   }
 
   val RerankShortlist = 20
@@ -1049,4 +1066,372 @@ object Similarity {
       .orderBy(col("query_id"))
     graft.operators.Dedup.materializeAndRelease(result, cand, recon)
   }
+
+  // ------------------------------------------------------------------
+  // Persisted IVF index lifecycle (s16/s17, r13): the d28/d30/d31
+  // index-lifecycle convention generalized from the containment family
+  // to ANN. s3 re-derives the quantizer AND re-assigns the whole corpus
+  // on every call; the persisted form pays that once — `_icent` stores
+  // the centroid rows (the quantizer, FROZEN at build time like the
+  // containment index's `_cdf` order) and `_icell` stores the assigned
+  // corpus PARTITIONED BY CELL, so a probe reads only the nprobe cells
+  // each query ranks: dynamic partition pruning drops the other
+  // ncells−nprobe directories at the scan (pinned in StorageLayoutSpec),
+  // the IVF scan-fraction promise made physical — bytes read ≈
+  // nprobe/ncells of the corpus. Honest break-even (the d28 discipline):
+  // at soak scales the WALL win per probe is small (probe 2.6/3.5/6.3 s
+  // vs s3 recompute 2.9/3.5/6.7 s at sf1/sf3/sf10 — the 64-d map-side
+  // argmax is compute-light, so re-assignment barely shows at 200k×64
+  // floats ≈ 50 MB), and the index earns its keep where the reference
+  // deployment lives: corpora wide and deep enough that reading
+  // 1−nprobe/ncells fewer bytes dominates, plus probes that arrive more
+  // often than the corpus changes (the assignment pass amortized across
+  // every probe between appends).
+  // ------------------------------------------------------------------
+
+  /** Drop + physically delete the two IVF index tables under `prefix`. */
+  private[graft] def dropIvfTables(spark: SparkSession, prefix: String): Unit =
+    Seq(s"${prefix}_icent", s"${prefix}_icell").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+
+  /** Build the persisted IVF index over `corpusFilter`'s rows: derive
+    * the quantizer from the build corpus's OWN statistics (subBits from
+    * its count + label cardinality, exactly s3's auto sizing), store the
+    * centroid rows as `_icent`, then assign every build vector under the
+    * STORED centroids and write `_icell` partitioned by `cent_id`.
+    * Assignment reads the centroids back from the table rather than
+    * reusing the in-flight frame so the stored quantizer is the one the
+    * index provably used (6dp-rounded doubles round-trip parquet
+    * exactly). `label` is stored alongside each vector so the index is
+    * self-contained for [[rebuildIvfIndexTo]], the containment `_cdocs`
+    * convention.
+    */
+  def persistIvfIndex(spark: SparkSession, dir: String,
+                      prefix: String = "ivf_index",
+                      corpusFilter: Column = lit(true)): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    dropIvfTables(spark, prefix)
+    val raw = Tables.embeddings(spark, dir).filter(corpusFilter)
+    val st = raw.agg(count(lit(1)), countDistinct(col("label"))).collect()(0)
+    val subBits = deriveSubBits(st.getLong(0), st.getLong(1))
+    centroidsOf(raw, subBits)
+      .write.mode("overwrite").saveAsTable(s"${prefix}_icent")
+    assignUnderCentArr(
+      raw.select(col("vec_id"), col("label"), col("embedding")),
+      centArrOf(spark.table(s"${prefix}_icent")))
+      .write.partitionBy("cent_id").mode("overwrite")
+      .saveAsTable(s"${prefix}_icell")
+  }
+
+  /** s3's probe against the persisted index: queries rank the STORED
+    * centroids (one broadcast 1-row array — map-side, identical tie rule
+    * to s3's `rankedCells`), then join `_icell` on `cent_id`. Because
+    * `_icell` is partitioned by cell and the probe side is broadcast,
+    * dynamic partition pruning restricts the corpus scan to exactly the
+    * cells some query probes — the other directories are never opened.
+    * When the index was built over the same corpus the probes come from,
+    * the output is IDENTICAL to [[annIvfTopK]] (same quantizer
+    * derivation, same assignment argmax, same exact-cosine rerank), so
+    * the registered s16 shares s3's DuckDB oracle verbatim — the
+    * d27/d28 precedent applied to ANN.
+    */
+  def annIvfFromIndex(spark: SparkSession, dir: String,
+                      prefix: String = "ivf_index",
+                      k: Int = TopK): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val centArr = centArrOf(spark.table(s"${prefix}_icent"))
+    val probes = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("qe"),
+        explode(slice(rankedCells(col("qe")), 1, IvfNProbe)).as("cent_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    spark.table(s"${prefix}_icell").join(broadcast(probes), "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("array_cosine(qe, embedding)").as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** The distinct cells the s16 probe's query set ranks into its top
+    * `IvfNProbe` — exactly the partition directories dynamic partition
+    * pruning may keep; StorageLayoutSpec pins the probe scan's partition
+    * metric against this count.
+    */
+  private[graft] def probedCellsOf(spark: SparkSession, dir: String,
+                                   prefix: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val centArr = centArrOf(spark.table(s"${prefix}_icent"))
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("embedding").as("qe"))
+      .crossJoin(broadcast(centArr))
+      .select(explode(slice(rankedCells(col("qe")), 1, IvfNProbe))
+        .as("cent_id"))
+      .distinct()
+  }
+
+  private val builtIvfIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** s16: the production-shape spelling of s3 — identical output
+    * contract (same oracle), with the corpus assigned once per session
+    * into the cell-partitioned index and every probe paying query-side
+    * cost plus a partition-pruned scan of the probed cells only: no
+    * corpus re-assignment, no full-corpus read.
+    */
+  def annIvfIndexed(spark: SparkSession, dir: String,
+                    k: Int = TopK): DataFrame = {
+    val prefix = s"graft_s16_idx_${dir.hashCode & Int.MaxValue}"
+    if (builtIvfIndexes.add(s"${spark.sparkContext.applicationId}:$prefix"))
+      persistIvfIndex(spark, dir, prefix)
+    annIvfFromIndex(spark, dir, prefix, k)
+  }
+
+  /** Fold accepted vectors into the persisted IVF index: assign them
+    * under the STORED (frozen) centroids — new vectors adopt the
+    * build-time quantizer exactly as appended docs adopt the containment
+    * index's frozen df order — and append to `_icell`.
+    *
+    * Crash discipline: unlike the containment index's two-table window,
+    * this append mutates ONE table through Spark's commit protocol
+    * (tasks write to a staging location; files become visible only at
+    * job commit), so a crashed append leaves no visible residue at all —
+    * no orphan heal needed. `_icent` is immutable after build by the
+    * frozen-quantizer policy (refreshing centroids on append would
+    * reassign every stored row, O(index) per batch — the cost the index
+    * exists to avoid; the remedy for quantizer staleness is
+    * [[rotateIvfIndex]]). Re-appending an id the index already holds
+    * would duplicate its rows in every probe — refused up front on the
+    * `_icell` registration itself.
+    */
+  def appendToIvfIndex(spark: SparkSession, dir: String,
+                       appendFilter: Column,
+                       prefix: String = "ivf_index"): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    val add = Tables.embeddings(spark, dir).filter(appendFilter)
+    val dup = add.select(col("vec_id"))
+      .join(spark.table(s"${prefix}_icell").select(col("vec_id")), "vec_id")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"vec_id ${dup.head.getLong(0)} is already indexed in ${prefix}_icell")
+    assignUnderCentArr(
+      add.select(col("vec_id"), col("label"), col("embedding")),
+      centArrOf(spark.table(s"${prefix}_icent")))
+      .write.partitionBy("cent_id").mode("append")
+      .saveAsTable(s"${prefix}_icell")
+  }
+
+  /** s17's rebuild threshold: recommend a rebuild once the frozen
+    * quantizer's candidate volume reaches 2× a fresh rebuild's. What the
+    * ratio chiefly measures for IVF is the corpus OUTGROWING its
+    * build-time cell count: ncells derives as ≈ √n/2 ([[deriveSubBits]]),
+    * so once corpus growth pushes the fresh derivation past a power-of-2
+    * boundary a rebuild doubles the cells and roughly halves per-probe
+    * candidate volume — the soak fixture shows exactly that
+    * (`soakdiag_r13_s16.log`: half-stale ratio 1.99/2.05 at sf1/sf3
+    * where the boundary IS crossed, 1.0007 at sf10 where it is not —
+    * and the sf3 verdict flips to REBUILD right at the threshold).
+    * Payback at ratio 2: every probe pays ≈ 1 extra probe-cost of
+    * candidate work, and the measured blue/green rebuild costs 5–11
+    * probe-equivalents (rebuild ≈ 12.5/38.5/60.4 s inside the rotate vs
+    * probes of 2.6/3.5/6.3 s at sf1/sf3/sf10), so a recommended rebuild
+    * amortizes within about a dozen probes — roughly one steady-state
+    * batch cycle — while ALSO restoring the scan fraction (bytes read ≈
+    * nprobe/ncells) and the recall the stale cells lose, which the
+    * containment family's pure-cost argument has no analog for.
+    * Interpolated into the registered s17 oracle SQL, so the Scala
+    * constant and the DuckDB twin cannot desync.
+    */
+  val IvfDriftRebuildRatio = 2.0
+
+  /** Candidate volume (count of (query, neighbor) pairs the probe's
+    * exact-rerank stage would score) when `queries` probe their
+    * `IvfNProbe` top cells of `centArr` over `assigned` — the cost
+    * integrand both sides of the drift audit price. Empty quantizer →
+    * zero volume (every query's ranked-cell slice is empty), the report
+    * floor, never an error.
+    */
+  private def candidateVolumeUnder(assigned: DataFrame, queries: DataFrame,
+                                   centArr: DataFrame): DataFrame = {
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"),
+        explode(slice(rankedCells(col("qe")), 1, IvfNProbe)).as("cent_id"))
+    assigned.join(broadcast(probes), "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .agg(count(lit(1)).as("candidate_rows"))
+  }
+
+  /** Fold frozen/fresh volume rows into the s17 policy row — the
+    * [[Dedup.rebuildPolicyRow]] shape for IVF (1×1 cross join; empty
+    * corpus floors to ratio 1.0, no rebuild).
+    */
+  private def ivfPolicyRow(frozen: DataFrame, fresh: DataFrame): DataFrame =
+    frozen.select(col("candidate_rows").as("frozen_candidate_rows"))
+      .crossJoin(fresh.select(col("candidate_rows").as("fresh_candidate_rows")))
+      .withColumn("drift_ratio",
+        when(col("fresh_candidate_rows") === 0L, lit(1.0))
+          .otherwise(round(col("frozen_candidate_rows").cast("double") /
+            col("fresh_candidate_rows").cast("double"), 4)))
+      .withColumn("rebuild_recommended",
+        (col("drift_ratio") >= IvfDriftRebuildRatio).cast("long"))
+
+  /** s17: the IVF quantizer's rebuild-cadence signal — d30's drift audit
+    * generalized to the second index family. The frozen side is the
+    * BUILD-TIME HYPOTHESIS (quantizer derived from `buildFilter`'s rows,
+    * subBits from THEIR statistics) applied to the CURRENT corpus:
+    * every vector assigned under the stale centroids, every current
+    * query ranking the stale centroids — exactly the candidate volume a
+    * frozen index would make probes pay today. The fresh side is s3's
+    * own quantizer over the full corpus. Both volumes are closed-form
+    * counts (no top-k, no verify), so the DuckDB twin replays the whole
+    * audit; the drift_ratio and the [[IvfDriftRebuildRatio]] verdict
+    * land in the registered row. Unlike the containment audit, drift
+    * here moves RECALL as well as cost (candidates are the only rows the
+    * exact rerank ever sees), so the rebuild signal guards answer
+    * quality, not just probe latency — the scaladoc contract the
+    * Round13Spec recall pin exercises.
+    */
+  def ivfDriftAudit(spark: SparkSession, dir: String,
+                    buildFilter: Column = col("vec_id") % 2 === 0)
+      : DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    val queries = raw.filter(col("vec_id") % 50 === 0)
+    def quantizerOf(corpus: DataFrame): DataFrame = {
+      val st = corpus.agg(count(lit(1)), countDistinct(col("label")))
+        .collect()(0)
+      centArrOf(centroidsOf(corpus, deriveSubBits(st.getLong(0),
+        st.getLong(1))))
+    }
+    val frozenArr = quantizerOf(raw.filter(buildFilter))
+    val freshArr = quantizerOf(raw)
+    val e = raw.select(col("vec_id"), col("embedding"))
+    ivfPolicyRow(
+      candidateVolumeUnder(assignUnderCentArr(e, frozenArr), queries,
+        frozenArr),
+      candidateVolumeUnder(assignUnderCentArr(e, freshArr), queries,
+        freshArr))
+  }
+
+  /** The s17 policy against a LIVE persisted index — frozen candidate
+    * volume priced with NO corpus re-assignment (stored `_icell`
+    * assignments joined against queries ranking the stored `_icent`
+    * centroids: exactly what probes pay, appended rows included); the
+    * fresh side re-derives the quantizer from the index's own stored
+    * vectors (self-contained, like the containment live audit). Queries
+    * are the index's own % 50 vectors so the audit needs no external
+    * corpus. Test-verified rather than oracle-gated — the registered
+    * s17 hypothesis form is the DuckDB-replayable spelling — with
+    * Round13Spec pinning both volumes exactly against the closed form.
+    */
+  def ivfIndexDriftAudit(spark: SparkSession,
+                         prefix: String = "ivf_index"): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val icell = spark.table(s"${prefix}_icell")
+    val queries = icell.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val storedArr = centArrOf(spark.table(s"${prefix}_icent"))
+    val raw = icell.select(col("vec_id"), col("label"), col("embedding"))
+    val st = raw.agg(count(lit(1)), countDistinct(col("label"))).collect()(0)
+    val freshArr = centArrOf(centroidsOf(raw,
+      deriveSubBits(st.getLong(0), st.getLong(1))))
+    ivfPolicyRow(
+      candidateVolumeUnder(icell.select(col("vec_id"), col("cent_id")),
+        queries, storedArr),
+      candidateVolumeUnder(
+        assignUnderCentArr(raw.select(col("vec_id"), col("embedding")),
+          freshArr), queries, freshArr))
+  }
+
+  /** Rebuild the IVF index under a NEW prefix from the live index's own
+    * stored vectors — blue/green like [[Dedup.rebuildContainmentIndexTo]]
+    * (`fromPrefix` never mutated, nothing reads `toPrefix` until the
+    * pointer flips), because an in-place rebuild opens a two-table
+    * window where assignments are read against the wrong centroid set.
+    * The fresh quantizer re-derives subBits from the stored corpus's
+    * statistics, so a corpus that outgrew its build-time cell count gets
+    * the cell count s3 would give it today.
+    */
+  def rebuildIvfIndexTo(spark: SparkSession, fromPrefix: String,
+                        toPrefix: String): Unit = {
+    require(toPrefix != fromPrefix,
+      "blue/green rebuild requires a distinct target prefix")
+    graft.expressions.VectorExpressions.register(spark)
+    dropIvfTables(spark, toPrefix)
+    val raw = spark.table(s"${fromPrefix}_icell")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val st = raw.agg(count(lit(1)), countDistinct(col("label"))).collect()(0)
+    centroidsOf(raw, deriveSubBits(st.getLong(0), st.getLong(1)))
+      .write.mode("overwrite").saveAsTable(s"${toPrefix}_icent")
+    assignUnderCentArr(raw, centArrOf(spark.table(s"${toPrefix}_icent")))
+      .write.partitionBy("cent_id").mode("overwrite")
+      .saveAsTable(s"${toPrefix}_icell")
+  }
+
+  /** [[annIvfFromIndex]] against whatever index `alias` currently points
+    * at (the shared [[LiveIndexPointer]]) — resolves the pointer exactly
+    * once per probe.
+    */
+  def annIvfLive(spark: SparkSession, dir: String,
+                 alias: String = "ivf_index_live",
+                 k: Int = TopK): DataFrame = {
+    val prefix = LiveIndexPointer.current(spark, alias).getOrElse(
+      throw new IllegalStateException(
+        s"no live IVF index: pointer '$alias' has never been flipped — " +
+          "build one (persistIvfIndex) and flip to it"))
+    annIvfFromIndex(spark, dir, prefix, k)
+  }
+
+  /** Atomically point `alias` at `toPrefix` — the IVF lifecycle's COMMIT
+    * step ([[LiveIndexPointer.flip]]).
+    */
+  def flipIvfIndex(spark: SparkSession, toPrefix: String,
+                   alias: String = "ivf_index_live"): Unit =
+    LiveIndexPointer.flip(spark, toPrefix, alias)
+
+  /** The s17 policy consumed to cutover — the containment
+    * [[Dedup.rotateContainmentIndex]] discipline verbatim: heal
+    * idle-color residue, audit the live index, and iff drift clears
+    * `rebuildRatio`: rebuild into the idle color, flip the pointer,
+    * retire the old color. Same crash-forward analysis (the pointer
+    * rename is the single commit point); same immediate-retire caveat
+    * for deployments with concurrent probe sessions.
+    */
+  def rotateIvfIndex(spark: SparkSession,
+                     alias: String = "ivf_index_live",
+                     rebuildRatio: Double = IvfDriftRebuildRatio): Boolean = {
+    val from = LiveIndexPointer.current(spark, alias).getOrElse(
+      throw new IllegalStateException(
+        s"cannot rotate: pointer '$alias' has never been flipped"))
+    val blue = s"${alias}_blue"
+    val to = if (from == blue) s"${alias}_green" else blue
+    dropIvfTables(spark, to)
+    val act = ivfIndexDriftAudit(spark, from)
+      .collect()(0).getAs[Double]("drift_ratio") >= rebuildRatio
+    if (act) {
+      rebuildIvfIndexTo(spark, from, to)
+      LiveIndexPointer.flip(spark, to, alias)
+      dropIvfTables(spark, from)
+    }
+    act
+  }
+
+  /** Delete `alias`'s pointer file ([[LiveIndexPointer.unlink]]). */
+  def unlinkIvfPointer(spark: SparkSession,
+                       alias: String = "ivf_index_live"): Unit =
+    LiveIndexPointer.unlink(spark, alias)
 }

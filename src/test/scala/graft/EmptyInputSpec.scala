@@ -237,6 +237,27 @@ class EmptyInputSpec extends AnyFunSuite {
     // the file-arrival dial (not a report row — delivery state, not
     // corpus statistics) floors on an empty replay too
     assert(graft.streaming.Events.deriveFileArrivalDelayUs(spark, emptyDir) == 1L)
+    // the IVF index family floors the same way: an empty-corpus index
+    // probes to zero rows, and both drift audits read (0, 0, 1.0, 0)
+    assert(graft.operators.Similarity.annIvfIndexed(spark, emptyDir)
+      .count() == 0)
+    val ivfDrift = graft.operators.Similarity.ivfDriftAudit(spark, emptyDir)
+      .collect()
+    assert(ivfDrift.length == 1)
+    assert((ivfDrift(0).getAs[Long]("frozen_candidate_rows"),
+      ivfDrift(0).getAs[Long]("fresh_candidate_rows"),
+      ivfDrift(0).getAs[Double]("drift_ratio"),
+      ivfDrift(0).getAs[Long]("rebuild_recommended")) == ((0L, 0L, 1.0, 0L)),
+      s"s17 empty: ${ivfDrift(0)}")
+    graft.operators.Similarity.persistIvfIndex(spark, emptyDir,
+      prefix = "empty_ivf_idx")
+    val ivfLive = graft.operators.Similarity
+      .ivfIndexDriftAudit(spark, "empty_ivf_idx").collect()(0)
+    assert((ivfLive.getAs[Long]("frozen_candidate_rows"),
+      ivfLive.getAs[Long]("fresh_candidate_rows"),
+      ivfLive.getAs[Double]("drift_ratio"),
+      ivfLive.getAs[Long]("rebuild_recommended")) == ((0L, 0L, 1.0, 0L)),
+      s"empty live IVF audit: $ivfLive")
   }
 
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {

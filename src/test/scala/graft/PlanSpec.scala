@@ -128,7 +128,11 @@ class PlanSpec extends AnyFunSuite {
       "s7_lsh_rerank", "t23_dsir_weights", "t24_ccnet_cut",
       "q52_ewma_spend", "t30_burstiness",
       "t31_temp_mixture", "t32_coverage_curve", "s12_silhouette",
-      "q54_spend_deciles", "s13_index_quality")
+      "q54_spend_deciles", "s13_index_quality",
+      //  - s16/s17 (r13): the s3 quantizer shape again — every BNLJ is a
+      //    1-row broadcast (probe-side centroid array fan-in; s17 holds
+      //    TWO quantizers plus the 1×1 policy-row fold), pinned below
+      "s16_ivf_indexed", "s17_ivf_drift")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticByDesign)
       .flatMap { name =>
@@ -174,7 +178,16 @@ class PlanSpec extends AnyFunSuite {
       "t31_temp_mixture" -> 1, "t32_coverage_curve" -> 2,
       "s12_silhouette" -> 1, "q54_spend_deciles" -> 1,
       // s13 composes s1 (2 centroid broadcasts) with s2 (0)
-      "s13_index_quality" -> 2)
+      "s13_index_quality" -> 2,
+      // s16 = 2: the probe side's 1-row stored-centroid broadcast,
+      // counted once on the join's build side and once inside the
+      // dynamic-partition-pruning subquery the _icell scan carries (DPP
+      // embeds a copy of the pruning side's plan); the corpus join
+      // itself is an equi hash join on cent_id — not here
+      "s16_ivf_indexed" -> 2,
+      // s17 = 5: two quantizers × (assignment + probe ranking) 1-row
+      // centroid broadcasts + the 1×1 frozen×fresh policy-row fold
+      "s17_ivf_drift" -> 5)
     // (r7: s11/t29's one-row broadcasts plan as broadcast HASH joins —
     // zero BNLJ nodes — so they stay under the main gate, unexempted)
     val actual = expectedBnlj.keys.map { n =>

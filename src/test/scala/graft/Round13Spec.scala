@@ -326,4 +326,115 @@ class Round13Spec extends AnyFunSuite {
     Dedup.retireContainmentIndex(spark, blue)
     Dedup.unlinkContainmentPointer(spark, alias)
   }
+
+  test("s16 persisted IVF probe equals s3 verbatim; append adopts the " +
+    "frozen quantizer; the live audit equals the registered closed form") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // full-corpus index: the probe IS s3 (same quantizer derivation,
+    // same argmax, same rerank — only WHERE the assignment lives moved)
+    Similarity.persistIvfIndex(spark, sf, "r13_ivf_full")
+    assert(rows(Similarity.annIvfFromIndex(spark, sf, "r13_ivf_full")) ==
+      rows(Similarity.annIvfTopK(spark, sf)))
+    // a drifted index: built over the even half, odd half appended under
+    // the STORED centroids
+    Similarity.persistIvfIndex(spark, sf, "r13_ivf_half",
+      corpusFilter = col("vec_id") % 2 === 0)
+    Similarity.appendToIvfIndex(spark, sf, col("vec_id") % 2 =!= 0,
+      "r13_ivf_half")
+    // re-appending an indexed id is refused on the _icell registration
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, sf, col("vec_id") % 2 =!= 0,
+        "r13_ivf_half")
+    }
+    // append parity: stored assignments == every corpus vector assigned
+    // under the stored (frozen) centroids, computed from scratch
+    val stored = spark.table("r13_ivf_half_icell")
+      .select(col("vec_id"), col("cent_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val expected = Similarity.assignUnderCentArr(
+      graft.sources.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding")),
+      Similarity.centArrOf(spark.table("r13_ivf_half_icent")))
+      .select(col("vec_id"), col("cent_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(stored == expected)
+    // the LIVE audit (stored assignments, no recompute) equals the
+    // registered s17 hypothesis form on the same corpus: the even-half
+    // build IS s17's frozen hypothesis, and the index is self-contained
+    val live = Similarity.ivfIndexDriftAudit(spark, "r13_ivf_half")
+      .collect()(0)
+    val reg = Similarity.ivfDriftAudit(spark, sf).collect()(0)
+    assert(live.getAs[Long]("frozen_candidate_rows") ==
+      reg.getAs[Long]("frozen_candidate_rows"), s"live $live vs reg $reg")
+    assert(live.getAs[Long]("fresh_candidate_rows") ==
+      reg.getAs[Long]("fresh_candidate_rows"))
+    assert(live.getAs[Double]("drift_ratio") ==
+      reg.getAs[Double]("drift_ratio"))
+    // drift moves the CANDIDATE SET, not just its count — the mechanism
+    // by which a stale quantizer moves recall (candidates are the only
+    // rows the exact rerank ever sees)
+    val frozenCand = Similarity.assignUnderCentArr(
+      graft.sources.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding")),
+      Similarity.centArrOf(spark.table("r13_ivf_half_icent")))
+      .select(col("vec_id"), col("cent_id"))
+    val freshCand = spark.table("r13_ivf_full_icell")
+      .select(col("vec_id"), col("cent_id"))
+    def cellSets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(cellSets(frozenCand) != cellSets(freshCand),
+      "even-half-frozen and fresh quantizers must place some vector " +
+        "differently at gate scale, or the drift fixture is vacuous")
+    Seq("r13_ivf_full", "r13_ivf_half")
+      .foreach(Similarity.dropIvfTables(spark, _))
+  }
+
+  test("IVF blue/green rotate: pointer cutover, post-rotate probe IS s3, " +
+    "idle-color residue heals") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val alias = "r13_ivf_live"
+    val blue = s"${alias}_blue"
+    val green = s"${alias}_green"
+    Similarity.unlinkIvfPointer(spark, alias)
+    intercept[IllegalStateException] {
+      Similarity.annIvfLive(spark, sf, alias)
+    }
+    Similarity.persistIvfIndex(spark, sf, blue,
+      corpusFilter = col("vec_id") % 2 === 0)
+    Similarity.flipIvfIndex(spark, blue, alias)
+    Similarity.appendToIvfIndex(spark, sf, col("vec_id") % 2 =!= 0, blue)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(rows(Similarity.annIvfLive(spark, sf, alias)) ==
+      rows(Similarity.annIvfFromIndex(spark, sf, blue)))
+    // force the ACT branch regardless of the fixture's drift direction
+    // (ratio 0 is below any drift_ratio): rebuild re-derives the
+    // quantizer from the stored full corpus, so the post-rotate live
+    // probe must equal s3 on the same corpus VERBATIM — and the
+    // post-rotate audit must read exactly 1.0
+    assert(Similarity.rotateIvfIndex(spark, alias, rebuildRatio = 0.0))
+    assert(graft.operators.LiveIndexPointer.current(spark, alias)
+      .contains(green))
+    assert(!spark.catalog.tableExists(s"${blue}_icell"))
+    assert(rows(Similarity.annIvfLive(spark, sf, alias)) ==
+      rows(Similarity.annIvfTopK(spark, sf)))
+    val post = Similarity.ivfIndexDriftAudit(spark, green).collect()(0)
+    assert(post.getAs[Double]("drift_ratio") == 1.0 &&
+      post.getAs[Long]("rebuild_recommended") == 0L, s"post: $post")
+    // crash between rebuild and flip: unreferenced idle color — the next
+    // rotate heals it at start even when it declines to act
+    Similarity.rebuildIvfIndexTo(spark, green, blue)
+    assert(!Similarity.rotateIvfIndex(spark, alias,
+      rebuildRatio = Double.MaxValue))
+    assert(!spark.catalog.tableExists(s"${blue}_icell"),
+      "idle-color residue must be healed by the next rotate")
+    Similarity.dropIvfTables(spark, green)
+    Similarity.unlinkIvfPointer(spark, alias)
+  }
 }

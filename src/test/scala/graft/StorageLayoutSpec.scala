@@ -397,4 +397,58 @@ class StorageLayoutSpec extends AnyFunSuite {
       caches.foreach(_.unpersist())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  test("persisted IVF index: the probe's corpus scan is dynamically " +
+    "partition-pruned to the probed cells") {
+    // the s16 scan-fraction promise made physical: _icell is partitioned
+    // by cent_id, the probe side is broadcast, so dynamic partition
+    // pruning must restrict the corpus scan to the cells some query
+    // ranks in its top nprobe — the other directories are never opened
+    graft.operators.Similarity.persistIvfIndex(spark, sf, "layout_ivf_idx")
+    val probe = graft.operators.Similarity
+      .annIvfFromIndex(spark, sf, "layout_ivf_idx")
+    val plan = probe.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("layout_ivf_idx_icell")) => Seq(s)
+      case a: AdaptiveSparkPlanExec => scansOf(a.inputPlan)
+    }.flatten
+    val scans = scansOf(plan)
+    assert(scans.nonEmpty, s"no _icell scan in the probe plan:\n$plan")
+    scans.foreach { s =>
+      assert(s.partitionFilters.exists(_.toString.contains("dynamicpruning")),
+        s"_icell scan carries no dynamic partition pruning filter:\n$s")
+    }
+    // and the pruning is real: after execution the scan's partition
+    // metric must equal EXACTLY the number of distinct cells the query
+    // set ranks into its top nprobe — not the table's full directory
+    // count
+    // collect() (NOT count(), which plans a separate aggregate query)
+    // executes THIS queryExecution, populating its scan metrics
+    assert(probe.collect().length > 0)
+    // AQE replaces the captured initial plan — read the metric off the
+    // FINAL adaptive plan's scan, after execution
+    def finalScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("layout_ivf_idx_icell")) => Seq(s)
+      case a: AdaptiveSparkPlanExec => finalScans(a.executedPlan)
+      // materialized stages are leaf nodes in the final adaptive plan —
+      // the scan lives inside
+      case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        finalScans(st.plan)
+    }.flatten
+    val probedCells = graft.operators.Similarity
+      .probedCellsOf(spark, sf, "layout_ivf_idx").count()
+    val totalCells = spark.table("layout_ivf_idx_icell")
+      .select(col("cent_id")).distinct().count()
+    val executed = finalScans(probe.queryExecution.executedPlan)
+    assert(executed.nonEmpty, "no _icell scan in the final adaptive plan")
+    executed.head.metrics.get("numPartitions").map(_.value).foreach { read =>
+      assert(read == probedCells.min(totalCells),
+        s"scan read $read partition dirs; probed cells = $probedCells, " +
+          s"table holds $totalCells")
+    }
+    graft.operators.Similarity.dropIvfTables(spark, "layout_ivf_idx")
+  }
 }
