@@ -1305,13 +1305,7 @@ object Dedup {
     // an in-memory catalog forgets tables across JVMs but their warehouse
     // directories survive; drop both the entry and any orphaned location,
     // or saveAsTable refuses with LOCATION_ALREADY_EXISTS on a fresh session
-    Seq(s"${prefix}_shingles", s"${prefix}_bands").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS `$t`")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(loc, true)
-    }
+    dropBandIndexTables(spark, prefix)
     val docs = docShingles(spark, dir).filter(corpusFilter)
     docs.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
       .mode("overwrite").saveAsTable(s"${prefix}_shingles")
@@ -1321,6 +1315,21 @@ object Dedup {
       .write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
       .mode("overwrite").saveAsTable(s"${prefix}_bands")
   }
+
+  /** Drop + delete the band index's two tables (catalog entry AND
+    * warehouse directory — see the orphaned-location note in
+    * [[persistCorpusBandIndex]]). Shared by the build's start-heal and
+    * the rotate lifecycle's retire step.
+    */
+  private[graft] def dropBandIndexTables(spark: SparkSession,
+                                         prefix: String): Unit =
+    Seq(s"${prefix}_shingles", s"${prefix}_bands").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
 
   /** Retract documents from the persisted bucketed corpus index — the
     * index-side half of the GDPR story ([[retractFromIngestSink]] handles
@@ -1453,6 +1462,99 @@ object Dedup {
     incrementalDedupFromIndex(spark, dir, prefix, threshold, release)
   }
 
+  // --- band-index pointer lifecycle (r13): the [[LiveIndexPointer]]
+  // discipline extended to the THIRD persisted index family. Unlike the
+  // containment index (order drift, d30) and the IVF index (quantizer
+  // drift, s17), the band index has no drift signal to police: its
+  // geometry is fixed constants (MinHashK × Bands × RowsPerBand — minhash
+  // bucket keys are data-derived hashes, so occupancy doesn't decay with
+  // corpus growth) and it has no append path (the streaming contract is
+  // batch-vs-corpus, survivors are NOT folded back). Its one lifecycle
+  // event is a corpus REFRESH — a new snapshot replaces the old — so the
+  // rotate verb here is unconditional, not policy-gated.
+
+  /** Point `alias` at `toPrefix` — the band family's COMMIT step, the
+    * same atomic pointer rename as [[flipContainmentIndex]] (see
+    * [[LiveIndexPointer]] for why a file, not a view or 1-row table).
+    */
+  def flipCorpusBandIndex(spark: SparkSession, toPrefix: String,
+                          alias: String = "corpus_index_live"): Unit =
+    LiveIndexPointer.flip(spark, toPrefix, alias)
+
+  /** The prefix `alias` currently points at; `None` before the first
+    * flip. Probes resolve this ONCE per probe (batch:
+    * [[incrementalDedupLive]]; per micro-batch:
+    * [[streamingIncrementalDedup]] with `indexAlias`), so all table
+    * reads inside one probe see one consistent prefix.
+    */
+  def currentCorpusBandPrefix(spark: SparkSession,
+                              alias: String = "corpus_index_live")
+      : Option[String] =
+    LiveIndexPointer.current(spark, alias)
+
+  /** Drop + delete a retired band index's tables — the GC verb, public
+    * for deployments that delay retirement until in-flight probes drain.
+    */
+  def retireCorpusBandIndex(spark: SparkSession, prefix: String): Unit =
+    dropBandIndexTables(spark, prefix)
+
+  /** Delete `alias`'s pointer file — decommissioning teardown. */
+  def unlinkCorpusBandPointer(spark: SparkSession,
+                              alias: String = "corpus_index_live"): Unit =
+    LiveIndexPointer.unlink(spark, alias)
+
+  /** [[incrementalDedupFromIndex]] against whatever band index `alias`
+    * currently points at — the probe spelling a deployment runs once
+    * corpus refreshes exist, so a refresh never redeploys probe code.
+    * Resolves the pointer exactly once.
+    */
+  def incrementalDedupLive(spark: SparkSession, dir: String,
+                           alias: String = "corpus_index_live",
+                           threshold: Double = 0.8,
+                           release: Boolean = true): DataFrame = {
+    val prefix = currentCorpusBandPrefix(spark, alias).getOrElse(
+      throw new IllegalStateException(
+        s"no live band index: pointer '$alias' has never been flipped — " +
+          "refreshCorpusBandIndex (or persistCorpusBandIndex + " +
+          "flipCorpusBandIndex) first"))
+    incrementalDedupFromIndex(spark, dir, prefix, threshold, release)
+  }
+
+  /** Blue/green corpus refresh: build a NEW band index from the current
+    * corpus snapshot into the idle color, flip the pointer, retire the
+    * old color. The build's own start-heal ([[persistCorpusBandIndex]]
+    * drops the target first) absorbs any crash residue in the idle
+    * color, and the pointer rename is the single commit point — the
+    * crash half-states and their heal-forward story are exactly
+    * [[rotateContainmentIndex]]'s.
+    *
+    * Retirement is immediate, sound for the single-driver lifecycle. A
+    * LIVE streaming probe ([[streamingIncrementalDedup]] with
+    * `indexAlias`) re-resolves the pointer at each micro-batch, so a
+    * refresh landing BETWEEN batches is picked up by the next one —
+    * but a refresh racing a batch mid-flight could retire tables that
+    * batch still reads. Deployments refreshing under an active stream
+    * flip first, let the in-flight batch drain (still-correct, merely
+    * stale), then call [[retireCorpusBandIndex]]; this verb's immediate
+    * retire is for the quiesced-ingest window (StreamingSpec drives the
+    * flip-under-live-stream shape at controlled batch boundaries).
+    *
+    * First call (pointer absent) builds + flips with nothing to retire.
+    */
+  def refreshCorpusBandIndex(spark: SparkSession, dir: String,
+                             alias: String = "corpus_index_live",
+                             buckets: Int = 32,
+                             corpusFilter: org.apache.spark.sql.Column =
+                               col("doc_id") % 2 === 0): String = {
+    val from = currentCorpusBandPrefix(spark, alias)
+    val blue = s"${alias}_blue"
+    val to = if (from.contains(blue)) s"${alias}_green" else blue
+    persistCorpusBandIndex(spark, dir, to, buckets, corpusFilter)
+    flipCorpusBandIndex(spark, to, alias)
+    from.foreach(retireCorpusBandIndex(spark, _))
+    to
+  }
+
   /** Streaming ingest dedup — the streaming face of [[incrementalDedup]]:
     * documents ARRIVE as a stream, each micro-batch probes the static
     * corpus band index, and only verified-novel documents reach the sink.
@@ -1492,22 +1594,38 @@ object Dedup {
     *        knob that turns one bulk catch-up batch into many small ones
     *        (and, with it, one `ingest_batch` directory per trigger).
     */
+  /** @param indexAlias live-pointer alternative to `indexPrefix`: the
+    *        corpus side resolves [[currentCorpusBandPrefix]] ONCE per
+    *        micro-batch, so a blue/green corpus refresh
+    *        ([[refreshCorpusBandIndex]]) landing between batches is
+    *        picked up by the next batch with no stream restart — and
+    *        within one batch all corpus reads see one consistent prefix
+    *        even if a refresh lands mid-batch (the retired tables must
+    *        outlive that batch; see the refresh verb's drain note).
+    *        Mutually exclusive with `indexPrefix`.
+    */
   def streamingIncrementalDedup(spark: SparkSession, dir: String,
                                 sinkPath: String, checkpointPath: String,
                                 threshold: Double = 0.8,
                                 indexPrefix: Option[String] = None,
                                 sourcePath: Option[String] = None,
-                                maxFilesPerTrigger: Option[Int] = None)
+                                maxFilesPerTrigger: Option[Int] = None,
+                                indexAlias: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val fromIndex = indexPrefix.isDefined
-    val corpusDocs = indexPrefix match {
-      case Some(p) => spark.table(s"${p}_shingles")
-      case None => docShingles(spark, dir).filter(col("doc_id") % 2 === 0).cache()
-    }
-    val corpusBands = indexPrefix match {
-      case Some(p) => spark.table(s"${p}_bands")
-      case None => minhashBands(corpusDocs).cache()
-    }
+    require(indexPrefix.isEmpty || indexAlias.isEmpty,
+      "indexPrefix and indexAlias are mutually exclusive — a pinned " +
+        "prefix and a live pointer cannot both name the corpus")
+    val fromIndex = indexPrefix.isDefined || indexAlias.isDefined
+    // alias mode defers corpus resolution to the batch closure; the
+    // pinned modes build the corpus plan once here
+    val staticCorpus: Option[(DataFrame, DataFrame)] =
+      if (indexAlias.isDefined) None
+      else Some(indexPrefix match {
+        case Some(p) => (spark.table(s"${p}_shingles"), spark.table(s"${p}_bands"))
+        case None =>
+          val docs = docShingles(spark, dir).filter(col("doc_id") % 2 === 0).cache()
+          (docs, minhashBands(docs).cache())
+      })
 
     val schema = Tables.documents(spark, dir).schema
     val reader = spark.readStream.schema(schema)
@@ -1519,6 +1637,13 @@ object Dedup {
     stream.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val (corpusDocs, corpusBands) = staticCorpus.getOrElse {
+          val p = currentCorpusBandPrefix(spark, indexAlias.get).getOrElse(
+            throw new IllegalStateException(
+              s"no live band index: pointer '${indexAlias.get}' has " +
+                "never been flipped"))
+          (spark.table(s"${p}_shingles"), spark.table(s"${p}_bands"))
+        }
         val batchSh = shinglesOf(batch.select(col("doc_id"), col("text"))).cache()
         val batchBands = minhashBands(batchSh)
         val candidates = batchBands.as("a")
@@ -1550,8 +1675,9 @@ object Dedup {
             override def onQueryProgress(e: QueryProgressEvent): Unit = ()
             override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
               if (e.id == queryId) {
-                corpusDocs.unpersist()
-                corpusBands.unpersist()
+                staticCorpus.foreach { case (docs, bands) =>
+                  docs.unpersist(); bands.unpersist()
+                }
                 spark.streams.removeListener(this)
               }
           })

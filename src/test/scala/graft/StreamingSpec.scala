@@ -1046,6 +1046,81 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("blue/green corpus refresh lands under a live ingest stream at a batch boundary") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val alias = "streaming_rotate_test"
+    val work = java.nio.file.Files.createTempDirectory("graft_rotate_stream").toString
+    val (src, sink, ckpt) = (s"$work/src", s"$work/sink", s"$work/ckpt")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def land(mods: Seq[Int]): Unit = mods.foreach { m =>
+      docs.filter(col("doc_id") % 10 === m)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    // expectation machinery: dup ids of ALL odd arrivals vs each corpus,
+    // probed through throwaway pinned indexes (per-arrival independence
+    // makes restricting to a wave's subset afterwards exact)
+    def dupsVs(prefix: String, filter: org.apache.spark.sql.Column): Set[Long] = {
+      Dedup.persistCorpusBandIndex(spark, sf, prefix, buckets = 4, corpusFilter = filter)
+      val d = Dedup.incrementalDedupFromIndex(spark, sf, prefix)
+        .select("batch_id").collect().map(_.getLong(0)).toSet
+      Dedup.retireCorpusBandIndex(spark, prefix)
+      d
+    }
+    val dupsGreen = dupsVs("rotate_exp_green", col("doc_id") % 2 === 0)
+    val dupsBlue = dupsVs("rotate_exp_blue", col("doc_id") % 4 === 0)
+
+    Dedup.unlinkCorpusBandPointer(spark, alias)
+    try {
+      // GREEN live: the standard even-id corpus
+      val green = Dedup.refreshCorpusBandIndex(spark, sf, alias, buckets = 4)
+      assert(Dedup.currentCorpusBandPrefix(spark, alias).contains(green))
+      land(Seq(1, 3))
+      val q = Dedup.streamingIncrementalDedup(spark, sf, sink, ckpt,
+        sourcePath = Some(src), indexAlias = Some(alias))
+      try {
+        q.processAllAvailable() // batch 0 probes GREEN
+        // rotate to BLUE (quarter-id corpus) at the batch boundary; the
+        // refresh RETIRES green — a stale plan would now fail, so the
+        // next batch passing proves per-batch pointer resolution
+        val blue = Dedup.refreshCorpusBandIndex(spark, sf, alias,
+          buckets = 4, corpusFilter = col("doc_id") % 4 === 0)
+        assert(blue != green)
+        assert(!spark.catalog.tableExists(s"${green}_bands"),
+          "refresh must retire the old color")
+        land(Seq(5, 7, 9))
+        q.processAllAvailable() // batch 1 probes BLUE
+      } finally q.stop()
+
+      val wave1 = docs.filter(col("doc_id") % 10 === 1 || col("doc_id") % 10 === 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val wave2 = docs.filter(col("doc_id") % 10 === 5 || col("doc_id") % 10 === 7 ||
+          col("doc_id") % 10 === 9)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val landed = spark.read.parquet(sink)
+        .select(col("doc_id"), input_file_name().as("f")).collect()
+        .map(r => (r.getLong(0), r.getString(1).contains("ingest_batch=0")))
+      val landed0 = landed.filter(_._2).map(_._1).toSet
+      val landed1 = landed.filterNot(_._2).map(_._1).toSet
+      assert(landed0 == (wave1 -- dupsGreen),
+        s"batch 0 (green): landed=${landed0.size} expected=${(wave1 -- dupsGreen).size}")
+      assert(landed1 == (wave2 -- dupsBlue),
+        s"batch 1 (blue): landed=${landed1.size} expected=${(wave2 -- dupsBlue).size}")
+      // the rotation must be OBSERVABLE: blue's smaller corpus clears
+      // arrivals green would have flagged
+      assert((wave2 -- dupsBlue) != (wave2 -- dupsGreen),
+        "corpus variants must disagree on wave 2, or the test proves nothing")
+      // batch live probe resolves the same pointer
+      val live = Dedup.incrementalDedupLive(spark, sf, alias)
+        .select("batch_id").collect().map(_.getLong(0)).toSet
+      assert(live == dupsBlue, s"live=${live.size} blue=${dupsBlue.size}")
+    } finally {
+      Seq(s"${alias}_blue", s"${alias}_green").foreach(
+        Dedup.retireCorpusBandIndex(spark, _))
+      Dedup.unlinkCorpusBandPointer(spark, alias)
+    }
+  }
+
   test("stateful sessionization agrees with the declarative sessionizer") {
     val declarative = Events.sessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
