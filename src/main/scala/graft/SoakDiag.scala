@@ -802,6 +802,21 @@ object SoakDiag {
       rm11(new java.io.File(staged))
     }
 
+    // t34 (r13): the curation funnel at soak scale — the composition's
+    // wall is judged against the sum of its constituent stages (t1/t9/t2
+    // passes + d2-shape PPJoin over the gated subset + CC + d8 decon),
+    // and the per-stage survivor counts ride the ledger so the funnel's
+    // cut structure at 10×/30×/100× is a recorded fact, not a guess
+    locally {
+      var stages = Array.empty[(String, Long)]
+      time("t34_funnel") {
+        val rows = operators.Curation.curationFunnel(spark, dir).collect()
+        stages = rows.map(r => r.getString(0) -> r.getLong(1))
+        stages.find(_._1 == "7_source_cap").map(_._2).getOrElse(0L)
+      }
+      stages.foreach { case (s, n) => untimed(s"t34_${s}_docs", n) }
+    }
+
     println("[soakdiag-json] " + out.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"dir":"$dir",""", ",", "}"))
     spark.stop()

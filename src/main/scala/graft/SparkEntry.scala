@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Extended, Profile, Relational, Similarity, Skew, TextAnalysis}
+import graft.operators.{Curation, Dedup, Extended, Profile, Relational, Similarity, Skew, TextAnalysis}
 import graft.sources.Dims
 import graft.streaming.Events
 
@@ -257,6 +257,8 @@ object SparkEntry {
       Events.attributionOuter(s, d)),
     "d30_order_drift"         -> ((s: SparkSession, d: String) =>
       Dedup.indexOrderDriftAudit(s, d)),
+    "t34_curation_funnel"     -> ((s: SparkSession, d: String) =>
+      Curation.curationFunnel(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -3051,6 +3053,99 @@ object SparkEntry {
           ${graft.streaming.Events.DisorderGraceSeconds} * 1000000) AS BIGINT) AS n_late,
         CAST(max(late_us) AS BIGINT) AS max_lateness_us
       FROM r GROUP BY user_id ORDER BY user_id""",
+
+    // t34: the curation funnel — each stage's SQL is the corresponding
+    // operator's own oracle shape (t1/t9/t2 per-doc reports; d1's
+    // fingerprint-min; d2/d6's exact-Jaccard pairs + recursive reach,
+    // here restricted to the stage-4 survivors; d8's 8-gram CTEs with a
+    // strict any-shared gate; t17's rounded-score window), composed in
+    // sequence. The Spark side's PPJoin is exact (equals the all-pairs
+    // baseline by theorem + test), so the oracle states the plain
+    // quadratic form and the sets agree exactly.
+    "t34_curation_funnel" -> s"""
+      WITH RECURSIVE
+      t1 AS ($TextStatsOracleSql),
+      t9 AS ($RepetitionOracleSql),
+      t2 AS ($LangIdOracleSql),
+      base AS (
+        SELECT d.doc_id, d.source, t1.n_tokens, t1.quality_score,
+          t1.fingerprint, t9.top_trigram_ratio,
+          t2.lang_pred = t2.lang_declared AS lang_ok
+        FROM documents d
+        JOIN t1 ON d.doc_id = t1.doc_id
+        JOIN t9 ON d.doc_id = t9.doc_id
+        JOIN t2 ON d.doc_id = t2.doc_id),
+      s1 AS (SELECT * FROM base WHERE doc_id % 20 <> 0),
+      s2 AS (SELECT * FROM s1 WHERE lang_ok),
+      s3 AS (SELECT * FROM s2
+             WHERE n_tokens >= 10 AND n_tokens <= 100000
+               AND quality_score >= 0.3 AND top_trigram_ratio <= 0.2),
+      s4 AS (SELECT * FROM s3 WHERE doc_id IN (
+               SELECT min(doc_id) FROM s3 GROUP BY fingerprint)),
+      ntk AS (
+        SELECT d.doc_id,
+          string_split(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'), ' ') AS t
+        FROM documents d JOIN s4 ON d.doc_id = s4.doc_id),
+      nidx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM ntk),
+      nsh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM nidx),
+      ncnt AS (SELECT doc_id, count(*) AS n FROM nsh GROUP BY 1),
+      nprs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM nsh a JOIN nsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      njp AS (
+        SELECT id_a, id_b FROM nprs
+        JOIN ncnt ca ON id_a = ca.doc_id
+        JOIN ncnt cb ON id_b = cb.doc_id
+        WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.8),
+      ne AS (SELECT id_a AS src, id_b AS dst FROM njp
+             UNION SELECT id_b, id_a FROM njp),
+      nnodes AS (SELECT DISTINCT src AS doc FROM ne),
+      nreach(doc, other) AS (
+        SELECT doc, doc FROM nnodes
+        UNION
+        SELECT r.doc, ne.dst FROM nreach r JOIN ne ON r.other = ne.src),
+      nlosers AS (
+        SELECT doc FROM (SELECT doc, min(other) AS root FROM nreach GROUP BY doc)
+        WHERE doc <> root),
+      s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc FROM nlosers)),
+      dtk AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+      didx AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM dtk
+               WHERE len(t) >= 8),
+      dsh AS (SELECT DISTINCT doc_id,
+                t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS s
+              FROM didx),
+      dev AS (SELECT DISTINCT s FROM dsh WHERE doc_id % 20 = 0),
+      contaminated AS (
+        SELECT DISTINCT dsh.doc_id
+        FROM dsh JOIN dev USING (s) JOIN s5 ON dsh.doc_id = s5.doc_id),
+      s6 AS (SELECT * FROM s5 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      s7 AS (SELECT * FROM (
+               SELECT s6.*, row_number() OVER (PARTITION BY source
+                 ORDER BY quality_score DESC, doc_id ASC) AS rnk FROM s6)
+             WHERE rnk <= 10)
+      SELECT stage, n_docs, n_tokens FROM (
+        SELECT '0_base' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM base
+        UNION ALL SELECT '1_holdout', CAST(count(*) AS BIGINT),
+          CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s1
+        UNION ALL SELECT '2_lang_id', CAST(count(*) AS BIGINT),
+          CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s2
+        UNION ALL SELECT '3_quality', CAST(count(*) AS BIGINT),
+          CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s3
+        UNION ALL SELECT '4_exact_dedup', CAST(count(*) AS BIGINT),
+          CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s4
+        UNION ALL SELECT '5_near_dup', CAST(count(*) AS BIGINT),
+          CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s5
+        UNION ALL SELECT '6_decontaminated', CAST(count(*) AS BIGINT),
+          CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s6
+        UNION ALL SELECT '7_source_cap', CAST(count(*) AS BIGINT),
+          CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s7
+      ) ORDER BY stage""",
 
     // t33: the d24 grid-left-join shape over the t1 quality score; grid
     // values and the 4dp score binding interpolate from the Scala side.

@@ -130,8 +130,18 @@ object Dedup {
     * without duplicating the pipeline.
     */
   private[graft] def ngramCandidates(spark: SparkSession, dir: String,
+      threshold: Double): (DataFrame, DataFrame, DataFrame) =
+    ngramCandidatesOf(docShingles(spark, dir).cache(), threshold)
+
+  /** [[ngramCandidates]] over a caller-supplied shingled corpus
+    * `(doc_id, sh)` — the subset form composition stages need (r13:
+    * t34's near-dup stage runs the same exact PPJoin over the docs that
+    * survived its upstream gates). `docs` should already be cached; it
+    * is returned as the triple's first element for the caller to
+    * release.
+    */
+  private[graft] def ngramCandidatesOf(docs: DataFrame,
       threshold: Double): (DataFrame, DataFrame, DataFrame) = {
-    val docs = docShingles(spark, dir).cache()
     val ds = docs.select(col("doc_id"), explode(col("sh")).as("s"))
 
     // global shingle order: (document frequency asc, shingle) — rare first

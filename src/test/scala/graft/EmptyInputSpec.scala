@@ -209,6 +209,12 @@ class EmptyInputSpec extends AnyFunSuite {
       emptyAudit.getAs[Long]("rebuild_recommended")) == ((0L, 0L, 1.0, 0L)),
       s"empty live audit: $emptyAudit")
     assert(graft.operators.Dedup.bandOccupancyAudit(spark, emptyDir).count() == 0)
+    // t34 is a funnel report: always 8 stage rows, all-zero on an empty
+    // corpus (the global aggregate emits one row of zeros; stack unpivots)
+    val funnel = graft.operators.Curation.curationFunnel(spark, emptyDir).collect()
+    assert(funnel.length == 8 &&
+      funnel.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L),
+      s"empty funnel: ${funnel.mkString(";")}")
     assert(graft.multimodal.Multimodal.gradientHashes(spark, emptyDir).count() == 0)
     assert(graft.multimodal.Multimodal
       .mediaBandOccupancyAudit(spark, emptyDir).count() == 0)

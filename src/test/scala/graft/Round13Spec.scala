@@ -437,4 +437,39 @@ class Round13Spec extends AnyFunSuite {
     Similarity.dropIvfTables(spark, green)
     Similarity.unlinkIvfPointer(spark, alias)
   }
+
+  test("t34: every funnel gate fires on a planted fixture (the driver corpus " +
+    "leaves quality/exact-dedup structurally inert)") {
+    import org.apache.spark.sql.functions._
+    val enA = "the quick brown fox jumps over a lazy dog and runs to the " +
+      "old mill near of the river bank while birds sing"
+    val leak = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, enA, "en", "web"),                              // survivor
+      (3L, enA, "en", "web"),                              // exact dup of 1 → dies s4
+      (5L, "the cat sat on mat", "en", "web"),             // 5 tokens → dies s3 (too_short)
+      (7L, "the " + Seq.fill(30)("spam").mkString(" "), "en", "web"), // dies s3 (repetitive)
+      (9L, s"the report discusses $leak and further details of a modern " +
+        "study to improve results", "en", "web"),          // dies s6 (eval 8-gram)
+      (11L, "an independent survey covers seven distinct regions and " +
+        "documents the broad variety of outcomes to compare", "en", "web"), // survivor
+      (20L, s"notes $leak end", "en", "web"))              // eval split → held out s1
+    val dir = java.nio.file.Files.createTempDirectory("graft_t34_fixture").toString
+    spark.createDataFrame(docs).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    val funnel = graft.operators.Curation.curationFunnel(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel == Map(
+      "0_base" -> 7L,            // the full fixture
+      "1_holdout" -> 6L,         // doc 20 held out (eval split)
+      "2_lang_id" -> 6L,         // every kept doc carries en markers
+      "3_quality" -> 4L,         // 5 too_short, 7 repetitive
+      "4_exact_dedup" -> 3L,     // 3 loses to 1 (min-id survivor)
+      "5_near_dup" -> 3L,        // the only j>=0.8 pair died at s4 already
+      "6_decontaminated" -> 2L,  // 9 shares an 8-gram with held-out 20
+      "7_source_cap" -> 2L),     // 2 <= cap
+      s"funnel=$funnel")
+  }
 }
