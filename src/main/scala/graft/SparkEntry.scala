@@ -3097,7 +3097,8 @@ object SparkEntry {
         SELECT id_a, id_b FROM nprs
         JOIN ncnt ca ON id_a = ca.doc_id
         JOIN ncnt cb ON id_b = cb.doc_id
-        WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.8),
+        WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE)
+          >= ${graft.operators.Curation.NearDupThreshold}),
       ne AS (SELECT id_a AS src, id_b AS dst FROM njp
              UNION SELECT id_b, id_a FROM njp),
       nnodes AS (SELECT DISTINCT src AS doc FROM ne),
@@ -3127,7 +3128,7 @@ object SparkEntry {
       s7 AS (SELECT * FROM (
                SELECT s6.*, row_number() OVER (PARTITION BY source
                  ORDER BY quality_score DESC, doc_id ASC) AS rnk FROM s6)
-             WHERE rnk <= 10)
+             WHERE rnk <= ${graft.operators.Curation.CapPerSource})
       SELECT stage, n_docs, n_tokens FROM (
         SELECT '0_base' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
           CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM base

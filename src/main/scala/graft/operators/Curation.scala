@@ -73,9 +73,19 @@ import graft.sources.Tables
   */
 object Curation {
 
+  /** Stage-5 near-dup threshold — d2's registered τ. Interpolated into
+    * the t34 oracle SQL so the twin cannot desync.
+    */
+  val NearDupThreshold = 0.8
+
+  /** Stage-7 per-source cap — t17's registered cap. Interpolated into
+    * the t34 oracle SQL so the twin cannot desync.
+    */
+  val CapPerSource = 10
+
   def curationFunnel(spark: SparkSession, dir: String,
-                     threshold: Double = 0.8,
-                     capPerSource: Int = 10): DataFrame = {
+                     threshold: Double = NearDupThreshold,
+                     capPerSource: Int = CapPerSource): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documentsParallel(spark, dir)
 
@@ -122,10 +132,18 @@ object Curation {
       .select(col("node").as("doc_id"), lit(true).as("is_nd_loser"))
 
     // stage 6: strict 8-gram decontamination against the eval split
-    // (d8's hashed-shingle machinery; the eval side derives from the
-    // FULL corpus — the holdout never shrinks). The contaminated id set
-    // is tiny and materialized, like the loser set.
-    val sh8 = docs
+    // (d8's hashed-shingle machinery; the eval side is the FULL holdout
+    // — it never shrinks). The contaminated id set is tiny and
+    // materialized, like the loser set. Only the docs this stage can
+    // ever read are shingled: the eval split plus the stage-4 survivors
+    // (disjoint by construction — in1 excludes the holdout) — unlike
+    // d8, whose probe side genuinely is every non-eval doc, the probe
+    // side here is the gated subset, so shingling the rest of the
+    // corpus would be pure waste (~60% of the corpus at soak scale).
+    val sh8 = docs.select(col("doc_id"), col("text"))
+      .join(flagged.filter(col("in4")).select("doc_id"), Seq("doc_id"), "left_semi")
+      .union(docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         graft.functions.TextFunctions.shinglesOfTokens(col("toks"), 8).as("sh_str"))

@@ -1603,8 +1603,7 @@ object Dedup {
     *  @param maxFilesPerTrigger cap on source files per micro-batch — the
     *        knob that turns one bulk catch-up batch into many small ones
     *        (and, with it, one `ingest_batch` directory per trigger).
-    */
-  /** @param indexAlias live-pointer alternative to `indexPrefix`: the
+    *  @param indexAlias live-pointer alternative to `indexPrefix`: the
     *        corpus side resolves [[currentCorpusBandPrefix]] ONCE per
     *        micro-batch, so a blue/green corpus refresh
     *        ([[refreshCorpusBandIndex]]) landing between batches is

@@ -1067,29 +1067,30 @@ class StreamingSpec extends AnyFunSuite {
       Dedup.retireCorpusBandIndex(spark, prefix)
       d
     }
-    val dupsGreen = dupsVs("rotate_exp_green", col("doc_id") % 2 === 0)
-    val dupsBlue = dupsVs("rotate_exp_blue", col("doc_id") % 4 === 0)
+    val dupsV1 = dupsVs("rotate_exp_v1", col("doc_id") % 2 === 0)
+    val dupsV2 = dupsVs("rotate_exp_v2", col("doc_id") % 4 === 0)
 
     Dedup.unlinkCorpusBandPointer(spark, alias)
     try {
-      // GREEN live: the standard even-id corpus
-      val green = Dedup.refreshCorpusBandIndex(spark, sf, alias, buckets = 4)
-      assert(Dedup.currentCorpusBandPrefix(spark, alias).contains(green))
+      // first corpus version live: the standard even-id corpus (the
+      // refresh picks the color itself — blue on first flip)
+      val v1 = Dedup.refreshCorpusBandIndex(spark, sf, alias, buckets = 4)
+      assert(Dedup.currentCorpusBandPrefix(spark, alias).contains(v1))
       land(Seq(1, 3))
       val q = Dedup.streamingIncrementalDedup(spark, sf, sink, ckpt,
         sourcePath = Some(src), indexAlias = Some(alias))
       try {
-        q.processAllAvailable() // batch 0 probes GREEN
-        // rotate to BLUE (quarter-id corpus) at the batch boundary; the
-        // refresh RETIRES green — a stale plan would now fail, so the
-        // next batch passing proves per-batch pointer resolution
-        val blue = Dedup.refreshCorpusBandIndex(spark, sf, alias,
+        q.processAllAvailable() // batch 0 probes corpus version 1
+        // rotate to the quarter-id corpus at the batch boundary; the
+        // refresh RETIRES version 1's tables — a stale plan would now
+        // fail, so the next batch passing proves per-batch resolution
+        val v2 = Dedup.refreshCorpusBandIndex(spark, sf, alias,
           buckets = 4, corpusFilter = col("doc_id") % 4 === 0)
-        assert(blue != green)
-        assert(!spark.catalog.tableExists(s"${green}_bands"),
+        assert(v2 != v1)
+        assert(!spark.catalog.tableExists(s"${v1}_bands"),
           "refresh must retire the old color")
         land(Seq(5, 7, 9))
-        q.processAllAvailable() // batch 1 probes BLUE
+        q.processAllAvailable() // batch 1 probes corpus version 2
       } finally q.stop()
 
       val wave1 = docs.filter(col("doc_id") % 10 === 1 || col("doc_id") % 10 === 3)
@@ -1102,18 +1103,18 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1).contains("ingest_batch=0")))
       val landed0 = landed.filter(_._2).map(_._1).toSet
       val landed1 = landed.filterNot(_._2).map(_._1).toSet
-      assert(landed0 == (wave1 -- dupsGreen),
-        s"batch 0 (green): landed=${landed0.size} expected=${(wave1 -- dupsGreen).size}")
-      assert(landed1 == (wave2 -- dupsBlue),
-        s"batch 1 (blue): landed=${landed1.size} expected=${(wave2 -- dupsBlue).size}")
-      // the rotation must be OBSERVABLE: blue's smaller corpus clears
-      // arrivals green would have flagged
-      assert((wave2 -- dupsBlue) != (wave2 -- dupsGreen),
+      assert(landed0 == (wave1 -- dupsV1),
+        s"batch 0 (corpus v1): landed=${landed0.size} expected=${(wave1 -- dupsV1).size}")
+      assert(landed1 == (wave2 -- dupsV2),
+        s"batch 1 (corpus v2): landed=${landed1.size} expected=${(wave2 -- dupsV2).size}")
+      // the rotation must be OBSERVABLE: version 2's smaller corpus
+      // clears arrivals version 1 would have flagged
+      assert((wave2 -- dupsV2) != (wave2 -- dupsV1),
         "corpus variants must disagree on wave 2, or the test proves nothing")
       // batch live probe resolves the same pointer
       val live = Dedup.incrementalDedupLive(spark, sf, alias)
         .select("batch_id").collect().map(_.getLong(0)).toSet
-      assert(live == dupsBlue, s"live=${live.size} blue=${dupsBlue.size}")
+      assert(live == dupsV2, s"live=${live.size} v2=${dupsV2.size}")
     } finally {
       Seq(s"${alias}_blue", s"${alias}_green").foreach(
         Dedup.retireCorpusBandIndex(spark, _))
