@@ -259,6 +259,8 @@ object SparkEntry {
       Dedup.indexOrderDriftAudit(s, d)),
     "t34_curation_funnel"     -> ((s: SparkSession, d: String) =>
       Curation.curationFunnel(s, d)),
+    "t35_token_budget"        -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenBudgetCurve(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -3147,6 +3149,33 @@ object SparkEntry {
         UNION ALL SELECT '7_source_cap', CAST(count(*) AS BIGINT),
           CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s7
       ) ORDER BY stage""",
+
+    // t35: greedy budget-prefix selection under the (rounded-quality
+    // DESC, doc_id ASC) total order. The oracle's plain global window
+    // replays the Spark side's broadcast-offset two-level running sum;
+    // grid fractions interpolate from the Scala side (t33 convention).
+    // Budget = floor(frac * total) computed in-query; empty-kept rows
+    // coalesce to 0 on both sides.
+    "t35_token_budget" -> s"""
+      WITH t1 AS ($TextStatsOracleSql),
+      o AS (
+        SELECT doc_id, n_tokens, quality_score,
+          sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id ASC
+            ROWS UNBOUNDED PRECEDING) AS run
+        FROM t1),
+      tot AS (SELECT coalesce(sum(n_tokens), 0) AS nt FROM t1),
+      g AS (SELECT unnest([${graft.operators.TextAnalysis.TokenBudgetGrid
+        .mkString(", ")}]) AS frac)
+      SELECT CAST(g.frac AS DOUBLE) AS budget_frac,
+        CAST(floor(g.frac * tot.nt) AS BIGINT) AS budget_tokens,
+        CAST(coalesce(count(*) FILTER (
+          WHERE o.run <= floor(g.frac * tot.nt)), 0) AS BIGINT) AS kept_docs,
+        CAST(coalesce(sum(o.n_tokens) FILTER (
+          WHERE o.run <= floor(g.frac * tot.nt)), 0) AS BIGINT) AS kept_tokens,
+        CAST(coalesce(min(o.quality_score) FILTER (
+          WHERE o.run <= floor(g.frac * tot.nt)), 0.0) AS DOUBLE) AS cut_quality
+      FROM g CROSS JOIN tot LEFT JOIN o ON true
+      GROUP BY g.frac, tot.nt ORDER BY budget_frac""",
 
     // t33: the d24 grid-left-join shape over the t1 quality score; grid
     // values and the 4dp score binding interpolate from the Scala side.

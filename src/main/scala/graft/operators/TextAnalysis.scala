@@ -1357,4 +1357,122 @@ object TextAnalysis {
     stats.unpersist()
     out
   }
+
+  /** t35's budget grid — corpus-token fractions to price. Interpolated
+    * into the oracle SQL (the t33 convention) so the twin cannot desync.
+    */
+  val TokenBudgetGrid: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75)
+
+  /** Rank-group bound for [[budgetRunningSum]] — same rationale as
+    * [[ZipfMaxRankGroup]].
+    */
+  val BudgetMaxRankGroup = 1000000L
+
+  /** Global running TOKEN sum under the (quality_score DESC, doc_id ASC)
+    * selection order WITHOUT a single-partition window — the zipfRanked
+    * recipe with token sums as the offset currency. The 4dp-rounded
+    * quality score is a BOUNDED vocabulary (≤ ~10⁴ distinct values at
+    * any corpus size), so the per-score totals are a driver-sized
+    * collect; any score group wider than `maxGroup` docs (the
+    * all-docs-score-alike cliff, the hapax analog) is sub-split 256 ways
+    * by doc_id RANGE — numeric id order, so sub-group order is the
+    * within-group order and the offsets compose exactly. The residual
+    * caveat matches zipfRanked's: a pathological id clustering can
+    * leave one sub-range wide, and the remedy is the same recursive
+    * sub-split, not a different algorithm.
+    */
+  private[graft] def budgetRunningSum(spark: SparkSession, base: DataFrame,
+                                      maxGroup: Long = BudgetMaxRankGroup)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = base.groupBy(col("quality_score"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("n_tokens")).cast("long").as("tk"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    val oversized = perScore.filter(_._2 > maxGroup).map(_._1).toSet
+    val width = {
+      val maxId = base.agg(coalesce(max(col("doc_id")), lit(0L)))
+        .collect()(0).getLong(0)
+      math.max(1L, maxId / 256L + 1L)
+    }
+    val subSums: Array[(Double, Long, Long)] =
+      if (oversized.isEmpty) Array.empty
+      else base.filter(col("quality_score").isInCollection(oversized))
+        .groupBy(col("quality_score"),
+          (col("doc_id") / width).cast("long").as("sub"))
+        .agg(sum(col("n_tokens")).cast("long").as("tk"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    val groups = (perScore.filterNot(g => oversized(g._1))
+        .map { case (s, _, tk) => (s, -1L, tk) } ++ subSums)
+      .sortBy { case (s, sub, _) => (-s, sub) }
+    val offsets = groups.scanLeft(0L) { case (acc, (_, _, tk)) => acc + tk }
+      .init.zip(groups).map { case (before, (s, sub, _)) => (s, sub, before) }
+    val offDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("quality_score", "sub", "offset")
+    val w = Window.partitionBy(col("quality_score"), col("sub"))
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("sub",
+        when(col("quality_score").isInCollection(oversized),
+          (col("doc_id") / width).cast("long")).otherwise(lit(-1L)))
+      .join(broadcast(offDf), Seq("quality_score", "sub"))
+      .withColumn("run", col("offset") + sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"), col("run"))
+  }
+
+  /** t35: token-budget selection curve — the step AFTER curation in a
+    * training pipeline: "I can afford B tokens; what do I keep, and what
+    * quality bar does that imply?" Docs are taken greedily in
+    * (quality_score DESC, doc_id ASC) order until the running token sum
+    * exceeds the budget; for each grid fraction the report row carries
+    * the budget in tokens (⌊frac·total⌋), the docs and tokens actually
+    * kept, and the implied quality bar (the minimum kept score — the
+    * number you'd quote as "we train on quality ≥ X"). Complements t33:
+    * the sweep prices candidate QUALITY cuts, this prices candidate
+    * BUDGETS — together they answer both directions of the same
+    * trade-off.
+    *
+    * One corpus pass for the whole curve: the running sum comes from
+    * [[budgetRunningSum]] (broadcast offsets, no single-partition
+    * window), and every grid row is a conditional aggregate over the one
+    * cached frame, unpivoted with `stack` (the t34 report shape).
+    * kept_tokens ≤ budget_tokens by construction; the gap is the first
+    * unaffordable document — greedy prefix selection, not bin packing
+    * (t16 is the packer).
+    */
+  def tokenBudgetCurve(spark: SparkSession, dir: String,
+                       fracs: Seq[Double] = TokenBudgetGrid): DataFrame = {
+    // cached: budgetRunningSum takes three driver-sized statistics off
+    // `base` (per-score totals, max id, oversized sub-sums) before the
+    // ranked plan reads it a fourth time — uncached, each pass would
+    // re-run the full t1 text pipeline
+    val base = textStats(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .cache()
+    val ranked = budgetRunningSum(spark, base).cache()
+    val total = ranked.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+      .collect()(0).getLong(0)
+    val cols = fracs.zipWithIndex.flatMap { case (f, i) =>
+      val budget = (f * total).toLong
+      val kept = col("run") <= budget
+      Seq(
+        sum(when(kept, 1L).otherwise(0L)).as(s"d$i"),
+        sum(when(kept, col("n_tokens")).otherwise(0L)).as(s"t$i"),
+        min(when(kept, col("quality_score"))).as(s"q$i"))
+    }
+    val agg = ranked.agg(cols.head, cols.tail: _*)
+    val stackArgs = fracs.zipWithIndex.map { case (f, i) =>
+      val budget = (f * total).toLong
+      s"CAST($f AS DOUBLE), CAST($budget AS BIGINT), " +
+        s"coalesce(d$i, CAST(0 AS BIGINT)), coalesce(t$i, CAST(0 AS BIGINT)), " +
+        s"coalesce(q$i, CAST(0.0 AS DOUBLE))"
+    }.mkString(", ")
+    val curve = agg.select(expr(
+      s"stack(${fracs.size}, $stackArgs) AS " +
+        "(budget_frac, budget_tokens, kept_docs, kept_tokens, cut_quality)"))
+      .orderBy(col("budget_frac"))
+    val out = curve.localCheckpoint()
+    ranked.unpersist(); base.unpersist()
+    out
+  }
 }

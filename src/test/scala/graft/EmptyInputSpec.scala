@@ -215,6 +215,12 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(funnel.length == 8 &&
       funnel.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L),
       s"empty funnel: ${funnel.mkString(";")}")
+    // t35 is a grid report: one row per budget fraction, all zero
+    val curve = graft.operators.TextAnalysis.tokenBudgetCurve(spark, emptyDir).collect()
+    assert(curve.length == graft.operators.TextAnalysis.TokenBudgetGrid.length &&
+      curve.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L &&
+        r.getLong(3) == 0L && r.getDouble(4) == 0.0),
+      s"empty budget curve: ${curve.mkString(";")}")
     assert(graft.multimodal.Multimodal.gradientHashes(spark, emptyDir).count() == 0)
     assert(graft.multimodal.Multimodal
       .mediaBandOccupancyAudit(spark, emptyDir).count() == 0)

@@ -438,6 +438,32 @@ class Round13Spec extends AnyFunSuite {
     Similarity.unlinkIvfPointer(spark, alias)
   }
 
+  test("t35: the two-level running sum equals the naive global window, " +
+    "including the oversized-score-group sub-split path") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // 400 docs over 3 scores; score 0.5 holds 300 docs — oversized at
+    // maxGroup = 50, forcing the 256-way doc_id-range sub-split (the
+    // all-docs-score-alike cliff). Sparse ids exercise range emptiness.
+    val rnd = new scala.util.Random(35L)
+    val rows = (1 to 400).map { i =>
+      val score = if (i % 4 == 0) 0.7 else if (i % 7 == 0) 0.3 else 0.5
+      (i.toLong * 97L, 1L + rnd.nextInt(50).toLong, score)
+    }
+    val base = spark.createDataFrame(rows)
+      .toDF("doc_id", "n_tokens", "quality_score")
+    val fast = graft.operators.TextAnalysis
+      .budgetRunningSum(spark, base, maxGroup = 50L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val naive = base.withColumn("run",
+        sum(col("n_tokens")).over(Window
+          .orderBy(col("quality_score").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(fast == naive,
+      s"diverged on ${fast.toSet.diff(naive.toSet).take(3)}")
+  }
+
   test("t34: every funnel gate fires on a planted fixture (the driver corpus " +
     "leaves quality/exact-dedup structurally inert)") {
     import org.apache.spark.sql.functions._
