@@ -69,6 +69,14 @@ object SparkEntry {
     // index family)
     "s16_ivf_indexed"         -> ((s: SparkSession, d: String) => Similarity.annIvfIndexed(s, d)),
     "s17_ivf_drift"           -> ((s: SparkSession, d: String) => Similarity.ivfDriftAudit(s, d)),
+    // s18/s19 (r13): the persisted PQ index — s6's probe against stored
+    // codebook + codes + buckets (identical output, same oracle; the
+    // per-probe codebook learn and corpus re-encode gone), and the
+    // codec's distortion drift audit / rebuild policy (the d30/s17
+    // convention on the third index family — the integrand is
+    // DISTRIBUTION drift, the only way a fixed-size codebook ages)
+    "s18_pq_indexed"          -> ((s: SparkSession, d: String) => Similarity.annPqIndexed(s, d)),
+    "s19_pq_drift"            -> ((s: SparkSession, d: String) => Similarity.pqDriftAudit(s, d)),
     // streaming-shaped (batch twins of the Structured Streaming plans)
     "st1_windowed_counts"     -> Events.windowedCounts _,
     "st2_sessionize"          -> Events.sessionize _,
@@ -2205,78 +2213,30 @@ object SparkEntry {
     // means, argmin-L2 assignment on 6dp-rounded distances (row_number
     // ORDER BY d2, bkt replays the max-of-negated-struct), codebook
     // reconstruction, then the coarse/rerank tail over candidates only.
-    "s6_pq_ann" -> {
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),""" +
-      LshCandCtesSql + s""",
-      sv AS (
-        SELECT vec_id, sub, list_slice(embedding, sub * 8 + 1, sub * 8 + 8) AS sv
-        FROM (SELECT vec_id, unnest(range(0, 8)) AS sub, embedding FROM e)),
-      bk AS (
-        SELECT vec_id, sub, sv,
-            CASE WHEN CAST(sv[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END
-          + CASE WHEN CAST(sv[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END
-          + CASE WHEN CAST(sv[3] AS DOUBLE) > 0 THEN 4 ELSE 0 END
-          + CASE WHEN CAST(sv[4] AS DOUBLE) > 0 THEN 8 ELSE 0 END AS bkt
-        FROM sv),
-      cm AS (
-        SELECT sub, bkt, pos, round(avg(CAST(sv[pos] AS DOUBLE)), 6) AS mc
-        FROM (SELECT sub, bkt, unnest(range(1, 9)) AS pos, sv FROM bk)
-        GROUP BY 1, 2, 3),
-      cvb AS (SELECT sub, bkt, list(mc ORDER BY pos) AS cv FROM cm GROUP BY 1, 2),
-      dd AS (
-        SELECT vec_id, sub, bkt,
-          round(sum((CAST(sv[pos] AS DOUBLE) - cv[pos])
-                  * (CAST(sv[pos] AS DOUBLE) - cv[pos])), 6) AS d2
-        FROM (SELECT b.vec_id, b.sub, c.bkt, unnest(range(1, 9)) AS pos, b.sv, c.cv
-              FROM bk b JOIN cvb c ON b.sub = c.sub)
-        GROUP BY 1, 2, 3),
-      asg AS (
-        SELECT vec_id, sub, bkt FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, bkt) AS rn
-          FROM dd) WHERE rn = 1),
-      rv AS (
-        SELECT a.vec_id, flatten(list(c.cv ORDER BY a.sub)) AS rv
-        FROM asg a JOIN cvb c ON a.sub = c.sub AND a.bkt = c.bkt GROUP BY 1),
-      cu2 AS (
-        SELECT cand.query_id, cand.neighbor_id,
-          unnest(range(1, 65)) AS i, a.rv AS qrv, b.rv AS nrv
-        FROM cand
-        JOIN rv a ON a.vec_id = cand.query_id
-        JOIN rv b ON b.vec_id = cand.neighbor_id),
-      cs AS (
-        SELECT query_id, neighbor_id,
-          sum(qrv[i] * nrv[i]) AS dot,
-          sum(qrv[i] * qrv[i]) AS na,
-          sum(nrv[i] * nrv[i]) AS nb
-        FROM cu2 GROUP BY 1, 2),
-      co AS (SELECT query_id, neighbor_id,
-               round(dot / (sqrt(na) * sqrt(nb)), 6) AS coarse FROM cs),
-      short AS (
-        SELECT query_id, neighbor_id FROM (
-          SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY coarse DESC, neighbor_id) AS crnk
-          FROM co)
-        WHERE crnk <= ${graft.operators.Similarity.RerankShortlist}),
-      pairs AS (
-        SELECT short.query_id, short.neighbor_id, eq.embedding AS qe, en.embedding AS ne
-        FROM short
-        JOIN e eq ON eq.vec_id = short.query_id
-        JOIN e en ON en.vec_id = short.neighbor_id),
-      pu AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne
-             FROM pairs),
-      ps AS (
-        SELECT query_id, neighbor_id,
-          sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
-          sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
-          sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
-        FROM pu GROUP BY 1, 2),
-      pc AS (SELECT query_id, neighbor_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM ps),
-      r AS (
-        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-        FROM pc)
-      SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
-      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
-    },
+    // s6 and s18 share one oracle: the persisted-index probe is the
+    // SAME query with the codebook learn + corpus encode amortized into
+    // the index build (the d27/d28/s16 same-oracle precedent).
+    "s6_pq_ann" -> PqAnnOracleSql,
+    "s18_pq_indexed" -> PqAnnOracleSql,
+
+    // s19: the PQ distortion drift policy — frozen (label < 5 build)
+    // vs fresh codebook, both priced on the full corpus in exact
+    // integer micro-units (see PqDistortionCtes).
+    "s19_pq_drift" -> ("WITH " + PqSubvectorCteSql + "," +
+      PqDistortionCtes("f", "label < 5") + "," +
+      PqDistortionCtes("g", "TRUE") + s""",
+      rep AS (
+        SELECT ftot.du AS frozen_distortion_u6, gtot.du AS fresh_distortion_u6,
+          CASE WHEN gtot.du = 0 THEN CAST(1.0 AS DOUBLE)
+               ELSE round(CAST(ftot.du AS DOUBLE) / CAST(gtot.du AS DOUBLE), 4)
+          END AS drift_ratio
+        FROM ftot, gtot)
+      SELECT frozen_distortion_u6, fresh_distortion_u6, drift_ratio,
+        CAST(CASE WHEN drift_ratio >=
+          ${graft.operators.Similarity.PqDriftRebuildRatio} THEN 1 ELSE 0 END
+          AS BIGINT) AS rebuild_recommended
+      FROM rep"""),
+
 
     // s10: s2's candidate + cosine CTEs with the tenant predicate applied
     // at the candidate join (neighbor label = query label), before any
@@ -3574,6 +3534,128 @@ object SparkEntry {
         FROM c)
       SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
       FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
+  /** s6's full oracle — shared verbatim by s18 (the persisted-index
+    * probe has the identical output contract).
+    */
+  private def PqAnnOracleSql: String = {
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),""" +
+      LshCandCtesSql + s""",
+      sv AS (
+        SELECT vec_id, sub, list_slice(embedding, sub * 8 + 1, sub * 8 + 8) AS sv
+        FROM (SELECT vec_id, unnest(range(0, 8)) AS sub, embedding FROM e)),
+      bk AS (
+        SELECT vec_id, sub, sv,
+            CASE WHEN CAST(sv[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END
+          + CASE WHEN CAST(sv[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END
+          + CASE WHEN CAST(sv[3] AS DOUBLE) > 0 THEN 4 ELSE 0 END
+          + CASE WHEN CAST(sv[4] AS DOUBLE) > 0 THEN 8 ELSE 0 END AS bkt
+        FROM sv),
+      cm AS (
+        SELECT sub, bkt, pos, round(avg(CAST(sv[pos] AS DOUBLE)), 6) AS mc
+        FROM (SELECT sub, bkt, unnest(range(1, 9)) AS pos, sv FROM bk)
+        GROUP BY 1, 2, 3),
+      cvb AS (SELECT sub, bkt, list(mc ORDER BY pos) AS cv FROM cm GROUP BY 1, 2),
+      dd AS (
+        SELECT vec_id, sub, bkt,
+          round(sum((CAST(sv[pos] AS DOUBLE) - cv[pos])
+                  * (CAST(sv[pos] AS DOUBLE) - cv[pos])), 6) AS d2
+        FROM (SELECT b.vec_id, b.sub, c.bkt, unnest(range(1, 9)) AS pos, b.sv, c.cv
+              FROM bk b JOIN cvb c ON b.sub = c.sub)
+        GROUP BY 1, 2, 3),
+      asg AS (
+        SELECT vec_id, sub, bkt FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, bkt) AS rn
+          FROM dd) WHERE rn = 1),
+      rv AS (
+        SELECT a.vec_id, flatten(list(c.cv ORDER BY a.sub)) AS rv
+        FROM asg a JOIN cvb c ON a.sub = c.sub AND a.bkt = c.bkt GROUP BY 1),
+      cu2 AS (
+        SELECT cand.query_id, cand.neighbor_id,
+          unnest(range(1, 65)) AS i, a.rv AS qrv, b.rv AS nrv
+        FROM cand
+        JOIN rv a ON a.vec_id = cand.query_id
+        JOIN rv b ON b.vec_id = cand.neighbor_id),
+      cs AS (
+        SELECT query_id, neighbor_id,
+          sum(qrv[i] * nrv[i]) AS dot,
+          sum(qrv[i] * qrv[i]) AS na,
+          sum(nrv[i] * nrv[i]) AS nb
+        FROM cu2 GROUP BY 1, 2),
+      co AS (SELECT query_id, neighbor_id,
+               round(dot / (sqrt(na) * sqrt(nb)), 6) AS coarse FROM cs),
+      short AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY coarse DESC, neighbor_id) AS crnk
+          FROM co)
+        WHERE crnk <= ${graft.operators.Similarity.RerankShortlist}),
+      pairs AS (
+        SELECT short.query_id, short.neighbor_id, eq.embedding AS qe, en.embedding AS ne
+        FROM short
+        JOIN e eq ON eq.vec_id = short.query_id
+        JOIN e en ON en.vec_id = short.neighbor_id),
+      pu AS (SELECT query_id, neighbor_id, unnest(range(1, len(qe) + 1)) AS i, qe, ne
+             FROM pairs),
+      ps AS (
+        SELECT query_id, neighbor_id,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+          sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS na,
+          sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nb
+        FROM pu GROUP BY 1, 2),
+      pc AS (SELECT query_id, neighbor_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM ps),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM pc)
+      SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos_sim
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+  }
+
+  /** The full corpus's per-(vector, subspace) slices — the distortion
+    * integrand's domain, shared by both sides of the s19 audit.
+    */
+  private def PqSubvectorCteSql: String = s"""
+      pqsv AS (
+        SELECT vec_id, sub, list_slice(embedding, sub * 8 + 1, sub * 8 + 8) AS sv
+        FROM (SELECT vec_id, unnest(range(0, 8)) AS sub, embedding FROM embeddings))"""
+
+  /** PQ codebook learned over `where`'s rows (the s6 codebook CTEs
+    * verbatim: 4 leading sign bits seed 16 entries per subspace,
+    * 6dp-rounded means) + the total quantization distortion it inflicts
+    * on the FULL corpus, in exact integer micro-units: per (vector,
+    * subspace) the argmin entry's 6dp-rounded squared L2 — the same
+    * rounded metric the encode assigns by — ×10⁶ to BIGINT before the
+    * sum, so the total is order-free and engine-exact (a double total's
+    * low bits would wobble across partial-sum orders). `p` prefixes the
+    * CTE names so one query holds the frozen and fresh codebooks at
+    * once; `${p}tot.du` carries the result.
+    */
+  private def PqDistortionCtes(p: String, where: String): String = s"""
+      ${p}bk AS (
+        SELECT sub, sv,
+            CASE WHEN CAST(sv[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END
+          + CASE WHEN CAST(sv[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END
+          + CASE WHEN CAST(sv[3] AS DOUBLE) > 0 THEN 4 ELSE 0 END
+          + CASE WHEN CAST(sv[4] AS DOUBLE) > 0 THEN 8 ELSE 0 END AS bkt
+        FROM (SELECT sub, list_slice(embedding, sub * 8 + 1, sub * 8 + 8) AS sv
+              FROM (SELECT unnest(range(0, 8)) AS sub, embedding
+                    FROM embeddings WHERE $where))),
+      ${p}cm AS (
+        SELECT sub, bkt, pos, round(avg(CAST(sv[pos] AS DOUBLE)), 6) AS mc
+        FROM (SELECT sub, bkt, unnest(range(1, 9)) AS pos, sv FROM ${p}bk)
+        GROUP BY 1, 2, 3),
+      ${p}cvb AS (SELECT sub, bkt, list(mc ORDER BY pos) AS cv FROM ${p}cm GROUP BY 1, 2),
+      ${p}dd AS (
+        SELECT vec_id, sub, bkt,
+          round(sum((CAST(sv[pos] AS DOUBLE) - cv[pos])
+                  * (CAST(sv[pos] AS DOUBLE) - cv[pos])), 6) AS d2
+        FROM (SELECT a.vec_id, a.sub, c.bkt, unnest(range(1, 9)) AS pos, a.sv, c.cv
+              FROM pqsv a JOIN ${p}cvb c ON a.sub = c.sub)
+        GROUP BY 1, 2, 3),
+      ${p}dm AS (
+        SELECT vec_id, sub, CAST(round(min(d2) * 1000000) AS BIGINT) AS du
+        FROM ${p}dd GROUP BY 1, 2),
+      ${p}tot AS (SELECT CAST(sum(du) AS BIGINT) AS du FROM ${p}dm)"""
 
   /** The IVF quantizer + assignment CTEs under a BUILD predicate —
     * subBits and centroids derive from `buildPred`'s rows only, while

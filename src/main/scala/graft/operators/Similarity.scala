@@ -774,7 +774,17 @@ object Similarity {
     * the full-scan recall baseline.
     */
   private[graft] def pqCodebook(raw: DataFrame, m: Int,
-                                signBits: Int): DataFrame = {
+                                signBits: Int): DataFrame =
+    pqCbArrOf(pqCodebookRows(raw, m, signBits))
+
+  /** The codebook as FLAT rows (sub, bkt, cv) — the shape
+    * [[persistPqIndex]] stores as `_pcb` (6dp-rounded doubles round-trip
+    * parquet exactly, the `_icent` discipline). [[pqCbArrOf]] rebuilds
+    * the nested 1-row broadcast layout the encode/recon expressions
+    * index.
+    */
+  private[graft] def pqCodebookRows(raw: DataFrame, m: Int,
+                                    signBits: Int): DataFrame = {
     val ds = Dim / m
     // subspace slices + seeding bucket (sign bits of the leading dims)
     val sv = raw.select(col("vec_id"),
@@ -786,24 +796,27 @@ object Similarity {
       .map(j => when(element_at(col("sv"), j + 1) > 0, 1 << j).otherwise(0))
       .reduce((a, b) => a + b)
     // per-(subspace, bucket) centroids: 6dp-rounded per-dim means
-    val cents = sv.withColumn("bkt", bucket)
+    sv.withColumn("bkt", bucket)
       .select(col("sub"), col("bkt"), posexplode(col("sv")).as(Seq("pos", "x")))
       .groupBy(col("sub"), col("bkt"), col("pos"))
       .agg(round(avg(col("x").cast("double")), 6).as("mc"))
       .groupBy(col("sub"), col("bkt"))
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("mc")))),
         e => e.getField("mc")).as("cv"))
-    // NESTED layout (r6): one bucket-entries array per subspace, the
-    // outer array ordered by sub — the per-row encode indexes its
-    // subspace's 2^signBits entries directly (cb[i]) instead of
-    // filtering the flat m·2^signBits struct list per subspace per row
-    // (8×16 scanned structs per row, was 8×128)
-    cents
+  }
+
+  /** NESTED layout (r6): one bucket-entries array per subspace, the
+    * outer array ordered by sub — the per-row encode indexes its
+    * subspace's 2^signBits entries directly (cb[i]) instead of
+    * filtering the flat m·2^signBits struct list per subspace per row
+    * (8×16 scanned structs per row, was 8×128).
+    */
+  private[graft] def pqCbArrOf(rows: DataFrame): DataFrame =
+    rows
       .groupBy(col("sub"))
       .agg(sort_array(collect_list(struct(col("bkt"), col("cv")))).as("entries"))
       .agg(transform(sort_array(collect_list(struct(col("sub"), col("entries")))),
         s => s.getField("entries")).as("cb"))
-  }
 
   /** Encode `df`'s embeddings through a learned [[pqCodebook]]: per
     * subspace, the argmin-L2 centroid (6dp-rounded distance, bucket-id
@@ -829,6 +842,47 @@ object Similarity {
       .crossJoin(broadcast(cbArr))
       .select(col("vec_id"), recon.as("rv"))
   }
+
+  /** [[pqEncode]]'s assignment stage alone: the argmin-L2 CODE per
+    * subspace (identical 6dp-rounded distance and bucket-id tie rule),
+    * emitted as the m-entry int array the persisted index stores — 8
+    * codes per vector instead of 64 floats, the whole point of the PQ
+    * codec (Jégou et al. 2011 §III). One map-side expression over the
+    * 1-row broadcast codebook; `df`'s non-embedding columns are carried
+    * through.
+    */
+  private[graft] def pqEncodeCodes(df: DataFrame, cbArr: DataFrame,
+                                   m: Int): DataFrame = {
+    val ds = Dim / m
+    def dist2(a: Column, cv: Column): Column =
+      aggregate(zip_with(a, cv, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, y) => acc + y)
+    val codes = transform(sequence(lit(0), lit(m - 1)), i => {
+      val sub = slice(col("embedding"), i * ds + 1, lit(ds))
+      val best = array_max(transform(col("cb")(i),
+        c => struct((-round(dist2(sub, c.getField("cv")), 6)).as("nd"),
+          (-c.getField("bkt")).as("nb"))))
+      (-best.getField("nb")).cast("int")
+    })
+    df.crossJoin(broadcast(cbArr))
+      .select(df.columns.map(col) :+ codes.as("codes"): _*)
+  }
+
+  /** Reconstruct stored codes back through the codebook: per subspace,
+    * the entry whose bkt equals the stored code (a 16-entry scan of the
+    * broadcast codebook's sub-array — no join, no shuffle), concatenated
+    * in subspace order. `pqReconFromCodes(codes-of(df)) == pqEncode(df)`
+    * by construction (same codebook, the code IS the argmin entry) —
+    * pinned in PqIndexSpec.
+    */
+  private[graft] def pqReconFromCodes(codes: DataFrame,
+                                      cbArr: DataFrame, m: Int): DataFrame =
+    codes.crossJoin(broadcast(cbArr))
+      .select(col("vec_id"),
+        flatten(transform(sequence(lit(0), lit(m - 1)), i =>
+          element_at(filter(col("cb")(i),
+            c => c.getField("bkt") === element_at(col("codes"), i + 1)), 1)
+            .getField("cv"))).as("rv"))
 
   /** The full corpus through the PQ codec — the compressed representation
     * the FULL-SCAN baseline scores against.
@@ -1433,5 +1487,378 @@ object Similarity {
   /** Delete `alias`'s pointer file ([[LiveIndexPointer.unlink]]). */
   def unlinkIvfPointer(spark: SparkSession,
                        alias: String = "ivf_index_live"): Unit =
+    LiveIndexPointer.unlink(spark, alias)
+
+  // ───────────────────────── persisted PQ index (s18/s19) ─────────────
+
+  private[graft] def dropPqTables(spark: SparkSession, prefix: String): Unit =
+    Seq(s"${prefix}_pcb", s"${prefix}_pcode").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+
+  /** Build the persisted PQ index over `corpusFilter`'s rows — the third
+    * index family to pay its corpus-sized cost ONCE (the d28/s16 move
+    * applied to s6): learn the codebook from the build corpus, store its
+    * flat rows as `_pcb` (with the build-derived LSH bucket bits — the
+    * candidate geometry freezes with the codec), then encode every build
+    * vector under the codebook READ BACK from the table (the `_icent`
+    * stored-quantizer-provably-used discipline) and write `_pcode` =
+    * (vec_id, label, bucket, codes, embedding).
+    *
+    * `codes` is the m-entry int array — 8 small ints per vector where s6
+    * recomputes a 64-float reconstruction per probe — and `bucket` the
+    * frozen-bits LSH bucket, so a probe touches only those two narrow
+    * columns plus vec_id on its corpus-sized path (PqIndexSpec pins the
+    * coarse scan's ReadSchema excludes `embedding`). The full vector is
+    * stored too, but ONLY the model-sized tails read it: the
+    * exact-rerank joins nQ·shortlist rows and [[rebuildPqIndexTo]] needs
+    * the index self-contained — the hot-codes/cold-vectors split every
+    * production PQ store runs, in one table with column pruning doing
+    * the splitting.
+    */
+  def persistPqIndex(spark: SparkSession, dir: String,
+                     prefix: String = "pq_index",
+                     corpusFilter: Column = lit(true),
+                     m: Int = 8, signBits: Int = 4): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    dropPqTables(spark, prefix)
+    val raw = Tables.embeddings(spark, dir).filter(corpusFilter)
+    val bits = deriveLshBits(raw.count())
+    pqCodebookRows(raw, m, signBits)
+      .withColumn("lsh_bits", lit(bits))
+      .write.mode("overwrite").saveAsTable(s"${prefix}_pcb")
+    val cbArr = pqCbArrOf(
+      spark.table(s"${prefix}_pcb").select(col("sub"), col("bkt"), col("cv")))
+    pqEncodeCodes(
+      raw.select(col("vec_id"), col("label"),
+        lshBucketCol(bits).as("bucket"), col("embedding")),
+      cbArr, m)
+      .write.mode("overwrite").saveAsTable(s"${prefix}_pcode")
+  }
+
+  /** The stored bucket bit-count (one constant column on `_pcb`'s
+    * model-sized rows — a scalar read, not a scan).
+    */
+  private def pqStoredBits(spark: SparkSession, prefix: String): Int =
+    spark.table(s"${prefix}_pcb").agg(max(col("lsh_bits")))
+      .collect()(0).getInt(0)
+
+  /** s6's probe against the persisted index: queries (from `dir`) hash
+    * under the STORED bucket bits and the candidate join hits `_pcode`'s
+    * stored buckets — no corpus-side rehash; the coarse stage
+    * reconstructs the STORED codes through the broadcast stored codebook
+    * map-side — no corpus-side codebook learn, no re-encode (the two
+    * corpus-sized shuffles s6 pays per probe, gone); the exact rerank
+    * reads full-precision vectors from `dir` for the nQ·shortlist rows
+    * only. When the index was built over the same corpus the probes come
+    * from, output is IDENTICAL to [[annPqTopK]] (same codebook
+    * derivation, same argmin codes, same candidate hash, same rerank) —
+    * the registered s18 shares s6's DuckDB oracle verbatim, the
+    * d27/d28/s16 same-oracle precedent.
+    */
+  def annPqFromIndex(spark: SparkSession, dir: String,
+                     prefix: String = "pq_index",
+                     k: Int = TopK, m: Int = 8,
+                     shortlist: Int = RerankShortlist): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val bits = pqStoredBits(spark, prefix)
+    val cbArr = pqCbArrOf(
+      spark.table(s"${prefix}_pcb").select(col("sub"), col("bkt"), col("cv")))
+    val raw = Tables.embeddings(spark, dir)
+    val queries = raw.filter(col("vec_id") % 50 === 0)
+    val qProbes = queries
+      .select(col("vec_id").as("query_id"), lshBucketCol(bits).as("qb"))
+      .select(col("query_id"), explode(array(
+        lshProbes(bits).map(col("qb").bitwiseXOR(_)): _*)).as("bucket"))
+    val pcode = spark.table(s"${prefix}_pcode")
+    val cand = pcode.select(col("vec_id").as("neighbor_id"), col("bucket"))
+      .join(broadcast(qProbes), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    candidateCoarseRerank(cand,
+      pqReconFromCodes(pcode.select(col("vec_id"), col("codes")), cbArr, m),
+      pqEncode(queries, cbArr, m),
+      raw, k, shortlist)
+  }
+
+  private val builtPqIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** s18: the production-shape spelling of s6 — identical output
+    * contract (same oracle), with the codebook learned and the corpus
+    * encoded once per session into the persisted index, and every probe
+    * paying query-side cost plus a narrow-column candidate scan.
+    */
+  def annPqIndexed(spark: SparkSession, dir: String,
+                   k: Int = TopK): DataFrame = {
+    val prefix = s"graft_s18_idx_${dir.hashCode & Int.MaxValue}"
+    if (builtPqIndexes.add(s"${spark.sparkContext.applicationId}:$prefix"))
+      persistPqIndex(spark, dir, prefix)
+    annPqFromIndex(spark, dir, prefix, k)
+  }
+
+  /** Fold accepted vectors into the persisted PQ index: encode them
+    * under the STORED (frozen) codebook and hash them under the STORED
+    * bucket bits — new vectors adopt the build-time codec exactly as
+    * appended docs adopt the containment index's frozen df order — and
+    * append to `_pcode`. ONE table mutates through Spark's commit
+    * protocol (the s16 crash analysis verbatim: no visible residue on a
+    * crashed append, no heal needed; `_pcb` is immutable after build —
+    * refreshing the codebook on append would re-encode every stored row,
+    * the cost the index exists to avoid; staleness is [[rotatePqIndex]]'s
+    * job). Re-appending an indexed id would duplicate its candidate rows
+    * in every probe — refused up front.
+    */
+  def appendToPqIndex(spark: SparkSession, dir: String,
+                      appendFilter: Column,
+                      prefix: String = "pq_index",
+                      m: Int = 8): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    val add = Tables.embeddings(spark, dir).filter(appendFilter)
+    val dup = add.select(col("vec_id"))
+      .join(spark.table(s"${prefix}_pcode").select(col("vec_id")), "vec_id")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"vec_id ${dup.head.getLong(0)} is already indexed in ${prefix}_pcode")
+    val bits = pqStoredBits(spark, prefix)
+    val cbArr = pqCbArrOf(
+      spark.table(s"${prefix}_pcb").select(col("sub"), col("bkt"), col("cv")))
+    pqEncodeCodes(
+      add.select(col("vec_id"), col("label"),
+        lshBucketCol(bits).as("bucket"), col("embedding")),
+      cbArr, m)
+      .write.mode("append").saveAsTable(s"${prefix}_pcode")
+  }
+
+  /** s19's rebuild threshold: recommend a rebuild once the frozen
+    * codebook's distortion on the current corpus reaches 1.05× a fresh
+    * codebook's. The 5% margin is set from the codec's MEASURED natural
+    * wobble, not a guess: sweeping build-corpus staleness at both gate
+    * scales (label < 9 … label < 2, and random halves) moves the ratio
+    * only within 0.992–0.999 — sub-1%, and sometimes BELOW 1.0, because
+    * a one-Lloyd-step sign-seeded codebook is not optimal and a
+    * subset-trained one can beat the full-corpus one by luck — while
+    * final s6 output churn across that whole band stays at noise level
+    * (0–3 of 50 rows, non-monotonic in the ratio). So excess inside
+    * ~1% is regime one (codec shrugs it off; rebuilding buys nothing),
+    * and the only way past 1.05 is regime two: genuine distribution
+    * shift, new mass far from every frozen entry (the PqIndexSpec
+    * planted-shift fixture, where the ratio lands in the multiples and
+    * the verdict provably flips). A recommended rebuild costs one
+    * corpus re-encode under a re-learned codebook — no df/sort pass, the
+    * cheapest rebuild of the three index families — against a recall
+    * loss that regime two makes unbounded. Interpolated into the
+    * registered s19 oracle SQL (the s17 discipline) so the Scala
+    * constant and the DuckDB twin cannot desync.
+    */
+  val PqDriftRebuildRatio = 1.05
+
+  /** Total quantization distortion of `df`'s vectors under `cbArr`, in
+    * exact integer micro-units: per (vector, subspace), the argmin
+    * entry's 6dp-rounded squared L2 distance — the SAME rounded metric
+    * [[pqEncodeCodes]] assigns by, so the total is exactly what the
+    * codec loses on this corpus — scaled ×10⁶ to a long BEFORE summing.
+    * Integer totals sum exactly in any order on any engine; a double
+    * total would wobble in its low bits across Spark/DuckDB partial-sum
+    * orders and could flip the 4dp ratio.
+    */
+  private[graft] def pqDistortionU6(df: DataFrame, cbArr: DataFrame,
+                             m: Int): DataFrame = {
+    val ds = Dim / m
+    def dist2(a: Column, cv: Column): Column =
+      aggregate(zip_with(a, cv, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, y) => acc + y)
+    val rowU6 = aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, i) => {
+      val sub = slice(col("embedding"), i * ds + 1, lit(ds))
+      val best = array_min(transform(col("cb")(i),
+        c => round(dist2(sub, c.getField("cv")), 6)))
+      acc + round(best * lit(1000000.0), 0).cast("long")
+    })
+    df.select(col("embedding")).crossJoin(broadcast(cbArr))
+      .agg(coalesce(sum(rowU6), lit(0L)).as("distortion_u6"))
+  }
+
+  /** Distortion of STORED codes (no argmin — each subspace diffs against
+    * the entry its stored code names): exactly what the live index loses
+    * today, appended rows included. Equals the argmin form whenever the
+    * codes were assigned under this same codebook (the code IS the
+    * argmin), pinned in PqIndexSpec.
+    */
+  private[graft] def pqStoredDistortionU6(pcode: DataFrame, cbArr: DataFrame,
+                                   m: Int): DataFrame = {
+    val ds = Dim / m
+    def dist2(a: Column, cv: Column): Column =
+      aggregate(zip_with(a, cv, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, y) => acc + y)
+    val rowU6 = aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, i) => {
+      val sub = slice(col("embedding"), i * ds + 1, lit(ds))
+      val cv = element_at(filter(col("cb")(i),
+        c => c.getField("bkt") === element_at(col("codes"), i + 1)), 1)
+        .getField("cv")
+      acc + round(round(dist2(sub, cv), 6) * lit(1000000.0), 0).cast("long")
+    })
+    pcode.select(col("embedding"), col("codes")).crossJoin(broadcast(cbArr))
+      .agg(coalesce(sum(rowU6), lit(0L)).as("distortion_u6"))
+  }
+
+  /** Fold frozen/fresh distortion rows into the s19 policy row (the
+    * [[ivfPolicyRow]] shape; empty corpus floors to ratio 1.0, no
+    * rebuild).
+    */
+  private[graft] def pqPolicyRow(frozen: DataFrame, fresh: DataFrame): DataFrame =
+    frozen.select(col("distortion_u6").as("frozen_distortion_u6"))
+      .crossJoin(fresh.select(col("distortion_u6").as("fresh_distortion_u6")))
+      .withColumn("drift_ratio",
+        when(col("fresh_distortion_u6") === 0L, lit(1.0))
+          .otherwise(round(col("frozen_distortion_u6").cast("double") /
+            col("fresh_distortion_u6").cast("double"), 4)))
+      .withColumn("rebuild_recommended",
+        (col("drift_ratio") >= PqDriftRebuildRatio).cast("long"))
+
+  /** s19: the PQ codec's rebuild-cadence signal — the d30/s17 drift-audit
+    * convention on the third index family, with a DIFFERENT integrand
+    * because PQ ages differently: the codebook's size is fixed (m·2^bits
+    * entries at any corpus size), so unlike IVF the codec never outgrows
+    * a COUNT — it outgrows a DISTRIBUTION. The frozen side is the
+    * build-time hypothesis (codebook learned from `buildFilter`'s rows)
+    * priced on the CURRENT corpus: total quantization distortion, the
+    * exact quantity PQ training minimizes (Jégou et al. 2011, eq. 2) and
+    * the lever that moves coarse-score fidelity → shortlist membership →
+    * recall. The fresh side is s6's own codebook over the full corpus.
+    * Both totals are exact integer micro-units, so the DuckDB twin
+    * replays the whole row bit-for-bit.
+    *
+    * The registered `buildFilter` (label < 5: the codec trained before
+    * half the sources existed) is the STRONGEST staleness this corpus
+    * can plant — and the honest registered result is that the codec
+    * shrugs it off (ratio 0.992–0.999 at gate scales, verdict 0): a
+    * 16-entry-per-subspace codebook seeded from the subvector's OWN
+    * sign buckets re-covers a shifted source mix as long as the new
+    * mass lands near SOME frozen entry. That robustness is the finding;
+    * the policy exists for the regime it cannot absorb — new mass far
+    * from every frozen entry (embedding-model version bumps, a new
+    * modality's vectors) — where distortion excess lands in the
+    * multiples and recall loss is structural. PqIndexSpec plants
+    * exactly that corpus and pins the verdict flip; the
+    * [[PqDriftRebuildRatio]] scaladoc carries the full measured sweep.
+    */
+  def pqDriftAudit(spark: SparkSession, dir: String,
+                   buildFilter: Column = col("label") < 5,
+                   m: Int = 8, signBits: Int = 4): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+    val e = raw.select(col("vec_id"), col("embedding"))
+    val frozenCb = pqCodebook(raw.filter(buildFilter), m, signBits)
+    val freshCb = pqCodebook(raw, m, signBits)
+    pqPolicyRow(
+      pqDistortionU6(e, frozenCb, m),
+      pqDistortionU6(e, freshCb, m))
+  }
+
+  /** The s19 policy against a LIVE persisted index: frozen distortion
+    * straight off the STORED codes (what probes' coarse scores actually
+    * lose, appended rows included — no argmin recompute); fresh side
+    * re-learns the codebook from the index's own stored vectors
+    * (self-contained, the containment/IVF live-audit discipline).
+    * Pinned equal to the registered closed form in PqIndexSpec.
+    */
+  def pqIndexDriftAudit(spark: SparkSession,
+                        prefix: String = "pq_index",
+                        m: Int = 8, signBits: Int = 4): DataFrame = {
+    val pcode = spark.table(s"${prefix}_pcode")
+    val storedCb = pqCbArrOf(
+      spark.table(s"${prefix}_pcb").select(col("sub"), col("bkt"), col("cv")))
+    val freshCb = pqCodebook(
+      pcode.select(col("vec_id"), col("embedding")), m, signBits)
+    pqPolicyRow(
+      pqStoredDistortionU6(pcode, storedCb, m),
+      pqDistortionU6(pcode.select(col("vec_id"), col("embedding")),
+        freshCb, m))
+  }
+
+  /** Rebuild the PQ index under a NEW prefix from the live index's own
+    * stored vectors — blue/green like [[rebuildIvfIndexTo]] (`fromPrefix`
+    * never mutated, nothing reads `toPrefix` until the pointer flips):
+    * an in-place rebuild opens a two-table window where stored codes are
+    * decoded against the wrong codebook — silently wrong coarse scores,
+    * the failure class the lifecycle must never admit. The fresh codebook
+    * re-derives from the stored corpus (and the bucket bits from its
+    * count), so a drifted distribution gets the codec s6 would give it
+    * today.
+    */
+  def rebuildPqIndexTo(spark: SparkSession, fromPrefix: String,
+                       toPrefix: String,
+                       m: Int = 8, signBits: Int = 4): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    require(toPrefix != fromPrefix,
+      "blue/green rebuild requires a distinct target prefix")
+    dropPqTables(spark, toPrefix)
+    val raw = spark.table(s"${fromPrefix}_pcode")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val bits = deriveLshBits(raw.count())
+    pqCodebookRows(raw, m, signBits)
+      .withColumn("lsh_bits", lit(bits))
+      .write.mode("overwrite").saveAsTable(s"${toPrefix}_pcb")
+    val cbArr = pqCbArrOf(
+      spark.table(s"${toPrefix}_pcb").select(col("sub"), col("bkt"), col("cv")))
+    pqEncodeCodes(
+      raw.select(col("vec_id"), col("label"),
+        lshBucketCol(bits).as("bucket"), col("embedding")),
+      cbArr, m)
+      .write.mode("overwrite").saveAsTable(s"${toPrefix}_pcode")
+  }
+
+  /** [[annPqFromIndex]] against whatever index `alias` currently points
+    * at (the shared [[LiveIndexPointer]]) — resolved exactly once per
+    * probe.
+    */
+  def annPqLive(spark: SparkSession, dir: String,
+                alias: String = "pq_index_live",
+                k: Int = TopK): DataFrame = {
+    val prefix = LiveIndexPointer.current(spark, alias).getOrElse(
+      throw new IllegalStateException(
+        s"no live PQ index: pointer '$alias' has never been flipped — " +
+          "build one (persistPqIndex) and flip to it"))
+    annPqFromIndex(spark, dir, prefix, k)
+  }
+
+  /** Atomically point `alias` at `toPrefix` ([[LiveIndexPointer.flip]]). */
+  def flipPqIndex(spark: SparkSession, toPrefix: String,
+                  alias: String = "pq_index_live"): Unit =
+    LiveIndexPointer.flip(spark, toPrefix, alias)
+
+  /** The s19 policy consumed to cutover — the containment/IVF rotate
+    * discipline verbatim: heal idle-color residue, audit the live index,
+    * and iff drift clears `rebuildRatio`: rebuild into the idle color,
+    * flip the pointer, retire the old color. Same crash-forward analysis
+    * (the pointer rename is the single commit point); same
+    * immediate-retire caveat for deployments with concurrent probe
+    * sessions.
+    */
+  def rotatePqIndex(spark: SparkSession,
+                    alias: String = "pq_index_live",
+                    rebuildRatio: Double = PqDriftRebuildRatio): Boolean = {
+    val from = LiveIndexPointer.current(spark, alias).getOrElse(
+      throw new IllegalStateException(
+        s"cannot rotate: pointer '$alias' has never been flipped"))
+    val blue = s"${alias}_blue"
+    val to = if (from == blue) s"${alias}_green" else blue
+    dropPqTables(spark, to)
+    val act = pqIndexDriftAudit(spark, from)
+      .collect()(0).getAs[Double]("drift_ratio") >= rebuildRatio
+    if (act) {
+      rebuildPqIndexTo(spark, from, to)
+      LiveIndexPointer.flip(spark, to, alias)
+      dropPqTables(spark, from)
+    }
+    act
+  }
+
+  /** Delete `alias`'s pointer file ([[LiveIndexPointer.unlink]]). */
+  def unlinkPqPointer(spark: SparkSession,
+                      alias: String = "pq_index_live"): Unit =
     LiveIndexPointer.unlink(spark, alias)
 }
