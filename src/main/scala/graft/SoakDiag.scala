@@ -505,6 +505,69 @@ object SoakDiag {
       operators.Similarity.unlinkIvfPointer(spark, alias)
     }
 
+    // s18: the persisted PQ index lifecycle at soak scale — same ledger
+    // shape as s16. The amortization claim is stronger here than for
+    // IVF: a probe skips the codebook LEARN (two corpus-sized hash
+    // aggregations over 8·8·n exploded (sub,bkt,pos) rows) plus the
+    // corpus re-encode, so probe-vs-s6-recompute should separate
+    // visibly where s16's near-parity was expected. The half-built
+    // index realizes s19's frozen hypothesis (built on label < 5, the
+    // rest appended under the frozen codec); per the measured-wobble
+    // finding its audit should read ~10000 (±3%) — the honest
+    // robustness result — and the post-rotate audit exactly 10000.
+    if (wanted("s18")) {
+      val alias = "soak_s18"
+      val p = s"${alias}_blue"
+      time("s18_index_build_half") {
+        operators.Similarity.persistPqIndex(spark, dir, p,
+          corpusFilter = col("label") < 5)
+        spark.table(s"${p}_pcode").count()
+      }
+      time("s18_append_other_half") {
+        operators.Similarity.appendToPqIndex(spark, dir,
+          col("label") >= 5, p)
+        spark.table(s"${p}_pcode").count()
+      }
+      operators.Similarity.flipPqIndex(spark, p, alias)
+      time("s18_probe_live") {
+        operators.Similarity.annPqLive(spark, dir, alias).count()
+      }
+      time("s18_s6_recompute") {
+        operators.Similarity.annPqTopK(spark, dir).count()
+      }
+      var audit: org.apache.spark.sql.Row = null
+      time("s18_live_audit") {
+        audit = operators.Similarity.pqIndexDriftAudit(spark, p)
+          .collect()(0)
+        audit.getAs[Long]("frozen_distortion_u6")
+      }
+      untimed("s18_fresh_distortion_u6",
+        audit.getAs[Long]("fresh_distortion_u6"))
+      untimed("s18_drift_ratio_x10000",
+        math.round(audit.getAs[Double]("drift_ratio") * 10000))
+      untimed("s18_rebuild_recommended",
+        audit.getAs[Long]("rebuild_recommended"))
+      // force the ACT branch (ratio 0 clears any drift) so the cutover
+      // wall is measured even though the wobble-band fixture KEEPs
+      time("s18_rotate_act_wall") {
+        if (operators.Similarity.rotatePqIndex(spark, alias,
+          rebuildRatio = 0.0)) 1L else 0L
+      }
+      val live = operators.LiveIndexPointer.current(spark, alias).get
+      untimed("s18_rotated_to_green", if (live == s"${alias}_green") 1L else 0L)
+      var post: org.apache.spark.sql.Row = null
+      time("s18_post_audit") {
+        post = operators.Similarity.pqIndexDriftAudit(spark, live)
+          .collect()(0)
+        post.getAs[Long]("frozen_distortion_u6")
+      }
+      untimed("s18_post_ratio_x10000",
+        math.round(post.getAs[Double]("drift_ratio") * 10000))
+      Seq(p, s"${alias}_green")
+        .foreach(operators.Similarity.dropPqTables(spark, _))
+      operators.Similarity.unlinkPqPointer(spark, alias)
+    }
+
     // Staged-copy arrival ordering, shared by the streaming sections: the
     // parallel write lands part files with effectively RANDOM modification
     // times (task-completion order), and the file source delivers files in
@@ -815,6 +878,22 @@ object SoakDiag {
         stages.find(_._1 == "7_source_cap").map(_._2).getOrElse(0L)
       }
       stages.foreach { case (s, n) => untimed(s"t34_${s}_docs", n) }
+    }
+
+    // t35 (r13): the token-budget curve at soak scale — one cached t1
+    // pass + driver-sized per-score statistics + a conditional aggregate
+    // per grid point; the wall must track the corpus pass, not the grid
+    // width, and the curve's kept-tokens column at the tightest budget
+    // rides the ledger as the cut's recorded fact
+    locally {
+      var tightest = 0L
+      time("t35_budget_curve") {
+        val rows = operators.TextAnalysis.tokenBudgetCurve(spark, dir)
+          .collect()
+        tightest = rows.map(r => r.getAs[Long]("kept_tokens")).min
+        rows.length.toLong
+      }
+      untimed("t35_tightest_kept_tokens", tightest)
     }
 
     println("[soakdiag-json] " + out.map { case (k, v) => s""""$k":$v""" }

@@ -1196,11 +1196,23 @@ object Similarity {
     */
   def annIvfFromIndex(spark: SparkSession, dir: String,
                       prefix: String = "ivf_index",
-                      k: Int = TopK): DataFrame = {
+                      k: Int = TopK): DataFrame =
+    ivfProbeOf(spark, prefix,
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding")), k)
+      .orderBy(col("query_id"), col("rnk"))
+
+  /** The s16 probe against an ARBITRARY (vec_id, embedding) query frame —
+    * the core [[annIvfFromIndex]] wraps (its registered queries are the
+    * dir's % 50 vectors) and [[streamingAnnTopK]] runs per micro-batch.
+    * Unordered: batch sinks don't need a global sort; the registered
+    * wrapper adds it.
+    */
+  private[graft] def ivfProbeOf(spark: SparkSession, prefix: String,
+                                queries: DataFrame, k: Int): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val centArr = centArrOf(spark.table(s"${prefix}_icent"))
-    val probes = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % 50 === 0)
+    val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .crossJoin(broadcast(centArr))
       .select(col("query_id"), col("qe"),
@@ -1215,7 +1227,49 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("cos"), 4).as("cos_sim"))
-      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** ANN serving under index rotation: a stream of query vectors probes
+    * whatever IVF index `alias` currently points at — the
+    * [[graft.operators.Dedup.streamingIncrementalDedup]] live-pointer
+    * discipline on the ANN family. The pointer resolves ONCE per
+    * micro-batch inside foreachBatch, so a blue/green cutover
+    * ([[flipIvfIndex]] / [[rotateIvfIndex]]) landing between batches is
+    * picked up by the next batch with NO stream restart, and within one
+    * batch every index read sees one consistent prefix even if a flip
+    * lands mid-batch (the retired color's tables must outlive that
+    * batch — the refresh-drain note transfers verbatim). Each batch's
+    * top-k lands as `serve_batch=<id>`; per-query independence means a
+    * batch's output equals the pinned-index probe of exactly its
+    * queries, the StreamingSpec pin. The same shape serves the PQ
+    * family (resolve pointer → [[annPqFromIndex]] core); one
+    * implementation carries the pattern.
+    */
+  def streamingAnnTopK(spark: SparkSession, dir: String,
+                       sinkPath: String, checkpointPath: String,
+                       alias: String = "ivf_index_live", k: Int = TopK,
+                       sourcePath: Option[String] = None,
+                       maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = Tables.embeddings(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(sourcePath.getOrElse(s"$dir/embeddings*.parquet"))
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prefix = LiveIndexPointer.current(spark, alias).getOrElse(
+          throw new IllegalStateException(
+            s"no live IVF index: pointer '$alias' has never been " +
+              "flipped — build one (persistIvfIndex) and flip to it"))
+        ivfProbeOf(spark, prefix,
+          batch.select(col("vec_id"), col("embedding")), k)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$sinkPath/serve_batch=$batchId")
+        ()
+      }
+      .start()
   }
 
   /** The distinct cells the s16 probe's query set ranks into its top

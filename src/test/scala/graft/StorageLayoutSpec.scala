@@ -451,4 +451,34 @@ class StorageLayoutSpec extends AnyFunSuite {
     }
     graft.operators.Similarity.dropIvfTables(spark, "layout_ivf_idx")
   }
+
+  test("persisted PQ index: the probe's corpus-sized scans read codes " +
+    "and buckets, never vectors") {
+    // the s18 hot/cold promise made physical: the candidate join reads
+    // (vec_id, bucket) and the coarse stage (vec_id, codes) — column
+    // pruning keeps the stored full-precision vectors out of every
+    // corpus-sized scan of _pcode; vectors are read only by model-sized
+    // tails (the dir-side exact rerank of nQ·shortlist rows, and
+    // rebuilds)
+    graft.operators.Similarity.persistPqIndex(spark, sf, "layout_pq_idx")
+    val probe = graft.operators.Similarity
+      .annPqFromIndex(spark, sf, "layout_pq_idx")
+    val plan = probe.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths
+          .exists(_.toString.contains("layout_pq_idx_pcode")) => Seq(s)
+      case a: AdaptiveSparkPlanExec => scansOf(a.inputPlan)
+    }.flatten
+    val scans = scansOf(plan)
+    assert(scans.nonEmpty, s"no _pcode scan in the probe plan:\n$plan")
+    scans.foreach { s =>
+      assert(!s.requiredSchema.fieldNames.contains("embedding"),
+        s"a corpus-sized _pcode scan reads the full vectors:\n$s")
+    }
+    // and the probe still answers off the pruned columns
+    assert(probe.collect().length > 0)
+    graft.operators.Similarity.dropPqTables(spark, "layout_pq_idx")
+  }
 }

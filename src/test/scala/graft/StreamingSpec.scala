@@ -1122,6 +1122,80 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN serving: an IVF cutover lands under a live query stream at " +
+    "a batch boundary") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val alias = "streaming_ann_test"
+    val work = java.nio.file.Files.createTempDirectory("graft_ann_stream").toString
+    val (src, sink, ckpt) = (s"$work/src", s"$work/sink", s"$work/ckpt")
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    def land(mods: Seq[Int]): Unit = mods.foreach { m =>
+      emb.filter(col("vec_id") % 10 === m)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    // expectation machinery: per-query independence makes the pinned
+    // probe of exactly a wave's queries the exact per-batch expectation
+    def probeVs(prefix: String, corpus: org.apache.spark.sql.Column,
+                queries: Seq[Int]): Set[(Long, Long, Long, Double)] = {
+      Similarity.persistIvfIndex(spark, sf, prefix, corpusFilter = corpus)
+      val out = Similarity.ivfProbeOf(spark, prefix,
+        emb.filter(queries.map(col("vec_id") % 10 === _).reduce(_ || _))
+          .select(col("vec_id"), col("embedding")), 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      Similarity.dropIvfTables(spark, prefix)
+      out
+    }
+    val exp0 = probeVs("ann_exp_v1", col("vec_id") % 2 === 0, Seq(1, 3))
+    val exp1 = probeVs("ann_exp_v2", col("vec_id") % 4 === 0, Seq(5, 7, 9))
+    val exp1underV1 = probeVs("ann_exp_v1b", col("vec_id") % 2 === 0,
+      Seq(5, 7, 9))
+
+    Similarity.unlinkIvfPointer(spark, alias)
+    val v1 = s"${alias}_blue"
+    val v2 = s"${alias}_green"
+    try {
+      Similarity.persistIvfIndex(spark, sf, v1,
+        corpusFilter = col("vec_id") % 2 === 0)
+      Similarity.flipIvfIndex(spark, v1, alias)
+      land(Seq(1, 3))
+      val q = Similarity.streamingAnnTopK(spark, sf, sink, ckpt, alias,
+        sourcePath = Some(src))
+      try {
+        q.processAllAvailable() // batch 0 probes index version 1
+        // cut over to the quarter-id corpus at the batch boundary and
+        // RETIRE version 1 — a stale per-stream plan would now fail, so
+        // the next batch passing proves per-batch pointer resolution
+        Similarity.persistIvfIndex(spark, sf, v2,
+          corpusFilter = col("vec_id") % 4 === 0)
+        Similarity.flipIvfIndex(spark, v2, alias)
+        Similarity.dropIvfTables(spark, v1)
+        land(Seq(5, 7, 9))
+        q.processAllAvailable() // batch 1 probes index version 2
+      } finally q.stop()
+
+      val served = spark.read.parquet(sink)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"),
+          col("cos_sim"), input_file_name().as("f")).collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)), r.getString(4).contains("serve_batch=0")))
+      val served0 = served.filter(_._2).map(_._1).toSet
+      val served1 = served.filterNot(_._2).map(_._1).toSet
+      assert(served0 == exp0,
+        s"batch 0 (index v1): served=${served0.size} expected=${exp0.size}")
+      assert(served1 == exp1,
+        s"batch 1 (index v2): served=${served1.size} expected=${exp1.size}")
+      // the rotation must be OBSERVABLE: the two index versions disagree
+      // on wave 2, or the per-batch resolution proves nothing
+      assert(exp1 != exp1underV1,
+        "index versions must disagree on wave 2")
+    } finally {
+      Seq(v1, v2).foreach(Similarity.dropIvfTables(spark, _))
+      Similarity.unlinkIvfPointer(spark, alias)
+    }
+  }
+
   test("stateful sessionization agrees with the declarative sessionizer") {
     val declarative = Events.sessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
