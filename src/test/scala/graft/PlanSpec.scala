@@ -132,7 +132,13 @@ class PlanSpec extends AnyFunSuite {
       //  - s16/s17 (r13): the s3 quantizer shape again — every BNLJ is a
       //    1-row broadcast (probe-side centroid array fan-in; s17 holds
       //    TWO quantizers plus the 1×1 policy-row fold), pinned below
-      "s16_ivf_indexed", "s17_ivf_drift")
+      "s16_ivf_indexed", "s17_ivf_drift",
+      //  - s18/s19 (r13): the PQ codebook shape (s6's exemption) — every
+      //    BNLJ is the 1-row codebook broadcast (s18: stored-codes recon
+      //    + query encode; s19: frozen + fresh distortion passes plus
+      //    the 1×1 policy-row fold), pinned below; s18's candidate join
+      //    is an equi hash join on bucket — not here
+      "s18_pq_indexed", "s19_pq_drift")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticByDesign)
       .flatMap { name =>
@@ -187,7 +193,15 @@ class PlanSpec extends AnyFunSuite {
       "s16_ivf_indexed" -> 2,
       // s17 = 5: two quantizers × (assignment + probe ranking) 1-row
       // centroid broadcasts + the 1×1 frozen×fresh policy-row fold
-      "s17_ivf_drift" -> 5)
+      "s17_ivf_drift" -> 5,
+      // s18 = 2: the stored 1-row codebook broadcast, once under the
+      // corpus-codes reconstruction and once under the query encode;
+      // the bucket candidate join and both rerank joins are equi hash
+      // joins — zero BNLJ there
+      "s18_pq_indexed" -> 2,
+      // s19 = 3: frozen + fresh 1-row codebook broadcasts (one
+      // distortion pass each) + the 1×1 frozen×fresh policy-row fold
+      "s19_pq_drift" -> 3)
     // (r7: s11/t29's one-row broadcasts plan as broadcast HASH joins —
     // zero BNLJ nodes — so they stay under the main gate, unexempted)
     val actual = expectedBnlj.keys.map { n =>
