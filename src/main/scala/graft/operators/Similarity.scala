@@ -1595,11 +1595,17 @@ object Similarity {
   }
 
   /** The stored bucket bit-count (one constant column on `_pcb`'s
-    * model-sized rows — a scalar read, not a scan).
+    * model-sized rows — a scalar read, not a scan). An EMPTY build
+    * corpus stores an empty codebook (no rows to carry the column), so
+    * the scalar floors to the same derivation the build would have
+    * used — probes against an empty index then return empty, never NPE
+    * (EmptyInputSpec).
     */
-  private def pqStoredBits(spark: SparkSession, prefix: String): Int =
-    spark.table(s"${prefix}_pcb").agg(max(col("lsh_bits")))
-      .collect()(0).getInt(0)
+  private def pqStoredBits(spark: SparkSession, prefix: String): Int = {
+    val row = spark.table(s"${prefix}_pcb").agg(max(col("lsh_bits")))
+      .collect()(0)
+    if (row.isNullAt(0)) deriveLshBits(0) else row.getInt(0)
+  }
 
   /** s6's probe against the persisted index: queries (from `dir`) hash
     * under the STORED bucket bits and the candidate join hits `_pcode`'s

@@ -270,6 +270,30 @@ class EmptyInputSpec extends AnyFunSuite {
       ivfLive.getAs[Double]("drift_ratio"),
       ivfLive.getAs[Long]("rebuild_recommended")) == ((0L, 0L, 1.0, 0L)),
       s"empty live IVF audit: $ivfLive")
+    // the PQ index family floors identically: an empty-corpus index
+    // stores an EMPTY codebook (no rows to carry the bits column — the
+    // stored-bits scalar falls back to the build derivation), probes to
+    // zero rows, and both drift audits read (0, 0, 1.0, 0)
+    assert(graft.operators.Similarity.annPqIndexed(spark, emptyDir)
+      .count() == 0)
+    val pqDrift = graft.operators.Similarity.pqDriftAudit(spark, emptyDir)
+      .collect()
+    assert(pqDrift.length == 1)
+    assert((pqDrift(0).getAs[Long]("frozen_distortion_u6"),
+      pqDrift(0).getAs[Long]("fresh_distortion_u6"),
+      pqDrift(0).getAs[Double]("drift_ratio"),
+      pqDrift(0).getAs[Long]("rebuild_recommended")) == ((0L, 0L, 1.0, 0L)),
+      s"s19 empty: ${pqDrift(0)}")
+    graft.operators.Similarity.persistPqIndex(spark, emptyDir,
+      prefix = "empty_pq_idx")
+    val pqLive = graft.operators.Similarity
+      .pqIndexDriftAudit(spark, "empty_pq_idx").collect()(0)
+    assert((pqLive.getAs[Long]("frozen_distortion_u6"),
+      pqLive.getAs[Long]("fresh_distortion_u6"),
+      pqLive.getAs[Double]("drift_ratio"),
+      pqLive.getAs[Long]("rebuild_recommended")) == ((0L, 0L, 1.0, 0L)),
+      s"empty live PQ audit: $pqLive")
+    graft.operators.Similarity.dropPqTables(spark, "empty_pq_idx")
   }
 
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {
