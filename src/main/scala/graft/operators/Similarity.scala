@@ -1566,8 +1566,9 @@ object Similarity {
     * `codes` is the m-entry int array — 8 small ints per vector where s6
     * recomputes a 64-float reconstruction per probe — and `bucket` the
     * frozen-bits LSH bucket, so a probe touches only those two narrow
-    * columns plus vec_id on its corpus-sized path (PqIndexSpec pins the
-    * coarse scan's ReadSchema excludes `embedding`). The full vector is
+    * columns plus vec_id on its corpus-sized path (StorageLayoutSpec
+    * pins `embedding` absent from every `_pcode` ReadSchema). The full
+    * vector is
     * stored too, but ONLY the model-sized tails read it: the
     * exact-rerank joins nQ·shortlist rows and [[rebuildPqIndexTo]] needs
     * the index self-contained — the hot-codes/cold-vectors split every
