@@ -880,6 +880,20 @@ object SoakDiag {
       stages.foreach { case (s, n) => untimed(s"t34_${s}_docs", n) }
     }
 
+    // s20 (r13): the vector sanity gate at soak scale — one distributive
+    // map-side pass + a 1-row fold, so the wall must track the scan and
+    // nothing else (the cheapest query in the family, by design)
+    locally {
+      var clean = 0L
+      time("s20_vector_sanity") {
+        val r = operators.Similarity.vectorSanityReport(spark, dir)
+          .collect()(0)
+        clean = r.getAs[Long]("n_clean")
+        r.getAs[Long]("n_vectors")
+      }
+      untimed("s20_clean_vectors", clean)
+    }
+
     // t35 (r13): the token-budget curve at soak scale — one cached t1
     // pass + driver-sized per-score statistics + a conditional aggregate
     // per grid point; the wall must track the corpus pass, not the grid

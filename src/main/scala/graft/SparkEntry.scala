@@ -77,6 +77,10 @@ object SparkEntry {
     // DISTRIBUTION drift, the only way a fixed-size codebook ages)
     "s18_pq_indexed"          -> ((s: SparkSession, d: String) => Similarity.annPqIndexed(s, d)),
     "s19_pq_drift"            -> ((s: SparkSession, d: String) => Similarity.pqDriftAudit(s, d)),
+    // s20 (r13): the corpus sanity gate before any quantizer/index build
+    // — the t28/m2 encoding-sanity convention on the vector modality
+    // (severity-ladder counts + clean-survivor norm statistics)
+    "s20_vector_sanity"       -> ((s: SparkSession, d: String) => Similarity.vectorSanityReport(s, d)),
     // streaming-shaped (batch twins of the Structured Streaming plans)
     "st1_windowed_counts"     -> Events.windowedCounts _,
     "st2_sessionize"          -> Events.sessionize _,
@@ -2236,6 +2240,48 @@ object SparkEntry {
           ${graft.operators.Similarity.PqDriftRebuildRatio} THEN 1 ELSE 0 END
           AS BIGINT) AS rebuild_recommended
       FROM rep"""),
+
+    // s20: the severity ladder spelled as mutually-exclusive CASE rungs
+    // (each vector counted at its FIRST failure), 6dp per-vector norms
+    // summed through exact integer micro-units — the whole row replays
+    // bit-for-bit; the driver corpus is wholly clean, so the ladder's
+    // detection is proven on the planted fixture in PqIndexSpec.
+    "s20_vector_sanity" -> """
+      WITH v AS (
+        SELECT embedding,
+          (embedding IS NULL) AS nullvec,
+          (embedding IS NOT NULL AND len(embedding) <> 64) AS wrongdim,
+          (embedding IS NOT NULL AND len(embedding) = 64
+            AND len(list_filter(embedding, x -> x IS NULL)) > 0) AS nullentry
+        FROM embeddings),
+      w AS (
+        SELECT *,
+          (NOT nullvec AND NOT wrongdim AND NOT nullentry
+            AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+                  OR isinf(CAST(x AS DOUBLE)))) > 0) AS nonfinite
+        FROM v),
+      c AS (
+        SELECT *, (NOT nullvec AND NOT wrongdim AND NOT nullentry
+          AND NOT nonfinite) AS clean FROM w),
+      n AS (
+        SELECT clean, nullvec, wrongdim, nullentry, nonfinite,
+          CASE WHEN clean THEN round(sqrt(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) END AS norm
+        FROM c)
+      SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        CAST(coalesce(sum(CASE WHEN nullvec THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null_vec,
+        CAST(coalesce(sum(CASE WHEN wrongdim THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_wrong_dim,
+        CAST(coalesce(sum(CASE WHEN nullentry THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null_entries,
+        CAST(coalesce(sum(CASE WHEN nonfinite THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nonfinite,
+        CAST(coalesce(sum(CASE WHEN clean THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_clean,
+        CAST(coalesce(sum(CASE WHEN clean AND norm = 0.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_zero_norm,
+        CAST(coalesce(sum(CASE WHEN clean AND abs(norm - 1.0) <= 0.01 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_near_unit,
+        round(coalesce(min(norm), 0.0), 6) AS min_norm,
+        round(coalesce(max(norm), 0.0), 6) AS max_norm,
+        round(CAST(coalesce(sum(CAST(round(norm * 1000000) AS BIGINT)), 0) AS DOUBLE)
+            / 1000000 / CAST(greatest(sum(CASE WHEN clean THEN 1 ELSE 0 END), 1) AS DOUBLE)
+            + 0.000000001, 4) AS avg_norm
+      FROM n""",
 
 
     // s10: s2's candidate + cosine CTEs with the tenant predicate applied

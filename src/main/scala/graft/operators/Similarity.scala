@@ -1922,4 +1922,66 @@ object Similarity {
   def unlinkPqPointer(spark: SparkSession,
                       alias: String = "pq_index_live"): Unit =
     LiveIndexPointer.unlink(spark, alias)
+
+  /** s20: the corpus sanity gate an embedding store runs BEFORE any
+    * quantizer learn or index build — the t28/m2 encoding-sanity
+    * convention applied to the vector modality. One row classifying
+    * every vector down a severity ladder (null vector → wrong
+    * dimensionality → null entries → non-finite entries → CLEAN; each
+    * vector counted at its FIRST failure, so the counts partition the
+    * corpus) plus norm statistics over the clean survivors: zero-norm
+    * vectors (cosine is undefined — they poison every similarity
+    * operator upstream), near-unit count (‖v‖ within 1% of 1 — whether
+    * dot product can stand in for cosine in the hot loops), and
+    * min/max/avg norms. Norms are 6dp-rounded per vector and averaged
+    * through exact integer micro-units (the s19 discipline), so the
+    * DuckDB twin replays the row bit-for-bit.
+    *
+    * Shape discipline: map-side classification + one global aggregate —
+    * no shuffle beyond the 1-row fold, no explode (the per-vector fold
+    * is a codegen'd `aggregate` lambda). At 100 TB this is a single
+    * distributive pass, the cheapest query in the family; the driver
+    * corpus is wholly clean (all counts 0, pinned by the oracle), so
+    * the detection ladder is proven on PqIndexSpec's planted corrupt
+    * fixture instead.
+    */
+  def vectorSanityReport(spark: SparkSession, dir: String): DataFrame =
+    vectorSanityOf(Tables.embeddings(spark, dir))
+
+  private[graft] def vectorSanityOf(raw: DataFrame,
+                                    expectedDim: Int = Dim): DataFrame = {
+    val nullVec = col("embedding").isNull
+    val wrongDim = !nullVec && size(col("embedding")) =!= expectedDim
+    val nullEntry = !nullVec && !wrongDim &&
+      exists(col("embedding"), x => x.isNull)
+    val d = (x: Column) => x.cast("double")
+    val nonFinite = !nullVec && !wrongDim && !nullEntry &&
+      exists(col("embedding"), x => isnan(d(x)) ||
+        abs(d(x)) === lit(Double.PositiveInfinity))
+    val clean = !nullVec && !wrongDim && !nullEntry && !nonFinite
+    val norm = when(clean, round(sqrt(aggregate(col("embedding"),
+      lit(0.0), (a, x) => a + d(x) * d(x))), 6))
+    val cnt = (c: Column) => coalesce(sum(c.cast("long")), lit(0L))
+    raw.select(col("embedding"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        cnt(nullVec).as("n_null_vec"),
+        cnt(wrongDim).as("n_wrong_dim"),
+        cnt(nullEntry).as("n_null_entries"),
+        cnt(nonFinite).as("n_nonfinite"),
+        cnt(clean).as("n_clean"),
+        cnt(clean && norm === 0.0).as("n_zero_norm"),
+        cnt(clean && abs(norm - 1.0) <= 0.01).as("n_near_unit"),
+        round(coalesce(min(norm), lit(0.0)), 6).as("min_norm"),
+        round(coalesce(max(norm), lit(0.0)), 6).as("max_norm"),
+        coalesce(sum(round(norm * 1000000.0, 0).cast("long")), lit(0L))
+          .as("norm_sum_u6"))
+      .select(col("n_vectors"), col("n_null_vec"), col("n_wrong_dim"),
+        col("n_null_entries"), col("n_nonfinite"), col("n_clean"),
+        col("n_zero_norm"), col("n_near_unit"), col("min_norm"),
+        col("max_norm"),
+        round(col("norm_sum_u6").cast("double") / lit(1000000.0) /
+          greatest(col("n_clean"), lit(1L)).cast("double") + lit(1e-9), 4)
+          .as("avg_norm"))
+  }
 }

@@ -294,6 +294,15 @@ class EmptyInputSpec extends AnyFunSuite {
       pqLive.getAs[Long]("rebuild_recommended")) == ((0L, 0L, 1.0, 0L)),
       s"empty live PQ audit: $pqLive")
     graft.operators.Similarity.dropPqTables(spark, "empty_pq_idx")
+    // s20 on an empty corpus: one all-zeros row, norms floored to 0.0
+    val sanity = graft.operators.Similarity
+      .vectorSanityReport(spark, emptyDir).collect()
+    assert(sanity.length == 1)
+    assert((sanity(0).getAs[Long]("n_vectors"),
+      sanity(0).getAs[Long]("n_clean"),
+      sanity(0).getAs[Double]("min_norm"),
+      sanity(0).getAs[Double]("avg_norm")) == ((0L, 0L, 0.0, 0.0)),
+      s"s20 empty: ${sanity(0)}")
   }
 
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {

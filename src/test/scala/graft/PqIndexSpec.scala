@@ -166,6 +166,45 @@ class PqIndexSpec extends AnyFunSuite {
     assert(constRow.getAs[Long]("rebuild_recommended") == 0L)
   }
 
+  test("s20 vector sanity: the severity ladder counts each corruption " +
+    "class exactly once and norms cover only the clean survivors") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true),
+        nullable = true)))
+    // one row per ladder rung + clean survivors with known norms:
+    // 0.125²·64 = 1.0 exactly (the near-unit pin), 0.2f → 1.6, 0.3f → 2.4
+    val rows = Seq(
+      Row(1L, null),
+      Row(2L, Seq.fill(32)(0.1f)),
+      Row(3L, Seq.fill[Any](63)(0.1f) :+ null),
+      Row(4L, Seq.fill(63)(0.1f) :+ Float.NaN),
+      Row(5L, Seq.fill(63)(0.1f) :+ Float.PositiveInfinity),
+      Row(6L, Seq.fill(64)(0.0f)),
+      Row(7L, Seq.fill(64)(0.125f)),
+      Row(8L, Seq.fill(64)(0.2f)),
+      Row(9L, Seq.fill(64)(0.3f)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val r = Similarity.vectorSanityOf(df).collect()(0)
+    assert(r.getAs[Long]("n_vectors") == 9L)
+    assert(r.getAs[Long]("n_null_vec") == 1L)
+    assert(r.getAs[Long]("n_wrong_dim") == 1L)
+    assert(r.getAs[Long]("n_null_entries") == 1L)
+    assert(r.getAs[Long]("n_nonfinite") == 2L,
+      "NaN and +Inf must both land on the non-finite rung")
+    assert(r.getAs[Long]("n_clean") == 4L,
+      "the ladder must partition: 9 = 1+1+1+2+4")
+    assert(r.getAs[Long]("n_zero_norm") == 1L)
+    assert(r.getAs[Long]("n_near_unit") == 1L)
+    assert(r.getAs[Double]("min_norm") == 0.0)
+    assert(r.getAs[Double]("max_norm") == 2.4)
+    assert(r.getAs[Double]("avg_norm") == 1.25,
+      s"avg over clean survivors (0 + 1 + 1.6 + 2.4)/4: $r")
+  }
+
   test("PQ blue/green rotate: pointer cutover, post-rotate probe IS s6, " +
     "post-rotate ratio exactly 1.0, idle-color residue heals") {
     val alias = "pqt_live"
