@@ -189,4 +189,33 @@ class PropertySpec extends AnyFunSuite {
       assert(sessions == 1L, s"gaps=$gaps produced $sessions sessions")
     }
   }
+
+  test("PQ codec invariants hold over random corpora: codes round-trip " +
+    "and stored codes lose exactly the argmin distortion") {
+    import graft.operators.Similarity
+    val vecGen = Gen.listOfN(64,
+      Gen.chooseNum(-1000, 1000).map(_.toFloat / 173.0f)).map(_.toArray)
+    forAll(Gen.listOfN(48, vecGen), n = 3) { vecs =>
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      val cb = Similarity.pqCodebook(df, 8, 4)
+      def rvMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val coded = Similarity.pqEncodeCodes(
+        df.select($"vec_id", $"embedding"), cb, 8)
+      // the stored code names exactly the argmin entry the direct
+      // encode reconstructs through — for ANY corpus, not just testdata
+      assert(rvMap(Similarity.pqReconFromCodes(
+        coded.select($"vec_id", $"codes"), cb, 8)) ==
+        rvMap(Similarity.pqEncode(df, cb, 8)))
+      // decode-what-you-stored prices exactly what the argmin loses —
+      // the identity the live drift audit's frozen side rests on
+      val stored = Similarity.pqStoredDistortionU6(coded, cb, 8)
+        .collect()(0).getLong(0)
+      val argmin = Similarity.pqDistortionU6(
+        df.select($"embedding"), cb, 8).collect()(0).getLong(0)
+      assert(stored == argmin,
+        s"stored-code distortion $stored != argmin distortion $argmin")
+    }
+  }
 }
