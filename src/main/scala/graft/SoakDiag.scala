@@ -568,6 +568,71 @@ object SoakDiag {
       operators.Similarity.unlinkPqPointer(spark, alias)
     }
 
+    // m18: the persisted media band index lifecycle at soak scale — the
+    // fourth family, same ledger shape as s16/s18. Two claims to ground:
+    // probe-vs-recompute (what a probe saves is the corpus re-hash +
+    // re-band — three codegen'd byte folds per corpus doc, the m5/m15/m17
+    // cost shape), and the WIDTH drift the m19 policy exists for: the
+    // even half derives one fewer bit than the full corpus at sf1/sf3
+    // (10k→20k docs crosses a ⌈log₂⌉ boundary), so the frozen-width
+    // ratio should land near 2.0 and the verdict should FLIP — the
+    // genuine-drift case neither s16's count-stale nor s18's
+    // distribution-stale fixture produces this cleanly. Rebuild re-bands
+    // STORED signatures only (no payload re-hash), so rotate-act should
+    // undercut the build wall; post-rotate audit must read exactly 10000.
+    if (wanted("m18")) {
+      val alias = "soak_m18"
+      val p = s"${alias}_blue"
+      time("m18_index_build_half") {
+        multimodal.Multimodal.persistMediaIndex(spark, dir, p,
+          corpusFilter = col("doc_id") % 2 === 0)
+        spark.table(s"${p}_mband").count()
+      }
+      time("m18_append_other_half") {
+        multimodal.Multimodal.appendToMediaIndex(spark, dir,
+          col("doc_id") % 2 =!= 0, p)
+        spark.table(s"${p}_mband").count()
+      }
+      multimodal.Multimodal.flipMediaIndex(spark, p, alias)
+      time("m18_probe_live") {
+        multimodal.Multimodal.incrementalMediaLive(spark, dir, alias).count()
+      }
+      time("m18_fresh_recompute") {
+        multimodal.Multimodal.incrementalMediaFresh(spark, dir).count()
+      }
+      var audit: org.apache.spark.sql.Row = null
+      time("m18_live_audit") {
+        audit = multimodal.Multimodal.mediaIndexDriftAuditLive(spark, p)
+          .collect()(0)
+        audit.getAs[Long]("frozen_collision_rows")
+      }
+      untimed("m18_fresh_collisions",
+        audit.getAs[Long]("fresh_collision_rows"))
+      untimed("m18_drift_ratio_x10000",
+        math.round(audit.getAs[Double]("drift_ratio") * 10000))
+      untimed("m18_rebuild_recommended",
+        audit.getAs[Long]("rebuild_recommended"))
+      // force the ACT branch (ratio 0 clears any drift) so the cutover
+      // wall is measured even at scales where the boundary isn't crossed
+      time("m18_rotate_act_wall") {
+        if (multimodal.Multimodal.rotateMediaIndex(spark, alias,
+          rebuildRatio = 0.0)) 1L else 0L
+      }
+      val live = operators.LiveIndexPointer.current(spark, alias).get
+      untimed("m18_rotated_to_green", if (live == s"${alias}_green") 1L else 0L)
+      var post: org.apache.spark.sql.Row = null
+      time("m18_post_audit") {
+        post = multimodal.Multimodal.mediaIndexDriftAuditLive(spark, live)
+          .collect()(0)
+        post.getAs[Long]("frozen_collision_rows")
+      }
+      untimed("m18_post_ratio_x10000",
+        math.round(post.getAs[Double]("drift_ratio") * 10000))
+      Seq(p, s"${alias}_green")
+        .foreach(multimodal.Multimodal.dropMediaIndexTables(spark, _))
+      multimodal.Multimodal.unlinkMediaPointer(spark, alias)
+    }
+
     // Staged-copy arrival ordering, shared by the streaming sections: the
     // parallel write lands part files with effectively RANDOM modification
     // times (task-completion order), and the file source delivers files in

@@ -273,6 +273,10 @@ object SparkEntry {
       Curation.curationFunnel(s, d)),
     "t35_token_budget"        -> ((s: SparkSession, d: String) =>
       TextAnalysis.tokenBudgetCurve(s, d)),
+    "m18_media_indexed"       -> ((s: SparkSession, d: String) =>
+      Multimodal.incrementalMediaIndexed(s, d)),
+    "m19_media_drift"         -> ((s: SparkSession, d: String) =>
+      Multimodal.mediaIndexDriftAudit(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -2101,6 +2105,49 @@ object SparkEntry {
         CAST(max(c) AS BIGINT) AS max_occupancy,
         CAST(sum(c * (c - 1) // 2) AS BIGINT) AS collision_rows
       FROM occ GROUP BY 1 ORDER BY 1""",
+
+    // m18: banded multi-index retrieval at radius 7 is exact by pigeonhole,
+    // so the oracle is the plain all-ordered-pairs cross join at the
+    // replayed 52-bit aHash — the gate-scale frozen width is 0 (the d26
+    // coupling pin), the same contract under which m6 gets its 52-bit
+    // oracle; wider corpora verify over the combined signature, m6's own
+    // width semantic.
+    "m18_media_indexed" -> s"""
+      WITH $PhashCteBody
+      SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        CAST(bit_count(xor(b.phash, c.phash)) AS BIGINT) AS hamming
+      FROM bits b JOIN bits c
+        ON b.doc_id <> c.doc_id
+       AND bit_count(xor(b.phash, c.phash)) <= 7
+      ORDER BY batch_id, corpus_id""",
+
+    // m19: at gate scale the build half and the full corpus both derive
+    // extra = 0 (the d26 coupling pin m6 rides), so ONE replayed m16-style
+    // Σ C(s,2) volume feeds both policy columns — the ratio formula, its
+    // empty-corpus floor, and the interpolated threshold still replay.
+    "m19_media_drift" -> s"""
+      WITH $PhashCteBody,
+      bd AS (SELECT unnest(range(0, 8)) AS band),
+      bands AS (
+        SELECT b.doc_id, bd.band,
+          (b.phash >> CAST((bd.band * 52) // 8 AS INT)) &
+            ((1::BIGINT << CAST(((bd.band + 1) * 52) // 8
+                                - (bd.band * 52) // 8 AS INT)) - 1) AS bkey
+        FROM bits b CROSS JOIN bd),
+      occ AS (SELECT band, bkey, count(*) AS c FROM bands GROUP BY 1, 2),
+      vol AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS v
+              FROM occ),
+      rep AS (
+        SELECT v AS frozen_collision_rows, v AS fresh_collision_rows,
+          CASE WHEN v = 0 THEN CAST(1.0 AS DOUBLE)
+               ELSE round(CAST(v AS DOUBLE) / CAST(v AS DOUBLE), 4)
+          END AS drift_ratio
+        FROM vol)
+      SELECT frozen_collision_rows, fresh_collision_rows, drift_ratio,
+        CAST(CASE WHEN drift_ratio >=
+          ${graft.multimodal.Multimodal.MediaDriftRebuildRatio} THEN 1 ELSE 0
+          END AS BIGINT) AS rebuild_recommended
+      FROM rep""",
 
     // t21: the DuckDB twin ranks with a plain global window (oracle-side
     // single partitions are fine); ranks are identical to the broadcast-

@@ -1157,4 +1157,441 @@ object Multimodal {
       .withColumn("clipped", col("clip_fraction") > ClipFlagFraction)
       .orderBy(col("doc_id"))
   }
+
+  // ================= persisted media band index (m18/m19, r13) =========
+
+  /** The UNIFIED band layout: one function spanning all three escalation
+    * tiers ([[mediaBands]] at `extraBits = 0`, [[mediaBandsWide]] at
+    * 1..[[MediaExtraBitsCap]], [[mediaBandsWide2]] past it — bkey-equality
+    * at each tier is pinned in MediaIndexSpec), carrying ALL THREE
+    * fingerprints on every row. The persisted index stores THIS frame:
+    * with the full signature stack on board, a rebuild at a different
+    * derived width re-bands stored longs and never touches a payload —
+    * at 100 TB of media the decode+hash pass dwarfs every other lifecycle
+    * cost, so "rebuild without re-decoding" is the property that makes a
+    * rotation policy affordable at all. 8 band rows × 3 longs per doc is
+    * the price, ~2% of a 10 KB payload.
+    */
+  private[graft] def mediaBandsAll(hashes: DataFrame, maxHamming: Int,
+                                   extraBits: Int): DataFrame = {
+    require(extraBits >= 0 && extraBits <= MediaExtraBitsCap2,
+      s"extraBits must be in [0, $MediaExtraBitsCap2], got $extraBits")
+    val nBits = graft.expressions.BlockMeanHash.Bits
+    val nBands = maxHamming + 1
+    val gradBits = math.min(extraBits, MediaExtraBitsCap)
+    val curvBits = extraBits - gradBits
+    val bandExprs = (0 until nBands).map { j =>
+      val start = j * nBits / nBands
+      val width = (j + 1) * nBits / nBands - start
+      val base = s"(shiftright(phash, $start) & ${(1L << width) - 1})"
+      val grad = if (gradBits == 0) "" else
+        s" + (shiftright(ghash, $start) & ${(1L << gradBits) - 1}) * 128"
+      val curv = if (curvBits == 0) "" else
+        s" + (shiftright(chash, $start) & ${(1L << curvBits) - 1}) * 8192"
+      expr(base + grad + curv)
+    }
+    hashes.select(col("doc_id"), col("phash"), col("ghash"), col("chash"),
+      posexplode(array(bandExprs: _*)).as(Seq("band", "bkey")))
+  }
+
+  /** The combined-signature Hamming verify at width `extraBits` — aHash
+    * bits plus the masked gradient/curvature signature bits, over the
+    * `(ha,hb,ga,gb,ca,cb)` candidate frame. The `extraBits = 0` case is
+    * bit-identical to [[mediaNearDupPairs]]' verify; the wide tiers match
+    * [[mediaNearDupPairsWide]]/[[mediaNearDupPairsWide2]].
+    */
+  private[graft] def combinedHammingAt(maxHamming: Int,
+                                       extraBits: Int): org.apache.spark.sql.Column = {
+    val gradBits = math.min(extraBits, MediaExtraBitsCap)
+    val curvBits = extraBits - gradBits
+    val base = bit_count(col("ha").bitwiseXOR(col("hb")))
+    val grad = if (gradBits == 0) lit(0) else
+      bit_count(col("ga").bitwiseXOR(col("gb"))
+        .bitwiseAND(lit(gradientMask(maxHamming, gradBits))))
+    val curv = if (curvBits == 0) lit(0) else
+      bit_count(col("ca").bitwiseXOR(col("cb"))
+        .bitwiseAND(lit(gradientMask(maxHamming, curvBits))))
+    (base + grad + curv).cast("long")
+  }
+
+  /** Drop + physically delete the media index tables under `prefix`. */
+  private[graft] def dropMediaIndexTables(spark: SparkSession,
+                                          prefix: String): Unit =
+    Seq(s"${prefix}_mcfg", s"${prefix}_mband").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+
+  /** Build the persisted media band index: the corpus fingerprinted ONCE
+    * (all three hashes — level, slope, curvature), banded at the width
+    * the corpus count derives TODAY, and stored as `_mband` bucketed by
+    * the band join's own key so every probe reads it exchange-free.
+    * `_mcfg` (1 row: built_docs, extra_bits, max_hamming) freezes the
+    * layout — appended docs must band at the SAME width or pigeonhole
+    * recall silently breaks (a pair banded at two different widths shares
+    * no chunk key), the exact analog of the containment index's frozen df
+    * order and the IVF index's frozen centroids. `_mcfg` is immutable
+    * after build; appends touch only `_mband`, so the append is a
+    * single-table Spark job commit with no crash window at all (the
+    * [[graft.operators.Similarity.appendToIvfIndex]] discipline, not the
+    * containment index's two-table marker protocol).
+    */
+  def persistMediaIndex(spark: SparkSession, dir: String,
+                        prefix: String = "media_index",
+                        buckets: Int = 32,
+                        corpusFilter: org.apache.spark.sql.Column =
+                          col("doc_id") % 2 === 0,
+                        maxHamming: Int = 7,
+                        forceExtraBits: Option[Int] = None): Unit = {
+    import spark.implicits._
+    dropMediaIndexTables(spark, prefix)
+    val hashes = perceptualHashesWide2(spark, dir).filter(corpusFilter).cache()
+    val n = hashes.count()
+    val e = forceExtraBits.getOrElse(math.min(MediaExtraBitsCap2,
+      graft.operators.Dedup.deriveExtraBandBits(n.max(1L))))
+    Seq((n, e.toLong, maxHamming.toLong))
+      .toDF("built_docs", "extra_bits", "max_hamming")
+      .write.mode("overwrite").saveAsTable(s"${prefix}_mcfg")
+    mediaBandsAll(hashes, maxHamming, e)
+      .write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
+      .mode("overwrite").saveAsTable(s"${prefix}_mband")
+    hashes.unpersist()
+    ()
+  }
+
+  private def mediaCfgOf(spark: SparkSession, prefix: String): (Int, Int) = {
+    val cfg = spark.table(s"${prefix}_mcfg").collect()(0)
+    (cfg.getAs[Long]("extra_bits").toInt, cfg.getAs[Long]("max_hamming").toInt)
+  }
+
+  /** The m18 probe core over an arbitrary batch-hash frame (all three
+    * fingerprints): band the batch at the index's FROZEN width, equi-join
+    * `_mband` on (band, bkey) — the stored rows carry the corpus-side
+    * signatures, so the Hamming verify is join-free — filter-first, then
+    * collapse band multiplicity. Cross pairs only (a batch self-join is
+    * batch-sized and independent of the index; callers that want it run
+    * [[mediaNearDupPairs]] on the batch alone). Unordered: the registered
+    * wrapper adds the presentation sort.
+    */
+  private[graft] def mediaProbeOf(spark: SparkSession, prefix: String,
+                                  batchHashes: DataFrame): DataFrame = {
+    val (e, mh) = mediaCfgOf(spark, prefix)
+    spark.table(s"${prefix}_mband").as("c")
+      .join(mediaBandsAll(batchHashes, mh, e).as("b"),
+        col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey") &&
+          col("c.doc_id") =!= col("b.doc_id"))
+      .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"),
+        col("b.phash").as("ha"), col("c.phash").as("hb"),
+        col("b.ghash").as("ga"), col("c.ghash").as("gb"),
+        col("b.chash").as("ca"), col("c.chash").as("cb"))
+      .withColumn("hamming", combinedHammingAt(mh, e))
+      .filter(col("hamming") <= mh)
+      .select(col("batch_id"), col("corpus_id"), col("hamming"))
+      .distinct()
+  }
+
+  /** m18's probe against a persisted index: batch docs fingerprint fresh
+    * (map-side, three codegen'd expressions), the corpus side is the
+    * stored `_mband` — no corpus re-hash, no corpus-side exchange.
+    * When the index holds the complement of the batch, output is
+    * IDENTICAL to fingerprinting both sides fresh at the same width
+    * (pigeonhole recall is exact at any width, and the verify radius is
+    * absolute over the combined signature AT the frozen width — m6's own
+    * semantic, where widening refines precision without re-admitting
+    * anything). At gate scales the derived width is 0, so the registered
+    * m18 gets the plain 52-bit cross-pair DuckDB oracle, exactly as m6
+    * gets its 52-bit CC oracle.
+    */
+  def incrementalMediaFromIndex(spark: SparkSession, dir: String,
+                                prefix: String = "media_index",
+                                batchFilter: org.apache.spark.sql.Column =
+                                  col("doc_id") % 2 =!= 0): DataFrame =
+    mediaProbeOf(spark, prefix,
+      perceptualHashesWide2(spark, dir).filter(batchFilter))
+      .orderBy(col("batch_id"), col("corpus_id"))
+
+  private val builtMediaIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** m18: the production-shape spelling of the media pair retrieval — the
+    * d28/s16/s18 convention on the media family: corpus fingerprinted and
+    * banded once per session into the bucketed index, every probe paying
+    * batch-side cost only. The registered fixture probes the full corpus
+    * against its OWN index (each doc lists its radius-7 neighbors, both
+    * orientations — m5/m6's pair query in index shape), because radius-7
+    * media twins are genuinely rare in the gate corpus: an odd/even split
+    * strands the few pairs on one side and the gate would verify an empty
+    * frame, whereas the self-probe exercises real rows at every scale.
+    * The incremental batch-vs-corpus form is the same core
+    * ([[incrementalMediaFromIndex]]'s odd/even default), pinned against
+    * the fresh twin and the brute-force cross join in MediaIndexSpec.
+    */
+  def incrementalMediaIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = s"graft_m18_idx_${dir.hashCode & Int.MaxValue}"
+    if (builtMediaIndexes.add(s"${spark.sparkContext.applicationId}:$prefix"))
+      persistMediaIndex(spark, dir, prefix, corpusFilter = lit(true))
+    incrementalMediaFromIndex(spark, dir, prefix, batchFilter = lit(true))
+  }
+
+  /** The fresh-recompute twin the index amortizes against (unregistered —
+    * [[graft.SoakDiag]] prices probe-vs-recompute with it): both sides
+    * fingerprinted in this pass, banded at the width the CORPUS side's
+    * count derives, cross pairs only. Same output as the index probe.
+    */
+  private[graft] def incrementalMediaFresh(spark: SparkSession, dir: String,
+                                           maxHamming: Int = 7,
+                                           batchFilter: org.apache.spark.sql.Column =
+                                             col("doc_id") % 2 =!= 0): DataFrame = {
+    val hashes = perceptualHashesWide2(spark, dir).cache()
+    val corpus = hashes.filter(!batchFilter)
+    val e = math.min(MediaExtraBitsCap2,
+      graft.operators.Dedup.deriveExtraBandBits(corpus.count().max(1L)))
+    val result = mediaBandsAll(corpus, maxHamming, e).as("c")
+      .join(mediaBandsAll(hashes.filter(batchFilter), maxHamming, e).as("b"),
+        col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey") &&
+          col("c.doc_id") =!= col("b.doc_id"))
+      .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"),
+        col("b.phash").as("ha"), col("c.phash").as("hb"),
+        col("b.ghash").as("ga"), col("c.ghash").as("gb"),
+        col("b.chash").as("ca"), col("c.chash").as("cb"))
+      .withColumn("hamming", combinedHammingAt(maxHamming, e))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("batch_id"), col("corpus_id"), col("hamming"))
+      .distinct()
+      .orderBy(col("batch_id"), col("corpus_id"))
+    graft.operators.Dedup.materializeAndRelease(result, hashes)
+  }
+
+  /** Fold accepted docs into the index UNDER THE FROZEN WIDTH (`_mcfg`'s
+    * extra_bits, never re-derived — the one-consistent-layout argument:
+    * every stored pair still shares a chunk key because every doc banded
+    * at one width). Single-table job commit, no crash window ([[persistMediaIndex]]
+    * scaladoc); re-appending an indexed doc_id would duplicate every pair
+    * it is part of — refused up front on the index's own band-0 rows (one
+    * row per doc by construction).
+    */
+  def appendToMediaIndex(spark: SparkSession, dir: String,
+                         appendFilter: org.apache.spark.sql.Column,
+                         prefix: String = "media_index",
+                         buckets: Int = 32): Unit = {
+    val (e, mh) = mediaCfgOf(spark, prefix)
+    val add = perceptualHashesWide2(spark, dir).filter(appendFilter)
+    val dup = add.select(col("doc_id"))
+      .join(spark.table(s"${prefix}_mband").filter(col("band") === 0)
+        .select(col("doc_id")), "doc_id")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"doc_id ${dup.head.getLong(0)} is already indexed in ${prefix}_mband")
+    mediaBandsAll(add, mh, e)
+      .write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
+      .mode("append").saveAsTable(s"${prefix}_mband")
+  }
+
+  /** Retract documents from the persisted media index — the
+    * [[graft.operators.Similarity.retractFromIvfIndex]] staged-rewrite
+    * on `_mband` (all 8 band rows of each id go together; the anti-join
+    * is on the id, not the key). `_mcfg` is untouched: the frozen width
+    * is the layout definition, and every surviving row's chunk keys are
+    * already correct under it — post-retract probes equal probes against
+    * an index holding exactly the survivors at the same width, no
+    * re-banding (asserted in Round13Spec). The next [[rotateMediaIndex]]
+    * re-derives the width from the surviving doc count.
+    */
+  def retractFromMediaIndex(spark: SparkSession, ids: Seq[Long],
+                            prefix: String = "media_index",
+                            buckets: Int = 32): Unit = {
+    require(ids.nonEmpty, "retraction requires at least one doc_id")
+    val idsDf = spark.createDataset(ids)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("doc_id")
+    graft.operators.Dedup.stagedRewriteMinusIds(spark, idsDf,
+      s"${prefix}_mband",
+      _.write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey"))
+  }
+
+  /** m19's rebuild threshold: recommend once the frozen width's band-join
+    * collision volume reaches 2× a fresh rebuild's. Width derives from
+    * ⌈log₂ n⌉ ([[graft.operators.Dedup.deriveExtraBandBits]]), so drift
+    * arrives in whole bits — each bit the fresh derivation gains splits
+    * every frozen bucket roughly in two, landing the ratio AT ~2 per
+    * boundary crossed; below a boundary the layouts coincide and the
+    * ratio is exactly 1. The payback arithmetic: at ratio 2 every probe
+    * pays ~1 extra probe-cost of candidate work, and the rebuild re-bands
+    * STORED signatures only (no payload re-decode, no re-hash — the
+    * [[mediaBandsAll]] design), so it amortizes within a handful of
+    * probes. Interpolated into the registered m19 oracle SQL, so the
+    * Scala constant and the DuckDB twin cannot desync.
+    */
+  val MediaDriftRebuildRatio = 2.0
+
+  /** Total band-join collision volume Σ per-bucket C(s,2) over a band
+    * layout — the m16 integrand folded to one row (empty corpus floors to
+    * 0, never an error).
+    */
+  private def collisionVolumeOf(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum((col("c") * (col("c") - 1) / 2).cast("long")), lit(0L))
+        .as("collision_rows"))
+
+  /** Fold frozen/fresh volume rows into the m19 policy row (the
+    * d30/s17/s19 shape; empty corpus floors to ratio 1.0, no rebuild).
+    */
+  private def mediaPolicyRow(frozen: DataFrame, fresh: DataFrame): DataFrame =
+    frozen.select(col("collision_rows").as("frozen_collision_rows"))
+      .crossJoin(fresh.select(col("collision_rows").as("fresh_collision_rows")))
+      .withColumn("drift_ratio",
+        when(col("fresh_collision_rows") === 0L, lit(1.0))
+          .otherwise(round(col("frozen_collision_rows").cast("double") /
+            col("fresh_collision_rows").cast("double"), 4)))
+      .withColumn("rebuild_recommended",
+        (col("drift_ratio") >= MediaDriftRebuildRatio).cast("long"))
+
+  /** m19: the media index's rebuild-cadence signal — the d30/s17/s19
+    * drift-audit convention on the fourth index family, with the m16
+    * closed form as its integrand. The frozen side is the build-time
+    * hypothesis (band width derived from `buildFilter`'s doc count)
+    * applied to the CURRENT corpus: Σ C(s,2) collision volume, exactly
+    * the candidate rows a frozen-width index makes every probe verify
+    * today. The fresh side is the width the full corpus derives. Unlike
+    * the IVF/PQ audits this is a latency policy, not a recall one —
+    * pigeonhole recall at the served radius is exact at every width
+    * (what widening moves besides cost is the verify's combined-signature
+    * refinement, m6's own width semantic) — the containment-family
+    * argument with the m16 integrand. Both volumes
+    * are exact integer counts; the DuckDB twin replays the row
+    * bit-for-bit (at gate scale both sides derive the extra = 0 layout —
+    * the same d26 coupling pin m6 rides — so one replayed volume feeds
+    * both columns and the formula, floor, and threshold still replay).
+    */
+  def mediaIndexDriftAudit(spark: SparkSession, dir: String,
+                           buildFilter: org.apache.spark.sql.Column =
+                             col("doc_id") % 2 === 0,
+                           maxHamming: Int = 7): DataFrame = {
+    val hashes = perceptualHashesWide2(spark, dir).cache()
+    val eFrozen = math.min(MediaExtraBitsCap2,
+      graft.operators.Dedup.deriveExtraBandBits(
+        hashes.filter(buildFilter).count().max(1L)))
+    val eFresh = math.min(MediaExtraBitsCap2,
+      graft.operators.Dedup.deriveExtraBandBits(hashes.count().max(1L)))
+    val result = mediaPolicyRow(
+      collisionVolumeOf(mediaBandsAll(hashes, maxHamming, eFrozen)),
+      collisionVolumeOf(mediaBandsAll(hashes, maxHamming, eFresh)))
+    graft.operators.Dedup.materializeAndRelease(result, hashes)
+  }
+
+  /** The m19 policy against a LIVE persisted index: the frozen side is
+    * priced straight off the STORED band keys — exactly the collision
+    * volume probes pay today, appended rows included, no re-banding; the
+    * fresh side re-derives the width from the index's own doc count and
+    * re-bands the STORED signatures (self-contained — the
+    * containment/IVF/PQ live-audit discipline; never touches the source
+    * corpus, never re-hashes a payload). Pinned equal to the registered
+    * closed form in MediaIndexSpec.
+    */
+  def mediaIndexDriftAuditLive(spark: SparkSession,
+                               prefix: String = "media_index"): DataFrame = {
+    val mband = spark.table(s"${prefix}_mband")
+    val sigs = mband.filter(col("band") === 0)
+      .select(col("doc_id"), col("phash"), col("ghash"), col("chash"))
+    val (_, mh) = mediaCfgOf(spark, prefix)
+    val eFresh = math.min(MediaExtraBitsCap2,
+      graft.operators.Dedup.deriveExtraBandBits(sigs.count().max(1L)))
+    mediaPolicyRow(
+      collisionVolumeOf(mband.select(col("band"), col("bkey"))),
+      collisionVolumeOf(mediaBandsAll(sigs, mh, eFresh)))
+  }
+
+  /** Rebuild the media index under a NEW prefix from the live index's own
+    * stored signatures — blue/green like the other three families
+    * (`fromPrefix` never mutated, nothing reads `toPrefix` until the
+    * pointer flips): an in-place rebuild opens a window where old-width
+    * and new-width band rows coexist in one table, and a pair banded at
+    * two widths shares no chunk key — silently lost pairs, the failure
+    * class the lifecycle must never admit. No payload re-decode, no
+    * re-hash: the stored `(phash, ghash, chash)` re-band at the width the
+    * stored doc count derives today.
+    */
+  def rebuildMediaIndexTo(spark: SparkSession, fromPrefix: String,
+                          toPrefix: String, buckets: Int = 32): Unit = {
+    import spark.implicits._
+    require(toPrefix != fromPrefix,
+      "blue/green rebuild requires a distinct target prefix")
+    dropMediaIndexTables(spark, toPrefix)
+    val (_, mh) = mediaCfgOf(spark, fromPrefix)
+    val sigs = spark.table(s"${fromPrefix}_mband").filter(col("band") === 0)
+      .select(col("doc_id"), col("phash"), col("ghash"), col("chash")).cache()
+    val n = sigs.count()
+    val e = math.min(MediaExtraBitsCap2,
+      graft.operators.Dedup.deriveExtraBandBits(n.max(1L)))
+    Seq((n, e.toLong, mh.toLong))
+      .toDF("built_docs", "extra_bits", "max_hamming")
+      .write.mode("overwrite").saveAsTable(s"${toPrefix}_mcfg")
+    mediaBandsAll(sigs, mh, e)
+      .write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
+      .mode("overwrite").saveAsTable(s"${toPrefix}_mband")
+    sigs.unpersist()
+    ()
+  }
+
+  /** Atomically point `alias` at `toPrefix`
+    * ([[graft.operators.LiveIndexPointer.flip]]).
+    */
+  def flipMediaIndex(spark: SparkSession, toPrefix: String,
+                     alias: String = "media_index_live"): Unit =
+    graft.operators.LiveIndexPointer.flip(spark, toPrefix, alias)
+
+  /** [[incrementalMediaFromIndex]] against whatever index `alias`
+    * currently points at — resolved exactly once per probe.
+    */
+  def incrementalMediaLive(spark: SparkSession, dir: String,
+                           alias: String = "media_index_live",
+                           batchFilter: org.apache.spark.sql.Column =
+                             col("doc_id") % 2 =!= 0): DataFrame = {
+    val prefix = graft.operators.LiveIndexPointer.current(spark, alias)
+      .getOrElse(throw new IllegalStateException(
+        s"no live media index: pointer '$alias' has never been flipped — " +
+          "build one (persistMediaIndex) and flip to it"))
+    incrementalMediaFromIndex(spark, dir, prefix, batchFilter)
+  }
+
+  /** The m19 policy consumed to cutover — the containment/IVF/PQ rotate
+    * discipline verbatim: heal idle-color residue, audit the live index,
+    * and iff drift clears `rebuildRatio`: rebuild into the idle color,
+    * flip the pointer, retire the old color. The pointer rename is the
+    * single commit point; a crash anywhere leaves either the old index
+    * live and intact or the new one live and complete. What a rotation
+    * changes: probe COST (the drift ratio's whole point) and, when the
+    * width actually moves, the verify's combined-signature refinement —
+    * m6's own width semantic, never a recall loss at the served radius
+    * (pigeonhole recall is exact at every width; MediaIndexSpec pins the
+    * post-rotate probe equal to the fresh twin at the new width).
+    */
+  def rotateMediaIndex(spark: SparkSession,
+                       alias: String = "media_index_live",
+                       rebuildRatio: Double = MediaDriftRebuildRatio): Boolean = {
+    val from = graft.operators.LiveIndexPointer.current(spark, alias)
+      .getOrElse(throw new IllegalStateException(
+        s"cannot rotate: pointer '$alias' has never been flipped"))
+    val blue = s"${alias}_blue"
+    val to = if (from == blue) s"${alias}_green" else blue
+    dropMediaIndexTables(spark, to)
+    val act = mediaIndexDriftAuditLive(spark, from)
+      .collect()(0).getAs[Double]("drift_ratio") >= rebuildRatio
+    if (act) {
+      rebuildMediaIndexTo(spark, from, to)
+      graft.operators.LiveIndexPointer.flip(spark, to, alias)
+      dropMediaIndexTables(spark, from)
+    }
+    act
+  }
+
+  /** Delete `alias`'s pointer file
+    * ([[graft.operators.LiveIndexPointer.unlink]]).
+    */
+  def unlinkMediaPointer(spark: SparkSession,
+                         alias: String = "media_index_live"): Unit =
+    graft.operators.LiveIndexPointer.unlink(spark, alias)
 }

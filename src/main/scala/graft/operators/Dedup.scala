@@ -1370,10 +1370,11 @@ object Dedup {
     * [[retractFromContainmentIndex]]. `writerFor` supplies the table's
     * bucket spec so the rewritten table keeps its exchange-free layout.
     */
-  private def stagedRewriteMinusIds(
+  private[graft] def stagedRewriteMinusIds(
       spark: SparkSession, idsDf: DataFrame, t: String,
       writerFor: DataFrame =>
-        org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
+        org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      key: String = "doc_id"): Unit = {
     def deleteLoc(name: String): Unit = {
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
@@ -1388,9 +1389,18 @@ object Dedup {
     // first: a crash after DROP TABLE but mid-directory-delete leaves
     // orphan files at warehouse/t that the managed rename would collide
     // with (or silently merge stale rows into).
+    // a managed RENAME carries the files but, for a PARTITIONED table,
+    // not the catalog's partition registrations — the renamed table would
+    // read EMPTY (caught by Round13Spec on the IVF `_icell` rewrite);
+    // recover them from the directory layout after every promote
+    def promote(): Unit = {
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$t`")
+      if (spark.catalog.listColumns(t).collect().exists(_.isPartition))
+        spark.catalog.recoverPartitions(t)
+    }
     if (!spark.catalog.tableExists(t) && spark.catalog.tableExists(tmp)) {
       deleteLoc(t)
-      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$t`")
+      promote()
     }
     // stale staging from an earlier crash BEFORE its verify — discard
     spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
@@ -1399,16 +1409,16 @@ object Dedup {
     // original stays live (the write reads from it), verify the row
     // count, then swap — the verified-write-then-rename discipline of
     // the sink paths, applied to catalog tables
-    val kept = spark.table(t).join(broadcast(idsDf), Seq("doc_id"), "left_anti")
+    val kept = spark.table(t).join(broadcast(idsDf), Seq(key), "left_anti")
     writerFor(kept).mode("overwrite").saveAsTable(tmp)
     val expected = spark.table(t)
-      .join(broadcast(idsDf), Seq("doc_id"), "left_anti").count()
+      .join(broadcast(idsDf), Seq(key), "left_anti").count()
     val written = spark.table(tmp).count()
     require(written == expected,
       s"staged $tmp has $written rows, expected $expected; $t untouched")
     spark.sql(s"DROP TABLE `$t`")
     deleteLoc(t) // managed drop removes the dir; sweep orphans defensively
-    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$t`")
+    promote()
   }
 
   /** d11 against the persisted index: identical contract and output to

@@ -1341,6 +1341,27 @@ object Similarity {
       .saveAsTable(s"${prefix}_icell")
   }
 
+  /** Retract vectors from the persisted IVF index — the right-to-be-
+    * forgotten verb ([[graft.operators.Dedup.retractFromContainmentIndex]]'s
+    * staged-rewrite discipline: stage `_icell` minus the ids durably
+    * under a tmp name, verify the row count, swap). `_icent` is
+    * untouched: the frozen quantizer is the index's layout DEFINITION,
+    * not corpus state, and the surviving rows' assignments are already
+    * correct under it — so a post-retract probe equals a probe against
+    * an index holding exactly the surviving vectors under the same
+    * centroids, at O(index-rewrite) with no re-assignment (asserted in
+    * Round13Spec). The next [[rotateIvfIndex]] re-derives the quantizer
+    * from the survivors, exactly as it would after any append.
+    */
+  def retractFromIvfIndex(spark: SparkSession, ids: Seq[Long],
+                          prefix: String = "ivf_index"): Unit = {
+    require(ids.nonEmpty, "retraction requires at least one vec_id")
+    val idsDf = spark.createDataset(ids)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("vec_id")
+    graft.operators.Dedup.stagedRewriteMinusIds(spark, idsDf,
+      s"${prefix}_icell", _.write.partitionBy("cent_id"), key = "vec_id")
+  }
+
   /** s17's rebuild threshold: recommend a rebuild once the frozen
     * quantizer's candidate volume reaches 2× a fresh rebuild's. What the
     * ratio chiefly measures for IVF is the corpus OUTGROWING its
@@ -1693,6 +1714,24 @@ object Similarity {
         lshBucketCol(bits).as("bucket"), col("embedding")),
       cbArr, m)
       .write.mode("append").saveAsTable(s"${prefix}_pcode")
+  }
+
+  /** Retract vectors from the persisted PQ index — the
+    * [[retractFromIvfIndex]] staged-rewrite on `_pcode`. `_pcb` is
+    * untouched: the frozen codec (codebook + bucket bits) is the layout
+    * definition, and the surviving rows' stored codes are already the
+    * argmin under it — post-retract probes equal probes against an index
+    * holding exactly the survivors under the same codec, no re-encode
+    * (asserted in Round13Spec). The next [[rotatePqIndex]] re-learns the
+    * codebook from the survivors.
+    */
+  def retractFromPqIndex(spark: SparkSession, ids: Seq[Long],
+                         prefix: String = "pq_index"): Unit = {
+    require(ids.nonEmpty, "retraction requires at least one vec_id")
+    val idsDf = spark.createDataset(ids)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("vec_id")
+    graft.operators.Dedup.stagedRewriteMinusIds(spark, idsDf,
+      s"${prefix}_pcode", _.write, key = "vec_id")
   }
 
   /** s19's rebuild threshold: recommend a rebuild once the frozen

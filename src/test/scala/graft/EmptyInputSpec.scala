@@ -303,6 +303,22 @@ class EmptyInputSpec extends AnyFunSuite {
       sanity(0).getAs[Double]("min_norm"),
       sanity(0).getAs[Double]("avg_norm")) == ((0L, 0L, 0.0, 0.0)),
       s"s20 empty: ${sanity(0)}")
+    // m18 on an empty corpus: an empty index (width floored to 0) probed
+    // by an empty batch — zero pairs, never a crash
+    graft.multimodal.Multimodal.persistMediaIndex(spark, emptyDir,
+      "empty_midx", corpusFilter = org.apache.spark.sql.functions.lit(true))
+    assert(graft.multimodal.Multimodal.incrementalMediaFromIndex(
+      spark, emptyDir, "empty_midx").count() == 0)
+    // m19 is a policy row (the d30 convention): zero volumes, ratio
+    // floored to 1.0, no rebuild
+    val mdrift = graft.multimodal.Multimodal
+      .mediaIndexDriftAudit(spark, emptyDir).collect()
+    assert(mdrift.length == 1)
+    assert((mdrift(0).getAs[Long]("frozen_collision_rows"),
+      mdrift(0).getAs[Long]("fresh_collision_rows"),
+      mdrift(0).getAs[Double]("drift_ratio"),
+      mdrift(0).getAs[Long]("rebuild_recommended")) == ((0L, 0L, 1.0, 0L)),
+      s"m19 empty: ${mdrift(0)}")
   }
 
   test("relational aggregates behave on empty orders (global aggs emit one null-ish row)") {

@@ -498,4 +498,92 @@ class Round13Spec extends AnyFunSuite {
       "7_source_cap" -> 2L),     // 2 <= cap
       s"funnel=$funnel")
   }
+
+  test("retraction across the ANN/media index families: staged rewrite " +
+    "minus ids, frozen layout untouched, probes equal a survivor-only " +
+    "index under the same frozen definition") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import graft.multimodal.Multimodal
+
+    // ---- IVF: _icell filtered under the SAME frozen _icent
+    Seq("ret_ivf", "ret_ivfref")
+      .foreach(Similarity.dropIvfTables(spark, _))
+    Similarity.persistIvfIndex(spark, sf, "ret_ivf")
+    // retract ids that actually serve as neighbors, so the probe must move
+    val ivfIds = Similarity.annIvfFromIndex(spark, sf, "ret_ivf")
+      .select(col("neighbor_id")).distinct().limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    val icentBefore = spark.table("ret_ivf_icent").collect().map(_.toSeq).toSet
+    Similarity.retractFromIvfIndex(spark, ivfIds, "ret_ivf")
+    assert(spark.table("ret_ivf_icent").collect().map(_.toSeq).toSet ==
+      icentBefore, "retraction must not touch the frozen quantizer")
+    // reference: every survivor re-assigned FRESH under the same frozen
+    // centroids (an empty clone appended to) — retraction must be
+    // indistinguishable from never having indexed the ids at all
+    spark.table("ret_ivf_icent").write.saveAsTable("ret_ivfref_icent")
+    spark.table("ret_ivf_icell").limit(0)
+      .write.partitionBy("cent_id").saveAsTable("ret_ivfref_icell")
+    Similarity.appendToIvfIndex(spark, sf,
+      !col("vec_id").isin(ivfIds: _*), "ret_ivfref")
+    assert(spark.table("ret_ivf_icell").collect().map(_.toSeq).toSet ==
+      spark.table("ret_ivfref_icell").collect().map(_.toSeq).toSet,
+      "retracted _icell must equal the survivors re-assigned under the " +
+        "frozen quantizer")
+    assert(Similarity.annIvfFromIndex(spark, sf, "ret_ivf")
+      .collect().map(_.toSeq).toSeq ==
+      Similarity.annIvfFromIndex(spark, sf, "ret_ivfref")
+        .collect().map(_.toSeq).toSeq,
+      "post-retract IVF probe must equal the survivor-only index's")
+
+    // ---- PQ: _pcode filtered under the SAME frozen codec
+    Seq("ret_pq", "ret_pqref")
+      .foreach(Similarity.dropPqTables(spark, _))
+    Similarity.persistPqIndex(spark, sf, "ret_pq")
+    val pqIds = Similarity.annPqFromIndex(spark, sf, "ret_pq")
+      .select(col("neighbor_id")).distinct().limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    val pcbBefore = spark.table("ret_pq_pcb").collect().map(_.toSeq).toSet
+    Similarity.retractFromPqIndex(spark, pqIds, "ret_pq")
+    assert(spark.table("ret_pq_pcb").collect().map(_.toSeq).toSet ==
+      pcbBefore, "retraction must not touch the frozen codec")
+    spark.table("ret_pq_pcb").write.saveAsTable("ret_pqref_pcb")
+    spark.table("ret_pq_pcode").limit(0)
+      .write.saveAsTable("ret_pqref_pcode")
+    Similarity.appendToPqIndex(spark, sf,
+      !col("vec_id").isin(pqIds: _*), "ret_pqref")
+    assert(spark.table("ret_pq_pcode").collect().map(_.toSeq).toSet ==
+      spark.table("ret_pqref_pcode").collect().map(_.toSeq).toSet,
+      "retracted _pcode must equal the survivors re-encoded under the " +
+        "frozen codec")
+    assert(Similarity.annPqFromIndex(spark, sf, "ret_pq")
+      .collect().map(_.toSeq).toSeq ==
+      Similarity.annPqFromIndex(spark, sf, "ret_pqref")
+        .collect().map(_.toSeq).toSeq,
+      "post-retract PQ probe must equal the survivor-only index's")
+
+    // ---- media: _mband filtered at the SAME frozen width — here the
+    // reference can be a genuinely independent same-width BUILD, the
+    // strongest parity (the width is the only frozen state)
+    Seq("ret_m", "ret_mref")
+      .foreach(Multimodal.dropMediaIndexTables(spark, _))
+    Multimodal.persistMediaIndex(spark, sf, "ret_m",
+      corpusFilter = col("doc_id") % 2 === 0, forceExtraBits = Some(2))
+    val mIds = Seq(0L, 4L, 8L)
+    val mcfgBefore = spark.table("ret_m_mcfg").collect().map(_.toSeq).toSet
+    Multimodal.retractFromMediaIndex(spark, mIds, "ret_m")
+    assert(spark.table("ret_m_mcfg").collect().map(_.toSeq).toSet ==
+      mcfgBefore, "retraction must not touch the frozen width")
+    Multimodal.persistMediaIndex(spark, sf, "ret_mref",
+      corpusFilter = col("doc_id") % 2 === 0 && !col("doc_id").isin(mIds: _*),
+      forceExtraBits = Some(2))
+    assert(spark.table("ret_m_mband").collect().map(_.toSeq).toSet ==
+      spark.table("ret_mref_mband").collect().map(_.toSeq).toSet,
+      "retracted _mband must equal a same-width build over the survivors")
+    assert(Multimodal.incrementalMediaFromIndex(spark, sf, "ret_m")
+      .collect().map(_.toSeq).toSeq ==
+      Multimodal.incrementalMediaFromIndex(spark, sf, "ret_mref")
+        .collect().map(_.toSeq).toSeq,
+      "post-retract media probe must equal the survivor-only build's")
+  }
 }

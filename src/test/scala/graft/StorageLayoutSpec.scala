@@ -481,4 +481,41 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(probe.collect().length > 0)
     graft.operators.Similarity.dropPqTables(spark, "layout_pq_idx")
   }
+
+  test("persisted media band index: the probe joins `_mband` " +
+    "exchange-free on the corpus side") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    graft.multimodal.Multimodal.persistMediaIndex(spark, sf, "layout_midx",
+      buckets = 8)
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths
+          .exists(_.toString.contains("layout_midx_mband")) => Seq(s)
+      case a: AdaptiveSparkPlanExec => scansOf(a.inputPlan)
+    }.flatten
+    // force the shuffle-join path (a broadcast would trivially pass)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = graft.multimodal.Multimodal
+        .incrementalMediaFromIndex(spark, sf, "layout_midx")
+      val plan = probe.queryExecution.executedPlan
+      assert(scansOf(plan).nonEmpty, s"_mband not scanned:\n$plan")
+      def joins(p: SparkPlan): Seq[SortMergeJoinExec] = p.collect {
+        case j: SortMergeJoinExec => Seq(j)
+        case a: AdaptiveSparkPlanExec => joins(a.inputPlan)
+      }.flatten
+      val corpusSides = joins(plan).flatMap(j => Seq(j.left, j.right))
+        .filter(side => scansOf(side).nonEmpty)
+      assert(corpusSides.nonEmpty, s"no join hangs off _mband:\n$plan")
+      corpusSides.foreach { side =>
+        assert(countShuffles(side) == 0,
+          s"corpus side of the m18 probe shuffles:\n$side")
+      }
+      // the bucketed layout answers identically to the fresh twin
+      assert(probe.collect().map(_.toSeq).toSet ==
+        graft.multimodal.Multimodal.incrementalMediaFresh(spark, sf)
+          .collect().map(_.toSeq).toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
 }
