@@ -1414,11 +1414,20 @@ object Multimodal {
   /** m19's rebuild threshold: recommend once the frozen width's band-join
     * collision volume reaches 2× a fresh rebuild's. Width derives from
     * ⌈log₂ n⌉ ([[graft.operators.Dedup.deriveExtraBandBits]]), so drift
-    * arrives in whole bits — each bit the fresh derivation gains splits
-    * every frozen bucket roughly in two, landing the ratio AT ~2 per
-    * boundary crossed; below a boundary the layouts coincide and the
-    * ratio is exactly 1. The payback arithmetic: at ratio 2 every probe
-    * pays ~1 extra probe-cost of candidate work, and the rebuild re-bands
+    * arrives in whole bits; on a RANDOM-collision-dominated corpus each
+    * bit the fresh derivation gains splits every frozen bucket roughly
+    * in two, landing the ratio at ~2 per boundary crossed (the
+    * MediaIndexSpec planted corpus measures exactly this regime and the
+    * verdict flips); below a boundary the layouts coincide and the ratio
+    * is exactly 1. The threshold is deliberately blind to collisions a
+    * rebuild CANNOT remove: true near-dup pairs agree on the extra
+    * signature bits too, so on a dup-heavy corpus the ratio saturates at
+    * (true + random_frozen)/(true + random_fresh) — the r13 soak's
+    * replica-tail corpus measures 1.43–1.48 at a one-bit-stale width at
+    * all three scales (`soakdiag_r13_m18.log`) and correctly KEEPs,
+    * because most of its probe cost is unavoidable verify work on
+    * genuine twins. Payback when it does fire: at ratio 2 half of every
+    * probe's candidate work is removable, and the rebuild re-bands
     * STORED signatures only (no payload re-decode, no re-hash — the
     * [[mediaBandsAll]] design), so it amortizes within a handful of
     * probes. Interpolated into the registered m19 oracle SQL, so the
