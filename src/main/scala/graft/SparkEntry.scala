@@ -277,6 +277,8 @@ object SparkEntry {
       Multimodal.incrementalMediaIndexed(s, d)),
     "m19_media_drift"         -> ((s: SparkSession, d: String) =>
       Multimodal.mediaIndexDriftAudit(s, d)),
+    "s21_modality_coverage"   -> ((s: SparkSession, d: String) =>
+      Similarity.modalityCoverageAudit(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -2330,6 +2332,31 @@ object SparkEntry {
             + 0.000000001, 4) AS avg_norm
       FROM n""",
 
+    // s21: row/distinct-id counts, both orphan anti-joins, and the
+    // doc→vector coverage the pairing can achieve — a REAL finding at
+    // sf0.1 (2,000 of 5,000 docs carry vectors); empty corpus floors
+    // coverage vacuously to 100.0 (the gate must pass a first run).
+    "s21_modality_coverage" -> """
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents) AS n_doc_ids,
+        (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+        (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) FROM embeddings) AS n_vec_ids,
+        (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT DISTINCT doc_id FROM documents) d WHERE NOT EXISTS
+          (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) AS docs_without_vector,
+        (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT DISTINCT vec_id FROM embeddings) e WHERE NOT EXISTS
+          (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)) AS vectors_without_doc,
+        CASE WHEN (SELECT count(DISTINCT doc_id) FROM documents) = 0
+             THEN CAST(100.0 AS DOUBLE)
+             ELSE round(CAST((SELECT count(DISTINCT doc_id) FROM documents)
+                 - (SELECT count(*) FROM
+                     (SELECT DISTINCT doc_id FROM documents) d WHERE NOT EXISTS
+                     (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))
+               AS DOUBLE)
+               / CAST((SELECT count(DISTINCT doc_id) FROM documents) AS DOUBLE)
+               * 100.0 + 0.000000001, 4) END AS coverage_pct""",
 
     // s10: s2's candidate + cosine CTEs with the tenant predicate applied
     // at the candidate join (neighbor label = query label), before any

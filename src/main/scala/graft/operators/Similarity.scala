@@ -2023,4 +2023,48 @@ object Similarity {
           greatest(col("n_clean"), lit(1L)).cast("double") + lit(1e-9), 4)
           .as("avg_norm"))
   }
+
+  /** s21: cross-modal join-key integrity — the audit a multimodal
+    * pipeline runs before PAIRING text with vectors (SemDeDup d14, the
+    * ANN curation paths, any text⟷embedding join assumes every doc has
+    * exactly one vector; a silent coverage gap trains on text the
+    * vector-side curation never saw). One row: row and distinct-id
+    * counts on both sides (their gap is the duplicate-id mass — a dup
+    * key double-counts its doc in every downstream join), both orphan
+    * directions (docs the embedding run missed; vectors whose doc was
+    * deleted/retracted), and the doc→vector coverage percentage the
+    * pairing can actually achieve. The driver corpus makes this a REAL
+    * finding, not a vacuous zero: at sf0.1 only 2,000 of 5,000 docs
+    * carry vectors (40.0%), so any embedding-gated curation there runs
+    * on a minority slice — exactly what this gate exists to surface.
+    *
+    * Shape discipline: two distinct-aggregates plus two anti-joins, all
+    * over the pruned 8-byte id columns only (no text, no vectors on the
+    * wire); at 100 TB every stage is a map-side-combined hash agg or a
+    * key-only shuffle join — the cheapest cross-modal pass there is.
+    * Empty corpus: zeros with coverage vacuously 100.0 (a gate must not
+    * fail a pipeline's first run — the EmptyInputSpec convention).
+    */
+  def modalityCoverageAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"))
+    val dAgg = docs.agg(count(lit(1)).as("n_docs"),
+      countDistinct(col("doc_id")).as("n_doc_ids"))
+    val vAgg = vecs.agg(count(lit(1)).as("n_vectors"),
+      countDistinct(col("vec_id")).as("n_vec_ids"))
+    val dOrph = docs.distinct()
+      .join(vecs.distinct().withColumnRenamed("vec_id", "doc_id"),
+        Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("docs_without_vector"))
+    val vOrph = vecs.distinct()
+      .join(docs.distinct().withColumnRenamed("doc_id", "vec_id"),
+        Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("vectors_without_doc"))
+    dAgg.crossJoin(vAgg).crossJoin(dOrph).crossJoin(vOrph)
+      .withColumn("coverage_pct",
+        when(col("n_doc_ids") === 0L, lit(100.0))
+          .otherwise(round(
+            (col("n_doc_ids") - col("docs_without_vector")).cast("double") /
+              col("n_doc_ids").cast("double") * 100.0 + 1e-9, 4)))
+  }
 }

@@ -303,6 +303,16 @@ class EmptyInputSpec extends AnyFunSuite {
       sanity(0).getAs[Double]("min_norm"),
       sanity(0).getAs[Double]("avg_norm")) == ((0L, 0L, 0.0, 0.0)),
       s"s20 empty: ${sanity(0)}")
+    // s21 on an empty corpus: zeros with coverage vacuously 100.0 — the
+    // gate must pass a pipeline's first run
+    val cov = graft.operators.Similarity
+      .modalityCoverageAudit(spark, emptyDir).collect()
+    assert(cov.length == 1)
+    assert((cov(0).getAs[Long]("n_docs"), cov(0).getAs[Long]("n_vectors"),
+      cov(0).getAs[Long]("docs_without_vector"),
+      cov(0).getAs[Long]("vectors_without_doc"),
+      cov(0).getAs[Double]("coverage_pct")) == ((0L, 0L, 0L, 0L, 100.0)),
+      s"s21 empty: ${cov(0)}")
     // m18 on an empty corpus: an empty index (width floored to 0) probed
     // by an empty batch — zero pairs, never a crash
     graft.multimodal.Multimodal.persistMediaIndex(spark, emptyDir,

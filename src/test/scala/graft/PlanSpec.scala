@@ -138,7 +138,12 @@ class PlanSpec extends AnyFunSuite {
       //    + query encode; s19: frozen + fresh distortion passes plus
       //    the 1×1 policy-row fold), pinned below; s18's candidate join
       //    is an equi hash join on bucket — not here
-      "s18_pq_indexed", "s19_pq_drift")
+      "s18_pq_indexed", "s19_pq_drift",
+      //  - s21 (r13): a pure 1-row-report fold — all three BNLJ nodes are
+      //    the 1×1 crossJoins stitching the four single-row aggregates
+      //    into the one audit row (the s17/s19 policy-row shape); the
+      //    orphan joins themselves are key-only anti equi joins — not here
+      "s21_modality_coverage")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticByDesign)
       .flatMap { name =>
@@ -201,7 +206,10 @@ class PlanSpec extends AnyFunSuite {
       "s18_pq_indexed" -> 2,
       // s19 = 3: frozen + fresh 1-row codebook broadcasts (one
       // distortion pass each) + the 1×1 frozen×fresh policy-row fold
-      "s19_pq_drift" -> 3)
+      "s19_pq_drift" -> 3,
+      // s21 = 3: the 1×1 crossJoins stitching the four 1-row aggregates
+      // into the audit row; both orphan anti-joins are equi — zero there
+      "s21_modality_coverage" -> 3)
     // (r7: s11/t29's one-row broadcasts plan as broadcast HASH joins —
     // zero BNLJ nodes — so they stay under the main gate, unexempted)
     val actual = expectedBnlj.keys.map { n =>

@@ -499,6 +499,40 @@ class Round13Spec extends AnyFunSuite {
       s"funnel=$funnel")
   }
 
+  test("s21 modality coverage: duplicate ids and both orphan directions " +
+    "counted on a planted fixture; the driver corpus is a real finding") {
+    import org.apache.spark.sql.functions._
+    // planted: docs {1,1,2,3} (1 duplicated), vectors {2,3,3,9} (3
+    // duplicated, 9 dangling) → docs 4 rows/3 ids, vecs 4 rows/3 ids,
+    // doc 1 uncovered, vec 9 dangling, coverage 2/3
+    val dir = java.nio.file.Files.createTempDirectory("graft_s21").toString
+    spark.createDataFrame(Seq((1L, "a"), (1L, "a2"), (2L, "b"), (3L, "c")))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'syn' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    spark.createDataFrame(Seq(
+      (2L, Seq.fill(64)(0.1f), 0), (3L, Seq.fill(64)(0.2f), 0),
+      (3L, Seq.fill(64)(0.3f), 0), (9L, Seq.fill(64)(0.4f), 0)))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val r = graft.operators.Similarity.modalityCoverageAudit(spark, dir)
+      .collect()(0)
+    assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_doc_ids"),
+      r.getAs[Long]("n_vectors"), r.getAs[Long]("n_vec_ids"),
+      r.getAs[Long]("docs_without_vector"),
+      r.getAs[Long]("vectors_without_doc"),
+      r.getAs[Double]("coverage_pct")) ==
+      ((4L, 3L, 4L, 3L, 1L, 1L, 66.6667)), s"s21 planted: $r")
+    // the driver corpus at the off-gate scale is a REAL coverage gap
+    // (2,000 of 5,000 docs carry vectors) — pinned at the gate's full
+    // coverage here so the off-gate sweep's 40.0 is a measured contrast
+    val gate = graft.operators.Similarity.modalityCoverageAudit(spark, sf)
+      .collect()(0)
+    assert(gate.getAs[Double]("coverage_pct") == 100.0 &&
+      gate.getAs[Long]("vectors_without_doc") == 0L, s"gate: $gate")
+  }
+
   test("retraction across the ANN/media index families: staged rewrite " +
     "minus ids, frozen layout untouched, probes equal a survivor-only " +
     "index under the same frozen definition") {
