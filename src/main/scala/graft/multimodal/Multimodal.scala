@@ -1304,6 +1304,24 @@ object Multimodal {
     * anything). At gate scales the derived width is 0, so the registered
     * m18 gets the plain 52-bit cross-pair DuckDB oracle, exactly as m6
     * gets its 52-bit CC oracle.
+    *
+    * BREAK-EVEN — when NOT to build this index (the d28 convention): on
+    * the soak fixture the probe and the fresh recompute measure
+    * near-parity walls at every scale (`soakdiag_r13_m18.log`: 2.5 vs
+    * 2.2 s / 5.2 vs 6.7 / 5.1 vs 5.5), because the three hash folds a
+    * probe skips are ~free over small UTF-8 payloads — so for a corpus
+    * of THIS shape, batch-probed once, the index lifecycle buys nothing
+    * and [[incrementalMediaFresh]]'s one-pass form is the right call.
+    * What moves the break-even decisively in production is payload
+    * weight: the fresh pass must RE-READ (and for real media, re-decode)
+    * every corpus payload per batch, while a probe's corpus-side input
+    * is 6 longs per stored row — at 100 TB of images that is the
+    * difference between a full-corpus decode pass per batch and a
+    * ~0.2%-of-corpus-bytes columnar scan. Deploy rule: build the index
+    * when corpus-payload bytes × batches between rebuilds dwarfs the
+    * band-table scan (true for any long-lived media corpus probed
+    * repeatedly); skip it for one-shot pair queries or corpora whose
+    * payloads are trivial to re-hash.
     */
   def incrementalMediaFromIndex(spark: SparkSession, dir: String,
                                 prefix: String = "media_index",
