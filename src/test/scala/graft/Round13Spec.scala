@@ -620,4 +620,36 @@ class Round13Spec extends AnyFunSuite {
         .collect().map(_.toSeq).toSeq,
       "post-retract media probe must equal the survivor-only build's")
   }
+
+  test("retraction crash window on a PARTITIONED table: a crash between " +
+    "DROP and RENAME is healed by the next retraction, partitions " +
+    "recovered, no rows lost") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    // the staged-rewrite's one non-atomic step is DROP canonical →
+    // RENAME tmp; simulate dying right between them on the partitioned
+    // _icell (the table whose managed RENAME loses partition
+    // registrations — the failure the r13 recoverPartitions fix closed)
+    Seq("ret2_ivf").foreach(Similarity.dropIvfTables(spark, _))
+    spark.sql("DROP TABLE IF EXISTS `ret2_ivf_icell__retract`")
+    Similarity.persistIvfIndex(spark, sf, "ret2_ivf")
+    val before = spark.table("ret2_ivf_icell")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(Set(2L, 4L, 6L).subsetOf(before), "fixture ids must be indexed")
+    // the crash tableau: verified staging landed under the tmp name, the
+    // canonical was dropped, the rename never ran
+    spark.table("ret2_ivf_icell").filter(!col("vec_id").isin(2L, 4L))
+      .write.partitionBy("cent_id").saveAsTable("ret2_ivf_icell__retract")
+    spark.sql("DROP TABLE `ret2_ivf_icell`")
+    // next retraction heals first (promote + recover partitions), then
+    // applies its own ids on top of the promoted survivors
+    Similarity.retractFromIvfIndex(spark, Seq(6L), "ret2_ivf")
+    val after = spark.table("ret2_ivf_icell")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // the promoted table reads through its partitions (the bug read EMPTY)
+    assert(after == before - 2L - 4L - 6L,
+      "healed table = fixture minus the crashed retraction's ids minus " +
+        s"the healing call's id (got ${after.size} of ${before.size})")
+    Seq("ret2_ivf").foreach(Similarity.dropIvfTables(spark, _))
+  }
 }
