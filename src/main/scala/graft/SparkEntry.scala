@@ -279,6 +279,8 @@ object SparkEntry {
       Multimodal.mediaIndexDriftAudit(s, d)),
     "s21_modality_coverage"   -> ((s: SparkSession, d: String) =>
       Similarity.modalityCoverageAudit(s, d)),
+    "m20_media_incremental"   -> ((s: SparkSession, d: String) =>
+      Multimodal.incrementalMediaPlanted(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -1671,7 +1673,13 @@ object SparkEntry {
       rep AS (
         SELECT CAST(frozen_candidate_rows AS BIGINT) AS frozen_candidate_rows,
           CAST(fresh_candidate_rows AS BIGINT) AS fresh_candidate_rows,
-          CASE WHEN fresh_candidate_rows = 0 THEN CAST(1.0 AS DOUBLE)
+          CASE WHEN fresh_candidate_rows = 0 AND frozen_candidate_rows = 0
+                 THEN CAST(1.0 AS DOUBLE)
+               WHEN fresh_candidate_rows = 0
+                 THEN round(greatest(
+                   CAST(${graft.operators.Similarity.IvfDriftRebuildRatio}
+                     AS DOUBLE),
+                   CAST(frozen_candidate_rows AS DOUBLE)), 4)
                ELSE round(CAST(frozen_candidate_rows AS DOUBLE)
                  / CAST(fresh_candidate_rows AS DOUBLE), 4) END AS drift_ratio
         FROM fvol, vol)
@@ -2140,16 +2148,48 @@ object SparkEntry {
       vol AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS v
               FROM occ),
       rep AS (
-        SELECT v AS frozen_collision_rows, v AS fresh_collision_rows,
-          CASE WHEN v = 0 THEN CAST(1.0 AS DOUBLE)
-               ELSE round(CAST(v AS DOUBLE) / CAST(v AS DOUBLE), 4)
+        SELECT frozen_collision_rows, fresh_collision_rows,
+          CASE WHEN fresh_collision_rows = 0 AND frozen_collision_rows = 0
+                 THEN CAST(1.0 AS DOUBLE)
+               WHEN fresh_collision_rows = 0
+                 THEN round(greatest(
+                   CAST(${graft.multimodal.Multimodal.MediaDriftRebuildRatio}
+                     AS DOUBLE),
+                   CAST(frozen_collision_rows AS DOUBLE)), 4)
+               ELSE round(CAST(frozen_collision_rows AS DOUBLE) /
+                          CAST(fresh_collision_rows AS DOUBLE), 4)
           END AS drift_ratio
-        FROM vol)
+        FROM (SELECT v AS frozen_collision_rows, v AS fresh_collision_rows
+              FROM vol))
       SELECT frozen_collision_rows, fresh_collision_rows, drift_ratio,
         CAST(CASE WHEN drift_ratio >=
           ${graft.multimodal.Multimodal.MediaDriftRebuildRatio} THEN 1 ELSE 0
           END AS BIGINT) AS rebuild_recommended
       FROM rep""",
+
+    // m20: the incremental batch-vs-corpus probe with planted cross-split
+    // twins — corpus = even half (the indexed side), batch = odd half
+    // UNION the even half re-keyed past the plant offset (each re-keyed
+    // doc retrieves its original at hamming 0, so the gate frame is
+    // non-empty with probe/corpus id sets disjoint). Banded retrieval at
+    // radius 7 is exact by pigeonhole and the frozen width is 0 at gate
+    // scales (the d26 coupling pin), so the twin is the plain 52-bit
+    // batch×corpus cross join — m18's oracle contract on disjoint sides.
+    "m20_media_incremental" -> s"""
+      WITH $PhashCteBody,
+      corpus AS (SELECT doc_id, phash FROM bits WHERE doc_id % 2 = 0),
+      batch AS (
+        SELECT doc_id, phash FROM bits WHERE doc_id % 2 <> 0
+        UNION ALL
+        SELECT doc_id + ${graft.multimodal.Multimodal.MediaPlantOffset},
+          phash
+        FROM bits WHERE doc_id % 2 = 0)
+      SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        CAST(bit_count(xor(b.phash, c.phash)) AS BIGINT) AS hamming
+      FROM batch b JOIN corpus c
+        ON b.doc_id <> c.doc_id
+       AND bit_count(xor(b.phash, c.phash)) <= 7
+      ORDER BY batch_id, corpus_id""",
 
     // t21: the DuckDB twin ranks with a plain global window (oracle-side
     // single partitions are fine); ranks are identical to the broadcast-
@@ -2280,7 +2320,12 @@ object SparkEntry {
       PqDistortionCtes("g", "TRUE") + s""",
       rep AS (
         SELECT ftot.du AS frozen_distortion_u6, gtot.du AS fresh_distortion_u6,
-          CASE WHEN gtot.du = 0 THEN CAST(1.0 AS DOUBLE)
+          CASE WHEN gtot.du = 0 AND ftot.du = 0 THEN CAST(1.0 AS DOUBLE)
+               WHEN gtot.du = 0
+                 THEN round(greatest(
+                   CAST(${graft.operators.Similarity.PqDriftRebuildRatio}
+                     AS DOUBLE),
+                   CAST(ftot.du AS DOUBLE)), 4)
                ELSE round(CAST(ftot.du AS DOUBLE) / CAST(gtot.du AS DOUBLE), 4)
           END AS drift_ratio
         FROM ftot, gtot)
@@ -4182,7 +4227,11 @@ object SparkEntry {
         SELECT CAST(volf.prefix_rows AS BIGINT) AS prefix_rows,
           CAST(volz.candidate_rows AS BIGINT) AS frozen_candidate_rows,
           CAST(volf.candidate_rows AS BIGINT) AS fresh_candidate_rows,
-          CASE WHEN volf.candidate_rows = 0 THEN CAST(1.0 AS DOUBLE)
+          CASE WHEN volf.candidate_rows = 0 AND volz.candidate_rows = 0
+                 THEN CAST(1.0 AS DOUBLE)
+               WHEN volf.candidate_rows = 0
+                 THEN round(greatest(CAST(2.0 AS DOUBLE),
+                   CAST(volz.candidate_rows AS DOUBLE)), 4)
                ELSE round(CAST(volz.candidate_rows AS DOUBLE) /
                           CAST(volf.candidate_rows AS DOUBLE), 4)
           END AS drift_ratio

@@ -1059,7 +1059,11 @@ object Multimodal {
       .groupBy(col("band"))
       .agg(count(lit(1)).cast("long").as("n_buckets"),
         max(col("c")).cast("long").as("max_occupancy"),
-        sum((col("c") * (col("c") - 1) / 2).cast("long")).cast("long")
+        // integer DIV, not double `/`: c*(c-1) is even so the value is
+        // identical below 2^53, but a skewed hot bucket past ~9.5e7
+        // rows would silently lose low bits under double division while
+        // the DuckDB twin's `// 2` stays exact (r13 ADVICE)
+        sum(expr("c * (c - 1) DIV 2")).cast("long")
           .as("collision_rows"))
       .select(col("band").cast("long").as("band"), col("n_buckets"),
         col("max_occupancy"), col("collision_rows"))
@@ -1229,8 +1233,8 @@ object Multimodal {
     * (all three hashes — level, slope, curvature), banded at the width
     * the corpus count derives TODAY, and stored as `_mband` bucketed by
     * the band join's own key so every probe reads it exchange-free.
-    * `_mcfg` (1 row: built_docs, extra_bits, max_hamming) freezes the
-    * layout — appended docs must band at the SAME width or pigeonhole
+    * `_mcfg` (1 row: built_docs, extra_bits, max_hamming, buckets)
+    * freezes the layout — appended docs must band at the SAME width or pigeonhole
     * recall silently breaks (a pair banded at two different widths shares
     * no chunk key), the exact analog of the containment index's frozen df
     * order and the IVF index's frozen centroids. `_mcfg` is immutable
@@ -1252,8 +1256,12 @@ object Multimodal {
     val n = hashes.count()
     val e = forceExtraBits.getOrElse(math.min(MediaExtraBitsCap2,
       graft.operators.Dedup.deriveExtraBandBits(n.max(1L))))
-    Seq((n, e.toLong, maxHamming.toLong))
-      .toDF("built_docs", "extra_bits", "max_hamming")
+    // buckets is part of the frozen layout: append/retract/rebuild read
+    // it from here rather than trusting a caller parameter — a rewrite
+    // at a different bucket count would silently void the exchange-free
+    // probe property the index exists for (r13 ADVICE)
+    Seq((n, e.toLong, maxHamming.toLong, buckets.toLong))
+      .toDF("built_docs", "extra_bits", "max_hamming", "buckets")
       .write.mode("overwrite").saveAsTable(s"${prefix}_mcfg")
     mediaBandsAll(hashes, maxHamming, e)
       .write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
@@ -1262,9 +1270,11 @@ object Multimodal {
     ()
   }
 
-  private def mediaCfgOf(spark: SparkSession, prefix: String): (Int, Int) = {
+  private def mediaCfgOf(spark: SparkSession,
+                         prefix: String): (Int, Int, Int) = {
     val cfg = spark.table(s"${prefix}_mcfg").collect()(0)
-    (cfg.getAs[Long]("extra_bits").toInt, cfg.getAs[Long]("max_hamming").toInt)
+    (cfg.getAs[Long]("extra_bits").toInt, cfg.getAs[Long]("max_hamming").toInt,
+      cfg.getAs[Long]("buckets").toInt)
   }
 
   /** The m18 probe core over an arbitrary batch-hash frame (all three
@@ -1278,7 +1288,7 @@ object Multimodal {
     */
   private[graft] def mediaProbeOf(spark: SparkSession, prefix: String,
                                   batchHashes: DataFrame): DataFrame = {
-    val (e, mh) = mediaCfgOf(spark, prefix)
+    val (e, mh, _) = mediaCfgOf(spark, prefix)
     spark.table(s"${prefix}_mband").as("c")
       .join(mediaBandsAll(batchHashes, mh, e).as("b"),
         col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey") &&
@@ -1331,8 +1341,41 @@ object Multimodal {
       perceptualHashesWide2(spark, dir).filter(batchFilter))
       .orderBy(col("batch_id"), col("corpus_id"))
 
+  /** Per-(application, data dir, probe tag) memo of session-built m18/m20
+    * index prefixes. A map (not a set) keyed on the FULL dir string —
+    * `String.hashCode` alone can collide across two data dirs in one app,
+    * which would silently serve pairs from the wrong corpus's stored
+    * `_mband` (r13 ADVICE). `computeIfAbsent` gives both missing
+    * guarantees in one move: a build that THROWS records no mapping (the
+    * next call rebuilds instead of probing a partial table), and a
+    * concurrent first call blocks on the same bin instead of racing the
+    * build.
+    */
   private val builtMediaIndexes =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-unique warehouse table prefix for `dir` — hashCode alone is
+    * collision-prone, so the length and a sanitized tail ride along.
+    */
+  private def mediaIdxPrefix(tag: String, dir: String): String = {
+    val tail = dir.takeRight(12).map(c =>
+      if (c.isLetterOrDigit) c.toLower else '_')
+    s"graft_${tag}_idx_${dir.hashCode & Int.MaxValue}_${dir.length}_$tail"
+  }
+
+  /** Build the (tag, dir) index once per session via the memo — returns
+    * the prefix probes should read. Shared by m18 and m20.
+    */
+  private def ensureMediaIndex(spark: SparkSession, dir: String, tag: String,
+                               corpusFilter: org.apache.spark.sql.Column)
+      : String =
+    builtMediaIndexes.computeIfAbsent(
+      s"${spark.sparkContext.applicationId} $tag $dir",
+      _ => {
+        val prefix = mediaIdxPrefix(tag, dir)
+        persistMediaIndex(spark, dir, prefix, corpusFilter = corpusFilter)
+        prefix
+      })
 
   /** m18: the production-shape spelling of the media pair retrieval — the
     * d28/s16/s18 convention on the media family: corpus fingerprinted and
@@ -1348,9 +1391,7 @@ object Multimodal {
     * the fresh twin and the brute-force cross join in MediaIndexSpec.
     */
   def incrementalMediaIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val prefix = s"graft_m18_idx_${dir.hashCode & Int.MaxValue}"
-    if (builtMediaIndexes.add(s"${spark.sparkContext.applicationId}:$prefix"))
-      persistMediaIndex(spark, dir, prefix, corpusFilter = lit(true))
+    val prefix = ensureMediaIndex(spark, dir, "m18", lit(true))
     incrementalMediaFromIndex(spark, dir, prefix, batchFilter = lit(true))
   }
 
@@ -1383,6 +1424,44 @@ object Multimodal {
     graft.operators.Dedup.materializeAndRelease(result, hashes)
   }
 
+  /** The doc-id offset m20 re-keys its planted batch under — far above
+    * any corpus id at every tested scale (the 100× soak tops out near
+    * 5·10⁷), so planted ids never collide with real ones. Interpolated
+    * into the m20 oracle SQL so operator and twin cannot desync.
+    */
+  val MediaPlantOffset = 100000000L
+
+  /** m20: the INCREMENTAL batch-vs-corpus probe as a registered,
+    * oracle-gated query — the production probe shape of the media index
+    * (the m-family d28/s16/s18: a batch DISJOINT from the indexed corpus
+    * probed against the stored `_mband`), closing the r13 asymmetry
+    * where m18's registered form self-probes while the other three
+    * families gate their incremental form. Radius-7 media twins are
+    * genuinely rare across the driver corpus's odd/even split (the
+    * reason m18 self-probes), so the batch PLANTS them: the even half is
+    * indexed as the corpus, and the probe batch is the odd half UNION
+    * the even half re-keyed to `doc_id + ` [[MediaPlantOffset]] — every
+    * even doc's re-keyed twin retrieves its original at hamming 0
+    * (identical payload, identical fingerprints, distinct ids), so the
+    * gate verifies a non-empty frame whose probe and corpus id sets are
+    * fully disjoint AT EVERY SCALE, while any genuine odd-vs-even pairs
+    * ride along. Pair semantics per [[mediaProbeOf]]: banded at the
+    * index's frozen width (0 at gate scales — the d26 coupling pin, so
+    * the DuckDB twin replays the plain 52-bit cross join), corpus side
+    * read exchange-free from the stored bucketed band rows, batch side
+    * fingerprinted fresh map-side.
+    */
+  def incrementalMediaPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = ensureMediaIndex(spark, dir, "m20", col("doc_id") % 2 === 0)
+    val hashes = perceptualHashesWide2(spark, dir).cache()
+    val batch = hashes.filter(col("doc_id") % 2 =!= 0)
+      .unionByName(hashes.filter(col("doc_id") % 2 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(MediaPlantOffset)))
+    val result = mediaProbeOf(spark, prefix, batch)
+      .orderBy(col("batch_id"), col("corpus_id"))
+    graft.operators.Dedup.materializeAndRelease(result, hashes)
+  }
+
   /** Fold accepted docs into the index UNDER THE FROZEN WIDTH (`_mcfg`'s
     * extra_bits, never re-derived — the one-consistent-layout argument:
     * every stored pair still shares a chunk key because every doc banded
@@ -1393,9 +1472,9 @@ object Multimodal {
     */
   def appendToMediaIndex(spark: SparkSession, dir: String,
                          appendFilter: org.apache.spark.sql.Column,
-                         prefix: String = "media_index",
-                         buckets: Int = 32): Unit = {
-    val (e, mh) = mediaCfgOf(spark, prefix)
+                         prefix: String = "media_index"): Unit = {
+    // width AND bucket count come from the frozen layout, never a caller
+    val (e, mh, buckets) = mediaCfgOf(spark, prefix)
     val add = perceptualHashesWide2(spark, dir).filter(appendFilter)
     val dup = add.select(col("doc_id"))
       .join(spark.table(s"${prefix}_mband").filter(col("band") === 0)
@@ -1419,9 +1498,12 @@ object Multimodal {
     * re-derives the width from the surviving doc count.
     */
   def retractFromMediaIndex(spark: SparkSession, ids: Seq[Long],
-                            prefix: String = "media_index",
-                            buckets: Int = 32): Unit = {
+                            prefix: String = "media_index"): Unit = {
     require(ids.nonEmpty, "retraction requires at least one doc_id")
+    // the rewrite must keep the build's bucket layout (frozen in _mcfg) —
+    // a different count would silently re-bucket _mband and void the
+    // exchange-free probe property (r13 ADVICE)
+    val (_, _, buckets) = mediaCfgOf(spark, prefix)
     val idsDf = spark.createDataset(ids)(org.apache.spark.sql.Encoders.scalaLong)
       .toDF("doc_id")
     graft.operators.Dedup.stagedRewriteMinusIds(spark, idsDf,
@@ -1460,7 +1542,8 @@ object Multimodal {
   private def collisionVolumeOf(bands: DataFrame): DataFrame =
     bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum((col("c") * (col("c") - 1) / 2).cast("long")), lit(0L))
+      // integer DIV (exact at any occupancy), matching the twin's `// 2`
+      .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).cast("long")
         .as("collision_rows"))
 
   /** Fold frozen/fresh volume rows into the m19 policy row (the
@@ -1470,9 +1553,8 @@ object Multimodal {
     frozen.select(col("collision_rows").as("frozen_collision_rows"))
       .crossJoin(fresh.select(col("collision_rows").as("fresh_collision_rows")))
       .withColumn("drift_ratio",
-        when(col("fresh_collision_rows") === 0L, lit(1.0))
-          .otherwise(round(col("frozen_collision_rows").cast("double") /
-            col("fresh_collision_rows").cast("double"), 4)))
+        graft.operators.Dedup.driftRatioOf(col("frozen_collision_rows"),
+          col("fresh_collision_rows"), MediaDriftRebuildRatio))
       .withColumn("rebuild_recommended",
         (col("drift_ratio") >= MediaDriftRebuildRatio).cast("long"))
 
@@ -1523,7 +1605,7 @@ object Multimodal {
     val mband = spark.table(s"${prefix}_mband")
     val sigs = mband.filter(col("band") === 0)
       .select(col("doc_id"), col("phash"), col("ghash"), col("chash"))
-    val (_, mh) = mediaCfgOf(spark, prefix)
+    val (_, mh, _) = mediaCfgOf(spark, prefix)
     val eFresh = math.min(MediaExtraBitsCap2,
       graft.operators.Dedup.deriveExtraBandBits(sigs.count().max(1L)))
     mediaPolicyRow(
@@ -1542,19 +1624,22 @@ object Multimodal {
     * stored doc count derives today.
     */
   def rebuildMediaIndexTo(spark: SparkSession, fromPrefix: String,
-                          toPrefix: String, buckets: Int = 32): Unit = {
+                          toPrefix: String): Unit = {
     import spark.implicits._
     require(toPrefix != fromPrefix,
       "blue/green rebuild requires a distinct target prefix")
     dropMediaIndexTables(spark, toPrefix)
-    val (_, mh) = mediaCfgOf(spark, fromPrefix)
+    // width re-derives from today's doc count; the bucket count carries
+    // over from the live layout (it sizes the exchange-free probe, not
+    // the recall geometry)
+    val (_, mh, buckets) = mediaCfgOf(spark, fromPrefix)
     val sigs = spark.table(s"${fromPrefix}_mband").filter(col("band") === 0)
       .select(col("doc_id"), col("phash"), col("ghash"), col("chash")).cache()
     val n = sigs.count()
     val e = math.min(MediaExtraBitsCap2,
       graft.operators.Dedup.deriveExtraBandBits(n.max(1L)))
-    Seq((n, e.toLong, mh.toLong))
-      .toDF("built_docs", "extra_bits", "max_hamming")
+    Seq((n, e.toLong, mh.toLong, buckets.toLong))
+      .toDF("built_docs", "extra_bits", "max_hamming", "buckets")
       .write.mode("overwrite").saveAsTable(s"${toPrefix}_mcfg")
     mediaBandsAll(sigs, mh, e)
       .write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
@@ -1584,36 +1669,25 @@ object Multimodal {
     incrementalMediaFromIndex(spark, dir, prefix, batchFilter)
   }
 
-  /** The m19 policy consumed to cutover — the containment/IVF/PQ rotate
-    * discipline verbatim: heal idle-color residue, audit the live index,
-    * and iff drift clears `rebuildRatio`: rebuild into the idle color,
-    * flip the pointer, retire the old color. The pointer rename is the
-    * single commit point; a crash anywhere leaves either the old index
-    * live and intact or the new one live and complete. What a rotation
-    * changes: probe COST (the drift ratio's whole point) and, when the
-    * width actually moves, the verify's combined-signature refinement —
-    * m6's own width semantic, never a recall loss at the served radius
-    * (pigeonhole recall is exact at every width; MediaIndexSpec pins the
-    * post-rotate probe equal to the fresh twin at the new width).
+  /** The m19 policy consumed to cutover — the shared
+    * [[graft.operators.IndexRotation.rotate]] skeleton (see its scaladoc
+    * for the crash-forward analysis; the pointer rename is the single
+    * commit point) with the media family's drop/audit/rebuild plugged in.
+    * What a rotation changes: probe COST (the drift ratio's whole point)
+    * and, when the width actually moves, the verify's combined-signature
+    * refinement — m6's own width semantic, never a recall loss at the
+    * served radius (pigeonhole recall is exact at every width;
+    * MediaIndexSpec pins the post-rotate probe equal to the fresh twin at
+    * the new width).
     */
   def rotateMediaIndex(spark: SparkSession,
                        alias: String = "media_index_live",
-                       rebuildRatio: Double = MediaDriftRebuildRatio): Boolean = {
-    val from = graft.operators.LiveIndexPointer.current(spark, alias)
-      .getOrElse(throw new IllegalStateException(
-        s"cannot rotate: pointer '$alias' has never been flipped"))
-    val blue = s"${alias}_blue"
-    val to = if (from == blue) s"${alias}_green" else blue
-    dropMediaIndexTables(spark, to)
-    val act = mediaIndexDriftAuditLive(spark, from)
-      .collect()(0).getAs[Double]("drift_ratio") >= rebuildRatio
-    if (act) {
-      rebuildMediaIndexTo(spark, from, to)
-      graft.operators.LiveIndexPointer.flip(spark, to, alias)
-      dropMediaIndexTables(spark, from)
-    }
-    act
-  }
+                       rebuildRatio: Double = MediaDriftRebuildRatio): Boolean =
+    graft.operators.IndexRotation.rotate(spark, alias, rebuildRatio,
+      drop = dropMediaIndexTables(spark, _),
+      auditRatio = from => mediaIndexDriftAuditLive(spark, from)
+        .collect()(0).getAs[Double]("drift_ratio"),
+      rebuild = rebuildMediaIndexTo(spark, _, _))
 
   /** Delete `alias`'s pointer file
     * ([[graft.operators.LiveIndexPointer.unlink]]).

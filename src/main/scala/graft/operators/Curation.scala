@@ -48,8 +48,15 @@ import graft.sources.Tables
   * conditional aggregate + `stack` unpivot — one corpus pass for all
   * eight rows. The set-dependent stages stay set-dependent without
   * extra scans: stage 4's election is a min-over-fingerprint window
-  * restricted to the stage-3 flag; stage 7's cap is a running count of
-  * the stage-6 flag under the per-source quality order; stages 5/6 are
+  * restricted to the stage-3 flag; stage 7's cap is a BOUNDED top-`cap`
+  * election per source ([[TopCapAgg]] — map-side-combined aggregation
+  * whose state never exceeds `cap` rows per source per partition,
+  * broadcast back as a ≤ cap·n_sources marker set: no per-source sort,
+  * so one source owning half a 100 TB corpus costs a partial-agg scan,
+  * not a single-partition sort of half the data — the r13 skew finding;
+  * the r13 window form survives as Round14Spec's dominant-source
+  * equality oracle, and t17 keeps the full window because its CONTRACT
+  * emits every doc's rank, not just the kept set); stages 5/6 are
   * marker joins against two tiny materialized id sets (near-dup losers
   * from the d2 candidate machinery — the engine's 100 TB-viable exact
   * similarity join, run over the strictly smaller stage-4 subset — and
@@ -82,6 +89,57 @@ object Curation {
     * the t34 oracle SQL so the twin cannot desync.
     */
   val CapPerSource = 10
+
+  /** One stage-7 candidate: the rounded t1 quality and the doc id — the
+    * (quality DESC, doc_id ASC) rank key, a total order so the cut is
+    * deterministic across retries and merge trees.
+    */
+  case class QDoc(q: Double, id: Long)
+
+  /** Bounded top-`cap` per group — the rank-free skew answer for the
+    * per-source cap (r13 verdict "what's wrong" #3): the r13 form ran
+    * `row_number`-style running counts under
+    * `Window.partitionBy(source)`, a FULL per-source sort — on a skewed
+    * corpus (one source owning half the docs, the realistic web-crawl
+    * shape) that is a single-partition sort of half the corpus to keep
+    * `cap` rows. This Aggregator's state is ≤ `cap` rows per group per
+    * partition: map-side partial aggregation folds each partition's
+    * candidates down to its local top-`cap` before the shuffle, the
+    * merge unions two ≤-`cap` buffers and re-takes `cap` (associative
+    * and commutative over the (q DESC, id ASC) total order, so any
+    * merge tree elects the same global top-`cap`), and the shuffle
+    * moves at most `cap · partitions` rows per source instead of the
+    * source's whole extent. Dominant-source equality with the window
+    * form is pinned in Round14Spec.
+    */
+  class TopCapAgg(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        QDoc, Seq[QDoc], Seq[Long]] {
+    private def ord = Ordering.by[QDoc, (Double, Long)](x => (-x.q, x.id))
+    def zero: Seq[QDoc] = Nil
+    def reduce(b: Seq[QDoc], a: QDoc): Seq[QDoc] = merge(b, a :: Nil)
+    def merge(b1: Seq[QDoc], b2: Seq[QDoc]): Seq[QDoc] =
+      (b1 ++ b2).sorted(ord).take(cap)
+    def finish(r: Seq[QDoc]): Seq[Long] = r.map(_.id)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[QDoc]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[QDoc]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** The ≤ `cap·n_sources`-row kept set stage 7 elects: top-`cap`
+    * `candFlag` rows per source under (quality DESC, doc_id ASC), via
+    * [[TopCapAgg]] — bounded aggregation state, no per-source sort.
+    */
+  private[graft] def keptPerSource(pre: DataFrame, candFlag: String,
+                                   cap: Int): DataFrame = {
+    val topcap = udaf(new TopCapAgg(cap),
+      org.apache.spark.sql.Encoders.product[QDoc])
+    pre.filter(col(candFlag))
+      .groupBy(col("source"))
+      .agg(topcap(col("quality_score"), col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("doc_id"), lit(true).as("in7_kept"))
+  }
 
   def curationFunnel(spark: SparkSession, dir: String,
                      threshold: Double = NearDupThreshold,
@@ -158,19 +216,21 @@ object Curation {
         .select("doc_id").distinct()
         .withColumn("is_contam", lit(true)), sh8)
 
-    // stages 5-7 as flags: marker joins, then the per-source running
-    // count of stage-6 survivors under t17's (quality DESC, doc_id ASC)
-    // order — the rank among survivors without filtering the frame
-    val wSrc = Window.partitionBy(col("source"))
-      .orderBy(col("quality_score").desc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCap = flagged
+    // stages 5-7 as flags: marker joins, then t17's per-source cap as a
+    // BOUNDED top-(cap) election ([[TopCapAgg]]) — the r13 running-count
+    // window sorted every source partition in full, a single-partition
+    // sort of half the corpus when one source dominates (the realistic
+    // web-crawl shape); the bounded form's kept set is ≤ cap·n_sources
+    // rows, broadcast back as a marker join like stages 5/6
+    val flagged56 = flagged
       .join(broadcast(nearDupLosers), Seq("doc_id"), "left")
       .join(broadcast(contaminated), Seq("doc_id"), "left")
       .withColumn("in5", col("in4") && col("is_nd_loser").isNull)
       .withColumn("in6", col("in5") && col("is_contam").isNull)
-      .withColumn("in7", col("in6") &&
-        sum(when(col("in6"), 1L).otherwise(0L)).over(wSrc) <= capPerSource)
+    val withCap = flagged56
+      .join(broadcast(keptPerSource(flagged56, "in6", capPerSource)),
+        Seq("doc_id"), "left")
+      .withColumn("in7", col("in6") && col("in7_kept").isNotNull)
 
     // the whole report in one conditional aggregate + stack unpivot
     def d(flag: String) = sum(when(col(flag), 1L).otherwise(0L))

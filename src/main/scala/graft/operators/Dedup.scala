@@ -2275,7 +2275,10 @@ object Dedup {
       .groupBy(col("band"))
       .agg(count(lit(1)).cast("long").as("n_buckets"),
         max(col("c")).cast("long").as("max_occupancy"),
-        sum((col("c") * (col("c") - 1) / 2).cast("long")).cast("long")
+        // integer DIV like the DuckDB twin's `// 2` — exact at any
+        // occupancy, where double `/` loses low bits past 2^53 (c ~9.5e7
+        // in one hot bucket; r13 ADVICE on the media spelling)
+        sum(expr("c * (c - 1) DIV 2")).cast("long")
           .as("collision_rows"))
       .select(col("band").cast("long").as("band"), col("n_buckets"),
         col("max_occupancy"), col("collision_rows"))
@@ -2335,6 +2338,28 @@ object Dedup {
     materializeAndRelease(rebuildPolicyRow(frozen, fresh), sh)
   }
 
+  /** The drift-ratio spelling shared by every index family's policy row
+    * (d30, s17, s19, m19): frozen probe cost over fresh, rounded to 4dp.
+    * The empty floor stays at 1.0 only when BOTH sides are 0 (nothing to
+    * remove, nothing to rebuild); a fresh side of 0 against a non-zero
+    * frozen side means a rebuild removes ALL removable cost — the true
+    * ratio is unbounded — so the row emits a sentinel at or above the
+    * family threshold (greatest(threshold, frozen), carrying the frozen
+    * magnitude) and the verdict recommends the rebuild instead of
+    * flooring it away (r13 ADVICE: the old unconditional 1.0 floor
+    * inverted the verdict in exactly the edge where acting removes the
+    * most). Each family's DuckDB twin replays the three-branch CASE
+    * verbatim.
+    */
+  private[graft] def driftRatioOf(frozen: org.apache.spark.sql.Column,
+                                  fresh: org.apache.spark.sql.Column,
+                                  threshold: Double)
+      : org.apache.spark.sql.Column =
+    when(fresh === 0L && frozen === 0L, lit(1.0))
+      .when(fresh === 0L,
+        round(greatest(lit(threshold), frozen.cast("double")), 4))
+      .otherwise(round(frozen.cast("double") / fresh.cast("double"), 4))
+
   /** Fold a frozen-order and a fresh-order volume row into the d30
     * policy row. Two 1-row global aggregates — the cross join is 1×1;
     * the empty corpus floors to (0, 0, 0, ratio 1.0, no rebuild), never
@@ -2342,9 +2367,8 @@ object Dedup {
     */
   private[graft] def rebuildPolicyRow(frozen: DataFrame,
                                       fresh: DataFrame): DataFrame = {
-    val ratio = when(col("fresh_candidate_rows") === 0L, lit(1.0))
-      .otherwise(round(col("frozen_candidate_rows").cast("double") /
-        col("fresh_candidate_rows").cast("double"), 4))
+    val ratio = driftRatioOf(col("frozen_candidate_rows"),
+      col("fresh_candidate_rows"), DriftRebuildRatio)
     frozen
       .select(col("prefix_rows"),
         col("candidate_rows").as("frozen_candidate_rows"))
@@ -2524,49 +2548,24 @@ object Dedup {
       batchFilter)
   }
 
-  /** The d30 policy consumed to CUTOVER, not just to rebuild — audit the
-    * live index, and iff drift clears `rebuildRatio`: rebuild into the
-    * idle color, flip the pointer, retire the old color. Returns whether
-    * a rotation happened. The step order makes every crash half-state
-    * heal forward:
-    *
-    *  - during rebuild → pointer untouched, half-built idle color; the
-    *    next acting rotate's rebuild starts by dropping the target.
-    *  - between rebuild and flip → pointer untouched, a complete but
-    *    unreferenced idle color; healed by the unconditional idle-color
-    *    retire at the START of every rotate (the append path's
-    *    heal-on-every-call convention — residue must not wait for a
-    *    retry that may never come).
-    *  - between flip and retire → pointer committed, old color orphaned;
-    *    the next rotate's start-heal targets exactly that color.
-    *
-    * The pointer rename is therefore the lifecycle's single commit
-    * point. Retirement here is immediate, which is sound for the
-    * library's single-driver lifecycle (a probe and a rotate never
-    * overlap); a deployment with concurrent probe sessions flips, lets
-    * in-flight probes drain against the old — still-correct, merely
-    * stale — index, then calls [[retireContainmentIndex]].
+  /** The d30 policy consumed to CUTOVER, not just to rebuild — the shared
+    * [[IndexRotation.rotate]] skeleton (heal idle color → audit → rebuild
+    * → flip → retire; see its scaladoc for the crash-forward analysis —
+    * the pointer rename is the single commit point) with the containment
+    * family's drop/audit/rebuild plugged in. Returns whether a rotation
+    * happened. Deployments with concurrent probe sessions delay the
+    * retire via [[retireContainmentIndex]] (the skeleton's drain note).
     */
   def rotateContainmentIndex(spark: SparkSession,
                              alias: String = "containment_index_live",
                              buckets: Int = 32, threshold: Double = 0.8,
                              rebuildRatio: Double = DriftRebuildRatio)
-      : Boolean = {
-    val from = currentContainmentPrefix(spark, alias).getOrElse(
-      throw new IllegalStateException(
-        s"cannot rotate: pointer '$alias' has never been flipped"))
-    val blue = s"${alias}_blue"
-    val to = if (from == blue) s"${alias}_green" else blue
-    dropIndexTables(spark, to) // heal idle-color residue from any crash
-    val act = containmentIndexDriftAudit(spark, threshold, from)
-      .collect()(0).getAs[Double]("drift_ratio") >= rebuildRatio
-    if (act) {
-      rebuildContainmentIndexTo(spark, from, to, buckets)
-      flipContainmentIndex(spark, to, alias)
-      retireContainmentIndex(spark, from)
-    }
-    act
-  }
+      : Boolean =
+    IndexRotation.rotate(spark, alias, rebuildRatio,
+      drop = dropIndexTables(spark, _),
+      auditRatio = from => containmentIndexDriftAudit(spark, threshold, from)
+        .collect()(0).getAs[Double]("drift_ratio"),
+      rebuild = rebuildContainmentIndexTo(spark, _, _, buckets))
 
   /** Distinct (doc_id, shingle STRING) pairs — d30's unhashed spelling
     * of [[docShingles]] (see the determinism note there).

@@ -1412,9 +1412,8 @@ object Similarity {
     frozen.select(col("candidate_rows").as("frozen_candidate_rows"))
       .crossJoin(fresh.select(col("candidate_rows").as("fresh_candidate_rows")))
       .withColumn("drift_ratio",
-        when(col("fresh_candidate_rows") === 0L, lit(1.0))
-          .otherwise(round(col("frozen_candidate_rows").cast("double") /
-            col("fresh_candidate_rows").cast("double"), 4)))
+        Dedup.driftRatioOf(col("frozen_candidate_rows"),
+          col("fresh_candidate_rows"), IvfDriftRebuildRatio))
       .withColumn("rebuild_recommended",
         (col("drift_ratio") >= IvfDriftRebuildRatio).cast("long"))
 
@@ -1532,32 +1531,19 @@ object Similarity {
                    alias: String = "ivf_index_live"): Unit =
     LiveIndexPointer.flip(spark, toPrefix, alias)
 
-  /** The s17 policy consumed to cutover — the containment
-    * [[Dedup.rotateContainmentIndex]] discipline verbatim: heal
-    * idle-color residue, audit the live index, and iff drift clears
-    * `rebuildRatio`: rebuild into the idle color, flip the pointer,
-    * retire the old color. Same crash-forward analysis (the pointer
-    * rename is the single commit point); same immediate-retire caveat
-    * for deployments with concurrent probe sessions.
+  /** The s17 policy consumed to cutover — the shared
+    * [[IndexRotation.rotate]] skeleton (see its scaladoc for the
+    * crash-forward analysis and the concurrent-probe retire caveat) with
+    * the IVF family's drop/audit/rebuild plugged in.
     */
   def rotateIvfIndex(spark: SparkSession,
                      alias: String = "ivf_index_live",
-                     rebuildRatio: Double = IvfDriftRebuildRatio): Boolean = {
-    val from = LiveIndexPointer.current(spark, alias).getOrElse(
-      throw new IllegalStateException(
-        s"cannot rotate: pointer '$alias' has never been flipped"))
-    val blue = s"${alias}_blue"
-    val to = if (from == blue) s"${alias}_green" else blue
-    dropIvfTables(spark, to)
-    val act = ivfIndexDriftAudit(spark, from)
-      .collect()(0).getAs[Double]("drift_ratio") >= rebuildRatio
-    if (act) {
-      rebuildIvfIndexTo(spark, from, to)
-      LiveIndexPointer.flip(spark, to, alias)
-      dropIvfTables(spark, from)
-    }
-    act
-  }
+                     rebuildRatio: Double = IvfDriftRebuildRatio): Boolean =
+    IndexRotation.rotate(spark, alias, rebuildRatio,
+      drop = dropIvfTables(spark, _),
+      auditRatio = from => ivfIndexDriftAudit(spark, from)
+        .collect()(0).getAs[Double]("drift_ratio"),
+      rebuild = rebuildIvfIndexTo(spark, _, _))
 
   /** Delete `alias`'s pointer file ([[LiveIndexPointer.unlink]]). */
   def unlinkIvfPointer(spark: SparkSession,
@@ -1813,9 +1799,8 @@ object Similarity {
     frozen.select(col("distortion_u6").as("frozen_distortion_u6"))
       .crossJoin(fresh.select(col("distortion_u6").as("fresh_distortion_u6")))
       .withColumn("drift_ratio",
-        when(col("fresh_distortion_u6") === 0L, lit(1.0))
-          .otherwise(round(col("frozen_distortion_u6").cast("double") /
-            col("fresh_distortion_u6").cast("double"), 4)))
+        Dedup.driftRatioOf(col("frozen_distortion_u6"),
+          col("fresh_distortion_u6"), PqDriftRebuildRatio))
       .withColumn("rebuild_recommended",
         (col("drift_ratio") >= PqDriftRebuildRatio).cast("long"))
 
@@ -1930,32 +1915,19 @@ object Similarity {
                   alias: String = "pq_index_live"): Unit =
     LiveIndexPointer.flip(spark, toPrefix, alias)
 
-  /** The s19 policy consumed to cutover — the containment/IVF rotate
-    * discipline verbatim: heal idle-color residue, audit the live index,
-    * and iff drift clears `rebuildRatio`: rebuild into the idle color,
-    * flip the pointer, retire the old color. Same crash-forward analysis
-    * (the pointer rename is the single commit point); same
-    * immediate-retire caveat for deployments with concurrent probe
-    * sessions.
+  /** The s19 policy consumed to cutover — the shared
+    * [[IndexRotation.rotate]] skeleton (see its scaladoc for the
+    * crash-forward analysis and the concurrent-probe retire caveat) with
+    * the PQ family's drop/audit/rebuild plugged in.
     */
   def rotatePqIndex(spark: SparkSession,
                     alias: String = "pq_index_live",
-                    rebuildRatio: Double = PqDriftRebuildRatio): Boolean = {
-    val from = LiveIndexPointer.current(spark, alias).getOrElse(
-      throw new IllegalStateException(
-        s"cannot rotate: pointer '$alias' has never been flipped"))
-    val blue = s"${alias}_blue"
-    val to = if (from == blue) s"${alias}_green" else blue
-    dropPqTables(spark, to)
-    val act = pqIndexDriftAudit(spark, from)
-      .collect()(0).getAs[Double]("drift_ratio") >= rebuildRatio
-    if (act) {
-      rebuildPqIndexTo(spark, from, to)
-      LiveIndexPointer.flip(spark, to, alias)
-      dropPqTables(spark, from)
-    }
-    act
-  }
+                    rebuildRatio: Double = PqDriftRebuildRatio): Boolean =
+    IndexRotation.rotate(spark, alias, rebuildRatio,
+      drop = dropPqTables(spark, _),
+      auditRatio = from => pqIndexDriftAudit(spark, from)
+        .collect()(0).getAs[Double]("drift_ratio"),
+      rebuild = rebuildPqIndexTo(spark, _, _))
 
   /** Delete `alias`'s pointer file ([[LiveIndexPointer.unlink]]). */
   def unlinkPqPointer(spark: SparkSession,

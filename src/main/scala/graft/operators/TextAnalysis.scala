@@ -531,12 +531,24 @@ object TextAnalysis {
     * t1's hash match — with the doc_id tie-break making the cut
     * deterministic, so retries and backfills keep the same documents.
     *
-    * One window shuffle partitioned by `source`. At 100 TB a mega-source
-    * (one domain owning a large corpus share) is the q18-style skew case;
-    * the escape hatch is a broadcast per-source `percentile_approx`
-    * quality threshold that prefilters to the threshold-adjacent band
-    * before the exact rank (the t11 boundary pattern) — kept out of the
-    * registered form, which must be exact for the oracle.
+    * One window shuffle partitioned by `source`. SKEW BOUND (the d28
+    * break-even convention): at 100 TB a mega-source — one domain owning
+    * half the corpus, the realistic web-crawl shape — makes this a
+    * single-partition SORT of half the data to rank rows the cap will
+    * discard; the window form is O(n_src · log n_src) in the dominant
+    * source's extent and does not parallelize past one task. It is kept
+    * here because t17's CONTRACT emits every doc's `src_rank` (not just
+    * the kept set), which genuinely requires the full per-source order.
+    * A pipeline that only needs the kept/cut verdict should elect the
+    * kept set with the bounded [[Curation.TopCapAgg]] top-`cap`
+    * aggregation instead (state ≤ cap rows per source per partition,
+    * map-side combined, no sort — the form t34's stage 7 ships, pinned
+    * equal to this window's kept set on a dominant-source fixture in
+    * Round14Spec); the rank-adjacent escape hatch for THIS form is a
+    * broadcast per-source `percentile_approx` quality threshold
+    * prefiltering to the boundary band before the exact rank (the t11
+    * boundary pattern) — kept out of the registered form, which must be
+    * exact for the oracle.
     */
   def sourceCap(spark: SparkSession, dir: String, cap: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
