@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK-17 G1 GCLocker starvation: a JNI critical section racing a
+  // humongous (128 MB sort-buffer) allocation retries only twice by
+  // default, then surfaces a SPURIOUS OutOfMemory that poisons Spark's
+  // execution-memory pool for the rest of the session (observed killing
+  // a 100x soak mid-suite at d17's sort-merge join). More retries cost
+  // nothing when the race never fires.
+  "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=64",
 )

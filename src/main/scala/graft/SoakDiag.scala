@@ -988,6 +988,81 @@ object SoakDiag {
       untimed("t35_tightest_kept_tokens", tightest)
     }
 
+    // m20 (r14): the REGISTERED incremental probe shape at soak scale —
+    // wall + output volume, plus the planted-twin invariant riding the
+    // soak as a correctness pin: every even (corpus) doc's re-keyed twin
+    // must retrieve its original at hamming 0, so the hamming-0
+    // planted-pair count must EQUAL the corpus-side doc count.
+    locally {
+      var planted = 0L
+      var evens = 0L
+      time("m20_planted_probe") {
+        val pairs = multimodal.Multimodal.incrementalMediaPlanted(spark, dir)
+          .cache()
+        val n = pairs.count()
+        planted = pairs.filter(
+          col("hamming") === 0L &&
+            col("batch_id") - lit(multimodal.Multimodal.MediaPlantOffset)
+              === col("corpus_id")).count()
+        pairs.unpersist()
+        n
+      }
+      if (wanted("m20")) {
+        evens = sources.Tables.documentsParallel(spark, dir)
+          .filter(col("doc_id") % 2 === 0).count()
+        untimed("m20_planted_twins", planted)
+        untimed("m20_corpus_docs", evens)
+        untimed("m20_twins_complete", if (planted == evens) 1L else 0L)
+      }
+    }
+
+    // t17cap (r14): the per-source cap's skew story, measured — the r13
+    // verdict's finding was that the window form sorts a dominant
+    // source's whole extent in ONE task. Reassign sources so one mega
+    // source owns HALF the corpus (the realistic web-crawl shape the
+    // driver's balanced `source` column never exhibits), then price the
+    // same top-10 election both ways on one cached (doc_id, source,
+    // quality) frame: the r13 window spelling (running survivor count
+    // under the per-source order) vs the shipped bounded TopCapAgg
+    // election (state ≤ cap per source per partition, map-side
+    // combined). Kept sets must be IDENTICAL — the equality rides the
+    // ledger as a pin; the wall gap is the single-partition-sort tax.
+    if (wanted("t17cap")) {
+      val cap = operators.Curation.CapPerSource
+      val skewed = sources.Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"))
+        .join(operators.TextAnalysis.textStats(spark, dir)
+          .select(col("doc_id"), col("quality_score")), "doc_id")
+        .withColumn("source",
+          when(col("doc_id") % 2 === 0, lit("mega"))
+            .otherwise(concat(lit("src_"), col("doc_id") % 20)))
+        .withColumn("cand", lit(true))
+        .cache()
+      untimed("t17cap_rows", skewed.count())
+      var keptW: Set[Long] = Set.empty
+      var keptB: Set[Long] = Set.empty
+      time("t17cap_window") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality_score").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        keptW = skewed
+          .withColumn("kept",
+            sum(when(col("cand"), 1L).otherwise(0L)).over(w) <= cap)
+          .filter(col("kept")).select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+        keptW.size.toLong
+      }
+      time("t17cap_bounded") {
+        keptB = operators.Curation.keptPerSource(skewed, "cand", cap)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        keptB.size.toLong
+      }
+      untimed("t17cap_equal", if (keptW == keptB) 1L else 0L)
+      skewed.unpersist()
+      ()
+    }
+
     println("[soakdiag-json] " + out.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"dir":"$dir",""", ",", "}"))
     spark.stop()
