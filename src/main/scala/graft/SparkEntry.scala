@@ -281,6 +281,8 @@ object SparkEntry {
       Similarity.modalityCoverageAudit(s, d)),
     "m20_media_incremental"   -> ((s: SparkSession, d: String) =>
       Multimodal.incrementalMediaPlanted(s, d)),
+    "s22_ivfpq_ann"           -> ((s: SparkSession, d: String) =>
+      Similarity.annIvfPqIndexed(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -2312,6 +2314,22 @@ object SparkEntry {
     "s6_pq_ann" -> PqAnnOracleSql,
     "s18_pq_indexed" -> PqAnnOracleSql,
 
+    // s22: the IVF-PQ composition — the s17 cell/probe CTEs (full-corpus
+    // build) supply cand(query_id, neighbor_id), the shared PQ tail does
+    // coarse + rerank; the twin therefore replays candidate geometry,
+    // codebook, ADC shortlist, and exact top-k end-to-end.
+    "s22_ivfpq_ann" -> ("WITH e AS (SELECT vec_id, embedding FROM embeddings)," +
+      IvfAssignCtesUnder("", "TRUE") + s""",
+      prb AS (
+        SELECT query_id, cent_id FROM (
+          SELECT vec_id AS query_id, cent_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS r
+          FROM ac WHERE vec_id % 50 = 0) WHERE r <= ${graft.operators.Similarity.IvfNProbe}),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM prb p JOIN assigned a ON p.cent_id = a.cent_id
+        WHERE a.vec_id <> p.query_id),""" + PqCoarseRerankTailSql),
+
     // s19: the PQ distortion drift policy — frozen (label < 5 build)
     // vs fresh codebook, both priced on the full corpus in exact
     // integer micro-units (see PqDistortionCtes).
@@ -3705,7 +3723,17 @@ object SparkEntry {
     */
   private def PqAnnOracleSql: String = {
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),""" +
-      LshCandCtesSql + s""",
+      LshCandCtesSql + "," + PqCoarseRerankTailSql
+  }
+
+  /** The PQ coarse+rerank tail over any `cand(query_id, neighbor_id)`
+    * CTE: learn the s6 codebook over `e`, reconstruct both pair sides,
+    * coarse-shortlist at 6dp, exact-rerank to top-5 — shared verbatim by
+    * the LSH-candidate twins (s6/s18) and the IVF-candidate one (s22),
+    * so the three registered forms provably share one coarse metric.
+    */
+  private def PqCoarseRerankTailSql: String = {
+      s"""
       sv AS (
         SELECT vec_id, sub, list_slice(embedding, sub * 8 + 1, sub * 8 + 8) AS sv
         FROM (SELECT vec_id, unnest(range(0, 8)) AS sub, embedding FROM e)),

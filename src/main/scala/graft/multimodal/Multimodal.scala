@@ -851,11 +851,20 @@ object Multimodal {
     * gradient-funded key space. Still map-side only.
     */
   private[graft] def perceptualHashesWide2(spark: SparkSession,
-                                           dir: String): DataFrame = {
+                                           dir: String): DataFrame =
+    hashesOfDocs(spark, Tables.documentsParallel(spark, dir))
+
+  /** The full three-fingerprint battery over an arbitrary `(doc_id,
+    * text)` frame — factored from [[perceptualHashesWide2]] so streaming
+    * micro-batches ([[streamingMediaProbe]]) fingerprint their own rows
+    * without a directory-shaped source.
+    */
+  private[graft] def hashesOfDocs(spark: SparkSession,
+                                  docs: DataFrame): DataFrame = {
     graft.expressions.BlockMeanHash.register(spark)
     graft.expressions.BlockGradientHash.register(spark)
     graft.expressions.BlockCurvatureHash.register(spark)
-    Tables.documentsParallel(spark, dir)
+    docs
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .select(col("doc_id"),
         expr("block_mean_hash(payload)").as("phash"),
@@ -1667,6 +1676,52 @@ object Multimodal {
         s"no live media index: pointer '$alias' has never been flipped — " +
           "build one (persistMediaIndex) and flip to it"))
     incrementalMediaFromIndex(spark, dir, prefix, batchFilter)
+  }
+
+  /** Media near-dup serving under index rotation: a stream of documents
+    * probes whatever media index `alias` currently points at — the
+    * [[graft.operators.Similarity.streamingAnnTopK]] /
+    * [[graft.operators.Dedup.streamingIncrementalDedup]] live-pointer
+    * discipline on the FOURTH index family, so every persisted index now
+    * has a streaming serving path. The pointer resolves ONCE per
+    * micro-batch inside foreachBatch: a blue/green cutover
+    * ([[flipMediaIndex]] / [[rotateMediaIndex]]) landing between batches
+    * is picked up by the next batch with NO stream restart, and within
+    * one batch every `_mband`/`_mcfg` read sees one consistent prefix
+    * even if a flip lands mid-batch (the retired color's tables must
+    * outlive that batch — the drain note transfers verbatim). Each
+    * batch's cross pairs land as `serve_batch=<id>`; batch rows
+    * fingerprint map-side ([[hashesOfDocs]]) and band at the index's
+    * frozen width, so per-batch cost is batch-sized plus the
+    * exchange-free band-table join. Per-pair independence means a
+    * batch's output equals the pinned-index [[mediaProbeOf]] of exactly
+    * its documents — the StreamingSpec pin.
+    */
+  def streamingMediaProbe(spark: SparkSession, dir: String,
+                          sinkPath: String, checkpointPath: String,
+                          alias: String = "media_index_live",
+                          sourcePath: Option[String] = None,
+                          maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = Tables.documents(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(sourcePath.getOrElse(s"$dir/documents*.parquet"))
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prefix = graft.operators.LiveIndexPointer.current(spark, alias)
+          .getOrElse(throw new IllegalStateException(
+            s"no live media index: pointer '$alias' has never been " +
+              "flipped — build one (persistMediaIndex) and flip to it"))
+        mediaProbeOf(spark, prefix,
+          hashesOfDocs(spark, batch.select(col("doc_id"), col("text"))))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$sinkPath/serve_batch=$batchId")
+        ()
+      }
+      .start()
   }
 
   /** The m19 policy consumed to cutover — the shared

@@ -877,12 +877,15 @@ object Similarity {
     */
   private[graft] def pqReconFromCodes(codes: DataFrame,
                                       cbArr: DataFrame, m: Int): DataFrame =
+    // non-code input columns carry through (the pqEncodeCodes
+    // convention), so a caller can reconstruct candidate rows that
+    // already carry their query pairing (s22) without a second join
     codes.crossJoin(broadcast(cbArr))
-      .select(col("vec_id"),
+      .select(codes.columns.map(col) :+
         flatten(transform(sequence(lit(0), lit(m - 1)), i =>
           element_at(filter(col("cb")(i),
             c => c.getField("bkt") === element_at(col("codes"), i + 1)), 1)
-            .getField("cv"))).as("rv"))
+            .getField("cv"))).as("rv"): _*)
 
   /** The full corpus through the PQ codec — the compressed representation
     * the FULL-SCAN baseline scores against.
@@ -1278,9 +1281,10 @@ object Similarity {
     * metric against this count.
     */
   private[graft] def probedCellsOf(spark: SparkSession, dir: String,
-                                   prefix: String): DataFrame = {
+                                   prefix: String,
+                                   centSuffix: String = "_icent"): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
-    val centArr = centArrOf(spark.table(s"${prefix}_icent"))
+    val centArr = centArrOf(spark.table(s"$prefix$centSuffix"))
     Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 50 === 0)
       .select(col("embedding").as("qe"))
@@ -1933,6 +1937,139 @@ object Similarity {
   def unlinkPqPointer(spark: SparkSession,
                       alias: String = "pq_index_live"): Unit =
     LiveIndexPointer.unlink(spark, alias)
+
+  // ─────────────────── persisted IVF-PQ index (s22, r14) ──────────────
+
+  private[graft] def dropIvfPqTables(spark: SparkSession,
+                                     prefix: String): Unit =
+    Seq(s"${prefix}_xcent", s"${prefix}_xcb", s"${prefix}_xcell").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+
+  /** Build the persisted IVF-PQ index — the production composition FAISS
+    * ships as `IndexIVFPQ` (Jégou et al. 2011 §V: inverted lists from a
+    * coarse quantizer, PQ codes inside the lists), assembled from the
+    * two component families this library already carries: s16's coarse
+    * cells give the CANDIDATE geometry (probe scan fraction ≈
+    * nprobe/ncells via dynamic partition pruning) and s18's codes give
+    * the per-candidate COARSE metric (8 small ints per vector instead
+    * of 64 floats). Three tables: `_xcent` freezes the coarse quantizer
+    * (the `_icent` discipline), `_xcb` the PQ codebook (the `_pcb`
+    * discipline; non-residual encoding — codes are of the raw vectors,
+    * the `by_residual=false` FAISS variant — so the code/cell components
+    * stay independently frozen and the s18 round-trip pin transfers
+    * verbatim), and `_xcell` the corpus as (vec_id, label, embedding,
+    * cent_id, codes) PARTITIONED BY cent_id. The payoff over s16 and s18
+    * separately: one corpus-sided scan that is partition-pruned AND
+    * column-pruned at once — a probe reads only the probed cells'
+    * directories, and from them only the 8-int codes (+ ids), never the
+    * stored floats (`embedding` serves the model-sized exact-rerank tail
+    * and rebuilds, the hot-codes/cold-vectors split with both pruning
+    * axes live; pinned on executed plans in StorageLayoutSpec).
+    * Lifecycle note: both frozen components age exactly as their source
+    * families document — cell-count drift is s17's audit on `_xcell`'s
+    * assignments, code-distortion drift is s19's on its codes — and a
+    * cutover is rebuild-to-idle-prefix + [[LiveIndexPointer]] flip; the
+    * verified per-family lifecycle verbs (append/retract/rotate,
+    * kill-tested on the component families) are the template a
+    * deployment composes rather than re-derives.
+    */
+  def persistIvfPqIndex(spark: SparkSession, dir: String,
+                        prefix: String = "ivfpq_index",
+                        corpusFilter: Column = lit(true),
+                        m: Int = 8, signBits: Int = 4): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    dropIvfPqTables(spark, prefix)
+    val raw = Tables.embeddings(spark, dir).filter(corpusFilter)
+    val st = raw.agg(count(lit(1)), countDistinct(col("label"))).collect()(0)
+    centroidsOf(raw, deriveSubBits(st.getLong(0), st.getLong(1)))
+      .write.mode("overwrite").saveAsTable(s"${prefix}_xcent")
+    pqCodebookRows(raw, m, signBits)
+      .write.mode("overwrite").saveAsTable(s"${prefix}_xcb")
+    val cbArr = pqCbArrOf(
+      spark.table(s"${prefix}_xcb").select(col("sub"), col("bkt"), col("cv")))
+    val centArr = centArrOf(spark.table(s"${prefix}_xcent"))
+    pqEncodeCodes(
+      assignUnderCentArr(
+        raw.select(col("vec_id"), col("label"), col("embedding")), centArr),
+      cbArr, m)
+      .write.partitionBy("cent_id").mode("overwrite")
+      .saveAsTable(s"${prefix}_xcell")
+  }
+
+  /** s22's probe: queries rank the STORED centroids (top-`IvfNProbe`
+    * cells), candidates come from `_xcell`'s probed partitions only
+    * (dynamic partition pruning — the s16 property), each candidate's
+    * coarse cosine is computed from its STORED codes reconstructed
+    * through the broadcast STORED codebook (map-side — the s18
+    * property), and the exact rerank reads full-precision vectors for
+    * the nQ·shortlist survivors only. The corpus-sided scan carries
+    * (vec_id, cent_id, codes) and the candidates' query pairing rides
+    * the same rows, so there is exactly ONE corpus-sided scan in the
+    * plan — both pruning axes on one read.
+    */
+  def annIvfPqFromIndex(spark: SparkSession, dir: String,
+                        prefix: String = "ivfpq_index",
+                        k: Int = TopK, m: Int = 8,
+                        shortlist: Int = RerankShortlist): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val centArr = centArrOf(spark.table(s"${prefix}_xcent"))
+    val cbArr = pqCbArrOf(
+      spark.table(s"${prefix}_xcb").select(col("sub"), col("bkt"), col("cv")))
+    val raw = Tables.embeddings(spark, dir)
+    val queries = raw.filter(col("vec_id") % 50 === 0)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"),
+        explode(slice(rankedCells(col("qe")), 1, IvfNProbe)).as("cent_id"))
+    val cand = spark.table(s"${prefix}_xcell")
+      .select(col("vec_id").as("neighbor_id"), col("cent_id"), col("codes"))
+      .join(broadcast(probes), "cent_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("codes"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id").asc)
+    val shortlisted = pqReconFromCodes(cand, cbArr, m)
+      .join(broadcast(pqEncode(queries, cbArr, m)
+        .select(col("vec_id").as("query_id"), col("rv").as("qrv"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.expressions.VectorExpressions
+          .arrayCosine(col("qrv"), col("rv")), 6).as("coarse"))
+      .withColumn("crnk", row_number().over(wCoarse))
+      .filter(col("crnk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(shortlisted, raw, k)
+  }
+
+  private val builtIvfPqIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** s22: the registered spelling — build the composed index once per
+    * session (memoized on the FULL dir string, build failures unwound —
+    * the r14 media-memo hygiene), then probe it. Output contract: exact
+    * top-k over the IVF candidate set with PQ-ADC shortlisting — a NEW
+    * result surface (s5's candidate geometry with s6's coarse metric),
+    * replayed end-to-end by its own composed DuckDB twin.
+    */
+  def annIvfPqIndexed(spark: SparkSession, dir: String,
+                      k: Int = TopK): DataFrame = {
+    val prefix = builtIvfPqIndexes.computeIfAbsent(
+      s"${spark.sparkContext.applicationId} s22 $dir",
+      _ => {
+        val tail = dir.takeRight(12).map(c =>
+          if (c.isLetterOrDigit) c.toLower else '_')
+        val p = s"graft_s22_idx_${dir.hashCode & Int.MaxValue}_${dir.length}_$tail"
+        persistIvfPqIndex(spark, dir, p)
+        p
+      })
+    annIvfPqFromIndex(spark, dir, prefix, k)
+  }
 
   /** s20: the corpus sanity gate an embedding store runs BEFORE any
     * quantizer learn or index build — the t28/m2 encoding-sanity

@@ -143,6 +143,13 @@ class PlanSpec extends AnyFunSuite {
       //    the 1×1 crossJoins stitching the four single-row aggregates
       //    into the one audit row (the s17/s19 policy-row shape); the
       //    orphan joins themselves are key-only anti equi joins — not here
+      //  - s22 (r14): the composed index's 1-row broadcasts — stored
+      //    centroids under the probe ranking (+ the DPP subquery's
+      //    embedded copy, the s16 shape) and the stored codebook under
+      //    the candidate reconstruction and the query encode (the s18
+      //    shape); the cell candidate join and both rerank joins are
+      //    equi hash joins — not here
+      "s22_ivfpq_ann",
       "s21_modality_coverage")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticByDesign)
@@ -209,7 +216,12 @@ class PlanSpec extends AnyFunSuite {
       "s19_pq_drift" -> 3,
       // s21 = 3: the 1×1 crossJoins stitching the four 1-row aggregates
       // into the audit row; both orphan anti-joins are equi — zero there
-      "s21_modality_coverage" -> 3)
+      "s21_modality_coverage" -> 3,
+      // s22 = 4: stored-centroid 1-row broadcast on the probe ranking
+      // plus its DPP-subquery copy (the s16 pair), and the stored
+      // 1-row codebook once under the candidate-codes reconstruction
+      // and once under the query encode (the s18 pair)
+      "s22_ivfpq_ann" -> 4)
     // (r7: s11/t29's one-row broadcasts plan as broadcast HASH joins —
     // zero BNLJ nodes — so they stay under the main gate, unexempted)
     val actual = expectedBnlj.keys.map { n =>

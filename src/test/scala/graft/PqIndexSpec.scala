@@ -24,7 +24,7 @@ class PqIndexSpec extends AnyFunSuite {
     "direct encode for every vector") {
     val raw = Tables.embeddings(spark, sf)
     val cb = Similarity.pqCodebook(raw, 8, 4)
-    def rvMap(df: DataFrame) = df.collect()
+    def rvMap(df: DataFrame) = df.select("vec_id", "rv").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val direct = rvMap(Similarity.pqEncode(raw, cb, 8))
     val viaCodes = rvMap(Similarity.pqReconFromCodes(

@@ -199,8 +199,9 @@ class PropertySpec extends AnyFunSuite {
       val df = vecs.zipWithIndex
         .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
       val cb = Similarity.pqCodebook(df, 8, 4)
-      def rvMap(d: org.apache.spark.sql.DataFrame) = d.collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      def rvMap(d: org.apache.spark.sql.DataFrame) =
+        d.select($"vec_id", $"rv").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
       val coded = Similarity.pqEncodeCodes(
         df.select($"vec_id", $"embedding"), cb, 8)
       // the stored code names exactly the argmin entry the direct

@@ -83,6 +83,49 @@ class Round14Spec extends AnyFunSuite {
     assert(Fake.last.contains(("graftfake://x/y.ptr", "prefix_blue")))
   }
 
+  test("rotate skeleton: step order, keep path, and crash-in-rebuild " +
+    "pinned at the skeleton level with recording plugs") {
+    import graft.operators.IndexRotation
+    val alias = "r14_skel"
+    val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+    def drop(p: String): Unit = calls += s"drop:$p"
+    def rebuild(from: String, to: String): Unit = calls += s"rebuild:$from>$to"
+    LiveIndexPointer.flip(spark, s"${alias}_blue", alias)
+
+    // KEEP: idle-color heal happens UNCONDITIONALLY (crash residue must
+    // not wait for a retry), nothing else runs, pointer untouched
+    calls.clear()
+    assert(!IndexRotation.rotate(spark, alias, 2.0, drop,
+      from => { calls += s"audit:$from"; 1.0 }, rebuild))
+    assert(calls.toSeq == Seq(s"drop:${alias}_green", s"audit:${alias}_blue"))
+    assert(LiveIndexPointer.current(spark, alias).contains(s"${alias}_blue"))
+
+    // ACT: heal -> audit(live) -> rebuild(live -> idle) -> flip -> retire
+    // old, in exactly that order; pointer lands on the idle color
+    calls.clear()
+    assert(IndexRotation.rotate(spark, alias, 2.0, drop,
+      from => { calls += s"audit:$from"; 2.0 }, rebuild))
+    assert(calls.toSeq == Seq(
+      s"drop:${alias}_green", s"audit:${alias}_blue",
+      s"rebuild:${alias}_blue>${alias}_green", s"drop:${alias}_blue"),
+      s"step order drifted: $calls")
+    assert(LiveIndexPointer.current(spark, alias).contains(s"${alias}_green"))
+
+    // crash DURING rebuild: pointer must still name the old (intact)
+    // color — the pointer rename is the single commit point — and the
+    // next acting rotate heals the half-built idle color first
+    calls.clear()
+    intercept[RuntimeException] {
+      IndexRotation.rotate(spark, alias, 2.0, drop,
+        _ => 2.0, (_, _) => throw new RuntimeException("killed mid-rebuild"))
+    }
+    assert(LiveIndexPointer.current(spark, alias).contains(s"${alias}_green"),
+      "a crash before the flip must leave the old index live")
+    assert(calls.toSeq == Seq(s"drop:${alias}_blue"),
+      "the crashed attempt healed the idle color and touched nothing else")
+    LiveIndexPointer.unlink(spark, alias)
+  }
+
   /** A twin-planted documents fixture at `dir`: `n` docs with ids
     * base..base+n-1, consecutive even/odd pairs sharing a payload so the
     * self-probe retrieval is nonvacuous at radius 7.

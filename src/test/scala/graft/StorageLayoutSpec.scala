@@ -482,6 +482,60 @@ class StorageLayoutSpec extends AnyFunSuite {
     graft.operators.Similarity.dropPqTables(spark, "layout_pq_idx")
   }
 
+  test("persisted IVF-PQ index: ONE corpus-sided scan, partition-pruned " +
+    "to the probed cells AND column-pruned off the stored vectors") {
+    // the s22 composition's whole point made physical: the `_xcell` scan
+    // must carry BOTH pruning axes at once — dynamic partition pruning
+    // to the probed cells (the s16 property) and a required schema
+    // without `embedding` (the s18 property) — and there must be exactly
+    // one such corpus-sided scan in the plan (candidates and codes ride
+    // the same rows)
+    graft.operators.Similarity.persistIvfPqIndex(spark, sf, "layout_xpq_idx")
+    val probe = graft.operators.Similarity
+      .annIvfPqFromIndex(spark, sf, "layout_xpq_idx")
+    val plan = probe.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths
+          .exists(_.toString.contains("layout_xpq_idx_xcell")) => Seq(s)
+      case a: AdaptiveSparkPlanExec => scansOf(a.inputPlan)
+    }.flatten
+    val scans = scansOf(plan)
+    assert(scans.size == 1,
+      s"expected exactly ONE _xcell scan, found ${scans.size}:\n$plan")
+    scans.foreach { s =>
+      assert(s.partitionFilters.exists(_.toString.contains("dynamicpruning")),
+        s"_xcell scan carries no dynamic partition pruning filter:\n$s")
+      assert(!s.requiredSchema.fieldNames.contains("embedding"),
+        s"the _xcell scan reads the stored full vectors:\n$s")
+    }
+    assert(probe.collect().length > 0)
+    // the pruning is real: the executed scan's partition metric equals
+    // the distinct probed-cell count (the s16 assertion, on the
+    // composed index's own quantizer)
+    def finalScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths
+          .exists(_.toString.contains("layout_xpq_idx_xcell")) => Seq(s)
+      case a: AdaptiveSparkPlanExec => finalScans(a.executedPlan)
+      case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        finalScans(st.plan)
+    }.flatten
+    val probedCells = graft.operators.Similarity
+      .probedCellsOf(spark, sf, "layout_xpq_idx", "_xcent").count()
+    val totalCells = spark.table("layout_xpq_idx_xcell")
+      .select(col("cent_id")).distinct().count()
+    val executed = finalScans(probe.queryExecution.executedPlan)
+    assert(executed.nonEmpty, "no _xcell scan in the final adaptive plan")
+    executed.head.metrics.get("numPartitions").map(_.value).foreach { read =>
+      assert(read == probedCells.min(totalCells),
+        s"scan read $read partition dirs; probed cells = $probedCells, " +
+          s"table holds $totalCells")
+    }
+    graft.operators.Similarity.dropIvfPqTables(spark, "layout_xpq_idx")
+  }
+
   test("persisted media band index: the probe joins `_mband` " +
     "exchange-free on the corpus side") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}

@@ -1196,6 +1196,93 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("media serving: a band-index cutover lands under a live document " +
+    "stream at a batch boundary") {
+    import org.apache.spark.sql.functions._
+    import graft.multimodal.Multimodal
+    val alias = "streaming_media_test"
+    val work =
+      java.nio.file.Files.createTempDirectory("graft_media_stream").toString
+    val (fix, src, sink, ckpt) =
+      (s"$work/fixture", s"$work/src", s"$work/sink", s"$work/ckpt")
+    // synthetic corpus with planted radius-0 twins ACROSS the version
+    // partitions: groups of 4 consecutive ids share a payload, so a
+    // batch doc 4k+1 finds {4k, 4k+2} under the even-half index but only
+    // {4k} under the quarter-id one — the two versions provably disagree
+    val textExpr = "repeat(concat('stream payload ', " +
+      "CAST(id DIV 4 AS STRING), ' '), CAST((id DIV 4) % 5 + 3 AS INT))"
+    spark.range(200).selectExpr(
+      "id AS doc_id", s"$textExpr AS text", "'en' AS lang",
+      "'syn' AS source", s"CAST(length($textExpr) AS BIGINT) AS n_chars")
+      .coalesce(2).write.mode("overwrite").parquet(s"$fix/documents.parquet")
+    val docs = spark.read.parquet(s"$fix/documents.parquet")
+    def land(mods: Seq[Int]): Unit = mods.foreach { m =>
+      docs.filter(col("doc_id") % 10 === m)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    // per-pair independence: the pinned-index probe of exactly a wave's
+    // documents is the exact per-batch expectation
+    def probeVs(prefix: String, corpus: org.apache.spark.sql.Column,
+                queries: Seq[Int]): Set[(Long, Long, Long)] = {
+      Multimodal.persistMediaIndex(spark, fix, prefix, corpusFilter = corpus)
+      val out = Multimodal.mediaProbeOf(spark, prefix,
+        Multimodal.hashesOfDocs(spark,
+          docs.filter(queries.map(col("doc_id") % 10 === _).reduce(_ || _))
+            .select(col("doc_id"), col("text"))))
+        .collect().map(r => (r.getAs[Long]("batch_id"),
+          r.getAs[Long]("corpus_id"), r.getAs[Long]("hamming"))).toSet
+      Multimodal.dropMediaIndexTables(spark, prefix)
+      out
+    }
+    val exp0 = probeVs("media_exp_v1", col("doc_id") % 2 === 0, Seq(1, 3))
+    val exp1 = probeVs("media_exp_v2", col("doc_id") % 4 === 0, Seq(5, 7, 9))
+    val exp1underV1 = probeVs("media_exp_v1b", col("doc_id") % 2 === 0,
+      Seq(5, 7, 9))
+
+    Multimodal.unlinkMediaPointer(spark, alias)
+    val v1 = s"${alias}_blue"
+    val v2 = s"${alias}_green"
+    try {
+      Multimodal.persistMediaIndex(spark, fix, v1,
+        corpusFilter = col("doc_id") % 2 === 0)
+      Multimodal.flipMediaIndex(spark, v1, alias)
+      land(Seq(1, 3))
+      val q = Multimodal.streamingMediaProbe(spark, fix, sink, ckpt, alias,
+        sourcePath = Some(src))
+      try {
+        q.processAllAvailable() // batch 0 probes index version 1
+        // cut over at the batch boundary and RETIRE version 1 — the next
+        // batch passing proves per-batch pointer resolution
+        Multimodal.persistMediaIndex(spark, fix, v2,
+          corpusFilter = col("doc_id") % 4 === 0)
+        Multimodal.flipMediaIndex(spark, v2, alias)
+        Multimodal.dropMediaIndexTables(spark, v1)
+        land(Seq(5, 7, 9))
+        q.processAllAvailable() // batch 1 probes index version 2
+      } finally q.stop()
+
+      val served = spark.read.parquet(sink)
+        .select(col("batch_id"), col("corpus_id"), col("hamming"),
+          input_file_name().as("f")).collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+          r.getString(3).contains("serve_batch=0")))
+      val served0 = served.filter(_._2).map(_._1).toSet
+      val served1 = served.filterNot(_._2).map(_._1).toSet
+      assert(served0.nonEmpty && served1.nonEmpty,
+        "planted twins must make both batches non-vacuous")
+      assert(served0 == exp0,
+        s"batch 0 (index v1): served=${served0.size} expected=${exp0.size}")
+      assert(served1 == exp1,
+        s"batch 1 (index v2): served=${served1.size} expected=${exp1.size}")
+      // the rotation must be OBSERVABLE, or per-batch resolution is
+      // unproven
+      assert(exp1 != exp1underV1, "index versions must disagree on wave 2")
+    } finally {
+      Seq(v1, v2).foreach(Multimodal.dropMediaIndexTables(spark, _))
+      Multimodal.unlinkMediaPointer(spark, alias)
+    }
+  }
+
   test("stateful sessionization agrees with the declarative sessionizer") {
     val declarative = Events.sessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
