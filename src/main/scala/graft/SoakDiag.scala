@@ -568,6 +568,78 @@ object SoakDiag {
       operators.Similarity.unlinkPqPointer(spark, alias)
     }
 
+    // s22: the composed IVF-PQ lifecycle at soak scale — the fifth
+    // persisted structure priced with the s16/s18 ledger shape. The
+    // break-even question is SHARPER here because the probe dodges BOTH
+    // composed families' corpus-sided costs at once: vs s5 it skips the
+    // per-probe full-corpus assignment (reading only the probed cells'
+    // partitions), and vs s6 it skips the codebook learn + corpus
+    // encode AND the full-corpus candidate hash (reading 8-int codes,
+    // never floats, off the pruned cells). So expect
+    // probe < min(s5, s6) recomputes, with the gap widening as scale
+    // grows (the recomputes are corpus-linear; the probe scan is
+    // ~nprobe/ncells of the corpus). The half-built index realizes
+    // s23's frozen hypothesis (both components learned from the even
+    // half, odds appended); its composed audit carries BOTH ratios.
+    if (wanted("s22")) {
+      val alias = "soak_s22"
+      val p = s"${alias}_blue"
+      time("s22_index_build_half") {
+        operators.Similarity.persistIvfPqIndex(spark, dir, p,
+          corpusFilter = col("vec_id") % 2 === 0)
+        spark.table(s"${p}_xcell").count()
+      }
+      time("s22_append_other_half") {
+        operators.Similarity.appendToIvfPqIndex(spark, dir,
+          col("vec_id") % 2 =!= 0, p)
+        spark.table(s"${p}_xcell").count()
+      }
+      operators.Similarity.flipIvfPqIndex(spark, p, alias)
+      time("s22_probe_live") {
+        operators.Similarity.annIvfPqLive(spark, dir, alias).count()
+      }
+      time("s22_s5_recompute") {
+        operators.Similarity.annTwoStageTopK(spark, dir).count()
+      }
+      time("s22_s6_recompute") {
+        operators.Similarity.annPqTopK(spark, dir).count()
+      }
+      var audit: org.apache.spark.sql.Row = null
+      time("s22_live_audit") {
+        audit = operators.Similarity.ivfPqIndexDriftAudit(spark, p)
+          .collect()(0)
+        audit.getAs[Long]("frozen_candidate_rows")
+      }
+      untimed("s22_cell_ratio_x10000",
+        math.round(audit.getAs[Double]("cell_drift_ratio") * 10000))
+      untimed("s22_code_ratio_x10000",
+        math.round(audit.getAs[Double]("code_drift_ratio") * 10000))
+      untimed("s22_rebuild_recommended",
+        audit.getAs[Long]("rebuild_recommended"))
+      // force the ACT branch (normalized ratio floor 0) so the composed
+      // cutover wall is measured even when the half-stale fixture KEEPs
+      time("s22_rotate_act_wall") {
+        if (operators.Similarity.rotateIvfPqIndex(spark, alias,
+          rebuildRatio = 0.0)) 1L else 0L
+      }
+      val live22 = operators.LiveIndexPointer.current(spark, alias).get
+      untimed("s22_rotated_to_green",
+        if (live22 == s"${alias}_green") 1L else 0L)
+      var post: org.apache.spark.sql.Row = null
+      time("s22_post_audit") {
+        post = operators.Similarity.ivfPqIndexDriftAudit(spark, live22)
+          .collect()(0)
+        post.getAs[Long]("frozen_candidate_rows")
+      }
+      untimed("s22_post_cell_ratio_x10000",
+        math.round(post.getAs[Double]("cell_drift_ratio") * 10000))
+      untimed("s22_post_code_ratio_x10000",
+        math.round(post.getAs[Double]("code_drift_ratio") * 10000))
+      Seq(p, s"${alias}_green")
+        .foreach(operators.Similarity.dropIvfPqTables(spark, _))
+      operators.Similarity.unlinkIvfPqPointer(spark, alias)
+    }
+
     // m18: the persisted media band index lifecycle at soak scale — the
     // fourth family, same ledger shape as s16/s18. Two claims to ground:
     // probe-vs-recompute (what a probe saves is the corpus re-hash +

@@ -283,6 +283,8 @@ object SparkEntry {
       Multimodal.incrementalMediaPlanted(s, d)),
     "s22_ivfpq_ann"           -> ((s: SparkSession, d: String) =>
       Similarity.annIvfPqIndexed(s, d)),
+    "s23_ivfpq_drift"         -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqDriftAudit(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column aliases). */
@@ -2353,6 +2355,77 @@ object SparkEntry {
           AS BIGINT) AS rebuild_recommended
       FROM rep"""),
 
+    // s23: the composed IVF-PQ drift policy — the s17 cell/probe CTEs
+    // price frozen-vs-fresh candidate volume and the s19 distortion CTEs
+    // price frozen-vs-fresh codebook distortion, with the SAME
+    // vec_id % 2 = 0 build corpus for BOTH frozen components (one build
+    // event froze them together); the row composes both three-branch
+    // ratios with the either-trips verdict, and both thresholds
+    // interpolate the Scala constants so operator and twin cannot
+    // desync.
+    "s23_ivfpq_drift" -> ("WITH e AS (SELECT vec_id, embedding FROM embeddings)," +
+      IvfAssignCtesUnder("", "TRUE") + "," +
+      IvfAssignCtesUnder("f", "vec_id % 2 = 0") + "," +
+      PqSubvectorCteSql + "," +
+      PqDistortionCtes("zf", "vec_id % 2 = 0") + "," +
+      PqDistortionCtes("zg", "TRUE") + s""",
+      prb AS (
+        SELECT query_id, cent_id FROM (
+          SELECT vec_id AS query_id, cent_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS r
+          FROM ac WHERE vec_id % 50 = 0) WHERE r <= ${graft.operators.Similarity.IvfNProbe}),
+      fprb AS (
+        SELECT query_id, cent_id FROM (
+          SELECT vec_id AS query_id, cent_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS r
+          FROM fac WHERE vec_id % 50 = 0) WHERE r <= ${graft.operators.Similarity.IvfNProbe}),
+      vol AS (
+        SELECT count(*) AS fresh_candidate_rows
+        FROM prb p JOIN assigned a ON p.cent_id = a.cent_id
+        WHERE a.vec_id <> p.query_id),
+      fvol AS (
+        SELECT count(*) AS frozen_candidate_rows
+        FROM fprb p JOIN fassigned a ON p.cent_id = a.cent_id
+        WHERE a.vec_id <> p.query_id),
+      rep AS (
+        SELECT CAST(frozen_candidate_rows AS BIGINT) AS frozen_candidate_rows,
+          CAST(fresh_candidate_rows AS BIGINT) AS fresh_candidate_rows,
+          CAST(zftot.du AS BIGINT) AS frozen_distortion_u6,
+          CAST(zgtot.du AS BIGINT) AS fresh_distortion_u6,
+          CASE WHEN fresh_candidate_rows = 0 AND frozen_candidate_rows = 0
+                 THEN CAST(1.0 AS DOUBLE)
+               WHEN fresh_candidate_rows = 0
+                 THEN round(greatest(
+                   CAST(${graft.operators.Similarity.IvfDriftRebuildRatio}
+                     AS DOUBLE),
+                   CAST(frozen_candidate_rows AS DOUBLE)), 4)
+               ELSE round(CAST(frozen_candidate_rows AS DOUBLE)
+                 / CAST(fresh_candidate_rows AS DOUBLE), 4)
+          END AS cell_drift_ratio,
+          CASE WHEN zgtot.du = 0 AND zftot.du = 0 THEN CAST(1.0 AS DOUBLE)
+               WHEN zgtot.du = 0
+                 THEN round(greatest(
+                   CAST(${graft.operators.Similarity.PqDriftRebuildRatio}
+                     AS DOUBLE),
+                   CAST(zftot.du AS DOUBLE)), 4)
+               ELSE round(CAST(zftot.du AS DOUBLE) / CAST(zgtot.du AS DOUBLE), 4)
+          END AS code_drift_ratio
+        FROM fvol, vol, zftot, zgtot)
+      SELECT frozen_candidate_rows, fresh_candidate_rows, cell_drift_ratio,
+        CAST(CASE WHEN cell_drift_ratio >=
+          ${graft.operators.Similarity.IvfDriftRebuildRatio} THEN 1 ELSE 0 END
+          AS BIGINT) AS cell_rebuild,
+        frozen_distortion_u6, fresh_distortion_u6, code_drift_ratio,
+        CAST(CASE WHEN code_drift_ratio >=
+          ${graft.operators.Similarity.PqDriftRebuildRatio} THEN 1 ELSE 0 END
+          AS BIGINT) AS code_rebuild,
+        CAST(CASE WHEN cell_drift_ratio >=
+            ${graft.operators.Similarity.IvfDriftRebuildRatio}
+          OR code_drift_ratio >=
+            ${graft.operators.Similarity.PqDriftRebuildRatio}
+          THEN 1 ELSE 0 END AS BIGINT) AS rebuild_recommended
+      FROM rep"""),
+
     // s20: the severity ladder spelled as mutually-exclusive CASE rungs
     // (each vector counted at its FIRST failure), 6dp per-vector norms
     // summed through exact integer micro-units — the whole row replays
@@ -4222,7 +4295,7 @@ object SparkEntry {
     * derived 2× threshold (`Dedup.DriftRebuildRatio`). The empty floor
     * is (0, 0, 0, 1.0, 0) in both engines.
     */
-  private val OrderDriftSql: String = ShingleCtesSql + """,
+  private val OrderDriftSql: String = ShingleCtesSql + s""",
       dfz AS (SELECT s, count(*) AS df FROM sh WHERE doc_id % 2 = 0 GROUP BY 1),
       dff AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
       posz AS (
@@ -4258,7 +4331,8 @@ object SparkEntry {
           CASE WHEN volf.candidate_rows = 0 AND volz.candidate_rows = 0
                  THEN CAST(1.0 AS DOUBLE)
                WHEN volf.candidate_rows = 0
-                 THEN round(greatest(CAST(2.0 AS DOUBLE),
+                 THEN round(greatest(
+                   CAST(${graft.operators.Dedup.DriftRebuildRatio} AS DOUBLE),
                    CAST(volz.candidate_rows AS DOUBLE)), 4)
                ELSE round(CAST(volz.candidate_rows AS DOUBLE) /
                           CAST(volf.candidate_rows AS DOUBLE), 4)
@@ -4266,8 +4340,9 @@ object SparkEntry {
         FROM volz, volf)
       SELECT prefix_rows, frozen_candidate_rows, fresh_candidate_rows,
         drift_ratio,
-        CAST(CASE WHEN drift_ratio >= 2.0 THEN 1 ELSE 0 END AS BIGINT)
-          AS rebuild_recommended
+        CAST(CASE WHEN drift_ratio >=
+          ${graft.operators.Dedup.DriftRebuildRatio} THEN 1 ELSE 0 END
+          AS BIGINT) AS rebuild_recommended
       FROM ratio"""
 
   /** d11: the same exact-Jaccard contract restricted to

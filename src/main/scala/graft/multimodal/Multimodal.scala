@@ -1279,11 +1279,21 @@ object Multimodal {
     ()
   }
 
+  /** The frozen layout row. `buckets` joined `_mcfg` in r14 — indexes
+    * persisted by earlier builds carry the 3-column schema, and a probe
+    * (or append/retract/rotate) of one must keep working rather than
+    * throw an unresolved-column error with no migration path (r14
+    * ADVICE): absent the column, fall back to the 32 every pre-r14
+    * build actually used ([[persistMediaIndex]]'s default was the only
+    * spelling then).
+    */
   private def mediaCfgOf(spark: SparkSession,
                          prefix: String): (Int, Int, Int) = {
-    val cfg = spark.table(s"${prefix}_mcfg").collect()(0)
+    val t = spark.table(s"${prefix}_mcfg")
+    val hasBuckets = t.columns.contains("buckets")
+    val cfg = t.collect()(0)
     (cfg.getAs[Long]("extra_bits").toInt, cfg.getAs[Long]("max_hamming").toInt,
-      cfg.getAs[Long]("buckets").toInt)
+      if (hasBuckets) cfg.getAs[Long]("buckets").toInt else 32)
   }
 
   /** The m18 probe core over an arbitrary batch-hash frame (all three
@@ -1350,41 +1360,18 @@ object Multimodal {
       perceptualHashesWide2(spark, dir).filter(batchFilter))
       .orderBy(col("batch_id"), col("corpus_id"))
 
-  /** Per-(application, data dir, probe tag) memo of session-built m18/m20
-    * index prefixes. A map (not a set) keyed on the FULL dir string —
-    * `String.hashCode` alone can collide across two data dirs in one app,
-    * which would silently serve pairs from the wrong corpus's stored
-    * `_mband` (r13 ADVICE). `computeIfAbsent` gives both missing
-    * guarantees in one move: a build that THROWS records no mapping (the
-    * next call rebuilds instead of probing a partial table), and a
-    * concurrent first call blocks on the same bin instead of racing the
-    * build.
-    */
-  private val builtMediaIndexes =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Session-unique warehouse table prefix for `dir` — hashCode alone is
-    * collision-prone, so the length and a sanitized tail ride along.
-    */
-  private def mediaIdxPrefix(tag: String, dir: String): String = {
-    val tail = dir.takeRight(12).map(c =>
-      if (c.isLetterOrDigit) c.toLower else '_')
-    s"graft_${tag}_idx_${dir.hashCode & Int.MaxValue}_${dir.length}_$tail"
-  }
-
-  /** Build the (tag, dir) index once per session via the memo — returns
-    * the prefix probes should read. Shared by m18 and m20.
+  /** Build the (tag, dir) index once per session via the shared
+    * [[graft.operators.IndexMemo]] (full-dir key, failure unwind,
+    * session-unique counter prefix — see its scaladoc for the collision
+    * history) — returns the prefix probes should read. Shared by m18
+    * and m20.
     */
   private def ensureMediaIndex(spark: SparkSession, dir: String, tag: String,
                                corpusFilter: org.apache.spark.sql.Column)
       : String =
-    builtMediaIndexes.computeIfAbsent(
-      s"${spark.sparkContext.applicationId} $tag $dir",
-      _ => {
-        val prefix = mediaIdxPrefix(tag, dir)
-        persistMediaIndex(spark, dir, prefix, corpusFilter = corpusFilter)
-        prefix
-      })
+    graft.operators.IndexMemo.ensure(
+      spark.sparkContext.applicationId, tag, dir)(
+      persistMediaIndex(spark, dir, _, corpusFilter = corpusFilter))
 
   /** m18: the production-shape spelling of the media pair retrieval — the
     * d28/s16/s18 convention on the media family: corpus fingerprinted and

@@ -90,6 +90,21 @@ object Curation {
     */
   val CapPerSource = 10
 
+  /** Stage-7 marker-join strategy bound: broadcast the elected kept set
+    * only when it is verifiably at most this many rows. The set is ≤
+    * cap·n_sources, and n_sources is CORPUS-SHAPED — at the 100 TB
+    * web-crawl scale the docs cite, domains run O(10⁷), making
+    * cap·n_sources ~10⁸ rows: past Spark's broadcast limits and a
+    * driver-OOM risk the stage-5/6 marker sets (loser/contaminated ids,
+    * bounded by actual dup/contamination mass) never approach. Below
+    * the bound a broadcast skips the corpus-side shuffle; above it the
+    * join falls back to a plain shuffle join on `doc_id` — the elected
+    * set is already materialized, so the decision costs one count over
+    * cached rows. 10M rows ≈ 170 MB of (id, flag) pairs, inside the
+    * 8 GB broadcast hard limit with an order of magnitude of headroom.
+    */
+  val MaxBroadcastKeptRows = 10000000L
+
   /** One stage-7 candidate: the rounded t1 quality and the doc id — the
     * (quality DESC, doc_id ASC) rank key, a total order so the cut is
     * deterministic across retries and merge trees.
@@ -143,7 +158,9 @@ object Curation {
 
   def curationFunnel(spark: SparkSession, dir: String,
                      threshold: Double = NearDupThreshold,
-                     capPerSource: Int = CapPerSource): DataFrame = {
+                     capPerSource: Int = CapPerSource,
+                     maxBroadcastKept: Long = MaxBroadcastKeptRows)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documentsParallel(spark, dir)
 
@@ -227,9 +244,14 @@ object Curation {
       .join(broadcast(contaminated), Seq("doc_id"), "left")
       .withColumn("in5", col("in4") && col("is_nd_loser").isNull)
       .withColumn("in6", col("in5") && col("is_contam").isNull)
+    // the kept set is ≤ cap·n_sources rows — broadcast only when its
+    // MEASURED size clears [[MaxBroadcastKeptRows]] (n_sources is
+    // corpus-shaped; see the constant's scaladoc), else shuffle-join
+    val kept = keptPerSource(flagged56, "in6", capPerSource).cache()
+    val keptJoin =
+      if (kept.count() <= maxBroadcastKept) broadcast(kept) else kept
     val withCap = flagged56
-      .join(broadcast(keptPerSource(flagged56, "in6", capPerSource)),
-        Seq("doc_id"), "left")
+      .join(keptJoin, Seq("doc_id"), "left")
       .withColumn("in7", col("in6") && col("in7_kept").isNotNull)
 
     // the whole report in one conditional aggregate + stack unpivot
@@ -253,6 +275,6 @@ object Curation {
         | '6_decontaminated', d6, t6, '7_source_cap', d7, t7
         |) AS (stage, n_docs, n_tokens)""".stripMargin))
       .orderBy(col("stage"))
-    Dedup.materializeAndRelease(funnel, flagged)
+    Dedup.materializeAndRelease(funnel, flagged, kept)
   }
 }

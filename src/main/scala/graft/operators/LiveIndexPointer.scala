@@ -65,11 +65,20 @@ private[graft] object LiveIndexPointer {
   private val customStores =
     new java.util.concurrent.ConcurrentHashMap[String, PointerStore]()
 
-  /** Plug a publish primitive for a filesystem scheme (e.g. a
-    * conditional-put store for `s3a`, or a fake scheme in tests).
+  /** Plug a publish primitive for a filesystem scheme (e.g.
+    * [[ConditionalPutStore]] for `s3a`, or a fake scheme in tests).
     */
   def registerStore(scheme: String, store: PointerStore): Unit =
     customStores.put(scheme.toLowerCase, store)
+
+  /** Remove a scheme's registered store — object-store schemes fall
+    * back to the loud refusal (decommissioning symmetry for
+    * [[registerStore]]).
+    */
+  def unregisterStore(scheme: String): Unit = {
+    customStores.remove(scheme.toLowerCase)
+    ()
+  }
 
   /** The store `ptr`'s scheme resolves to: a registered custom store
     * wins; object-store schemes with no registration refuse loudly;
@@ -88,7 +97,8 @@ private[graft] object LiveIndexPointer {
             "PointerStore: rename is copy+delete there, which silently " +
             "loses the atomicity the blue/green cutover rests on — " +
             "register one via LiveIndexPointer.registerStore " +
-            s"(\"$scheme\", store)")
+            s"(\"$scheme\", store), e.g. new ConditionalPutStore(" +
+            "new S3CasObjectClient()) for s3a")
       RenameStore
     }
   }

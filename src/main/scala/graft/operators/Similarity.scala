@@ -1294,20 +1294,19 @@ object Similarity {
       .distinct()
   }
 
-  private val builtIvfIndexes =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** s16: the production-shape spelling of s3 — identical output
     * contract (same oracle), with the corpus assigned once per session
     * into the cell-partitioned index and every probe paying query-side
     * cost plus a partition-pruned scan of the probed cells only: no
-    * corpus re-assignment, no full-corpus read.
+    * corpus re-assignment, no full-corpus read. Build memoized via the
+    * shared [[IndexMemo]] (full-dir key, failure unwind, session-unique
+    * prefix).
     */
   def annIvfIndexed(spark: SparkSession, dir: String,
                     k: Int = TopK): DataFrame = {
-    val prefix = s"graft_s16_idx_${dir.hashCode & Int.MaxValue}"
-    if (builtIvfIndexes.add(s"${spark.sparkContext.applicationId}:$prefix"))
-      persistIvfIndex(spark, dir, prefix)
+    val prefix = IndexMemo.ensure(
+      spark.sparkContext.applicationId, "s16", dir)(
+      persistIvfIndex(spark, dir, _))
     annIvfFromIndex(spark, dir, prefix, k)
   }
 
@@ -1657,19 +1656,18 @@ object Similarity {
       raw, k, shortlist)
   }
 
-  private val builtPqIndexes =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** s18: the production-shape spelling of s6 — identical output
     * contract (same oracle), with the codebook learned and the corpus
     * encoded once per session into the persisted index, and every probe
-    * paying query-side cost plus a narrow-column candidate scan.
+    * paying query-side cost plus a narrow-column candidate scan. Build
+    * memoized via the shared [[IndexMemo]] (full-dir key, failure
+    * unwind, session-unique prefix).
     */
   def annPqIndexed(spark: SparkSession, dir: String,
                    k: Int = TopK): DataFrame = {
-    val prefix = s"graft_s18_idx_${dir.hashCode & Int.MaxValue}"
-    if (builtPqIndexes.add(s"${spark.sparkContext.applicationId}:$prefix"))
-      persistPqIndex(spark, dir, prefix)
+    val prefix = IndexMemo.ensure(
+      spark.sparkContext.applicationId, "s18", dir)(
+      persistPqIndex(spark, dir, _))
     annPqFromIndex(spark, dir, prefix, k)
   }
 
@@ -2047,29 +2045,280 @@ object Similarity {
     exactRerank(shortlisted, raw, k)
   }
 
-  private val builtIvfPqIndexes =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** s22: the registered spelling — build the composed index once per
-    * session (memoized on the FULL dir string, build failures unwound —
-    * the r14 media-memo hygiene), then probe it. Output contract: exact
-    * top-k over the IVF candidate set with PQ-ADC shortlisting — a NEW
-    * result surface (s5's candidate geometry with s6's coarse metric),
-    * replayed end-to-end by its own composed DuckDB twin.
+    * session (the shared [[IndexMemo]]: full-dir key, build failures
+    * unwound, session-unique counter prefix), then probe it. Output
+    * contract: exact top-k over the IVF candidate set with PQ-ADC
+    * shortlisting — a NEW result surface (s5's candidate geometry with
+    * s6's coarse metric), replayed end-to-end by its own composed
+    * DuckDB twin.
+    *
+    * Serving note (the s1/s8 discussion, which this composed probe
+    * inherits): the registered `vec_id % 50` query side is a FIXTURE
+    * convention — 2% of the corpus standing in for "a query batch" so
+    * the oracle can replay it — and it is broadcast as such. A
+    * production serving path passes a BOUNDED query frame (one request
+    * batch, thousands of vectors at most), which is what makes the
+    * query-side broadcast legitimate at any corpus size; 2% of a
+    * 100 TB corpus would not be.
     */
   def annIvfPqIndexed(spark: SparkSession, dir: String,
                       k: Int = TopK): DataFrame = {
-    val prefix = builtIvfPqIndexes.computeIfAbsent(
-      s"${spark.sparkContext.applicationId} s22 $dir",
-      _ => {
-        val tail = dir.takeRight(12).map(c =>
-          if (c.isLetterOrDigit) c.toLower else '_')
-        val p = s"graft_s22_idx_${dir.hashCode & Int.MaxValue}_${dir.length}_$tail"
-        persistIvfPqIndex(spark, dir, p)
-        p
-      })
+    val prefix = IndexMemo.ensure(
+      spark.sparkContext.applicationId, "s22", dir)(
+      persistIvfPqIndex(spark, dir, _))
     annIvfPqFromIndex(spark, dir, prefix, k)
   }
+
+  /** Fold accepted vectors into the persisted IVF-PQ index: assign them
+    * under the STORED coarse quantizer AND encode them under the STORED
+    * codebook — both components frozen, exactly as each source family
+    * freezes its own ([[appendToIvfIndex]] / [[appendToPqIndex]]) — and
+    * append to `_xcell`. ONE table mutates through Spark's job-commit
+    * protocol, so a crashed append leaves no visible residue; `_xcent`
+    * and `_xcb` are immutable after build (refreshing either would
+    * re-assign/re-encode every stored row — staleness is
+    * [[rotateIvfPqIndex]]'s job). Re-appending an indexed id would
+    * duplicate its candidate rows in every probe — refused up front.
+    */
+  def appendToIvfPqIndex(spark: SparkSession, dir: String,
+                         appendFilter: Column,
+                         prefix: String = "ivfpq_index",
+                         m: Int = 8): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    val add = Tables.embeddings(spark, dir).filter(appendFilter)
+    val dup = add.select(col("vec_id"))
+      .join(spark.table(s"${prefix}_xcell").select(col("vec_id")), "vec_id")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"vec_id ${dup.head.getLong(0)} is already indexed in ${prefix}_xcell")
+    val centArr = centArrOf(spark.table(s"${prefix}_xcent"))
+    val cbArr = pqCbArrOf(
+      spark.table(s"${prefix}_xcb").select(col("sub"), col("bkt"), col("cv")))
+    pqEncodeCodes(
+      assignUnderCentArr(
+        add.select(col("vec_id"), col("label"), col("embedding")), centArr),
+      cbArr, m)
+      .write.partitionBy("cent_id").mode("append")
+      .saveAsTable(s"${prefix}_xcell")
+  }
+
+  /** Retract vectors from the persisted IVF-PQ index — the staged-rewrite
+    * right-to-be-forgotten verb on `_xcell` ([[retractFromIvfIndex]]'s
+    * discipline). `_xcent` and `_xcb` are untouched: both frozen
+    * components are the index's layout DEFINITION, and the survivors'
+    * stored assignments and codes are already correct under them — a
+    * post-retract probe equals a probe against an index holding exactly
+    * the survivors, at O(index-rewrite) with no re-assign/re-encode. The
+    * next [[rotateIvfPqIndex]] re-derives both components from the
+    * survivors.
+    */
+  def retractFromIvfPqIndex(spark: SparkSession, ids: Seq[Long],
+                            prefix: String = "ivfpq_index"): Unit = {
+    require(ids.nonEmpty, "retraction requires at least one vec_id")
+    val idsDf = spark.createDataset(ids)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("vec_id")
+    graft.operators.Dedup.stagedRewriteMinusIds(spark, idsDf,
+      s"${prefix}_xcell", _.write.partitionBy("cent_id"), key = "vec_id")
+  }
+
+  /** Fold the four component volumes into the s23 policy row: BOTH
+    * component ratios (cell-volume via the s17 three-branch spelling at
+    * [[IvfDriftRebuildRatio]], code-distortion via the s19 spelling at
+    * [[PqDriftRebuildRatio]]), each with its own verdict, and the
+    * composed `rebuild_recommended` = either trips — the composed index
+    * must rotate when EITHER frozen component has aged past its source
+    * family's threshold, because a probe pays cell drift as candidate
+    * volume and code drift as coarse-score infidelity, and each alone
+    * degrades recall. All four inputs are 1-row aggregates (1×1 cross
+    * joins); an empty corpus floors both ratios to 1.0, no rebuild.
+    */
+  private[graft] def ivfPqPolicyRow(cellFrozen: DataFrame,
+                                    cellFresh: DataFrame,
+                                    codeFrozen: DataFrame,
+                                    codeFresh: DataFrame): DataFrame =
+    cellFrozen.select(col("candidate_rows").as("frozen_candidate_rows"))
+      .crossJoin(cellFresh.select(col("candidate_rows")
+        .as("fresh_candidate_rows")))
+      .crossJoin(codeFrozen.select(col("distortion_u6")
+        .as("frozen_distortion_u6")))
+      .crossJoin(codeFresh.select(col("distortion_u6")
+        .as("fresh_distortion_u6")))
+      .withColumn("cell_drift_ratio",
+        Dedup.driftRatioOf(col("frozen_candidate_rows"),
+          col("fresh_candidate_rows"), IvfDriftRebuildRatio))
+      .withColumn("code_drift_ratio",
+        Dedup.driftRatioOf(col("frozen_distortion_u6"),
+          col("fresh_distortion_u6"), PqDriftRebuildRatio))
+      .withColumn("cell_rebuild",
+        (col("cell_drift_ratio") >= IvfDriftRebuildRatio).cast("long"))
+      .withColumn("code_rebuild",
+        (col("code_drift_ratio") >= PqDriftRebuildRatio).cast("long"))
+      .withColumn("rebuild_recommended",
+        greatest(col("cell_rebuild"), col("code_rebuild")))
+
+  /** s23: the composed index's rebuild-cadence signal — the d30/s17/s19/
+    * m19 drift-policy convention on the FIFTH persisted structure, which
+    * ages on two independent axes because it froze two independent
+    * components. The frozen side is the build-time hypothesis (coarse
+    * quantizer AND codebook both learned from `buildFilter`'s rows)
+    * priced on the CURRENT corpus: candidate volume under the stale
+    * cells (s17's integrand — what probes pay in rows scanned and in
+    * recall, since candidates are all the rerank ever sees) and
+    * quantization distortion under the stale codebook (s19's integrand,
+    * in exact integer micro-units — what the ADC coarse scores lose).
+    * The fresh sides re-derive each component from the full corpus,
+    * exactly as [[persistIvfPqIndex]] would today. Both integrands are
+    * closed-form (no top-k, no verify), so the DuckDB twin replays the
+    * ENTIRE composed row — both volumes, both three-branch ratios, both
+    * verdicts, and the either-trips composition — bit-for-bit; both
+    * thresholds interpolate the Scala constants so operator and twin
+    * cannot desync.
+    */
+  def ivfPqDriftAudit(spark: SparkSession, dir: String,
+                      buildFilter: Column = col("vec_id") % 2 === 0,
+                      m: Int = 8, signBits: Int = 4): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    val queries = raw.filter(col("vec_id") % 50 === 0)
+    def quantizerOf(corpus: DataFrame): DataFrame = {
+      val st = corpus.agg(count(lit(1)), countDistinct(col("label")))
+        .collect()(0)
+      centArrOf(centroidsOf(corpus, deriveSubBits(st.getLong(0),
+        st.getLong(1))))
+    }
+    val frozenArr = quantizerOf(raw.filter(buildFilter))
+    val freshArr = quantizerOf(raw)
+    val e = raw.select(col("vec_id"), col("embedding"))
+    ivfPqPolicyRow(
+      candidateVolumeUnder(assignUnderCentArr(e, frozenArr), queries,
+        frozenArr),
+      candidateVolumeUnder(assignUnderCentArr(e, freshArr), queries,
+        freshArr),
+      pqDistortionU6(e, pqCodebook(raw.filter(buildFilter), m, signBits), m),
+      pqDistortionU6(e, pqCodebook(raw, m, signBits), m))
+  }
+
+  /** The s23 policy against a LIVE persisted index — both frozen sides
+    * priced with NO recompute of what the index already stores: cell
+    * candidate volume from `_xcell`'s stored assignments joined against
+    * queries ranking the stored `_xcent` (exactly what probes pay,
+    * appended rows included), code distortion straight off the stored
+    * codes through the stored `_xcb` (no argmin — what the ADC coarse
+    * scores actually lose). The fresh sides re-derive both components
+    * from the index's own stored vectors (self-contained, the
+    * containment/IVF/PQ live-audit discipline). Queries are the index's
+    * own % 50 vectors. Pinned against the closed-form component audits
+    * in Round15Spec.
+    */
+  def ivfPqIndexDriftAudit(spark: SparkSession,
+                           prefix: String = "ivfpq_index",
+                           m: Int = 8, signBits: Int = 4): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val xcell = spark.table(s"${prefix}_xcell")
+    val queries = xcell.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val storedArr = centArrOf(spark.table(s"${prefix}_xcent"))
+    val storedCb = pqCbArrOf(
+      spark.table(s"${prefix}_xcb").select(col("sub"), col("bkt"), col("cv")))
+    val raw = xcell.select(col("vec_id"), col("label"), col("embedding"))
+    val st = raw.agg(count(lit(1)), countDistinct(col("label"))).collect()(0)
+    val freshArr = centArrOf(centroidsOf(raw,
+      deriveSubBits(st.getLong(0), st.getLong(1))))
+    val freshCb = pqCodebook(
+      raw.select(col("vec_id"), col("embedding")), m, signBits)
+    ivfPqPolicyRow(
+      candidateVolumeUnder(xcell.select(col("vec_id"), col("cent_id")),
+        queries, storedArr),
+      candidateVolumeUnder(
+        assignUnderCentArr(raw.select(col("vec_id"), col("embedding")),
+          freshArr), queries, freshArr),
+      pqStoredDistortionU6(xcell.select(col("embedding"), col("codes")),
+        storedCb, m),
+      pqDistortionU6(raw.select(col("vec_id"), col("embedding")),
+        freshCb, m))
+  }
+
+  /** Rebuild the IVF-PQ index under a NEW prefix from the live index's
+    * own stored vectors — blue/green like [[rebuildIvfIndexTo]] /
+    * [[rebuildPqIndexTo]] (`fromPrefix` never mutated, nothing reads
+    * `toPrefix` until the pointer flips): an in-place rebuild here opens
+    * BOTH component families' mixed-state windows at once (assignments
+    * read against the wrong centroid set AND codes decoded against the
+    * wrong codebook). Both components re-derive from the stored corpus,
+    * so a drifted distribution gets the quantizer and codec
+    * [[persistIvfPqIndex]] would give it today.
+    */
+  def rebuildIvfPqIndexTo(spark: SparkSession, fromPrefix: String,
+                          toPrefix: String,
+                          m: Int = 8, signBits: Int = 4): Unit = {
+    require(toPrefix != fromPrefix,
+      "blue/green rebuild requires a distinct target prefix")
+    graft.expressions.VectorExpressions.register(spark)
+    dropIvfPqTables(spark, toPrefix)
+    val raw = spark.table(s"${fromPrefix}_xcell")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val st = raw.agg(count(lit(1)), countDistinct(col("label"))).collect()(0)
+    centroidsOf(raw, deriveSubBits(st.getLong(0), st.getLong(1)))
+      .write.mode("overwrite").saveAsTable(s"${toPrefix}_xcent")
+    pqCodebookRows(raw, m, signBits)
+      .write.mode("overwrite").saveAsTable(s"${toPrefix}_xcb")
+    val cbArr = pqCbArrOf(
+      spark.table(s"${toPrefix}_xcb").select(col("sub"), col("bkt"), col("cv")))
+    val centArr = centArrOf(spark.table(s"${toPrefix}_xcent"))
+    pqEncodeCodes(assignUnderCentArr(raw, centArr), cbArr, m)
+      .write.partitionBy("cent_id").mode("overwrite")
+      .saveAsTable(s"${toPrefix}_xcell")
+  }
+
+  /** [[annIvfPqFromIndex]] against whatever index `alias` currently
+    * points at (the shared [[LiveIndexPointer]]) — resolved exactly once
+    * per probe.
+    */
+  def annIvfPqLive(spark: SparkSession, dir: String,
+                   alias: String = "ivfpq_index_live",
+                   k: Int = TopK): DataFrame = {
+    val prefix = LiveIndexPointer.current(spark, alias).getOrElse(
+      throw new IllegalStateException(
+        s"no live IVF-PQ index: pointer '$alias' has never been flipped " +
+          "— build one (persistIvfPqIndex) and flip to it"))
+    annIvfPqFromIndex(spark, dir, prefix, k)
+  }
+
+  /** Atomically point `alias` at `toPrefix` ([[LiveIndexPointer.flip]]). */
+  def flipIvfPqIndex(spark: SparkSession, toPrefix: String,
+                     alias: String = "ivfpq_index_live"): Unit =
+    LiveIndexPointer.flip(spark, toPrefix, alias)
+
+  /** The s23 policy consumed to cutover — the shared
+    * [[IndexRotation.rotate]] skeleton (see its scaladoc for the
+    * crash-forward analysis and the concurrent-probe retire caveat) with
+    * the composed family's drop/audit/rebuild plugged in. The skeleton
+    * takes ONE scalar against ONE threshold, so the two-axis verdict
+    * folds to its normalized form: max(cell_ratio / [[IvfDriftRebuildRatio]],
+    * code_ratio / [[PqDriftRebuildRatio]]) against 1.0 — ≥ 1.0 exactly
+    * when either component's own threshold trips, i.e. exactly when the
+    * s23 row's `rebuild_recommended` is 1 (pinned in Round15Spec).
+    * `rebuildRatio` is on that NORMALIZED scale (1.0 = the composed
+    * policy, 0.0 = forced act — the SoakDiag cutover-wall convention).
+    */
+  def rotateIvfPqIndex(spark: SparkSession,
+                       alias: String = "ivfpq_index_live",
+                       rebuildRatio: Double = 1.0): Boolean =
+    IndexRotation.rotate(spark, alias, rebuildRatio,
+      drop = dropIvfPqTables(spark, _),
+      auditRatio = from => {
+        val r = ivfPqIndexDriftAudit(spark, from).collect()(0)
+        math.max(
+          r.getAs[Double]("cell_drift_ratio") / IvfDriftRebuildRatio,
+          r.getAs[Double]("code_drift_ratio") / PqDriftRebuildRatio)
+      },
+      rebuild = rebuildIvfPqIndexTo(spark, _, _))
+
+  /** Delete `alias`'s pointer file ([[LiveIndexPointer.unlink]]). */
+  def unlinkIvfPqPointer(spark: SparkSession,
+                         alias: String = "ivfpq_index_live"): Unit =
+    LiveIndexPointer.unlink(spark, alias)
 
   /** s20: the corpus sanity gate an embedding store runs BEFORE any
     * quantizer learn or index build — the t28/m2 encoding-sanity

@@ -150,6 +150,12 @@ class PlanSpec extends AnyFunSuite {
       //    shape); the cell candidate join and both rerank joins are
       //    equi hash joins — not here
       "s22_ivfpq_ann",
+      //  - s23 (r15): the composed drift policy holds s17's shape TWICE
+      //    (frozen + fresh quantizer 1-row broadcasts over assignment +
+      //    probe ranking) plus s19's two codebook broadcasts plus the
+      //    THREE 1×1 crossJoins stitching four 1-row volumes into the
+      //    composed policy row — all 1-row broadcasts, pinned below
+      "s23_ivfpq_drift",
       "s21_modality_coverage")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticByDesign)
@@ -221,7 +227,11 @@ class PlanSpec extends AnyFunSuite {
       // plus its DPP-subquery copy (the s16 pair), and the stored
       // 1-row codebook once under the candidate-codes reconstruction
       // and once under the query encode (the s18 pair)
-      "s22_ivfpq_ann" -> 4)
+      "s22_ivfpq_ann" -> 4,
+      // s23 = 9: s17's four (two quantizers × assignment + probe
+      // ranking) + s19's two (frozen/fresh codebook distortion passes)
+      // + the three 1×1 policy-row folds
+      "s23_ivfpq_drift" -> 9)
     // (r7: s11/t29's one-row broadcasts plan as broadcast HASH joins —
     // zero BNLJ nodes — so they stay under the main gate, unexempted)
     val actual = expectedBnlj.keys.map { n =>

