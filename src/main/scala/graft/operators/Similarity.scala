@@ -1968,13 +1968,32 @@ object Similarity {
     * stored floats (`embedding` serves the model-sized exact-rerank tail
     * and rebuilds, the hot-codes/cold-vectors split with both pruning
     * axes live; pinned on executed plans in StorageLayoutSpec).
-    * Lifecycle note: both frozen components age exactly as their source
-    * families document — cell-count drift is s17's audit on `_xcell`'s
-    * assignments, code-distortion drift is s19's on its codes — and a
-    * cutover is rebuild-to-idle-prefix + [[LiveIndexPointer]] flip; the
-    * verified per-family lifecycle verbs (append/retract/rotate,
-    * kill-tested on the component families) are the template a
-    * deployment composes rather than re-derives.
+    * Lifecycle (r15 — executable, not a template): frozen-component
+    * [[appendToIvfPqIndex]] / staged [[retractFromIvfPqIndex]], the
+    * composed two-axis drift policy ([[ivfPqDriftAudit]] /
+    * [[ivfPqIndexDriftAudit]] — s23), blue/green
+    * [[rebuildIvfPqIndexTo]] and [[rotateIvfPqIndex]] on the shared
+    * skeleton, all kill-tested in Round15Spec.
+    *
+    * BREAK-EVEN — when NOT to build this index (the d28/m18/s16
+    * convention, measured in `soakdiag_r15_s22.log`): on the soak
+    * fixture the composed probe LOSES to both fresh recomputes at
+    * scale (probe 4.0/7.5/22.2 s vs s5 4.5/5.4/9.1 and s6
+    * 3.3/5.9/10.4 at sf1/3/10), because 64-d synthetic embeddings make
+    * the corpus-sided work the index skips (full-corpus assignment,
+    * codebook learn + encode) compute-light, while the probe still
+    * pays its ADC coarse over every candidate the corpus-proportional
+    * 2% query fixture generates (15.2M rows at sf10). Three levers
+    * flip the sign in production: embedding WIDTH (the skipped work
+    * scales ∝ dim·corpus — real 768–3072-d models are 12–48× this
+    * fixture — while ADC stays 8 small ints per candidate at any dim),
+    * a BOUNDED query frame (the serving shape: thousands of queries,
+    * not 2% of the corpus, collapsing candidate volume to
+    * query-bounded while the recomputes' corpus passes don't shrink),
+    * and BYTES READ at 100 TB (probe input ≈ nprobe/ncells of 8-int
+    * codes vs a full float scan per recompute). Deploy rule: compose
+    * the index for real-width, long-lived, repeatedly-probed corpora;
+    * run s5/s6 fresh for compute-light or one-shot workloads.
     */
   def persistIvfPqIndex(spark: SparkSession, dir: String,
                         prefix: String = "ivfpq_index",
