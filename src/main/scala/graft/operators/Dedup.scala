@@ -630,6 +630,16 @@ object Dedup {
                                      threshold: Double): DataFrame = {
     val prefix = IndexMemo.ensure(
       spark.sparkContext.applicationId, "d17d19", s"$dir#$threshold") { p =>
+      // pre-drop table AND location (the dropIvfTables discipline): a
+      // previous JVM's memo leaves its warehouse directory behind, and
+      // saveAsTable refuses a managed-table location that already
+      // exists even under overwrite (LOCATION_ALREADY_EXISTS)
+      spark.sql(s"DROP TABLE IF EXISTS `${p}_vpairs`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        s"${p}_vpairs".toLowerCase)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
       val (verified, caches) = containmentVerified(spark, dir, threshold)
       verified.filter(col("containment") >= threshold)
         .select(col("id_s"), col("id_l"),

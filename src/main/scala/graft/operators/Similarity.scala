@@ -868,24 +868,44 @@ object Similarity {
       .select(df.columns.map(col) :+ codes.as("codes"): _*)
   }
 
+  /** The codebook re-shaped for DIRECT code indexing: per subspace, a
+    * dense array whose slot `b + 1` holds bucket `b`'s centroid (null
+    * for unseeded buckets — codes never reference those, since a code
+    * IS an existing entry's bkt). Built ONCE on the 1-row frame before
+    * it broadcasts, so the per-candidate reconstruction becomes two
+    * `element_at`s per subspace instead of a 16-entry struct-compare
+    * scan — the r15 soak located that scan as the composed probe's ADC
+    * bottleneck (15.2M candidates × 8 subspaces × 16 compares at
+    * sf10). Sized from the entries' own max bkt, not an assumed
+    * signBits.
+    */
+  private def pqDenseCbOf(cbArr: DataFrame): DataFrame =
+    cbArr.select(transform(col("cb"), entries =>
+      transform(sequence(lit(0),
+        array_max(transform(entries, e => e.getField("bkt")))),
+        b => try_element_at(filter(entries, e => e.getField("bkt") === b),
+          lit(1)).getField("cv"))).as("dcb"))
+
   /** Reconstruct stored codes back through the codebook: per subspace,
-    * the entry whose bkt equals the stored code (a 16-entry scan of the
-    * broadcast codebook's sub-array — no join, no shuffle), concatenated
-    * in subspace order. `pqReconFromCodes(codes-of(df)) == pqEncode(df)`
-    * by construction (same codebook, the code IS the argmin entry) —
-    * pinned in PqIndexSpec.
+    * the entry whose bkt equals the stored code — a direct index into
+    * the dense broadcast codebook ([[pqDenseCbOf]]; no join, no
+    * shuffle, no per-candidate scan) — concatenated in subspace order.
+    * The reconstructed vector is IDENTICAL to the entry-list scan's
+    * (same cv values, merely found by index), so
+    * `pqReconFromCodes(codes-of(df)) == pqEncode(df)` by construction
+    * (same codebook, the code IS the argmin entry) — pinned in
+    * PqIndexSpec.
     */
   private[graft] def pqReconFromCodes(codes: DataFrame,
                                       cbArr: DataFrame, m: Int): DataFrame =
     // non-code input columns carry through (the pqEncodeCodes
     // convention), so a caller can reconstruct candidate rows that
     // already carry their query pairing (s22) without a second join
-    codes.crossJoin(broadcast(cbArr))
+    codes.crossJoin(broadcast(pqDenseCbOf(cbArr)))
       .select(codes.columns.map(col) :+
         flatten(transform(sequence(lit(0), lit(m - 1)), i =>
-          element_at(filter(col("cb")(i),
-            c => c.getField("bkt") === element_at(col("codes"), i + 1)), 1)
-            .getField("cv"))).as("rv"): _*)
+          element_at(col("dcb")(i),
+            element_at(col("codes"), i + 1) + 1))).as("rv"): _*)
 
   /** The full corpus through the PQ codec — the compressed representation
     * the FULL-SCAN baseline scores against.
@@ -1784,12 +1804,12 @@ object Similarity {
         lit(0.0), (acc, y) => acc + y)
     val rowU6 = aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, i) => {
       val sub = slice(col("embedding"), i * ds + 1, lit(ds))
-      val cv = element_at(filter(col("cb")(i),
-        c => c.getField("bkt") === element_at(col("codes"), i + 1)), 1)
-        .getField("cv")
+      val cv = element_at(col("dcb")(i),
+        element_at(col("codes"), i + 1) + 1)
       acc + round(round(dist2(sub, cv), 6) * lit(1000000.0), 0).cast("long")
     })
-    pcode.select(col("embedding"), col("codes")).crossJoin(broadcast(cbArr))
+    pcode.select(col("embedding"), col("codes"))
+      .crossJoin(broadcast(pqDenseCbOf(cbArr)))
       .agg(coalesce(sum(rowU6), lit(0L)).as("distortion_u6"))
   }
 
@@ -1977,23 +1997,25 @@ object Similarity {
     *
     * BREAK-EVEN — when NOT to build this index (the d28/m18/s16
     * convention, measured in `soakdiag_r15_s22.log`): on the soak
-    * fixture the composed probe LOSES to both fresh recomputes at
-    * scale (probe 4.0/7.5/22.2 s vs s5 4.5/5.4/9.1 and s6
-    * 3.3/5.9/10.4 at sf1/3/10), because 64-d synthetic embeddings make
-    * the corpus-sided work the index skips (full-corpus assignment,
-    * codebook learn + encode) compute-light, while the probe still
-    * pays its ADC coarse over every candidate the corpus-proportional
-    * 2% query fixture generates (15.2M rows at sf10). Three levers
-    * flip the sign in production: embedding WIDTH (the skipped work
-    * scales ∝ dim·corpus — real 768–3072-d models are 12–48× this
-    * fixture — while ADC stays 8 small ints per candidate at any dim),
-    * a BOUNDED query frame (the serving shape: thousands of queries,
-    * not 2% of the corpus, collapsing candidate volume to
-    * query-bounded while the recomputes' corpus passes don't shrink),
-    * and BYTES READ at 100 TB (probe input ≈ nprobe/ncells of 8-int
-    * codes vs a full float scan per recompute). Deploy rule: compose
-    * the index for real-width, long-lived, repeatedly-probed corpora;
-    * run s5/s6 fresh for compute-light or one-shot workloads.
+    * fixture the composed probe reaches WALL-PARITY with the fresh
+    * recomputes (probe 3.7/5.1/11.6 s vs s5 4.9/5.9/11.0 and s6
+    * 4.0/5.5/12.0 at sf1/3/10 — after the r15 [[pqDenseCbOf]] fix
+    * removed the per-candidate codebook-scan bottleneck that had it 2×
+    * behind) but does not separate, because 64-d synthetic embeddings
+    * make the corpus-sided work the index skips (full-corpus
+    * assignment, codebook learn + encode) compute-light, while the
+    * probe still pays its ADC coarse over every candidate the
+    * corpus-proportional 2% query fixture generates (15.2M rows at
+    * sf10). Three levers separate it in production: embedding WIDTH
+    * (the skipped work scales ∝ dim·corpus — real 768–3072-d models
+    * are 12–48× this fixture — while ADC stays 8 small ints per
+    * candidate at any dim), a BOUNDED query frame (the serving shape:
+    * thousands of queries, not 2% of the corpus, collapsing candidate
+    * volume to query-bounded while the recomputes' corpus passes don't
+    * shrink), and BYTES READ at 100 TB (probe input ≈ nprobe/ncells of
+    * 8-int codes vs a full float scan per recompute). Deploy rule:
+    * compose the index for real-width, long-lived, repeatedly-probed
+    * corpora; run s5/s6 fresh for compute-light or one-shot workloads.
     */
   def persistIvfPqIndex(spark: SparkSession, dir: String,
                         prefix: String = "ivfpq_index",
