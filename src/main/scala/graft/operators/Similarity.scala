@@ -2055,14 +2055,43 @@ object Similarity {
                         prefix: String = "ivfpq_index",
                         k: Int = TopK, m: Int = 8,
                         shortlist: Int = RerankShortlist): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+    ivfPqProbeOf(spark, prefix,
+      raw.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding")),
+      raw.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      k, m, shortlist)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** The s22 probe against an ARBITRARY (vec_id, embedding) query
+    * frame — the bounded-query-frame serving core the s22 scaladoc's
+    * serving note promises, now code: [[annIvfPqFromIndex]] wraps it
+    * (its registered queries are the dir's % 50 vectors, its rerank
+    * vectors the dir's raw floats — plan-identical to the r14 spelling,
+    * StorageLayoutSpec's one-scan/column-pruned pins unchanged) and
+    * [[streamingIvfPqTopK]] runs it per micro-batch with
+    * `neighborVectors` = the index's OWN stored floats (`_xcell`'s
+    * model-sized cold column — serving is then self-contained against
+    * index + query stream, no external corpus read; stored floats
+    * round-trip parquet exactly, so the two sources score identically
+    * whenever the index holds the corpus, pinned in StreamingSpec).
+    * Unordered: batch sinks don't need a global sort; the registered
+    * wrapper adds it.
+    */
+  private[graft] def ivfPqProbeOf(spark: SparkSession, prefix: String,
+                                  queries: DataFrame,
+                                  neighborVectors: DataFrame,
+                                  k: Int = TopK, m: Int = 8,
+                                  shortlist: Int = RerankShortlist)
+      : DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val centArr = centArrOf(spark.table(s"${prefix}_xcent"))
     val cbArr = pqCbArrOf(
       spark.table(s"${prefix}_xcb").select(col("sub"), col("bkt"), col("cv")))
-    val raw = Tables.embeddings(spark, dir)
-    val queries = raw.filter(col("vec_id") % 50 === 0)
-    val probes = queries
+    val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val probes = q
       .crossJoin(broadcast(centArr))
       .select(col("query_id"),
         explode(slice(rankedCells(col("qe")), 1, IvfNProbe)).as("cent_id"))
@@ -2083,7 +2112,61 @@ object Similarity {
       .withColumn("crnk", row_number().over(wCoarse))
       .filter(col("crnk") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    exactRerank(shortlisted, raw, k)
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    shortlisted
+      .join(neighborVectors, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        expr("array_cosine(qe, embedding)").as("cos"))
+      .withColumn("rnk", row_number().over(wExact).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** ANN serving of the COMPOSED index under rotation — the
+    * [[streamingAnnTopK]] shape on the s22 family: a stream of query
+    * vectors probes whatever IVF-PQ index `alias` currently points at,
+    * the pointer resolved ONCE per micro-batch inside foreachBatch, so
+    * a blue/green cutover ([[flipIvfPqIndex]] / [[rotateIvfPqIndex]])
+    * landing between batches is picked up by the next batch with NO
+    * stream restart (the retired color's tables must outlive in-flight
+    * batches — the refresh-drain note transfers verbatim). The rerank
+    * reads the index's OWN stored floats, so serving needs no corpus
+    * path at all — index + stream is the whole dependency set. Each
+    * batch's top-k lands as `serve_batch=<id>`; per-query independence
+    * makes a batch's output equal the pinned-index probe of exactly its
+    * queries (the StreamingSpec pin).
+    */
+  def streamingIvfPqTopK(spark: SparkSession, dir: String,
+                         sinkPath: String, checkpointPath: String,
+                         alias: String = "ivfpq_index_live",
+                         k: Int = TopK,
+                         sourcePath: Option[String] = None,
+                         maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = Tables.embeddings(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(sourcePath.getOrElse(s"$dir/embeddings*.parquet"))
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val prefix = LiveIndexPointer.current(spark, alias).getOrElse(
+          throw new IllegalStateException(
+            s"no live IVF-PQ index: pointer '$alias' has never been " +
+              "flipped — build one (persistIvfPqIndex) and flip to it"))
+        ivfPqProbeOf(spark, prefix,
+          batch.select(col("vec_id"), col("embedding")),
+          spark.table(s"${prefix}_xcell")
+            .select(col("vec_id").as("neighbor_id"), col("embedding")), k)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$sinkPath/serve_batch=$batchId")
+        ()
+      }
+      .start()
   }
 
   /** s22: the registered spelling — build the composed index once per

@@ -228,6 +228,24 @@ class Round15Spec extends AnyFunSuite {
     Multimodal.dropMediaIndexTables(spark, "r15_mig")
   }
 
+  test("ivfPqProbeOf: the bounded-frame serving core reranked on the " +
+    "index's stored floats equals the registered dir-reranked probe") {
+    Similarity.persistIvfPqIndex(spark, sf, "r15_xserve")
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val selfContained = rows(Similarity.ivfPqProbeOf(spark, "r15_xserve",
+      emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding")),
+      spark.table("r15_xserve_xcell")
+        .select(col("vec_id").as("neighbor_id"), col("embedding")))
+      .orderBy(col("query_id"), col("rnk")))
+    val registered = rows(
+      Similarity.annIvfPqFromIndex(spark, sf, "r15_xserve"))
+    assert(selfContained == registered,
+      "stored floats round-trip parquet exactly — the two rerank " +
+        "sources must score identically when the index holds the corpus")
+    Similarity.dropIvfPqTables(spark, "r15_xserve")
+  }
+
   test("stage-7 marker join: the shuffle fallback (kept set past the " +
     "broadcast bound) produces the identical funnel") {
     val viaBroadcast = Curation.curationFunnel(spark, sf)

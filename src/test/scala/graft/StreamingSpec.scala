@@ -1196,6 +1196,85 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("composed ANN serving: an IVF-PQ cutover lands under a live " +
+    "query stream at a batch boundary, self-contained on stored floats") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val alias = "streaming_ivfpq_test"
+    val work =
+      java.nio.file.Files.createTempDirectory("graft_xpq_stream").toString
+    val (src, sink, ckpt) = (s"$work/src", s"$work/sink", s"$work/ckpt")
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    def land(mods: Seq[Int]): Unit = mods.foreach { m =>
+      emb.filter(col("vec_id") % 10 === m)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    // per-query independence: the pinned-index probe of exactly a wave's
+    // queries is the exact per-batch expectation; the probe reranks on
+    // the pinned index's OWN stored floats — the same self-contained
+    // source the serving path uses
+    def probeVs(prefix: String, corpus: org.apache.spark.sql.Column,
+                queries: Seq[Int]): Set[(Long, Long, Long, Double)] = {
+      Similarity.persistIvfPqIndex(spark, sf, prefix, corpusFilter = corpus)
+      val out = Similarity.ivfPqProbeOf(spark, prefix,
+        emb.filter(queries.map(col("vec_id") % 10 === _).reduce(_ || _))
+          .select(col("vec_id"), col("embedding")),
+        spark.table(s"${prefix}_xcell")
+          .select(col("vec_id").as("neighbor_id"), col("embedding")), 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      Similarity.dropIvfPqTables(spark, prefix)
+      out
+    }
+    val exp0 = probeVs("xpq_exp_v1", col("vec_id") % 2 === 0, Seq(1, 3))
+    val exp1 = probeVs("xpq_exp_v2", col("vec_id") % 4 === 0, Seq(5, 7, 9))
+    val exp1underV1 = probeVs("xpq_exp_v1b", col("vec_id") % 2 === 0,
+      Seq(5, 7, 9))
+
+    Similarity.unlinkIvfPqPointer(spark, alias)
+    val v1 = s"${alias}_blue"
+    val v2 = s"${alias}_green"
+    try {
+      Similarity.persistIvfPqIndex(spark, sf, v1,
+        corpusFilter = col("vec_id") % 2 === 0)
+      Similarity.flipIvfPqIndex(spark, v1, alias)
+      land(Seq(1, 3))
+      val q = Similarity.streamingIvfPqTopK(spark, sf, sink, ckpt, alias,
+        k = 5, sourcePath = Some(src))
+      try {
+        q.processAllAvailable() // batch 0 probes index version 1
+        // cut over at the batch boundary and RETIRE version 1 — a stale
+        // per-stream plan would now fail, so the next batch passing
+        // proves per-batch pointer resolution; serving never touches a
+        // corpus path, so retiring v1 removes batch 1's ONLY possible
+        // stale dependency
+        Similarity.persistIvfPqIndex(spark, sf, v2,
+          corpusFilter = col("vec_id") % 4 === 0)
+        Similarity.flipIvfPqIndex(spark, v2, alias)
+        Similarity.dropIvfPqTables(spark, v1)
+        land(Seq(5, 7, 9))
+        q.processAllAvailable() // batch 1 probes index version 2
+      } finally q.stop()
+
+      val served = spark.read.parquet(sink)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"),
+          col("cos_sim"), input_file_name().as("f")).collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)), r.getString(4).contains("serve_batch=0")))
+      val served0 = served.filter(_._2).map(_._1).toSet
+      val served1 = served.filterNot(_._2).map(_._1).toSet
+      assert(served0 == exp0,
+        s"batch 0 (index v1): served=${served0.size} expected=${exp0.size}")
+      assert(served1 == exp1,
+        s"batch 1 (index v2): served=${served1.size} expected=${exp1.size}")
+      assert(exp1 != exp1underV1,
+        "index versions must disagree on wave 2")
+    } finally {
+      Seq(v1, v2).foreach(Similarity.dropIvfPqTables(spark, _))
+      Similarity.unlinkIvfPqPointer(spark, alias)
+    }
+  }
+
   test("media serving: a band-index cutover lands under a live document " +
     "stream at a batch boundary") {
     import org.apache.spark.sql.functions._
