@@ -10,6 +10,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
+    // print the real computation, not the localCheckpoint truncation the
+    // bench path uses to bound suite-wide memory (see PlanCapture)
+    System.setProperty(graft.operators.PlanCapture.Prop, "1")
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args.drop(1).toSeq
                 else SparkEntry.queries.keys.toSeq.sorted

@@ -164,19 +164,14 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documentsParallel(spark, dir)
 
-    // per-doc gate inputs: the three published per-doc reports, joined
-    // once; gates 1-4 become flags on this one frame (stage 4 via the
+    // per-doc gate inputs: ONE fused projection over ONE corpus scan
+    // (r15, guide §2.4 — was a 3-way join of the t1/t9/t2 per-doc reports
+    // plus a fourth scan for (doc_id, source): three corpus Exchanges
+    // aligning columns that are pure per-row functions of the same row);
+    // gates 1-4 become flags on this one frame (stage 4 via the
     // fingerprint window — min gated doc_id per content group)
     val wFp = Window.partitionBy(col("fingerprint"))
-    val flagged = docs.select(col("doc_id"), col("source"))
-      .join(TextAnalysis.textStats(spark, dir)
-        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
-          col("fingerprint")), "doc_id")
-      .join(TextAnalysis.repetitionStats(spark, dir)
-        .select(col("doc_id"), col("top_trigram_ratio")), "doc_id")
-      .join(TextAnalysis.langIdPerDoc(spark, dir)
-        .select(col("doc_id"),
-          (col("lang_pred") === col("lang_declared")).as("lang_ok")), "doc_id")
+    val flagged = TextAnalysis.curationGateInputs(spark, dir)
       .withColumn("in1", col("doc_id") % 20 =!= 0)
       .withColumn("in2", col("in1") && col("lang_ok"))
       .withColumn("in3", col("in2") &&

@@ -29,12 +29,24 @@ object Dedup {
     * caches it was built from. Queries must not leak CacheManager entries
     * across invocations: Bench runs every query twice per round and a
     * long-lived session would otherwise accumulate memory/disk pressure.
+    *
+    * Under [[graft.operators.PlanCapture.noRelease]] (set ONLY by the
+    * `graft.Explain` dev tool, never by Bench/Verify) the checkpoint is
+    * skipped so `explain("formatted")` prints the real computation
+    * instead of a one-line ExistingRDD scan — r15's plan-evidence fix;
+    * the caches are still released so Explain leaks nothing either.
     */
   private[graft] def materializeAndRelease(result: DataFrame,
                                            caches: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint()
-    caches.foreach(_.unpersist())
-    out
+    if (PlanCapture.noRelease) result  // caches stay REGISTERED: the
+    // InMemoryRelation barriers are part of the real plan shape (they stop
+    // InferFiltersFromGenerate pushing the shingle pipeline below the
+    // repartition); unpersisting here would print a plan the bench never runs
+    else {
+      val out = result.localCheckpoint()
+      caches.foreach(_.unpersist())
+      out
+    }
   }
 
   /** d1: exact dedup — groups by normalized-content fingerprint, keeps the
@@ -260,12 +272,19 @@ object Dedup {
       array_min(transform(col("sh"), s => xxhash64(lit(k), s)))
     }
     val sig = docs.select(col("doc_id"), array(sigCols: _*).as("sig"))
-    sig.select(col("doc_id"),
-        explode(sequence(lit(0), lit(Bands - 1))).as("band"))
-      .join(sig, "doc_id")
-      .select(col("doc_id"), col("band"),
-        hash(col("band"), slice(col("sig"), col("band") * RowsPerBand + 1,
-          lit(RowsPerBand))).as("bkey"))
+    // r15 (guide §2.4): the band fan-out is a pure per-row expression —
+    // the r14 spelling exploded the band ids and re-attached `sig` with a
+    // corpus self-join on doc_id (two Exchanges to align a row with
+    // itself). One transform+explode emits the identical (band, bkey)
+    // rows with zero shuffles at any corpus size.
+    sig
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+          struct(b.as("band"),
+            hash(b, slice(col("sig"), b * RowsPerBand + 1,
+              lit(RowsPerBand))).as("bkey")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"))
   }
 
   def minhashLshPairs(spark: SparkSession, dir: String,

@@ -493,9 +493,19 @@ object Similarity {
       struct(graft.expressions.VectorExpressions
         .arrayCosine(col("embedding"), c.getField("cv")).as("cc"),
         (-c.getField("cent_id")).as("nid"))))
+    // r15 (guide §4.4 applied to Catalyst expressions): downstream
+    // equi-joins on cent_id infer `isnotnull(cent_id)`, and the pushed
+    // filter re-evaluates this whole |cents|-cosine argmax per row in the
+    // join condition — the assignment pass paid its map cost TWICE
+    // (visible in the r15 before-plans of s13/s14/s15/s23). The coalesce
+    // makes the column non-nullable so no filter is inferred and the
+    // argmax evaluates once. Value-neutral: array_max is null only when
+    // `cents` is empty, which requires an empty corpus — and then `df`
+    // (corpus × centArr) has no rows to carry the -1.
     df.crossJoin(broadcast(centArr))
       .select(df.columns.map(col) :+
-        (-best.getField("nid")).cast("int").as("cent_id"): _*)
+        coalesce((-best.getField("nid")).cast("int"), lit(-1))
+          .as("cent_id"): _*)
   }
 
   val RerankShortlist = 20

@@ -189,49 +189,76 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** The NON-distinct word-trigram list of a token array (the t9 gram
+    * construction — counts matter here, unlike the dedup shingles which
+    * dedup). Shared by [[repetitionStats]] and [[curationGateInputs]] so
+    * the two spellings cannot desync.
+    */
+  private[graft] def wordTrigrams(toks: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(size(toks) - 2 <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i),
+          element_at(toks, i + 1), element_at(toks, i + 2))))
+
+  /** t9's top-trigram share over a pre-sorted gram list `sg` with length
+    * `tot`: max multiplicity = the longest equal-adjacent run of the
+    * SORTED list, computed by a per-row fold — the r15 rewrite of the r14
+    * explode + two hash aggregations (guide §2.4: three corpus Exchanges
+    * removed for a quantity that is a pure function of one row). 0.0 for
+    * an empty list (the r14 left-join + coalesce contract); `sequence(2,
+    * 1)` would generate DESCENDING, so tot < 2 is guarded.
+    */
+  private[graft] def topShareOverSorted(sg: org.apache.spark.sql.Column,
+                                            tot: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(tot === 0, lit(0.0)).otherwise(
+      round(
+        when(tot === 1, lit(1L)).otherwise(
+          aggregate(sequence(lit(2), tot),
+            struct(lit(1L).as("run"), lit(1L).as("best")),
+            (acc, i) => {
+              val run = when(element_at(sg, i) === element_at(sg, i - 1),
+                acc.getField("run") + 1L).otherwise(lit(1L))
+              struct(run.as("run"),
+                greatest(acc.getField("best"), run).as("best"))
+            },
+            acc => acc.getField("best"))).cast("double")
+          / tot + 1e-9, 4))
+
   /** t9: repetition metrics per document — the Gopher-style quality rules
     * (Rae et al. 2021 §A1.1: "fraction of characters in the most common
     * n-gram", duplicate-line fraction). Per doc: the share of word
     * trigrams taken by the single most frequent trigram, and the fraction
-    * of duplicated physical lines. One explode + two per-doc aggregations,
-    * no corpus-wide shuffle — embarrassingly parallel at 100 TB.
+    * of duplicated physical lines.
+    *
+    * r15 optimization (guide §2.4): the r14 form exploded every doc's
+    * trigram list and ran TWO per-doc hash aggregations plus a join back
+    * to the line branch — three corpus-sized Exchanges to compute a
+    * quantity that is a pure function of one row. Now ONE projection:
+    * sort the grams, fold adjacent runs ([[topShareOverSorted]]). Zero
+    * shuffles at any corpus size; per-row cost O(g log g) in the doc's
+    * gram count — the same comparisons the hash aggregation did per doc,
+    * without the exchanges. Oracle replay (t9/t13/t34) pins value
+    * equality; Round15Spec pins the fold against the explode+count
+    * spelling on planted multiplicity fixtures. `release` is retained for
+    * source compatibility: with no cache in the plan there is nothing to
+    * release.
     */
   def repetitionStats(spark: SparkSession, dir: String,
-                      release: Boolean = true): DataFrame = {
-    // non-distinct trigram list (shinglesOfTokens dedups — here counts
-    // matter). Cached: shared by the trigram and line branches, and a
-    // barrier against InferFiltersFromGenerate re-running the gram
-    // pipeline below the repartition on the single-file scan.
-    val base = Tables.documentsParallel(spark, dir)
+                      release: Boolean = true): DataFrame =
+    Tables.documentsParallel(spark, dir)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("text"),
-        when(size(col("toks")) - 2 <= 0, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), size(col("toks")) - 2), i =>
-            concat_ws(" ", element_at(col("toks"), i),
-              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
-          .as("grams"))
-      .cache()
-    val triCounts = base
-      .select(col("doc_id"), explode(col("grams")).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top_c"), sum(col("c")).as("tot"))
-      .select(col("doc_id"),
-        round(col("top_c").cast("double") / col("tot") + 1e-9, 4)
-          .as("top_trigram_ratio"))
-    val lines = base.select(col("doc_id"),
-        split(col("text"), "\n").as("lines"))
+      .select(col("doc_id"), split(col("text"), "\n").as("lines"),
+        wordTrigrams(col("toks")).as("grams"))
+      .select(col("doc_id"), col("lines"), size(col("grams")).as("tot"),
+        array_sort(col("grams")).as("sg"))
       .select(col("doc_id"),
         size(col("lines")).cast("long").as("n_lines"),
         round((size(col("lines")) - size(array_distinct(col("lines"))))
-          .cast("double") / size(col("lines")) + 1e-9, 4).as("dup_line_frac"))
-    val result = lines.join(triCounts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
-        coalesce(col("top_trigram_ratio"), lit(0.0)).as("top_trigram_ratio"))
+          .cast("double") / size(col("lines")) + 1e-9, 4).as("dup_line_frac"),
+        topShareOverSorted(col("sg"), col("tot")).as("top_trigram_ratio"))
       .orderBy(col("doc_id"))
-    if (release) { val out = result.localCheckpoint(); base.unpersist(); out }
-    else result
-  }
 
   /** t10: language-ID confusion matrix — declared vs predicted label
     * counts with per-cell share of the declared language's documents. The
@@ -345,11 +372,15 @@ object TextAnalysis {
     */
   def qualityFilterVerdicts(spark: SparkSession, dir: String,
                             release: Boolean = true): DataFrame = {
-    val q = textStats(spark, dir)
-      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-    val rep = repetitionStats(spark, dir, release)
-      .select(col("doc_id"), col("top_trigram_ratio"))
-    q.join(rep, "doc_id")
+    // r15 optimization (guide §2.4): was textStats ⋈ repetitionStats on
+    // doc_id — after the t9 per-row rewrite both sides are projections of
+    // the SAME scan, so the join (one corpus Exchange per side) aligns
+    // columns that are per-row functions of one document row. Ride the
+    // fused frame instead (Catalyst prunes its fingerprint/lang columns
+    // out of the scan); `release` kept for source compatibility.
+    curationGateInputs(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        col("top_trigram_ratio"))
       .withColumn("reject_reason",
         when(col("n_tokens") < 10, "too_short")
           .when(col("n_tokens") > 100000, "too_long")
@@ -361,6 +392,57 @@ object TextAnalysis {
         (col("reject_reason") === "kept").as("kept"),
         col("reject_reason"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The fused per-document gate-input frame t34 consumes: every column
+    * its stage-1..4 flags read — t1's `n_tokens`/`quality_score`/
+    * `fingerprint`, t9's `top_trigram_ratio`, t2's declared-vs-predicted
+    * agreement — in ONE projection over ONE corpus scan.
+    *
+    * r15 optimization (guide §2.4): the r14 t34 built this frame as a
+    * 3-way join of [[textStats]], [[repetitionStats]] and
+    * [[langIdPerDoc]] on `doc_id` — three corpus-sized Exchanges (plus a
+    * fourth scan for `(doc_id, source)`) to align columns that are all
+    * pure per-row functions of the SAME document row. Every expression
+    * here is the registered operator's own spelling, factored, not
+    * copied: the quality/fingerprint columns restate t1's formula over
+    * the same [[staged]] attributes, the trigram share is
+    * [[topShareOverSorted]] over [[wordTrigrams]] (t9's exact columns),
+    * and the language argmax is t2's fold verbatim. Round15Spec pins
+    * this frame row-identical to the 3-way join of the registered
+    * operators, and the t34 oracle replay pins the composition.
+    */
+  private[graft] def curationGateInputs(spark: SparkSession,
+                                        dir: String): DataFrame = {
+    val denom = greatest(col("n_tokens"), lit(1L))
+    val withHits = staged(spark, dir)
+      .select(col("doc_id") +: col("source") +: col("lang") +: col("norm") +:
+        col("toks") +: col("n_tokens") +: col("n_distinct_tokens") +:
+        col("n_stop") +:
+        LangMarkers.map { case (lang, m) =>
+          size(filter(col("toks"), t => t.isInCollection(m))).cast("long")
+            .as(s"hits_$lang")
+        }: _*)
+    val best = LangMarkers.map(lm => col(s"hits_${lm._1}")).reduce(greatest(_, _))
+    val pred = LangMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(col(s"hits_$lang") === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    val ttr = round(col("n_distinct_tokens").cast("double") / denom, 4)
+    val stopR = round(col("n_stop").cast("double") / denom, 4)
+    withHits
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(
+          least(col("n_tokens").cast("double") / 500.0, lit(1.0)) * 0.4 +
+            ttr * 0.3 + (lit(1.0) - stopR) * 0.3 + 1e-9, 4).as("quality_score"),
+        md5(col("norm")).as("fingerprint"),
+        (pred === col("lang")).as("lang_ok"),
+        wordTrigrams(col("toks")).as("grams"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("quality_score"), col("fingerprint"), col("lang_ok"),
+        size(col("grams")).as("tot"), array_sort(col("grams")).as("sg"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("quality_score"), col("fingerprint"), col("lang_ok"),
+        topShareOverSorted(col("sg"), col("tot")).as("top_trigram_ratio"))
   }
 
   /** t14: corpus mixture resampling — rebalance the corpus toward a
@@ -618,7 +700,7 @@ object TextAnalysis {
         round(col("raw_nll") + 1e-9, 4).as("avg_nll_bits"),
         round(pow(lit(2.0), col("raw_nll")) + 1e-9, 2).as("ppl"))
       .orderBy(col("doc_id"))
-    if (release) { val out = result.localCheckpoint(); toks.unpersist(); out }
+    if (release && !PlanCapture.noRelease) { val out = result.localCheckpoint(); toks.unpersist(); out }
     else result
   }
 
@@ -665,7 +747,7 @@ object TextAnalysis {
           .as("intercept"),
         round(col("sxy") * col("sxy") / (col("sxx") * col("syy")) + 1e-9, 4)
           .as("r2"))
-    if (release) { val out = result.localCheckpoint(); tf.unpersist(); out }
+    if (release && !PlanCapture.noRelease) { val out = result.localCheckpoint(); tf.unpersist(); out }
     else result
   }
 
@@ -819,9 +901,14 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val scored = ngramLmPerplexity(spark, dir, k, release)
       .select(col("doc_id"), col("ppl"))
+    // r15 (guide §2.4/§5): `ps` feeds BOTH the tercile-boundary chain
+    // (grid → cum → bounds) and the final cut join — uncached, the
+    // (doc_id)-keyed scored⋈documents join ran twice (two corpus joins at
+    // scale for one frame). Cached once, released with the result.
     val ps = scored.join(
       Tables.documentsParallel(spark, dir).select(col("doc_id"), col("source")),
       "doc_id")
+      .cache()
     val grid = ps.groupBy(col("source"), col("ppl"))
       .agg(count(lit(1)).cast("long").as("c"))
     val wcum = Window.partitionBy(col("source")).orderBy(col("ppl").asc)
@@ -836,10 +923,11 @@ object TextAnalysis {
         min(when(col("cum") * 3 >= col("n") * 2, col("ppl"))).as("b2"))
     val cut = lit(1) + (col("ppl") > col("b1")).cast("int") +
       (col("ppl") > col("b2")).cast("int")
-    ps.join(broadcast(bounds), "source")
+    val result = ps.join(broadcast(bounds), "source")
       .select(col("doc_id"), col("source"), col("ppl"),
         element_at(array(lit("head"), lit("middle"), lit("tail")), cut).as("cut"))
       .orderBy(col("doc_id"))
+    graft.operators.Dedup.materializeAndRelease(result, ps)
   }
 
   /** t23: DSIR-style importance weights (Xie et al. 2023, "Data Selection
@@ -906,7 +994,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"),
         round(col("raw") + 1e-9, 4).as("log_weight"))
       .orderBy(col("doc_id"))
-    if (release) {
+    if (release && !PlanCapture.noRelease) {
       val out = result.localCheckpoint()
       toks.unpersist(); db.unpersist(); out
     } else result
@@ -1307,7 +1395,7 @@ object TextAnalysis {
         round(col("covered_tokens").cast("double") / col("tot") + 1e-9, 6)
           .as("coverage"))
       .orderBy(col("k"))
-    if (release) { val out = result.localCheckpoint(); tf.unpersist(); out }
+    if (release && !PlanCapture.noRelease) { val out = result.localCheckpoint(); tf.unpersist(); out }
     else result
   }
 
@@ -1365,9 +1453,11 @@ object TextAnalysis {
         if (nTokens == 0) lit(0.0)
         else round(col("n_tokens_kept").cast("double") / nTokens + 1e-9, 6))
       .orderBy(col("threshold"))
-    val out = grid.localCheckpoint()
-    stats.unpersist()
-    out
+    if (PlanCapture.noRelease) grid else {
+      val out = grid.localCheckpoint()
+      stats.unpersist()
+      out
+    }
   }
 
   /** t35's budget grid — corpus-token fractions to price. Interpolated
@@ -1483,8 +1573,11 @@ object TextAnalysis {
       s"stack(${fracs.size}, $stackArgs) AS " +
         "(budget_frac, budget_tokens, kept_docs, kept_tokens, cut_quality)"))
       .orderBy(col("budget_frac"))
-    val out = curve.localCheckpoint()
-    ranked.unpersist(); base.unpersist()
-    out
+    if (PlanCapture.noRelease) curve
+    else {
+      val out = curve.localCheckpoint()
+      ranked.unpersist(); base.unpersist()
+      out
+    }
   }
 }

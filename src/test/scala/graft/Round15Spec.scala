@@ -256,4 +256,67 @@ class Round15Spec extends AnyFunSuite {
     assert(viaBroadcast == viaShuffle,
       "join strategy must never change the elected set")
   }
+
+  // ---- r15 optimization-round pins ------------------------------------
+
+  test("t9 per-row top-trigram fold equals the explode+groupBy spelling " +
+    "on planted multiplicity fixtures") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // planted gram lists: dominant run in the middle/at the ends, all
+    // distinct, all equal, singleton, empty — every fold boundary
+    val fixtures: Seq[Seq[String]] = Seq(
+      Seq("b c d", "a b c", "a b c", "z z z"),          // run of 2 mid-sort
+      Seq("m m m", "m m m", "m m m"),                   // all equal
+      Seq("a a a", "b b b", "c c c"),                   // all distinct
+      Seq("x y z"),                                     // singleton
+      Seq(),                                            // empty
+      Seq("t u v", "t u v", "a b c", "t u v", "q r s")) // dominant at end
+    val df = fixtures.zipWithIndex
+      .map { case (g, i) => (i.toLong, g) }.toDF("doc_id", "grams")
+      .select(col("doc_id"), col("grams"), size(col("grams")).as("tot"),
+        array_sort(col("grams")).as("sg"))
+      .cache()
+    val folded = df.select(col("doc_id"),
+      TextAnalysis.topShareOverSorted(col("sg"), col("tot")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exploded = df.filter(size(col("grams")) > 0)
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("tot"))
+      .select(col("doc_id"),
+        round(col("top_c").cast("double") / col("tot") + 1e-9, 4).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    df.unpersist()
+    fixtures.indices.foreach { i =>
+      val expected = exploded.getOrElse(i.toLong, 0.0)
+      assert(folded(i.toLong) == expected,
+        s"fixture $i: fold ${folded(i.toLong)} != explode+count $expected")
+    }
+  }
+
+  test("t34's fused gate frame is row-identical to the 3-way join of the " +
+    "registered t1/t9/t2 operators") {
+    import graft.operators.TextAnalysis
+    def key(df: DataFrame) = df
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("quality_score"), col("fingerprint"), col("lang_ok"),
+        col("top_trigram_ratio"))
+      .orderBy(col("doc_id")).collect().toSeq
+    val fused = key(TextAnalysis.curationGateInputs(spark, sf))
+    val joined = key(graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"))
+      .join(TextAnalysis.textStats(spark, sf)
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+          col("fingerprint")), "doc_id")
+      .join(TextAnalysis.repetitionStats(spark, sf)
+        .select(col("doc_id"), col("top_trigram_ratio")), "doc_id")
+      .join(TextAnalysis.langIdPerDoc(spark, sf)
+        .select(col("doc_id"),
+          (col("lang_pred") === col("lang_declared")).as("lang_ok")),
+        "doc_id"))
+    assert(fused == joined,
+      "the fused single-scan frame must equal the r14 3-way join form")
+  }
 }
