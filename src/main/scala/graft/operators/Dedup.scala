@@ -2646,17 +2646,22 @@ object Dedup {
     * document's shingle count.
     */
   private[graft] def driftPositions(sh: DataFrame, dfT: DataFrame,
-                                    threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+                                    threshold: Double): DataFrame =
+    // r15: hash-agg collect + in-array sort + posexplode (the
+    // ngramCandidatesOf shape) instead of TWO per-doc window passes
+    // (row_number + partition count) — one Exchange and no per-partition
+    // sort; position j and count n are the posexplode index and the
+    // array size under the same (df asc, s asc) order the window used.
     sh.join(dfT, Seq("s"), "left").na.fill(0L, Seq("df"))
-      .select(col("doc_id"), col("s"),
-        (row_number().over(w) - 1).as("j"),
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
+      .select(col("doc_id"), size(col("ordered")).cast("long").as("n"),
+        posexplode(col("ordered")).as(Seq("j", "e")))
+      .select(col("doc_id"), col("e.s").as("s"), col("j").cast("long").as("j"),
+        col("n"))
       .withColumn("in_prefix",
         col("j") < (col("n") -
           ceil(col("n").cast("double") * threshold - 1e-9) + 1))
-  }
 
   /** The d30 closed form under one order: per-shingle prefix/full
     * occurrence histograms, then Σ pcnt·fcnt. Empty corpus → one row of
@@ -3094,20 +3099,36 @@ object Dedup {
     val flagged = w.join(owners, "h")
       .select(col("doc_id"), col("pos"),
         (col("mn") < col("doc_id") || col("mx") > col("doc_id")).as("shared"))
-    // gaps-and-islands: consecutive shared positions share (pos - rn)
-    val rnW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val runs = flagged.filter(col("shared"))
-      .withColumn("grp", col("pos") - row_number().over(rnW))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(count(lit(1)).cast("long").as("run"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("run")).as("max_run"))
-    val totals = flagged.groupBy(col("doc_id"))
+    // r15 (guide §2.4): totals, and the gaps-and-islands longest run,
+    // in ONE grouped pass — the r14 form evaluated `flagged` twice (the
+    // corpus-sized w⋈owners join ran once for the run branch and once
+    // for the totals branch), ran a per-doc row_number window plus two
+    // more aggregations for the runs, and joined the branches back. The
+    // longest run of CONSECUTIVE shared positions is a per-row fold over
+    // the sorted shared-position list (the t9 sorted-fold trick with
+    // successor instead of equality); the list is bounded by the doc's
+    // own window count, the same bound the old window partition carried.
+    val maxRunOf = {
+      val sps = col("sps")
+      when(size(sps) === 0, lit(0L)).otherwise(
+        when(size(sps) === 1, lit(1L)).otherwise(
+          aggregate(sequence(lit(2), size(sps)),
+            struct(lit(1L).as("run"), lit(1L).as("best")),
+            (acc, i) => {
+              val run = when(
+                element_at(sps, i) === element_at(sps, i - 1) + 1L,
+                acc.getField("run") + 1L).otherwise(lit(1L))
+              struct(run.as("run"),
+                greatest(acc.getField("best"), run).as("best"))
+            },
+            acc => acc.getField("best"))))
+    }
+    val result = flagged.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_windows"),
-        sum(when(col("shared"), 1L).otherwise(0L)).cast("long").as("n_shared"))
-    val result = totals.join(runs, Seq("doc_id"), "left")
+        sum(when(col("shared"), 1L).otherwise(0L)).cast("long").as("n_shared"),
+        sort_array(collect_list(when(col("shared"), col("pos")))).as("sps"))
       .select(col("doc_id"), col("n_windows"), col("n_shared"),
-        coalesce(col("max_run"), lit(0L)).as("max_run"))
+        maxRunOf.as("max_run"))
       .withColumn("max_span_tokens",
         when(col("max_run") > 0, col("max_run") + (n - 1)).otherwise(0L)
           .cast("long"))
