@@ -2963,14 +2963,27 @@ object Dedup {
       .select(col("source"), shinglesOfTokens(col("toks"), n).as("sh_str"))
       .select(col("source"), transform(col("sh_str"), s => xxhash64(s)).as("sh"))
       .cache()
-    val srcShingles = sh
+    // r15 (guide §2.4): ONE corpus-sized aggregation instead of a global
+    // distinct + equi self-join on the shingle hash (two more corpus-
+    // sized Exchanges). collect_set(source) per shingle subsumes the
+    // distinct; the ≤C(|sources|,2) pair fan-out per shingle is the same
+    // row set the self-join produced, generated per row from the sorted
+    // source list (ascending order gives source_a < source_b); totals
+    // roll up from the same shingle-sized frame, never the corpus again.
+    val bySource = sh
       .select(col("source"), explode(col("sh")).as("s"))
-      .distinct()
-    val totals = srcShingles.groupBy(col("source"))
+      .groupBy(col("s"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .cache()
+    val totals = bySource.select(explode(col("ss")).as("source"))
+      .groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("tot"))
-    val result = srcShingles.select(col("source").as("source_a"), col("s"))
-      .join(srcShingles.select(col("source").as("source_b"), col("s")), "s")
-      .filter(col("source_a") < col("source_b"))
+    val result = bySource
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))), b =>
+          struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+      .select(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).cast("long").as("n_shared_ngrams"))
       .join(broadcast(totals.select(col("source").as("source_a"), col("tot").as("ta"))),
@@ -2982,7 +2995,8 @@ object Dedup {
           (col("ta") + col("tb") - col("n_shared_ngrams")) + 1e-9, 4)
           .as("jaccard"))
       .orderBy(col("source_a"), col("source_b"))
-    if (release) materializeAndRelease(result, sh) else result
+    if (release) materializeAndRelease(result, sh, bySource)
+    else result
   }
 
   /** d16: contamination-safe train/test split — the held-out-split

@@ -315,17 +315,17 @@ object Similarity {
         best.getField("cent_id").as("cent_id"), best.getField("d2").as("d2"))
       .cache()
 
-    // r15: the centroid recompute, member count and inertia are ONE
-    // grouped pass (perDim wide aggregation) — the r14 form ran a
-    // corpus×dims posexplode double-aggregation for the centroids plus a
-    // separate stats aggregation and joined the two on cent_id
+    val newCents = assigned
+      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cent_id"), col("pos"))
+      .agg(round(avg(col("x").cast("double")), 6).as("m"))
+      .groupBy(col("cent_id"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("nv"))
     val stats = assigned.groupBy(col("cent_id"))
       .agg(count(lit(1)).cast("long").as("n_members"),
-        round(sum(col("d2")) + lit(1e-9), 4).as("inertia"),
-        perDim(Dim)(i =>
-          round(avg(element_at(col("embedding"), i + 1).cast("double")), 6))
-          .as("nv"))
-    val result = stats.join(seeds, "cent_id")
+        round(sum(col("d2")) + lit(1e-9), 4).as("inertia"))
+    val result = stats.join(newCents, "cent_id").join(seeds, "cent_id")
       .select(col("cent_id"), col("n_members"), col("inertia"),
         round(sqrt(aggregate(
           zip_with(col("nv"), col("cv"), (n, o) =>
@@ -453,28 +453,19 @@ object Similarity {
     * across engines — see [[annIvfTopK]]). Factored out of
     * [[coarseQuantizer]] so [[persistIvfIndex]] can STORE the rows.
     */
-  /** Per-dimension aggregate over an array column as ONE wide aggregation
-    * (r15, guide §2.3/§2.4): the r14 spelling posexploded corpus×dims rows
-    * through a (key, pos) hash aggregation and re-assembled the vector
-    * with a second aggregation (sorted collect_list) — an extra Exchange
-    * and a dims-fold row blow-up for what is `dims` independent scalar
-    * aggregates of one wide pass. The i-th element is `f(i)` over the
-    * 1-based `element_at`; ordering by construction replaces the
-    * sort_array(collect_list(struct(pos, …))) re-assembly.
-    */
-  private def perDim(dims: Int)(f: Int => Column): Column =
-    array((0 until dims).map(f): _*)
-
   private[graft] def centroidsOf(raw: DataFrame, subBits: Int): DataFrame = {
     val cell =
       if (subBits == 0) col("label").cast("int")
       else (col("label").cast("int") * (1 << subBits) +
         expr(hyperplaneBucketSql("embedding", 64, subBits)).cast("int"))
     raw
-      .select(cell.as("cell"), col("embedding"))
+      .select(cell.as("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("m"))
       .groupBy(col("cell"))
-      .agg(perDim(Dim)(i =>
-        round(avg(element_at(col("embedding"), i + 1)), 6)).as("cv"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("cv"))
       .select(col("cell").as("cent_id"), col("cv"))
   }
 
@@ -603,14 +594,15 @@ object Similarity {
     * the MODEL the int8 codec learns from the FULL corpus (learning and
     * encoding split so the query side encodes only its own rows).
     */
-  private[graft] def int8Grid(raw: DataFrame): DataFrame =
-    // r15: one global wide aggregation (perDim) — was a corpus×dims
-    // posexplode + groupBy(pos) Exchange + a second collect_list pass
-    raw.agg(perDim(Dim)(i => struct(lit(i).as("pos"),
-      round(min(element_at(col("embedding"), i + 1).cast("double")), 6)
-        .as("lo"),
-      round(max(element_at(col("embedding"), i + 1).cast("double")), 6)
-        .as("hi"))).as("dm"))
+  private[graft] def int8Grid(raw: DataFrame): DataFrame = {
+    val dims = raw
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(round(min(col("x").cast("double")), 6).as("lo"),
+        round(max(col("x").cast("double")), 6).as("hi"))
+    dims.agg(sort_array(collect_list(
+      struct(col("pos"), col("lo"), col("hi")))).as("dm"))
+  }
 
   /** Encode `df`'s embeddings through a learned [[int8Grid]]: quantize
     * each dimension to the 255-step grid, decode back to the double
@@ -814,13 +806,13 @@ object Similarity {
       .map(j => when(element_at(col("sv"), j + 1) > 0, 1 << j).otherwise(0))
       .reduce((a, b) => a + b)
     // per-(subspace, bucket) centroids: 6dp-rounded per-dim means
-    // r15: one grouped wide aggregation (perDim over the ds-dim
-    // subvector) — was a further ×ds posexplode through a
-    // (sub, bkt, pos) aggregation plus a collect_list re-assembly
     sv.withColumn("bkt", bucket)
+      .select(col("sub"), col("bkt"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("bkt"), col("pos"))
+      .agg(round(avg(col("x").cast("double")), 6).as("mc"))
       .groupBy(col("sub"), col("bkt"))
-      .agg(perDim(ds)(i =>
-        round(avg(element_at(col("sv"), i + 1).cast("double")), 6)).as("cv"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("mc")))),
+        e => e.getField("mc")).as("cv"))
   }
 
   /** NESTED layout (r6): one bucket-entries array per subspace, the
@@ -933,9 +925,8 @@ object Similarity {
     pqEncode(raw, pqCodebook(raw, m, signBits), m)
 
   /** s4: int8 scalar quantization of the embedding column — per-dimension
-    * [min,max] learned in one distributive pass (ONE wide min/max
-    * aggregation since r15 — no posexplode row blow-up, no groupBy(pos)
-    * Exchange; 6dp-rounded to pin the grid across engines), then every vector
+    * [min,max] learned in one distributive pass (posexplode + groupBy(pos),
+    * 6dp-rounded to pin the grid across engines), then every vector
     * quantized MAP-SIDE against the broadcast grid: 4× memory compression
     * for the ANN corpus with the reconstruction error reported per vector.
     * The compaction step a 100 TB embedding store runs before s2/s3 —
@@ -944,10 +935,15 @@ object Similarity {
     */
   def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
     val raw = Tables.embeddings(spark, dir)
-    // r15: the grid is [[int8Grid]]'s one wide aggregation (cast BEFORE
-    // min/max: a float min rounded to 6dp snaps back to the nearest
-    // float, ~1e-8 off the exact 6dp value the oracle computes)
-    val grid = int8Grid(raw)
+    val dims = raw
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      // cast BEFORE min/max: a float min rounded to 6dp snaps back to the
+      // nearest float (~1e-8 off the exact 6dp value the oracle computes)
+      .agg(round(min(col("x").cast("double")), 6).as("lo"),
+        round(max(col("x").cast("double")), 6).as("hi"))
+    val grid = dims.agg(sort_array(collect_list(
+      struct(col("pos"), col("lo"), col("hi")))).as("dm"))
     val recon = zip_with(col("embedding"), col("dm"), (x, m) => {
       val lo = m.getField("lo"); val hi = m.getField("hi")
       val q = round((x.cast("double") - lo) / (hi - lo) * lit(255.0), 0)
@@ -1060,13 +1056,14 @@ object Similarity {
   def labelSilhouette(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val raw = Tables.embeddings(spark, dir)
-    // r15: one grouped wide aggregation (perDim) — was a corpus×dims
-    // posexplode + (cl, pos) aggregation + collect_list re-assembly
     val centroids = raw
-      .groupBy(col("label").cast("int").as("cl"))
-      .agg(perDim(Dim)(i =>
-        round(avg(element_at(col("embedding"), i + 1).cast("double")), 6))
-        .as("cv"))
+      .select(col("label").cast("int").as("cl"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cl"), col("pos"))
+      .agg(round(avg(col("x").cast("double")), 6).as("m"))
+      .groupBy(col("cl"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("cv"))
     val centArr = centroids
       .agg(sort_array(collect_list(struct(col("cl"), col("cv")))).as("cents"))
     val dists = transform(col("cents"), c =>

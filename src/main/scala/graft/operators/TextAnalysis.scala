@@ -901,14 +901,9 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val scored = ngramLmPerplexity(spark, dir, k, release)
       .select(col("doc_id"), col("ppl"))
-    // r15 (guide §2.4/§5): `ps` feeds BOTH the tercile-boundary chain
-    // (grid → cum → bounds) and the final cut join — uncached, the
-    // (doc_id)-keyed scored⋈documents join ran twice (two corpus joins at
-    // scale for one frame). Cached once, released with the result.
     val ps = scored.join(
       Tables.documentsParallel(spark, dir).select(col("doc_id"), col("source")),
       "doc_id")
-      .cache()
     val grid = ps.groupBy(col("source"), col("ppl"))
       .agg(count(lit(1)).cast("long").as("c"))
     val wcum = Window.partitionBy(col("source")).orderBy(col("ppl").asc)
@@ -923,11 +918,10 @@ object TextAnalysis {
         min(when(col("cum") * 3 >= col("n") * 2, col("ppl"))).as("b2"))
     val cut = lit(1) + (col("ppl") > col("b1")).cast("int") +
       (col("ppl") > col("b2")).cast("int")
-    val result = ps.join(broadcast(bounds), "source")
+    ps.join(broadcast(bounds), "source")
       .select(col("doc_id"), col("source"), col("ppl"),
         element_at(array(lit("head"), lit("middle"), lit("tail")), cut).as("cut"))
       .orderBy(col("doc_id"))
-    graft.operators.Dedup.materializeAndRelease(result, ps)
   }
 
   /** t23: DSIR-style importance weights (Xie et al. 2023, "Data Selection

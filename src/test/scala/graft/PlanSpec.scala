@@ -190,12 +190,9 @@ class PlanSpec extends AnyFunSuite {
       "q23_correlated_subq" -> 0, "q49_expectations" -> 1,
       "d14_auto_cells" -> 2, "s5_two_stage_ann" -> 4,
       "t20_lm_perplexity" -> 1, "s6_pq_ann" -> 2, "t22_vocab_growth" -> 1,
-      // t24 = 0 since r15: the result is checkpointed (the cached `ps`
-      // frame is released like every materializeAndRelease query), so the
-      // live plan is the ExistingRDD scan — t20's LM-total broadcast
-      // (previously re-planned 3× across the shared scored frame's
-      // consumers) now evaluates once behind the checkpoint
-      "s7_lsh_rerank" -> 2, "t23_dsir_weights" -> 1, "t24_ccnet_cut" -> 0,
+      // t24 = 3: t20's one-row LM-total broadcast re-planned per consumer
+      // of the shared scored frame (grid chain + final cut join)
+      "s7_lsh_rerank" -> 2, "t23_dsir_weights" -> 1, "t24_ccnet_cut" -> 3,
       // r7 batch 10: one 1-row scalar broadcast each (q52's anchor
       // timestamp, t30's corpus doc count)
       "q52_ewma_spend" -> 1, "t30_burstiness" -> 1,
