@@ -26,6 +26,11 @@ object Explain {
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // under PlanCapture the queries skip materializeAndRelease's
+      // unpersist (the InMemoryRelation barriers are part of the printed
+      // plan), so a multi-query Explain session would accumulate every
+      // query's caches — clear them between queries to stay bounded
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }

@@ -264,6 +264,21 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false) // in-memory payloads only
         val spi = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
           .next().getOriginatingProvider // per-partition registry lookup
+        // two-entry indexed palette (r16, guide §1.2 step 2 / §5): writing
+        // TYPE_INT_RGB frames made GIFImageWriter re-derive a palette via
+        // its octree quantizer for EVERY frame — per-pixel tree inserts and
+        // node allocation that dominated the encode and drove the
+        // 32-thread GC pressure the r15 scaling block flagged (m12 ratio
+        // 0.19). An explicit IndexColorModel holding exactly the two gray
+        // shades is written as-is (no quantization pass), and the raster
+        // rows are filled as primitive bytes instead of 2704 setRGB calls
+        // per frame. Decoded pixels are bit-identical — both shades were
+        // always exact palette entries (MultimodalSpec pins pixel
+        // exactness; the closed-form oracle contract is unchanged).
+        val icm = new java.awt.image.IndexColorModel(8, 2,
+          Array(PixelDark.toByte, PixelBright.toByte),
+          Array(PixelDark.toByte, PixelBright.toByte),
+          Array(PixelDark.toByte, PixelBright.toByte))
         ids.map { d =>
           val nFrames = (2 + d % 7).toInt
           val baos = new java.io.ByteArrayOutputStream()
@@ -275,15 +290,14 @@ object Multimodal {
             (0 until nFrames).foreach { i =>
               val s = (1 + (d * 5 + i * 3) % PixelSplitMod).toInt
               val img = new java.awt.image.BufferedImage(
-                PixelW, PixelH, java.awt.image.BufferedImage.TYPE_INT_RGB)
-              var y = 0
-              while (y < PixelH) {
-                val v = if (y < s) PixelDark else PixelBright
-                val rgb = v << 16 | v << 8 | v
-                var x = 0
-                while (x < PixelW) { img.setRGB(x, y, rgb); x += 1 }
-                y += 1
-              }
+                PixelW, PixelH, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+              val data = img.getRaster.getDataBuffer
+                .asInstanceOf[java.awt.image.DataBufferByte].getData
+              // TYPE_BYTE_INDEXED is one byte per pixel, row-major with no
+              // scanline padding for a fresh BufferedImage: dark rows are
+              // index 0, bright rows index 1
+              java.util.Arrays.fill(data, 0, s * PixelW, 0.toByte)
+              java.util.Arrays.fill(data, s * PixelW, PixelH * PixelW, 1.toByte)
               writer.writeToSequence(
                 new javax.imageio.IIOImage(img, null, null), null)
             }
@@ -483,16 +497,33 @@ object Multimodal {
       img: java.awt.image.BufferedImage): Array[Byte] = {
     val w = img.getWidth; val h = img.getHeight
     val lum = new Array[Byte](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        lum(y * w + x) = (((rgb >> 16 & 0xFF) * 299 +
-          (rgb >> 8 & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000).toByte
-        x += 1
-      }
-      y += 1
+    def lumOf(rgb: Int): Byte = (((rgb >> 16 & 0xFF) * 299 +
+      (rgb >> 8 & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000).toByte
+    img.getColorModel match {
+      // indexed fast path (r16, guide §1.2 step 2): GIF decodes to a
+      // single-band TYPE_BYTE_INDEXED raster — per-pixel getRGB walks the
+      // IndexColorModel for every pixel, so precompute the ≤256-entry
+      // palette→luminance table once per frame and map the raster bytes
+      // directly. Same integer BT.601 weights on the same palette RGB
+      // values: output bytes identical to the per-pixel path (pinned by
+      // the unchanged MultimodalSpec pixel-exactness fixtures).
+      case icm: java.awt.image.IndexColorModel
+          if img.getRaster.getNumBands == 1 =>
+        val table = new Array[Byte](icm.getMapSize)
+        var k = 0
+        while (k < table.length) { table(k) = lumOf(icm.getRGB(k)); k += 1 }
+        // getSamples handles every single-band layout the GIF decoder
+        // produces (byte-per-pixel ComponentSampleModel for ≥16-color
+        // palettes, bit-packed MultiPixelPackedSampleModel for 2/4-color)
+        val idx = img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
+        var j = 0
+        while (j < idx.length) { lum(j) = table(idx(j)); j += 1 }
+      case _ =>
+        // bulk getRGB (one JNI-free array call per frame) instead of w·h
+        // individual BufferedImage.getRGB calls
+        val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
+        var k = 0
+        while (k < rgbs.length) { lum(k) = lumOf(rgbs(k)); k += 1 }
     }
     lum
   }
@@ -1272,7 +1303,8 @@ object Multimodal {
     Seq((n, e.toLong, maxHamming.toLong, buckets.toLong))
       .toDF("built_docs", "extra_bits", "max_hamming", "buckets")
       .write.mode("overwrite").saveAsTable(s"${prefix}_mcfg")
-    mediaBandsAll(hashes, maxHamming, e)
+    graft.operators.Dedup.bucketAligned(
+        mediaBandsAll(hashes, maxHamming, e), buckets, "band", "bkey")
       .write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
       .mode("overwrite").saveAsTable(s"${prefix}_mband")
     hashes.unpersist()
@@ -1478,7 +1510,8 @@ object Multimodal {
       .limit(1).collect()
     require(dup.isEmpty,
       s"doc_id ${dup.head.getLong(0)} is already indexed in ${prefix}_mband")
-    mediaBandsAll(add, mh, e)
+    graft.operators.Dedup.bucketAligned(
+        mediaBandsAll(add, mh, e), buckets, "band", "bkey")
       .write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
       .mode("append").saveAsTable(s"${prefix}_mband")
   }
@@ -1504,7 +1537,8 @@ object Multimodal {
       .toDF("doc_id")
     graft.operators.Dedup.stagedRewriteMinusIds(spark, idsDf,
       s"${prefix}_mband",
-      _.write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey"))
+      df => graft.operators.Dedup.bucketAligned(df, buckets, "band", "bkey")
+        .write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey"))
   }
 
   /** m19's rebuild threshold: recommend once the frozen width's band-join
@@ -1637,7 +1671,8 @@ object Multimodal {
     Seq((n, e.toLong, mh.toLong, buckets.toLong))
       .toDF("built_docs", "extra_bits", "max_hamming", "buckets")
       .write.mode("overwrite").saveAsTable(s"${toPrefix}_mcfg")
-    mediaBandsAll(sigs, mh, e)
+    graft.operators.Dedup.bucketAligned(
+        mediaBandsAll(sigs, mh, e), buckets, "band", "bkey")
       .write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
       .mode("overwrite").saveAsTable(s"${toPrefix}_mband")
     sigs.unpersist()

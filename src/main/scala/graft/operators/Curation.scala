@@ -181,13 +181,33 @@ object Curation {
         min(when(col("in3"), col("doc_id"))).over(wFp) === col("doc_id"))
       .cache()
 
+    // one tokenization for stages 5 AND 6 (r16, guide §2.4): both stages
+    // tokenize with the same normalize+split, over overlapping doc sets
+    // (stage 5: the stage-4 survivors; stage 6: survivors + the eval
+    // holdout, disjoint by construction). The r15 form tokenized twice
+    // and semi-joined the corpus against the survivor set twice; this
+    // caches (doc_id, is_holdout, toks) once — survivors ∪ holdout, one
+    // semi-join — and derives the 3-gram (stage 5) and 8-gram (stage 6)
+    // shingle frames from the cached token arrays.
+    val toks0 = docs.select(col("doc_id"), col("text"))
+      .join(flagged.filter(col("in4")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .withColumn("is_holdout", lit(false))
+      .unionAll(docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("text"))
+        .withColumn("is_holdout", lit(true)))
+      .select(col("doc_id"), col("is_holdout"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .cache()
+    def shingled(df: DataFrame, n: Int): DataFrame = df
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shinglesOfTokens(col("toks"), n).as("sh_str"))
+      .select(col("doc_id"), transform(col("sh_str"), s => xxhash64(s)).as("sh"))
+
     // stage 5: exact near-dup pairs over the stage-4 set (d2's PPJoin),
     // materialized before the iterative components so label propagation
     // never replays the similarity join
-    val sh4 = Dedup.shinglesOf(
-      docs.select(col("doc_id"), col("text"))
-        .join(flagged.filter(col("in4")).select("doc_id"),
-          Seq("doc_id"), "left_semi")).cache()
+    val sh4 = shingled(toks0.filter(!col("is_holdout")), 3).cache()
     val (_, prefix4, cand4) = Dedup.ngramCandidatesOf(sh4, threshold)
     val pairs = Dedup.materializeAndRelease(cand4
       .join(sh4.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -210,15 +230,7 @@ object Curation {
     // d8, whose probe side genuinely is every non-eval doc, the probe
     // side here is the gated subset, so shingling the rest of the
     // corpus would be pure waste (~60% of the corpus at soak scale).
-    val sh8 = docs.select(col("doc_id"), col("text"))
-      .join(flagged.filter(col("in4")).select("doc_id"), Seq("doc_id"), "left_semi")
-      .union(docs.filter(col("doc_id") % 20 === 0)
-        .select(col("doc_id"), col("text")))
-      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.shinglesOfTokens(col("toks"), 8).as("sh_str"))
-      .select(col("doc_id"), transform(col("sh_str"), s => xxhash64(s)).as("sh"))
-      .cache()
+    val sh8 = shingled(toks0, 8).cache()
     val evalNgrams = sh8.filter(col("doc_id") % 20 === 0)
       .select(explode(col("sh")).as("s")).distinct()
     val contaminated = Dedup.materializeAndRelease(
@@ -226,7 +238,7 @@ object Curation {
         .select(col("doc_id"), explode(col("sh")).as("s"))
         .join(broadcast(evalNgrams), Seq("s"), "left_semi")
         .select("doc_id").distinct()
-        .withColumn("is_contam", lit(true)), sh8)
+        .withColumn("is_contam", lit(true)), sh8, toks0)
 
     // stages 5-7 as flags: marker joins, then t17's per-source cap as a
     // BOUNDED top-(cap) election ([[TopCapAgg]]) — the r13 running-count

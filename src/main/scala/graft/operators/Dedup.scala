@@ -33,8 +33,11 @@ object Dedup {
     * Under [[graft.operators.PlanCapture.noRelease]] (set ONLY by the
     * `graft.Explain` dev tool, never by Bench/Verify) the checkpoint is
     * skipped so `explain("formatted")` prints the real computation
-    * instead of a one-line ExistingRDD scan — r15's plan-evidence fix;
-    * the caches are still released so Explain leaks nothing either.
+    * instead of a one-line ExistingRDD scan — r15's plan-evidence fix.
+    * The caches deliberately stay REGISTERED under the flag (their
+    * InMemoryRelation barriers are part of the plan being printed), so a
+    * full-suite Explain session accumulates them; `graft.Explain` clears
+    * the cache manager between queries to stay bounded.
     */
   private[graft] def materializeAndRelease(result: DataFrame,
                                            caches: DataFrame*): DataFrame = {
@@ -48,6 +51,25 @@ object Dedup {
       out
     }
   }
+
+  /** Align a frame to its bucket spec before a bucketed write (r16,
+    * guide §6): hash-repartition on the bucket column(s) with
+    * numPartitions = buckets — the same murmur3-pmod assignment
+    * saveAsTable's bucketing uses — so each write task holds exactly one
+    * bucket and emits exactly ONE file. Without it every writing task
+    * emits a file per bucket it touches — tasks × buckets tiny files per
+    * table (measured: d28's `_cfull` at sf0.1 was **1,024 files for
+    * 3.2 MiB**, and every probe re-opened all of them; the probe's scan
+    * time was dominated by per-file open/footer overhead, §6's
+    * small-files trap inside the index layout). One bounded exchange at
+    * BUILD time buys every probe a `buckets`-file scan; at production
+    * scale it also aggregates each bucket into few large files (the
+    * §6 128 MB–1 GB target) instead of sharding it across every write
+    * task.
+    */
+  private[graft] def bucketAligned(df: DataFrame, buckets: Int,
+                                   cols: String*): DataFrame =
+    df.repartition(buckets, cols.map(col): _*)
 
   /** d1: exact dedup — groups by normalized-content fingerprint, keeps the
     * smallest doc_id (deterministic survivor rule), reports group size.
@@ -793,7 +815,7 @@ object Dedup {
                               corpusFilter: org.apache.spark.sql.Column =
                                 col("doc_id") % 2 === 0): Unit = {
     dropIndexTables(spark, prefix)
-    docShingles(spark, dir).filter(corpusFilter)
+    bucketAligned(docShingles(spark, dir).filter(corpusFilter), buckets, "doc_id")
       .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
       .mode("overwrite").saveAsTable(s"${prefix}_cdocs")
     deriveIndexFromCdocs(spark, prefix, buckets)
@@ -818,15 +840,15 @@ object Dedup {
                                    buckets: Int): Unit = {
     val ds = spark.table(s"${prefix}_cdocs")
       .select(col("doc_id"), explode(col("sh")).as("s"))
-    ds.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    bucketAligned(ds.groupBy(col("s")).agg(count(lit(1)).as("df")), buckets, "s")
       .write.bucketBy(buckets, "s").sortBy("s")
       .mode("overwrite").saveAsTable(s"${prefix}_cdf")
-    ds.join(spark.table(s"${prefix}_cdf"), "s")
+    bucketAligned(ds.join(spark.table(s"${prefix}_cdf"), "s")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
       .select(col("doc_id"), size(col("ordered")).as("n"),
         posexplode(transform(col("ordered"), e => e.getField("s")))
-          .as(Seq("j", "s")))
+          .as(Seq("j", "s"))), buckets, "s")
       .write.bucketBy(buckets, "s").sortBy("s")
       .mode("overwrite").saveAsTable(s"${prefix}_cfull")
   }
@@ -903,9 +925,11 @@ object Dedup {
           Seq("doc_id"), "left_anti")
       if (orphanIds.limit(1).collect().nonEmpty)
         stagedRewriteMinusIds(spark, orphanIds, s"${prefix}_cfull",
-          _.write.bucketBy(buckets, "s").sortBy("s"))
+          df => bucketAligned(df, buckets, "s")
+            .write.bucketBy(buckets, "s").sortBy("s"))
       appendShinglesToCfull(spark, add, prefix, buckets)
-      add.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      bucketAligned(add, buckets, "doc_id")
+        .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
         .mode("append").saveAsTable(s"${prefix}_cdocs")
     } finally { add.unpersist(); () }
   }
@@ -919,14 +943,14 @@ object Dedup {
   private[graft] def appendShinglesToCfull(spark: SparkSession,
                                            add: DataFrame, prefix: String,
                                            buckets: Int): Unit =
-    add.select(col("doc_id"), explode(col("sh")).as("s"))
+    bucketAligned(add.select(col("doc_id"), explode(col("sh")).as("s"))
       .join(spark.table(s"${prefix}_cdf"), Seq("s"), "left")
       .na.fill(0L, Seq("df"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
       .select(col("doc_id"), size(col("ordered")).as("n"),
         posexplode(transform(col("ordered"), e => e.getField("s")))
-          .as(Seq("j", "s")))
+          .as(Seq("j", "s"))), buckets, "s")
       .write.bucketBy(buckets, "s").sortBy("s")
       .mode("append").saveAsTable(s"${prefix}_cfull")
 
@@ -947,9 +971,11 @@ object Dedup {
     val idsDf = spark.createDataset(ids)(org.apache.spark.sql.Encoders.scalaLong)
       .toDF("doc_id")
     stagedRewriteMinusIds(spark, idsDf, s"${prefix}_cdocs",
-      _.write.bucketBy(buckets, "doc_id").sortBy("doc_id"))
+      df => bucketAligned(df, buckets, "doc_id")
+        .write.bucketBy(buckets, "doc_id").sortBy("doc_id"))
     stagedRewriteMinusIds(spark, idsDf, s"${prefix}_cfull",
-      _.write.bucketBy(buckets, "s").sortBy("s"))
+      df => bucketAligned(df, buckets, "s")
+        .write.bucketBy(buckets, "s").sortBy("s"))
   }
 
   /** d27 against the persisted index: identical output contract to
@@ -1388,11 +1414,13 @@ object Dedup {
     // or saveAsTable refuses with LOCATION_ALREADY_EXISTS on a fresh session
     dropBandIndexTables(spark, prefix)
     val docs = docShingles(spark, dir).filter(corpusFilter)
-    docs.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+    bucketAligned(docs, buckets, "doc_id")
+      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
       .mode("overwrite").saveAsTable(s"${prefix}_shingles")
     // bands derive from the JUST-WRITTEN shingle table — one shingle pass
     // total, and the band computation reads bucketed files
-    minhashBands(spark.table(s"${prefix}_shingles"))
+    bucketAligned(minhashBands(spark.table(s"${prefix}_shingles")),
+        buckets, "band", "bkey")
       .write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
       .mode("overwrite").saveAsTable(s"${prefix}_bands")
   }
@@ -1431,9 +1459,11 @@ object Dedup {
     val idsDf = spark.createDataset(ids)(org.apache.spark.sql.Encoders.scalaLong)
       .toDF("doc_id")
     stagedRewriteMinusIds(spark, idsDf, s"${prefix}_shingles",
-      _.write.bucketBy(buckets, "doc_id").sortBy("doc_id"))
+      df => bucketAligned(df, buckets, "doc_id")
+        .write.bucketBy(buckets, "doc_id").sortBy("doc_id"))
     stagedRewriteMinusIds(spark, idsDf, s"${prefix}_bands",
-      _.write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey"))
+      df => bucketAligned(df, buckets, "band", "bkey")
+        .write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey"))
   }
 
   /** One table's verified staged rewrite minus a retracted id set — the
@@ -2523,7 +2553,7 @@ object Dedup {
       "blue/green rebuild requires a distinct target prefix — an " +
         "in-place rebuild opens a two-table order-consistency window")
     dropIndexTables(spark, toPrefix)
-    spark.table(s"${fromPrefix}_cdocs")
+    bucketAligned(spark.table(s"${fromPrefix}_cdocs"), buckets, "doc_id")
       .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
       .mode("overwrite").saveAsTable(s"${toPrefix}_cdocs")
     deriveIndexFromCdocs(spark, toPrefix, buckets)
@@ -2947,13 +2977,21 @@ object Dedup {
     * through one dedup partition-key domain rather than being cleaned
     * independently.
     *
-    * Shape: one shuffle to distinct the (source, shingle) pairs, then an
-    * equi self-join on the shingle hash. A shingle present in k sources
-    * expands to k·(k-1)/2 rows — bounded by the SOURCE count (a few
-    * thousand in real crawls, 20 here), never by corpus size, so the join
-    * output is ≤ |distinct shingles|·|sources|²/2 and linear in the corpus
-    * for a fixed source vocabulary. Per-source totals ride a broadcast
-    * (|sources| rows). Shingles are the same 64-bit hashes as d2/d8/d10.
+    * Shape (r15/r16): ONE corpus-sized aggregation — `collect_set(source)`
+    * per shingle — then a per-shingle pair fan-out. A shingle present in
+    * k sources expands to k·(k-1)/2 rows, bounded by the SOURCE count,
+    * never by corpus size, so the fan-out output is ≤ |distinct
+    * shingles|·C(|sources|,2) and linear in the corpus for a fixed source
+    * vocabulary. **The fan-out bound is n_sources-shaped** (the same
+    * bound named on Curation's stage-7 broadcast): real crawls run
+    * thousands of sources, so a boilerplate shingle shared by s sources
+    * would cost C(s,2) pair rows from ONE input row — the r16 two-level
+    * explode below streams those rows through the map-side pair
+    * aggregation with O(s) transient state per row instead of
+    * materializing the full C(s,2) struct array per shingle (§2.5 skew /
+    * §5 per-task memory: at s = 10⁴ the one-shot array is ~10⁸ structs in
+    * a single task). Per-source totals ride a broadcast (|sources| rows).
+    * Shingles are the same 64-bit hashes as d2/d8/d10.
     */
   def sourceOverlapMatrix(spark: SparkSession, dir: String,
                           n: Int = 8, release: Boolean = true): DataFrame = {
@@ -2978,12 +3016,17 @@ object Dedup {
     val totals = bySource.select(explode(col("ss")).as("source"))
       .groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("tot"))
+    // two-level explode (r16, §2.5/§5): the r15 form built the whole
+    // C(s,2) pair array per shingle row before exploding — O(s²)
+    // transient memory in one task for a hot shingle. Exploding the
+    // source list first (≤ s rows, each carrying the O(s) tail slice)
+    // and the pair partner second streams the same pair set through the
+    // map-side aggregation with O(s) per-row state; the generated rows
+    // and the aggregated result are identical.
     val result = bySource
-      .select(explode(flatten(transform(col("ss"), (a, i) =>
-        transform(slice(col("ss"), i + 2, size(col("ss"))), b =>
-          struct(a.as("source_a"), b.as("source_b")))))).as("p"))
-      .select(col("p.source_a").as("source_a"),
-        col("p.source_b").as("source_b"))
+      .select(posexplode(col("ss")).as(Seq("i", "source_a")), col("ss"))
+      .select(col("source_a"),
+        explode(slice(col("ss"), col("i") + lit(2), size(col("ss")))).as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).cast("long").as("n_shared_ngrams"))
       .join(broadcast(totals.select(col("source").as("source_a"), col("tot").as("ta"))),

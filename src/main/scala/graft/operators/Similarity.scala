@@ -1176,6 +1176,7 @@ object Similarity {
   // every probe between appends).
   // ------------------------------------------------------------------
 
+
   /** Drop + physically delete the two IVF index tables under `prefix`. */
   private[graft] def dropIvfTables(spark: SparkSession, prefix: String): Unit =
     Seq(s"${prefix}_icent", s"${prefix}_icell").foreach { t =>

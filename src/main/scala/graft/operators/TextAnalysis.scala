@@ -34,6 +34,46 @@ object TextAnalysis {
         size(filter(col("toks"), t => t.isInCollection(Stopwords))).cast("long")
           .as("n_stop"))
 
+  /** t1's composite quality score over the staged count attributes
+    * (4dp-rounded ratios, then the 4dp-rounded composite — the
+    * cross-engine-pinned rounding). THE single spelling, shared by
+    * [[textStats]] and the fused t34 gate frame
+    * ([[curationGateInputs]]) so the two cannot desync.
+    */
+  private def qualityScoreCol: org.apache.spark.sql.Column = {
+    val denom = greatest(col("n_tokens"), lit(1L))
+    val ttr = round(col("n_distinct_tokens").cast("double") / denom, 4)
+    val stopR = round(col("n_stop").cast("double") / denom, 4)
+    round(least(col("n_tokens").cast("double") / 500.0, lit(1.0)) * 0.4 +
+      ttr * 0.3 + (lit(1.0) - stopR) * 0.3 + 1e-9, 4)
+  }
+
+  /** t1's content fingerprint over the staged `norm` attribute — shared
+    * with [[curationGateInputs]] (d1's dedup key).
+    */
+  private def fingerprintCol: org.apache.spark.sql.Column = md5(col("norm"))
+
+  /** Per-language marker-hit columns over the staged `toks` attribute —
+    * THE single spelling shared by t2 ([[langIdPerDoc]]) and the fused
+    * t34 gate frame.
+    */
+  private def langHitCols: Seq[org.apache.spark.sql.Column] =
+    LangMarkers.map { case (lang, m) =>
+      size(filter(col("toks"), t => t.isInCollection(m))).cast("long")
+        .as(s"hits_$lang")
+    }
+
+  /** t2's argmax over materialized `hits_<lang>` attributes (fixed tie
+    * order, "und" when nothing matches) — shared with
+    * [[curationGateInputs]].
+    */
+  private def langPredCol: org.apache.spark.sql.Column = {
+    val best = LangMarkers.map(lm => col(s"hits_${lm._1}")).reduce(greatest(_, _))
+    LangMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(col(s"hits_$lang") === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
   /** t1: per-document statistics + quality score + fingerprint. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val denom = greatest(col("n_tokens"), lit(1L))
@@ -42,15 +82,13 @@ object TextAnalysis {
         round(col("n_distinct_tokens").cast("double") / denom, 4).as("type_token_ratio"),
         round(length(regexp_replace(col("norm"), " ", "")).cast("double") / denom, 4)
           .as("avg_token_len"),
-        round(col("n_stop").cast("double") / denom, 4).as("stopword_ratio"))
+        round(col("n_stop").cast("double") / denom, 4).as("stopword_ratio"),
+        qualityScoreCol.as("quality_score"),
+        fingerprintCol.as("fingerprint"))
       .select(
         col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
         col("type_token_ratio"), col("avg_token_len"), col("stopword_ratio"),
-        round(
-          least(col("n_tokens").cast("double") / 500.0, lit(1.0)) * 0.4 +
-            col("type_token_ratio") * 0.3 +
-            (lit(1.0) - col("stopword_ratio")) * 0.3 + 1e-9, 4).as("quality_score"),
-        md5(col("norm")).as("fingerprint"))
+        col("quality_score"), col("fingerprint"))
       .orderBy(col("doc_id"))
   }
 
@@ -59,16 +97,8 @@ object TextAnalysis {
     */
   def langIdPerDoc(spark: SparkSession, dir: String): DataFrame = {
     val base = staged(spark, dir)
-      .select(col("doc_id") +: col("lang").as("lang_declared") +:
-        LangMarkers.map { case (lang, m) =>
-          size(filter(col("toks"), t => t.isInCollection(m))).cast("long")
-            .as(s"hits_$lang")
-        }: _*)
-    val best = LangMarkers.map(lm => col(s"hits_${lm._1}")).reduce(greatest(_, _))
-    val pred = LangMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
-      when(col(s"hits_$lang") === best && best > 0, lit(lang)).otherwise(acc)
-    }
-    base.select(col("doc_id") +: col("lang_declared") +: pred.as("lang_pred") +:
+      .select(col("doc_id") +: col("lang").as("lang_declared") +: langHitCols: _*)
+    base.select(col("doc_id") +: col("lang_declared") +: langPredCol.as("lang_pred") +:
         LangMarkers.map(lm => col(s"hits_${lm._1}")): _*)
       .orderBy(col("doc_id"))
   }
@@ -370,14 +400,15 @@ object TextAnalysis {
     * Composes the t1 quality metrics and t9 repetition in one pass; the
     * downstream "filtered corpus" is a semi-join on kept doc_ids.
     */
-  def qualityFilterVerdicts(spark: SparkSession, dir: String,
-                            release: Boolean = true): DataFrame = {
+  def qualityFilterVerdicts(spark: SparkSession, dir: String): DataFrame = {
     // r15 optimization (guide §2.4): was textStats ⋈ repetitionStats on
     // doc_id — after the t9 per-row rewrite both sides are projections of
     // the SAME scan, so the join (one corpus Exchange per side) aligns
     // columns that are per-row functions of one document row. Ride the
     // fused frame instead (Catalyst prunes its fingerprint/lang columns
-    // out of the scan); `release` kept for source compatibility.
+    // out of the scan). The fused path never caches or checkpoints, so
+    // the old `release` flag had become a no-op and was dropped (r16,
+    // ADVICE).
     curationGateInputs(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"),
         col("top_trigram_ratio"))
@@ -405,37 +436,26 @@ object TextAnalysis {
     * fourth scan for `(doc_id, source)`) to align columns that are all
     * pure per-row functions of the SAME document row. Every expression
     * here is the registered operator's own spelling, factored, not
-    * copied: the quality/fingerprint columns restate t1's formula over
-    * the same [[staged]] attributes, the trigram share is
-    * [[topShareOverSorted]] over [[wordTrigrams]] (t9's exact columns),
-    * and the language argmax is t2's fold verbatim. Round15Spec pins
-    * this frame row-identical to the 3-way join of the registered
-    * operators, and the t34 oracle replay pins the composition.
+    * copied (r16, ADVICE): the quality score and fingerprint are
+    * [[qualityScoreCol]]/[[fingerprintCol]] (t1's columns), the language
+    * argmax is [[langHitCols]]/[[langPredCol]] (t2's columns), and the
+    * trigram share is [[topShareOverSorted]] over [[wordTrigrams]] (t9's
+    * columns) — one definition each, consumed by both the registered
+    * operators and this frame. Round15Spec additionally pins this frame
+    * row-identical to the 3-way join of the registered operators, and
+    * the t34 oracle replay pins the composition.
     */
   private[graft] def curationGateInputs(spark: SparkSession,
                                         dir: String): DataFrame = {
-    val denom = greatest(col("n_tokens"), lit(1L))
     val withHits = staged(spark, dir)
       .select(col("doc_id") +: col("source") +: col("lang") +: col("norm") +:
         col("toks") +: col("n_tokens") +: col("n_distinct_tokens") +:
-        col("n_stop") +:
-        LangMarkers.map { case (lang, m) =>
-          size(filter(col("toks"), t => t.isInCollection(m))).cast("long")
-            .as(s"hits_$lang")
-        }: _*)
-    val best = LangMarkers.map(lm => col(s"hits_${lm._1}")).reduce(greatest(_, _))
-    val pred = LangMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
-      when(col(s"hits_$lang") === best && best > 0, lit(lang)).otherwise(acc)
-    }
-    val ttr = round(col("n_distinct_tokens").cast("double") / denom, 4)
-    val stopR = round(col("n_stop").cast("double") / denom, 4)
+        col("n_stop") +: langHitCols: _*)
     withHits
       .select(col("doc_id"), col("source"), col("n_tokens"),
-        round(
-          least(col("n_tokens").cast("double") / 500.0, lit(1.0)) * 0.4 +
-            ttr * 0.3 + (lit(1.0) - stopR) * 0.3 + 1e-9, 4).as("quality_score"),
-        md5(col("norm")).as("fingerprint"),
-        (pred === col("lang")).as("lang_ok"),
+        qualityScoreCol.as("quality_score"),
+        fingerprintCol.as("fingerprint"),
+        (langPredCol === col("lang")).as("lang_ok"),
         wordTrigrams(col("toks")).as("grams"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("quality_score"), col("fingerprint"), col("lang_ok"),

@@ -284,7 +284,7 @@ class PlanSpec extends AnyFunSuite {
       case "d16_split_leakage"   => Dedup.trainTestSplitLeakage(spark, sf, release = false)
       case "t20_lm_perplexity"   => TextAnalysis.ngramLmPerplexity(spark, sf, release = false)
       case "t9_repetition"       => TextAnalysis.repetitionStats(spark, sf, release = false)
-      case "t13_quality_filter"  => TextAnalysis.qualityFilterVerdicts(spark, sf, release = false)
+      case "t13_quality_filter"  => TextAnalysis.qualityFilterVerdicts(spark, sf)
       case "t21_zipf_fit"        => TextAnalysis.zipfFit(spark, sf, release = false)
       case "t23_dsir_weights"    => TextAnalysis.dsirWeights(spark, sf, release = false)
       case "t24_ccnet_cut"       => TextAnalysis.ccnetPerplexityCut(spark, sf, release = false)
