@@ -681,14 +681,16 @@ object TextAnalysis {
     * Shape: bigrams come from a map-side zip of the token array with its
     * tail (no shuffle); the model is two hash aggregations (C(w1,w2),
     * then C(w1,·) rolled up FROM the bigram counts — never a second pass
-    * over the corpus); scoring joins each document's bigram occurrences
-    * to the two count tables on (w1,w2) / (w1) — both shuffle equi-joins
-    * with map-side combine, both keyed on model-sized (vocab²-observed /
-    * vocab) tables, not corpus-sized ones. "the"-headed contexts make the
-    * C(w1) join key skewed at 100 TB: that join is AQE-skew-splittable,
-    * or the count tables (model-sized, ~vocab rows) broadcast outright on
-    * a real cluster — kept as shuffle joins here so the registered plan
-    * is the no-assumptions one.
+    * over the corpus); the two count tables join at the MODEL level
+    * (C(w1,w2) ⋈ C(w1,·) on w1 — vocab²-observed rows, never corpus
+    * rows) into a per-bigram nll table, and scoring attaches it to each
+    * document's bigram occurrences with ONE shuffle equi-join on
+    * (w1, w2) (r16 — the earlier form shuffled the corpus-scale
+    * occurrences through two joins). "the"-headed contexts make the w1
+    * join key skewed at 100 TB: the model-level join is
+    * AQE-skew-splittable, or the count tables (model-sized, ~vocab rows)
+    * broadcast outright on a real cluster — kept as shuffle joins here so
+    * the registered plan is the no-assumptions one.
     */
   def ngramLmPerplexity(spark: SparkSession, dir: String,
                         k: Double = 0.5, release: Boolean = true): DataFrame = {
@@ -709,13 +711,21 @@ object TextAnalysis {
     val vocab = toks.select(explode(col("toks")).as("tok"))
       .agg(countDistinct(col("tok")).cast("double").as("v"))
     val nll = -log2((col("cb") + k) / (col("cw") + lit(k) * col("v")))
-    val result = bi
-      .join(cb, Seq("w1", "w2"))
+    // r16 (guide §2.4): join the two count tables at the MODEL level first
+    // (cb ⋈ cw on w1 is model-sized), compute nll once per distinct
+    // bigram, then attach to the corpus occurrences with ONE equi-join on
+    // (w1, w2) — the r15 form shuffled the corpus-scale occurrence rows
+    // through TWO joins ((w1,w2) against cb, then w1 against cw). Same
+    // per-occurrence nll values, same per-doc multiset, same avg.
+    val nllModel = cb
       .join(cw, Seq("w1"))
       .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), nll.as("nll"))
+    val result = bi
+      .join(nllModel, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
-        avg(nll).as("raw_nll"))
+        avg(col("nll")).as("raw_nll"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("raw_nll") + 1e-9, 4).as("avg_nll_bits"),
         round(pow(lit(2.0), col("raw_nll")) + 1e-9, 2).as("ppl"))
