@@ -1236,18 +1236,20 @@ object Dedup {
       .withColumnRenamed("root", "cluster_root")
     val ntok = Tables.documentsParallel(spark, dir)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    // r16 (guide §2.4): the member count rides the SAME cluster_root
+    // window partitioning as the rank — one exchange, one partition pass
+    // extra. The previous spelling re-aggregated `ranked` per cluster and
+    // joined the counts back, which re-evaluated the clusters⋈ntok join +
+    // rank window a second time (ranked was uncached) and added a join.
     val ranked = clusters.join(ntok, "doc_id")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("cluster_root"))
           .orderBy(col("n_tokens").desc, col("doc_id").asc)))
-    val members = ranked.groupBy(col("cluster_root"))
-      .agg(count(lit(1)).cast("long").as("n_members"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_root"))))
     val result = ranked.filter(col("rn") === 1)
       .select(col("cluster_root"), col("doc_id").as("survivor_id"),
-        col("n_tokens").as("survivor_tokens"))
-      .join(members, "cluster_root")
-      .select(col("cluster_root"), col("survivor_id"),
-        col("survivor_tokens"), col("n_members"))
+        col("n_tokens").as("survivor_tokens"), col("n_members"))
       .orderBy(col("cluster_root"))
     materializeAndRelease(result, pairs)
   }
